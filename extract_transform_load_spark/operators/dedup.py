@@ -1,0 +1,314 @@
+"""Deduplication operators for large text corpora.
+
+Four strategies, in increasing fuzziness — each designed around one
+hash-partitioned shuffle so the plan scales linearly with corpus size:
+
+- ``exact_duplicates``     : group by content fingerprint (md5 of
+  normalized text). One shuffle on the 128-bit key; at 100 TB this is
+  the canonical map-side-combine groupBy.
+- ``ngram_jaccard_pairs``  : exact word-shingle Jaccard via an inverted
+  index self-join (shingle → doc list). SQL-expressible → oracle-checked.
+- ``minhash_lsh_pairs``    : MinHash signatures (vectorized numpy via
+  mapInPandas — Arrow batches, no per-row Python) banded into LSH
+  buckets; candidate pairs verified by signature similarity. The scale
+  path: candidate generation touches only bucket-colliding docs instead
+  of all pairs sharing any shingle.
+- ``simhash_64``           : 64-bit SimHash signatures; near-dup pairs =
+  equal band keys (4×16-bit bands ⇒ finds all pairs within Hamming
+  distance 3 across some band… probabilistically; exact verification by
+  popcount on the XOR).
+
+MinHash/SimHash use deterministic seed-derived hash mixing (splitmix64)
+so results are reproducible run-to-run and machine-to-machine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .textops import fingerprint, normalized, word_shingles
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group documents by normalized-content fingerprint.
+
+    Returns (fingerprint, keep_id = min doc id, n_dups). Deterministic
+    representative choice mirrors the reference's insert-if-absent
+    idempotency (first writer wins — SURVEY §2.A A20).
+    """
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted shingle index
+# ---------------------------------------------------------------------------
+
+
+def shingle_sets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the inverted-index edge list."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All document pairs (a < b) with word-k-gram Jaccard >= threshold.
+
+    Plan shape: explode to (doc, shingle) distinct → self-join on shingle
+    (one shuffle, hash-partitioned by shingle) → count intersections per
+    pair → join per-doc set sizes → Jaccard filter. Hot shingles create
+    quadratic bucket blowup; at scale, drop the top-p% most frequent
+    shingles first (standard df-cut) — they carry no discriminative
+    signal. AQE skew-join splitting handles residual imbalance.
+    """
+    sh = shingle_sets(docs, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic 64-bit mixing (splitmix64) — shared by MinHash & SimHash
+# ---------------------------------------------------------------------------
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK
+    return x ^ (x >> np.uint64(31))
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """Stable 64-bit hashes of tokens (FNV-1a over utf-8, then mixed)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = np.uint64(0xCBF29CE484222325)
+        for byte in t.encode("utf-8"):
+            h = ((h ^ np.uint64(byte)) * np.uint64(0x100000001B3)) & _MASK
+        out[i] = h
+    return _splitmix64(out)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, signature array<long>) via vectorized numpy in mapInPandas.
+
+    Each Arrow batch computes, per doc, ``min over shingles of
+    splitmix64(shingle_hash XOR seed_i)`` for ``num_hashes`` seeds — an
+    O(shingles × num_hashes) numpy broadcast per document, no shuffle at
+    all (signatures are computed map-side where the text already lives).
+    """
+    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+    id_name, text_name = id_col, text_col
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf[id_name], pdf[text_name]):
+                toks = [t for t in str(text).lower().split(" ") if t]
+                shingles = list({" ".join(toks[i : i + k]) for i in range(max(0, len(toks) - k + 1))})
+                if not shingles:
+                    sig = np.zeros(len(seeds), dtype=np.uint64)
+                else:
+                    th = _token_hashes(shingles)  # (S,)
+                    mixed = _splitmix64(th[:, None] ^ seeds[None, :])  # (S, H)
+                    sig = mixed.min(axis=0)
+                ids.append(did)
+                # store as signed int64 (Spark LongType); bit pattern preserved
+                sigs.append(sig.astype(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": ids, "signature": sigs})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        compute, schema="doc_id long, signature array<long>"
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, scored by signature agreement.
+
+    rows_per_band = num_hashes/bands; a pair collides in some band with
+    probability 1-(1-j^r)^b — the classic S-curve. Output:
+    (doc_a, doc_b, est_jaccard = fraction of agreeing minhashes) filtered
+    to est_jaccard >= threshold.
+
+    Shuffles: one on (band, band_hash) to build buckets, one groupBy on
+    the deduped pair. Bucket blowup is bounded because equal band-slices
+    imply near-identical docs — at 100 TB add a bucket-size cap + salt.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col)
+
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = sigs.select("doc_id", "signature", band_idx).select(
+        "doc_id",
+        "signature",
+        "band",
+        F.xxhash64(F.col("band"), F.slice("signature", F.col("band") * r + 1, r)).alias("band_hash"),
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return (
+        cand.withColumn("est_jaccard", agree.cast("double") / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash int64) — 64-bit SimHash over word tokens."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_cols = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, hashes = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in str(text).lower().split(" ") if t]
+                if not toks:
+                    ids.append(did)
+                    hashes.append(0)
+                    continue
+                th = _token_hashes(toks)  # (T,)
+                bits = (th[:, None] >> bit_cols[None, :]) & np.uint64(1)  # (T, 64)
+                votes = bits.astype(np.int64) * 2 - 1
+                sig_bits = (votes.sum(axis=0) > 0).astype(np.uint64)
+                sig = np.uint64(0)
+                for j in range(64):
+                    sig |= sig_bits[j] << np.uint64(j)
+                ids.append(did)
+                hashes.append(int(sig.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
+
+    return docs.select(id_col, text_col).mapInPandas(compute, schema="doc_id long, simhash long")
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding (4×16-bit) + exact Hamming verify.
+
+    By pigeonhole, any pair within Hamming distance 3 agrees exactly on
+    at least one of the 4 bands, so banding finds all such pairs.
+    """
+    sigs = simhash_signatures(docs, text_col, id_col)
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        "band_key", F.expr("shiftrightunsigned(simhash, band * 16) & 65535")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk_bruteforce``: exact top-k neighbors for a (small) query
+  set against the full corpus. The query side is broadcast, the corpus
+  side streams — no shuffle of the corpus; per-row dot products run
+  JVM-side via ``aggregate``/``zip_with`` inside codegen. This is the
+  correctness baseline and is also the right plan whenever
+  |queries| × dim fits in a broadcast (the common "probe batch" case).
+
+- ``lsh_topk``: random-hyperplane LSH. Corpus vectors are bucketed by a
+  b-bit sign signature (deterministic hyperplanes derived from a seed);
+  probes only rerank candidates whose signature matches in at least one
+  band. At 100 TB the bucket table is the partitioned index; candidate
+  rerank touches a small fraction of the corpus.
+
+Float policy: embeddings are float32 on disk; all arithmetic is done in
+float64 after per-element cast, accumulating in index order, so Spark and
+any sequential re-implementation (the DuckDB oracle) agree bitwise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from .dedup import _splitmix64
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Returns (query_id, neighbor_id, cos_sim, rank). Self-matches
+    (query_id == neighbor_id) are excluded. Ties broken by neighbor_id
+    for determinism.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("__qvec"), F.col("__cvec"))
+                / (_norm(F.col("__qvec")) * _norm(F.col("__cvec")))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
+    """Deterministic pseudo-random ±1 hyperplanes from splitmix64 stream."""
+    idx = np.arange(dim * n_bits, dtype=np.uint64) + np.uint64(seed * 0x9E3779B9)
+    mixed = _splitmix64(idx)
+    signs = ((mixed & np.uint64(1)).astype(np.float64) * 2.0) - 1.0
+    return signs.reshape(n_bits, dim)
+
+
+def sign_signatures(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, signature int) — sign-LSH bucket key, vectorized via mapInPandas."""
+    planes = _hyperplanes(dim, n_bits, seed)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if len(mat) == 0:
+                yield pd.DataFrame({"id": [], "signature": []})
+                continue
+            proj = mat @ planes.T  # (N, n_bits)
+            bits = (proj > 0).astype(np.int64)
+            sig = np.zeros(len(mat), dtype=np.int64)
+            for j in range(planes.shape[0]):
+                sig |= bits[:, j] << j
+            yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "signature": sig})
+
+    return df.select(id_col, vec_col).mapInPandas(compute, schema="id long, signature long")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 12,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the sign-LSH bucket, then exact
+    cosine rerank. Recall is tunable via n_bits (fewer bits → bigger
+    buckets → higher recall, more rerank work)."""
+    c_sig = sign_signatures(corpus, dim, n_bits, seed, id_col, vec_col).withColumnRenamed(
+        "id", "neighbor_id"
+    )
+    q_sig = sign_signatures(queries, dim, n_bits, seed, query_id_col, vec_col).withColumnRenamed(
+        "id", "query_id"
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")).join(
+        c_sig, "neighbor_id"
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).join(q_sig, "query_id")
+
+    cand = c.join(F.broadcast(q), "signature").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot(F.col("__qvec"), F.col("__cvec"))
+            / (_norm(F.col("__qvec")) * _norm(F.col("__cvec")))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,77 @@
+"""Text-analysis column builders: tokenization, quality, fingerprints.
+
+Built for the ``documents`` table (doc_id, text, lang, source, n_chars).
+Everything here stays JVM-side (built-in functions, no Python UDFs) so
+the expressions inline into whole-stage codegen — the right hot path for
+a 100 TB corpus scan. Engine-portable: each builder has an exact DuckDB
+SQL twin used by the oracle queries in plans/datapipe.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens (documents are single-space word soup)."""
+    return F.split(text, " ")
+
+
+def n_words(text: Column) -> Column:
+    return F.size(words(text)).cast("bigint")
+
+
+def regex_tokens(text: Column) -> Column:
+    """BPE-ish lowercase-alpha token stream via regexp (portable subset)."""
+    return F.regexp_extract_all(F.lower(text), F.lit("[a-z]+"), 0)
+
+
+def substring_count(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring — (len - len(replace))/len(needle).
+
+    Chosen over regexp counting because the replace-trick is defined
+    identically in every SQL engine (the DuckDB oracle uses the same
+    expression verbatim).
+    """
+    return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def normalized(text: Column) -> Column:
+    """Dedup normalization: lowercase, strip non-alphanumerics."""
+    return F.regexp_replace(F.lower(text), "[^a-z0-9 ]", "")
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized text."""
+    return F.md5(normalized(text))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (distinct not applied — caller decides).
+
+    Guarded for short docs: sequence(0, n) errors in ANSI mode when
+    n < 0, so texts with fewer than k words yield an empty array.
+    """
+    w = words(text)
+    idx = F.sequence(F.lit(0), F.size(w) - k)
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)))
+    return F.when(F.size(w) >= k, shingles).otherwise(F.array().cast("array<string>"))
+
+
+# Tiny per-language stopword marker lists for the heuristic language
+# classifier. Spaces matter: they anchor whole-word matches.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " de "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return {
+        lang: sum(substring_count(padded, m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }

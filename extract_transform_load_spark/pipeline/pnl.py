@@ -1,0 +1,138 @@
+"""Loan-closing PnL engine (SURVEY.md §2.A A18/A19).
+
+The reference computes PnL imperatively per contract on the close event
+(`handler/ls_loan_closing.rs:359-802`, fee also `configuration.rs:701-756`):
+
+- Long:        pnl = close_amount_stable − repayments − downpayment + fee
+- Short:       same, with debt legs multiplied by the LPN price
+- Liquidation: pnl = −(repayments + downpayment)
+- fee        = (loan_stable + cltr_stable) − loan_amount_at_open_price
+
+Spark-first: PnL is a *deterministic batch over the event log* — join the
+opening with the aggregated repayment/close/liquidation history per
+contract and evaluate the formula as column math. The reference's
+"deferred recompute after sync" machinery (`ls_loan_closing.rs:299-333`)
+disappears entirely: re-running the batch is the recompute.
+
+One shuffle per input table (groupBy contract) + one join shuffle,
+all on LS_contract_id — co-partitioned, so AQE folds them into a single
+exchange where sizes allow.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..schemas import AMOUNT
+
+SIGNED = "decimal(38,0)"
+
+
+def _sum_by_contract(df: DataFrame, col: str, alias: str) -> DataFrame:
+    return df.groupBy("LS_contract_id").agg(F.sum(F.col(col)).cast(AMOUNT).alias(alias))
+
+
+def compute_loan_closings(
+    opening: DataFrame,
+    repayments: DataFrame,
+    close_positions: DataFrame,
+    liquidations: DataFrame,
+    closings: DataFrame,
+) -> DataFrame:
+    """Derive LS_Loan_Closing rows (contract, amounts, pnl, type).
+
+    Close cause precedence mirrors the reference's dispatch: a repayment
+    with LS_loan_close=true → 'repay'; a close-position terminal event →
+    'market-close'; a liquidation terminal event → 'liquidation'
+    (`ls_loan_closing.rs:359-441`).
+    """
+    repay_sum = _sum_by_contract(repayments, "LS_payment_amnt_stable", "repaid_stable")
+    close_sum = _sum_by_contract(close_positions, "LS_payment_amnt_stable", "closed_stable")
+    liq_sum = _sum_by_contract(liquidations, "LS_payment_amnt_stable", "liquidated_stable")
+
+    def terminal(df: DataFrame, type_name: str, ts_col: str = "LS_timestamp") -> DataFrame:
+        return (
+            df.filter(F.col("LS_loan_close"))
+            .groupBy("LS_contract_id")
+            .agg(F.max(ts_col).alias("close_ts"))
+            .withColumn("close_type", F.lit(type_name))
+        )
+
+    term = (
+        terminal(repayments, "repay")
+        .unionByName(terminal(close_positions, "market-close"))
+        .unionByName(terminal(liquidations, "liquidation"))
+        .unionByName(
+            closings.groupBy("LS_contract_id")
+            .agg(F.max("LS_timestamp").alias("close_ts"))
+            .withColumn("close_type", F.lit("repay"))
+        )
+    )
+    # first terminal event wins (a contract closes once)
+    term = (
+        term.groupBy("LS_contract_id")
+        .agg(
+            F.min_by(F.struct("close_type", "close_ts"), F.col("close_ts")).alias("__t")
+        )
+        .select(
+            "LS_contract_id",
+            F.col("__t.close_type").alias("close_type"),
+            F.col("__t.close_ts").alias("close_ts"),
+        )
+    )
+
+    df = (
+        opening.join(term, "LS_contract_id")  # only closed contracts
+        .join(repay_sum, "LS_contract_id", "left")
+        .join(close_sum, "LS_contract_id", "left")
+        .join(liq_sum, "LS_contract_id", "left")
+    )
+
+    z = F.lit(0).cast(AMOUNT)
+    repaid = F.coalesce(F.col("repaid_stable"), z)
+    closed = F.coalesce(F.col("closed_stable"), z)
+    liquidated = F.coalesce(F.col("liquidated_stable"), z)
+    downpayment = F.coalesce(F.col("LS_cltr_amnt_stable"), z)
+    loan_stable = F.coalesce(F.col("LS_loan_amnt_stable"), z)
+
+    # fee = (loan_stable + cltr_stable) − loan_amount_at_open_price
+    # (`configuration.rs:701-756`); with enrichment done at open price the
+    # third term is the same lookup, so fee reduces to slippage captured
+    # at open — zero under exact-as-of enrichment. Kept explicit for
+    # parity with reference semantics.
+    open_value = F.coalesce(
+        (F.col("LS_loan_amnt").cast("decimal(38,18)") * F.col("LS_opening_price")).cast(AMOUNT),
+        loan_stable,
+    )
+    fee = (loan_stable + downpayment) - (open_value + downpayment)
+
+    proceeds = repaid + closed + liquidated
+    pnl_normal = (proceeds - loan_stable - downpayment + fee).cast(SIGNED)
+    pnl_liq = (-(repaid + downpayment)).cast(SIGNED)
+
+    return df.select(
+        "LS_contract_id",
+        F.col("LS_loan_amnt").alias("LS_amnt"),
+        proceeds.cast(AMOUNT).alias("LS_amnt_stable"),
+        F.when(F.col("close_type") == "liquidation", pnl_liq).otherwise(pnl_normal).alias("LS_pnl"),
+        F.col("close_ts").alias("LS_timestamp"),
+        F.col("close_type").alias("Type"),
+        F.lit(True).alias("Active"),
+    )
+
+
+def realized_pnl_by_address(loan_closings: DataFrame, opening: DataFrame) -> DataFrame:
+    """Realized PnL rollup per address (`controller/pnl.rs:29`-style gold)."""
+    return (
+        loan_closings.join(opening.select("LS_contract_id", "LS_address_id"), "LS_contract_id")
+        .groupBy("LS_address_id")
+        .agg(
+            F.sum("LS_pnl").cast(SIGNED).alias("realized_pnl"),
+            F.count(F.lit(1)).alias("n_closed"),
+            (
+                F.count(F.when(F.col("LS_pnl") > 0, 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("win_rate"),
+        )
+    )

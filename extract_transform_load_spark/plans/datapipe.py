@@ -1,0 +1,252 @@
+"""Training-data-pipeline queries: dedup, similarity, text analysis.
+
+These extend the reference's surface with the operators a 100 TB
+LLM-data pipeline needs (BASELINE.json north star). SQL-expressible ones
+carry a DuckDB oracle; LSH-based ones (MinHash banding, SimHash, sign-LSH
+ANN) register rows-only and are verified against exact ground truth in
+tests/test_datapipe.py instead.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..operators.similarity import cosine_topk_bruteforce, lsh_topk
+from ..operators.textops import lang_scores, normalized, words
+from ..sources.tables import load
+from .registry import query
+
+EMBED_DIM = 64
+
+
+@query(
+    "q40_dedup_exact",
+    oracle="""
+    SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup by normalized-content fingerprint (hash groupBy; one shuffle).",
+)
+def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "q41_ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.5
+    """,
+    doc="Exact word-3-gram Jaccard near-dup pairs via inverted shingle index.",
+)
+def q41_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5, k=3)
+
+
+@query(
+    "q42_minhash_lsh_pairs",
+    oracle=None,  # LSH banding is not SQL-expressible; verified vs exact Jaccard in tests
+    doc="MinHash(64) + 16-band LSH candidate pairs, signature-estimated Jaccard >= 0.5.",
+)
+def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), num_hashes=64, bands=16, threshold=0.5)
+
+
+@query(
+    "q43_simhash_pairs",
+    oracle=None,  # verified vs brute-force Hamming in tests
+    doc="64-bit SimHash banded near-dup pairs, Hamming <= 3.",
+)
+def q43_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@query(
+    "q44_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+                      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+                      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+                      i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos_sim
+      FROM c, q WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) t WHERE rank <= 10
+    """,
+    doc="Brute-force cosine top-10 for 5 probe vectors; broadcast probes, corpus streams.",
+)
+def q44_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_bruteforce(emb, queries, k=10)
+
+
+@query(
+    "q45_ann_lsh_topk",
+    oracle=None,  # approximate; recall vs exact top-k asserted in tests
+    doc="Sign-LSH bucketed ANN top-10 (12-bit signatures) with exact rerank.",
+)
+def q45_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, dim=EMBED_DIM, k=10, n_bits=12)
+
+
+@query(
+    "q46_text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS ttr,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_word_len,
+           CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) >= 0.5 THEN 'high'
+                WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) >= 0.3 THEN 'medium'
+                ELSE 'low' END AS quality
+    FROM documents
+    """,
+    doc="Per-doc quality features: token count, type-token ratio, avg word length, bucket.",
+)
+def q46_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    n = F.size(w).cast("bigint")
+    dw = F.size(F.array_distinct(w)).cast("bigint")
+    ttr = dw.cast("double") / n
+    awl = (F.length("text") - (n - 1)).cast("double") / n
+    quality = F.when(ttr >= 0.5, "high").when(ttr >= 0.3, "medium").otherwise("low")
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        dw.alias("distinct_words"),
+        ttr.alias("ttr"),
+        awl.alias("avg_word_len"),
+        quality.alias("quality"),
+    )
+
+
+@query(
+    "q47_token_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+    doc="Corpus token accounting per source (regex tokenizer, JVM-side).",
+)
+def q47_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    regex_toks = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(regex_toks).cast("bigint").alias("total_tokens"),
+        F.sum(F.size(words(F.col("text")))).cast("bigint").alias("total_words"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+
+
+@query(
+    "q48_lang_id",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5.0
+      + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5.0
+      + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4.0 AS s_en,
+        (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' el ', ''))) / 4.0
+      + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' la ', ''))) / 4.0
+      + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' de ', ''))) / 4.0 AS s_es,
+        (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' der ', ''))) / 5.0
+      + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' und ', ''))) / 5.0
+      + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' die ', ''))) / 5.0 AS s_de,
+        (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' le ', ''))) / 4.0
+      + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' et ', ''))) / 4.0
+      + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' les ', ''))) / 5.0 AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'unknown'
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS predicted_lang
+    FROM scored
+    """,
+    doc="Heuristic n-gram/stopword language ID with deterministic argmax tie-break.",
+)
+def q48_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    s = lang_scores(F.col("text"))
+    total = s["en"] + s["es"] + s["de"] + s["fr"]
+    pred = (
+        F.when(total == 0, "unknown")
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), "es")
+        .when(s["de"] >= s["fr"], "de")
+        .otherwise("fr")
+    )
+    return d.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+@query(
+    "q49_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint,
+           substr(md5(text), 1, 8) AS content_key,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    doc="Per-doc content fingerprint + byte accounting (multimodal binary plumbing twin).",
+)
+def q49_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(normalized(F.col("text"))).alias("fingerprint"),
+        F.substring(F.md5(F.col("text")), 1, 8).alias("content_key"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+    )

@@ -1,0 +1,909 @@
+"""Relational query inventory (SURVEY.md §2.B) over the synthetic star schema.
+
+Every operator class the reference's ~45 DAO queries use — scans, point
+lookups, pagination, filters, the full join taxonomy (anti/semi/equi/
+left/full-outer/cross-scalar/as-of/range), aggregations (scalar, grouped,
+distinct, weighted, bucketed, conditional, multi-level), window functions
+(lead-gap, latest-per-key, cumulative, nested agg+window), set ops and
+scalar functions — re-expressed as idiomatic DataFrame plans with DuckDB
+oracle twins.
+
+Engine-portability rules (see functions/decimals.py): sums aggregate in
+decimal (exact, order-independent), ratios divide the exact sums in
+double, LIMIT/OFFSET queries carry a total order, date_trunc results are
+normalized to DATE or formatted strings (Spark returns TIMESTAMP where
+DuckDB returns DATE).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.decimals import MEASURE, RESULT, dec, dsum, ratio
+from ..operators.asof import as_of_join
+from ..operators.gaps import find_gaps_scalable
+from ..operators.latest import latest_per_key
+from ..operators.pagination import paginate
+from ..sources.tables import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Flagship: grouped multi-aggregate pricing summary (B11/B12/B19).
+# Reference analogue: leased-assets / repayment multi-sum rollups
+# (`ls_opening.rs:379-453`, `ls_repayment.rs:127-183`).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H-Q1-shaped grouped rollup; maps B12 grouped SUM + B19 multi-sum.",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        # 2dp × 2dp × 2dp = 6 decimal digits — scale 6 keeps the cast
+        # exact (a narrower scale would round, and double→decimal rounding
+        # differs between engines at the .5 boundary).
+        F.sum(dec(charge, "decimal(18,6)")).cast("decimal(38,6)").alias("sum_charge"),
+        ratio(F.sum(dec("l_quantity")), n).alias("avg_qty"),
+        ratio(F.sum(dec("l_extendedprice")), n).alias("avg_price"),
+        ratio(F.sum(dec("l_discount")), n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans / point lookups / pagination (B0 family).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q02_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice, o_orderstatus
+    FROM orders WHERE o_custkey = 42
+    """,
+    doc="B0 point lookup by key (`ls_opening.rs:579-592` get-by-address).",
+)
+def q02_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") == 42)
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus")
+    )
+
+
+@query(
+    "q03_in_list",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer WHERE c_custkey IN (1, 5, 7, 11, 42, 137)
+    """,
+    doc="B0 IN-list lookup (`ls_opening.rs:659-684` get_leases).",
+)
+def q03_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").isin(1, 5, 7, 11, 42, 137))
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    )
+
+
+@query(
+    "q04_search_paginated",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE lower(c_name) LIKE '%4%'
+    ORDER BY c_acctbal DESC, c_custkey
+    OFFSET 5 LIMIT 20
+    """,
+    doc="B0a ILIKE substring search + ORDER/OFFSET/LIMIT (`ls_opening.rs:748-778`).",
+)
+def q04_search_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.lower(F.col("c_name")).contains("4"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    return paginate(c, [F.col("c_acctbal").desc(), F.col("c_custkey").asc()], offset=5, limit=20)
+
+
+@query(
+    "q05_txs_filtered_paged",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE (user_id = 3 OR user_id = 7)
+      AND event_type IN ('click', 'purchase')
+    ORDER BY ts DESC, event_id DESC
+    OFFSET 10 LIMIT 50
+    """,
+    doc="B0b raw_message-style multi-predicate scan + pagination (`raw_message.rs:43-117`).",
+)
+def q05_txs_filtered_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(
+            ((F.col("user_id") == 3) | (F.col("user_id") == 7))
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    return paginate(e, [F.col("ts").desc(), F.col("event_id").desc()], offset=10, limit=50)
+
+
+@query(
+    "q06_minute_bucket_max",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS bucket_start,
+           event_type,
+           MAX(value) AS max_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="B0c minute-bucketed MAX price series (`mp_asset.rs:61-87`).",
+)
+def q06_minute_bucket_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("ts").cast("double") / 900) * 900).cast("bigint")
+    return (
+        e.groupBy(bucket.alias("bucket_start"), F.col("event_type"))
+        .agg(F.max("value").alias("max_value"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q07_ledger_summary",
+    oracle="""
+    SELECT COUNT(*) AS n_events,
+           MIN(event_id) AS first_event,
+           MAX(event_id) AS last_event,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+    doc="B0d blocks count/first/last (`block.rs:76-135`).",
+)
+def q07_ledger_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "q08_range_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.08
+      AND l_quantity < 24
+    """,
+    doc="B11 scalar SUM/COUNT over a time range + thresholds (`lp_deposit.rs:95-136`).",
+)
+def q08_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+        & F.col("l_discount").between(0.02, 0.08)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join taxonomy (B1–B10).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q09_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="B1 anti-join: active-leases NOT EXISTS (`ls_state.rs:72-126`).",
+)
+def q09_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q10_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+    )
+    """,
+    doc="B2 semi-join EXISTS flag (`ls_opening.rs:1067-1072`).",
+)
+def q10_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "q11_dim_join_rollup",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="B3 fact↔dim equi-join with broadcast dim (`ls_opening.rs:385-396`).",
+)
+def q11_dim_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = F.broadcast(load(spark, sf_dir, "part"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity", "sum_qty"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+@query(
+    "q12_left_join_zero_fill",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(a.total_spent, 0) AS DECIMAL(38,4)) AS total_spent
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_spent
+      FROM orders GROUP BY o_custkey
+    ) a ON a.o_custkey = c.c_custkey
+    """,
+    doc="B4 left join + COALESCE zero-fill (`ls_opening.rs:260-286`).",
+)
+def q12_left_join_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    a = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_spent"))
+    )
+    return c.join(a, c.c_custkey == a.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce(F.col("total_spent"), F.lit(0)).cast(RESULT).alias("total_spent"),
+    )
+
+
+@query(
+    "q13_full_outer_daily",
+    oracle="""
+    SELECT COALESCE(a.day, b.day) AS day,
+           CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(b.n_shipped, 0) AS BIGINT) AS n_shipped
+    FROM (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+          FROM orders GROUP BY 1) a
+    FULL OUTER JOIN (SELECT CAST(l_shipdate AS DATE) AS day, COUNT(*) AS n_shipped
+          FROM lineitem GROUP BY 1) b
+      ON a.day = b.day
+    """,
+    doc="B5 full outer join of daily opened vs closed series (`ls_opening.rs:1373-1380`).",
+)
+def q13_full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    b = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_shipped"))
+    )
+    return a.join(b, a.day == b.day, "full_outer").select(
+        F.coalesce(a.day, b.day).alias("day"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce(F.col("n_shipped"), F.lit(0)).cast("bigint").alias("n_shipped"),
+    )
+
+
+@query(
+    "q14_cross_scalar",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate = (SELECT MAX(l_shipdate) FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+    doc="B6 cross-join broadcast of a scalar aggregate (`ls_state.rs:213-216`).",
+)
+def q14_cross_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    mx = l.agg(F.max("l_shipdate").alias("__max_ship"))
+    return (
+        l.crossJoin(F.broadcast(mx))
+        .filter(F.col("l_shipdate") == F.col("__max_ship"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@query(
+    "q15_asof_join",
+    oracle="""
+    SELECT c.event_id, c.user_id, p.value AS last_purchase_value
+    FROM events c
+    LEFT JOIN LATERAL (
+      SELECT value FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = c.user_id AND p.ts <= c.ts
+      ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+    ) p ON TRUE
+    WHERE c.event_type = 'click'
+    """,
+    doc="B7 as-of join: latest price <= event time (`ls_opening.rs:1460-1467`).",
+)
+def q15_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = as_of_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+        right_order="event_id",
+    )
+    return joined.select("event_id", "user_id", F.col("value_asof").alias("last_purchase_value"))
+
+
+@query(
+    "q16_range_join",
+    oracle="""
+    SELECT o.o_orderkey,
+           COUNT(*) AS n_early,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty_early
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderkey
+    """,
+    doc="B8 equi+range (theta) join: cumulative-within-horizon (`ls_state.rs:586-595`).",
+)
+def q16_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    cond = (
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate >= o.o_orderdate)
+        & (l.l_shipdate < o.o_orderdate + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        o.join(l, cond)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_early"), dsum("l_quantity", "qty_early"))
+    )
+
+
+@query(
+    "q17_multiway_chain",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY r_name, n_name
+    """,
+    doc="B9 multiway join chain per contract (`ls_opening.rs:1690-1791`).",
+)
+def q17_multiway_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (B13–B20).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q18_monthly_active_users",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m') AS month,
+           COUNT(DISTINCT user_id) AS mau,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+      UNION ALL SELECT user_id, ts FROM events WHERE event_type = 'view'
+      UNION ALL SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+      UNION ALL SELECT user_id, ts FROM events WHERE event_type = 'signup'
+      UNION ALL SELECT user_id, ts FROM events WHERE event_type = 'error'
+    ) u
+    GROUP BY 1
+    """,
+    doc="B13 monthly COUNT(DISTINCT) over 5-way UNION ALL (`ls_opening.rs:1208-1254`).",
+)
+def q18_monthly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    parts = [
+        e.filter(F.col("event_type") == t).select("user_id", "ts")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(F.date_format("ts", "yyyy-MM").alias("month")).agg(
+        F.countDistinct("user_id").alias("mau"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@query(
+    "q19_value_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="B14 AVG/MAX/MIN stats (`ls_state.rs:761-797`).",
+)
+def q19_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = F.count(F.lit(1))
+    return load(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        n.alias("n"),
+        ratio(F.sum(dec("o_totalprice")), n).alias("avg_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@query(
+    "q20_weighted_avg",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CAST(l_discount * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             / NULLIF(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 0) AS wavg_discount
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="B15 weighted average: SUM(rate*w)/NULLIF(SUM(w),0) (`lp_pool_state.rs:474-495`).",
+)
+def q20_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = F.broadcast(load(spark, sf_dir, "part"))
+    num = F.sum(dec(F.col("l_discount") * F.col("l_quantity"), "decimal(18,6)"))
+    den = F.sum(dec("l_quantity", "decimal(18,6)"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(ratio(num, den).alias("wavg_discount"))
+    )
+
+
+@query(
+    "q21_histogram_buckets",
+    oracle="""
+    WITH buckets(bucket) AS (VALUES ('lt_100k'), ('100k_200k'), ('200k_300k'), ('gte_300k')),
+    agg AS (
+      SELECT CASE WHEN o_totalprice < 100000 THEN 'lt_100k'
+                  WHEN o_totalprice < 200000 THEN '100k_200k'
+                  WHEN o_totalprice < 300000 THEN '200k_300k'
+                  ELSE 'gte_300k' END AS bucket,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+      FROM orders GROUP BY 1
+    )
+    SELECT b.bucket,
+           CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(a.total, 0) AS DECIMAL(38,4)) AS total
+    FROM buckets b LEFT JOIN agg a ON a.bucket = b.bucket
+    """,
+    doc="B16 CASE-bucketed histogram with static bucket dim (`ls_state.rs:243-289`, `raw_message.rs:243-343`).",
+)
+def q21_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "lt_100k")
+        .when(F.col("o_totalprice") < 200000, "100k_200k")
+        .when(F.col("o_totalprice") < 300000, "200k_300k")
+        .otherwise("gte_300k")
+    )
+    agg = o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total")
+    )
+    buckets = spark.createDataFrame(
+        [("lt_100k",), ("100k_200k",), ("200k_300k",), ("gte_300k",)], ["bucket"]
+    )
+    return F.broadcast(buckets).join(agg, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce(F.col("total"), F.lit(0)).cast(RESULT).alias("total"),
+    )
+
+
+@query(
+    "q22_conditional_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN value > 50 THEN 1 END) AS n_high,
+           CAST(COUNT(CASE WHEN value > 50 THEN 1 END) AS DOUBLE) / COUNT(*) AS high_rate,
+           MAX(CASE WHEN value > 50 THEN ts END) AS last_high_ts
+    FROM events GROUP BY event_type
+    """,
+    doc="B17 conditional aggregation / win-rate (`ls_repayment.rs:252-265`, `raw_message.rs:225-230`).",
+)
+def q22_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    high = F.when(F.col("value") > 50, 1)
+    n = F.count(F.lit(1))
+    n_high = F.count(high)
+    return e.groupBy("event_type").agg(
+        n.alias("n"),
+        n_high.alias("n_high"),
+        (n_high.cast("double") / n).alias("high_rate"),
+        F.max(F.when(F.col("value") > 50, F.col("ts"))).alias("last_high_ts"),
+    )
+
+
+@query(
+    "q23_first_in_group",
+    oracle="""
+    SELECT user_id,
+           arg_min(value, ts) AS first_value,
+           arg_max(value, ts) AS last_value
+    FROM events GROUP BY user_id
+    """,
+    doc="B18 ARRAY_AGG[1]-style first pick, determinized via min_by/max_by (`ls_opening.rs:1722-1724`).",
+)
+def q23_first_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.min_by("value", "ts").alias("first_value"),
+        F.max_by("value", "ts").alias("last_value"),
+    )
+
+
+@query(
+    "q24_two_level_agg",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(order_value) AS DECIMAL(38,4)) AS total_value,
+           MAX(order_value) AS max_order_value
+    FROM (
+      SELECT o.o_custkey, o.o_orderkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS order_value
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey, o.o_orderkey
+    ) per_order
+    GROUP BY o_custkey
+    """,
+    doc="B20 two-level aggregation: per-symbol then per-contract (`ls_opening.rs:1707-1729`).",
+)
+def q24_two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "o_orderkey")
+        .agg(dsum("l_extendedprice", "order_value"))
+    )
+    return per_order.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("order_value").cast(RESULT).alias("total_value"),
+        F.max("order_value").alias("max_order_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (B21–B25).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q25_gap_detection",
+    oracle="""
+    WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders),
+    w AS (SELECT id, lead(id) OVER (ORDER BY id) AS next_id FROM ids)
+    SELECT id + 1 AS gap_start, next_id - 1 AS gap_end
+    FROM w WHERE next_id > id + 1
+    """,
+    doc="B21/A4 LEAD-window block-gap detection, scalable range-partitioned variant (`block.rs:29-74`).",
+)
+def q25_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return find_gaps_scalable(load(spark, sf_dir, "orders"), "o_orderkey")
+
+
+@query(
+    "q26_latest_per_key",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_type,
+           value AS last_value,
+           ts AS last_ts
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+    doc="B22/B25 DISTINCT ON latest-per-key via shuffle-light max_by (`ls_state.rs:467-471`).",
+)
+def q26_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    latest = latest_per_key(e, keys=["user_id"], order_by="ts", tiebreak=["event_id"])
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+@query(
+    "q27_cumulative_sum",
+    oracle="""
+    SELECT event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(38,4)) AS running_total
+    FROM events WHERE event_type = 'purchase'
+    """,
+    doc="B23 cumulative buyback total (`tr_profit.rs:110-121`). Global window is "
+    "acceptable here: the post-filter series is small; at scale use daily pre-agg (q28).",
+)
+def q27_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "ts",
+        F.sum(dec("value")).over(w).cast(RESULT).alias("running_total"),
+    )
+
+
+@query(
+    "q28_daily_cumulative",
+    oracle="""
+    SELECT day, daily_revenue,
+           CAST(SUM(daily_revenue) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,4)) AS cumulative_revenue
+    FROM (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS daily_revenue
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ) d
+    """,
+    doc="B24 nested SUM(SUM()) OVER: daily + cumulative revenue (`tr_profit.rs:214-231`).",
+)
+def q28_daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(dsum("value", "daily_revenue"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "daily_revenue",
+        F.sum("daily_revenue").over(w).cast(RESULT).alias("cumulative_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k, set ops, scalar functions.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q29_topk_customers",
+    oracle="""
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_spent,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    ORDER BY total_spent DESC, o_custkey
+    LIMIT 10
+    """,
+    doc="Top-k with total order (`ORDER BY ... LIMIT` pattern, `mp_asset.rs:96-121`). "
+    "Spark plans this as TakeOrderedAndProject — no global sort.",
+)
+def q29_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice", "total_spent"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("total_spent").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q30_union_ledger",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(signed_value) AS DECIMAL(38,4)) AS net_value,
+           COUNT(*) AS n_moves
+    FROM (
+      SELECT user_id, CAST(value AS DECIMAL(18,4)) AS signed_value
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, -CAST(value AS DECIMAL(18,4)) AS signed_value
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT user_id, CAST(0 AS DECIMAL(18,4)) AS signed_value
+      FROM events WHERE event_type = 'signup'
+    ) ledger
+    GROUP BY user_id
+    """,
+    doc="Set ops: signed UNION ALL ledger (+open −close −liq, `ls_loan_closing.rs:50-78`).",
+)
+def q30_union_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    pos = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", dec("value").alias("signed_value")
+    )
+    neg = e.filter(F.col("event_type") == "error").select(
+        "user_id", (-dec("value")).cast(MEASURE).alias("signed_value")
+    )
+    zero = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.lit(0).cast(MEASURE).alias("signed_value")
+    )
+    ledger = pos.unionByName(neg).unionByName(zero)
+    return ledger.groupBy("user_id").agg(
+        F.sum("signed_value").cast(RESULT).alias("net_value"),
+        F.count(F.lit(1)).alias("n_moves"),
+    )
+
+
+@query(
+    "q31_date_spine",
+    oracle="""
+    SELECT d.day,
+           CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS n_orders
+    FROM (
+      SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY)) AS DATE) AS day
+    ) d
+    LEFT JOIN (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ) a ON a.day = d.day
+    """,
+    doc="generate_series date spine with zero-fill (`ls_opening.rs:1321-1326`).",
+)
+def q31_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit("1995-01-01")),
+                F.to_date(F.lit("1995-03-31")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    a = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return days.join(a, "day", "left").select(
+        "day", F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders")
+    )
+
+
+@query(
+    "q32_scalar_functions",
+    oracle="""
+    SELECT c_custkey,
+           concat(c_name, '/', c_mktsegment) AS tag,
+           upper(c_mktsegment) AS seg,
+           substr(c_name, 1, 8) AS name_prefix,
+           length(c_name) AS name_len,
+           CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+           greatest(c_acctbal, 0.0) AS bal_pos,
+           nullif(c_nationkey, 3) AS natkey_nn,
+           power(2.0, c_nationkey % 10) AS pow2
+    FROM customer
+    """,
+    doc="Scalar-function surface: CONCAT/UPPER/SUBSTR/LENGTH/FLOOR/GREATEST/NULLIF/POWER "
+    "(SURVEY §2.B scalar functions).",
+)
+def q32_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("/"), F.col("c_mktsegment")).alias("tag"),
+        F.upper("c_mktsegment").alias("seg"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.floor("c_acctbal").cast("bigint").alias("bal_floor"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_pos"),
+        F.nullif(F.col("c_nationkey"), F.lit(3)).alias("natkey_nn"),
+        F.pow(F.lit(2.0), F.col("c_nationkey") % 10).alias("pow2"),
+    )
+
+
+@query(
+    "q33_json_extract",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT)) AS sum_k,
+           COUNT(CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT)) AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured attribute extraction (A7 analogue: KV attrs → typed columns).",
+)
+def q33_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    raw = F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+    k = F.nullif(raw, F.lit("")).cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
+    )

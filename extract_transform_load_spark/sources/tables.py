@@ -1,0 +1,57 @@
+"""Parquet table loaders for the synthetic star schema (TESTDATA.md).
+
+Reads are declarative ``spark.read.parquet`` so Catalyst gets predicate
+pushdown + column pruning for free (SURVEY.md §4: the reference hand-writes
+these into each SQL string; here they are automatic — verify with
+``df.explain()`` → PushedFilters / ReadSchema).
+
+``SMALL_DIMS`` marks tables that stay broadcast-size even at 100 TB fact
+scale (region/nation are fixed-cardinality; part/supplier grow slowly) —
+query builders wrap them in ``broadcast()`` to avoid shuffling the fact
+side of dimension joins.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions that remain broadcastable at full scale. The reference's
+# analogues are pool_config / currency_registry / protocol_registry
+# (SURVEY.md §1.1C) — a handful of rows each.
+SMALL_DIMS = {"region", "nation", "supplier", "part"}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is written as parquet TIMESTAMP(NANOS), which Spark's
+    # vectorized reader rejects. We read nanos as raw INT64
+    # (spark.sql.legacy.parquet.nanosAsLong, set in session config) and
+    # truncate to microseconds — exactly what DuckDB's microsecond
+    # TIMESTAMP does when it reads the same file, so the two engines see
+    # identical values.
+    from pyspark.sql.types import LongType
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}

@@ -146,35 +146,28 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, signature array<long>) via vectorized numpy in mapInPandas.
+    """(doc_id, signature array<long>) — fully JVM-side MinHash.
 
-    Each Arrow batch computes, per doc, ``min over shingles of
-    splitmix64(shingle_hash XOR seed_i)`` for ``num_hashes`` seeds — an
-    O(shingles × num_hashes) numpy broadcast per document, no shuffle at
-    all (signatures are computed map-side where the text already lives).
+    The hash family is ``xxhash64(shingle || '|' || i)`` for seeds
+    i in [0, num_hashes): deterministic, codegen'd, vectorized. The
+    signature is assembled with ``num_hashes`` partial-min aggregates in
+    ONE groupBy over the exploded (doc, shingle) pairs — map-side combine
+    means the shuffle carries one 64-long vector per doc per map task,
+    not the shingle stream. This is the 100 TB formulation: no Python in
+    the hot path, no quadratic anything.
+
+    Docs with fewer than k words have no shingles and drop out (they
+    cannot be near-duplicates under a k-shingle model).
     """
-    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
-    id_name, text_name = id_col, text_col
-
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, sigs = [], []
-            for did, text in zip(pdf[id_name], pdf[text_name]):
-                toks = [t for t in str(text).lower().split(" ") if t]
-                shingles = list({" ".join(toks[i : i + k]) for i in range(max(0, len(toks) - k + 1))})
-                if not shingles:
-                    sig = np.zeros(len(seeds), dtype=np.uint64)
-                else:
-                    th = _token_hashes(shingles)  # (S,)
-                    mixed = _splitmix64(th[:, None] ^ seeds[None, :])  # (S, H)
-                    sig = mixed.min(axis=0)
-                ids.append(did)
-                # store as signed int64 (Spark LongType); bit pattern preserved
-                sigs.append(sig.astype(np.int64).tolist())
-            yield pd.DataFrame({"doc_id": ids, "signature": sigs})
-
-    return docs.select(id_col, text_col).mapInPandas(
-        compute, schema="doc_id long, signature array<long>"
+    sh = shingle_sets(docs, text_col, id_col, k)
+    mins = [
+        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"|{i}")))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        sh.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("signature"))
     )
 
 
@@ -272,22 +265,30 @@ def simhash_signatures(
 
 def simhash_pairs(
     docs: DataFrame,
-    max_hamming: int = 3,
+    max_hamming: int = 8,
+    n_bands: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash banding (4×16-bit) + exact Hamming verify.
+    """Near-dup pairs by SimHash banding + exact Hamming verify.
 
-    By pigeonhole, any pair within Hamming distance 3 agrees exactly on
-    at least one of the 4 bands, so banding finds all such pairs.
+    By pigeonhole, any pair within Hamming distance ``n_bands - 1``
+    agrees exactly on at least one band, so banding is lossless up to
+    that distance; beyond it recall is probabilistic. More bands →
+    coarser band keys → bigger buckets: at 100 TB use fewer bands
+    (wider keys) and accept the tighter guaranteed radius.
     """
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    band_bits = 64 // n_bands
+    band_mask = (1 << band_bits) - 1
     sigs = simhash_signatures(docs, text_col, id_col)
     banded = sigs.select(
         "doc_id",
         "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
     ).withColumn(
-        "band_key", F.expr("shiftrightunsigned(simhash, band * 16) & 65535")
+        "band_key", F.expr(f"shiftrightunsigned(simhash, band * {band_bits}) & {band_mask}")
     )
     a = banded.alias("a")
     b = banded.alias("b")

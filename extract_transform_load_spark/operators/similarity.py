@@ -99,28 +99,42 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
 def sign_signatures(
     df: DataFrame,
     dim: int,
-    n_bits: int = 16,
+    n_bits: int = 8,
+    n_bands: int = 4,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, signature int) — sign-LSH bucket key, vectorized via mapInPandas."""
-    planes = _hyperplanes(dim, n_bits, seed)
+    """(id, band int, signature int) — banded sign-LSH bucket keys.
+
+    ``n_bands`` independent ``n_bits``-bit signatures per vector (total
+    n_bands*n_bits hyperplanes); two vectors are candidates when ANY band
+    matches — the same AND/OR amplification as MinHash banding.
+    Vectorized numpy matmul via mapInPandas, no shuffle.
+    """
+    planes = _hyperplanes(dim, n_bits * n_bands, seed)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             if len(mat) == 0:
-                yield pd.DataFrame({"id": [], "signature": []})
+                yield pd.DataFrame({"id": [], "band": [], "signature": []})
                 continue
-            proj = mat @ planes.T  # (N, n_bits)
+            proj = mat @ planes.T  # (N, n_bands*n_bits)
             bits = (proj > 0).astype(np.int64)
-            sig = np.zeros(len(mat), dtype=np.int64)
-            for j in range(planes.shape[0]):
-                sig |= bits[:, j] << j
-            yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "signature": sig})
+            ids, bands, sigs = [], [], []
+            for band in range(n_bands):
+                sig = np.zeros(len(mat), dtype=np.int64)
+                for j in range(n_bits):
+                    sig |= bits[:, band * n_bits + j] << j
+                ids.extend(pdf[id_col].tolist())
+                bands.extend([band] * len(mat))
+                sigs.extend(sig.tolist())
+            yield pd.DataFrame({"id": ids, "band": bands, "signature": sigs})
 
-    return df.select(id_col, vec_col).mapInPandas(compute, schema="id long, signature long")
+    return df.select(id_col, vec_col).mapInPandas(
+        compute, schema="id long, band int, signature long"
+    )
 
 
 def lsh_topk(
@@ -128,21 +142,22 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    n_bits: int = 12,
+    n_bits: int = 8,
+    n_bands: int = 4,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the sign-LSH bucket, then exact
-    cosine rerank. Recall is tunable via n_bits (fewer bits → bigger
-    buckets → higher recall, more rerank work)."""
-    c_sig = sign_signatures(corpus, dim, n_bits, seed, id_col, vec_col).withColumnRenamed(
+    """Approximate top-k: candidates share any sign-LSH band bucket, then
+    exact cosine rerank. Recall tunes via (n_bits, n_bands): fewer bits /
+    more bands → bigger candidate sets → higher recall, more rerank."""
+    c_sig = sign_signatures(corpus, dim, n_bits, n_bands, seed, id_col, vec_col).withColumnRenamed(
         "id", "neighbor_id"
     )
-    q_sig = sign_signatures(queries, dim, n_bits, seed, query_id_col, vec_col).withColumnRenamed(
-        "id", "query_id"
-    )
+    q_sig = sign_signatures(
+        queries, dim, n_bits, n_bands, seed, query_id_col, vec_col
+    ).withColumnRenamed("id", "query_id")
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")).join(
         c_sig, "neighbor_id"
     )
@@ -150,8 +165,10 @@ def lsh_topk(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     ).join(q_sig, "query_id")
 
-    cand = c.join(F.broadcast(q), "signature").filter(
-        F.col("neighbor_id") != F.col("query_id")
+    cand = (
+        c.join(F.broadcast(q), ["band", "signature"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
         "query_id",

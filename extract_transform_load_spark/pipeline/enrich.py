@@ -91,13 +91,21 @@ def enrich_ls_opening(opening: DataFrame, prices: DataFrame) -> DataFrame:
         .withColumnRenamed("__tmp_sym", "LS_asset_symbol")
     )
 
-    loan = F.col("LS_loan_amnt").cast(PRICE)
-    dp = F.col("LS_cltr_amnt").cast(PRICE)
-    position = F.coalesce(F.col("LS_position_type"), F.lit("Long"))
+    # Ratio math in double: Spark decimal division reduces result scale
+    # to 6 under precision-loss rules (38,18)/(38,18) → (38,6), which is
+    # far coarser than float64 for price-sized magnitudes.
+    loan = F.col("LS_loan_amnt").cast("double")
+    dp = F.col("LS_cltr_amnt").cast("double")
+    pos_col = (
+        F.col("LS_position_type")
+        if "LS_position_type" in df.columns
+        else F.lit(None).cast("string")
+    )
+    position = F.coalesce(pos_col, F.lit("Long"))
     asset_price = F.col("__asset_price")
 
-    liq_long = (loan / F.lit(0.9).cast(PRICE)) / F.nullif(dp + loan, F.lit(0).cast(PRICE)) * asset_price
-    liq_short = (dp + loan) / F.nullif(loan / F.lit(0.9).cast(PRICE), F.lit(0).cast(PRICE))
+    liq_long = (loan / 0.9) / F.nullif(dp + loan, F.lit(0.0)) * asset_price.cast("double")
+    liq_short = (dp + loan) / F.nullif(loan / 0.9, F.lit(0.0))
 
     return (
         df.withColumn("LS_loan_amnt_stable", in_stable(F.col("LS_loan_amnt"), asset_price))

@@ -79,10 +79,11 @@ def q42_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q43_simhash_pairs",
     oracle=None,  # verified vs brute-force Hamming in tests
-    doc="64-bit SimHash banded near-dup pairs, Hamming <= 3.",
+    doc="64-bit SimHash banded near-dup pairs, Hamming <= 8 (8 bands → "
+    "lossless to Hamming 7 by pigeonhole).",
 )
 def q43_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=8, n_bands=8)
 
 
 @query(
@@ -118,14 +119,15 @@ def q44_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q45_ann_lsh_topk",
     oracle=None,  # approximate; recall vs exact top-k asserted in tests
-    doc="Sign-LSH bucketed ANN top-10 (12-bit signatures) with exact rerank.",
+    doc="Sign-LSH banded ANN top-10 (12 bands × 4 bits — tuned for the weak-neighbor "
+    "synthetic embeddings, recall ≈0.96 vs exact; tighter corpora → more bits/fewer bands).",
 )
 def q45_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, dim=EMBED_DIM, k=10, n_bits=12)
+    return lsh_topk(emb, queries, dim=EMBED_DIM, k=10, n_bits=4, n_bands=12)
 
 
 @query(

@@ -907,3 +907,114 @@ def q33_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Parameterized-window, financial, and union-history queries (§2.C semantics).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q34_period_window",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+    FROM orders
+    WHERE o_orderdate >= (SELECT MAX(o_orderdate) FROM orders) - INTERVAL 3 MONTH
+    GROUP BY 1
+    """,
+    doc="?period=3m window anchored at MAX(ts) (`helpers/time_window.rs:79-91`; "
+    "W-variant pattern `ls_opening.rs:1510-1528`). NOW() is pinned to a "
+    "data-derived scalar so both engines evaluate the same instant.",
+)
+def q34_period_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timewin import period_predicate
+
+    o = load(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("__anchor"))
+    return (
+        o.crossJoin(F.broadcast(anchor))
+        .filter(period_predicate(F.col("o_orderdate"), "3m", F.col("__anchor")))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
+
+
+@query(
+    "q35_apr_compounding",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 100 AS apr_pct,
+           CAST((POWER(1 + (CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 100) / 100.0 / 365.0, 365.0) - 1) * 100
+                AS DECIMAL(18,6)) AS apy_pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Daily-compounding APR→APY: (POWER(1+apr/100/365,365)-1)*100 "
+    "(`ls_opening.rs:502,566`, `lp_pool_state.rs:514-517`).",
+)
+def q35_apr_compounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.finance import apr_to_apy
+
+    l = load(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    apr = ratio(F.sum(dec("l_discount")), n) * 100
+    return l.groupBy("l_returnflag").agg(
+        apr.alias("apr_pct"),
+        apr_to_apy(apr).cast("decimal(18,6)").alias("apy_pct"),
+    )
+
+
+@query(
+    "q36_history_union_paged",
+    oracle="""
+    SELECT event_id, ts, user_id, kind, value
+    FROM (
+      SELECT event_id, ts, user_id, 'repay' AS kind, value FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT event_id, ts, user_id, 'close' AS kind, value FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT event_id, ts, user_id, 'liquidation' AS kind, value FROM events WHERE event_type = 'error'
+    ) h
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 100
+    """,
+    doc="Lease-history union (repay ∪ close ∪ liquidation) with type tag + "
+    "paged total order (`ls_opening.rs:830-879`).",
+)
+def q36_history_union_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+
+    def tagged(etype: str, kind: str) -> DataFrame:
+        return e.filter(F.col("event_type") == etype).select(
+            "event_id", "ts", "user_id", F.lit(kind).alias("kind"), "value"
+        )
+
+    h = (
+        tagged("purchase", "repay")
+        .unionByName(tagged("click", "close"))
+        .unionByName(tagged("error", "liquidation"))
+    )
+    return h.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(100)
+
+
+@query(
+    "q37_decimal_shift",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value / POWER(10.0, user_id % 3) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS shifted_total,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="Currency decimal-shift normalization amount/POWER(10,digits) "
+    "(`handler/mp_assets.rs:16-206`, `ls_opening.rs:693`).",
+)
+def q37_decimal_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.finance import decimal_shift
+
+    e = load(spark, sf_dir, "events")
+    shifted = decimal_shift(F.col("value"), F.col("user_id") % 3)
+    return e.groupBy("event_type").agg(
+        F.sum(shifted.cast("decimal(18,6)")).cast("decimal(38,6)").alias("shifted_total"),
+        F.count(F.lit(1)).alias("n"),
+    )

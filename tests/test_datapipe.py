@@ -1,0 +1,98 @@
+"""Quality verification for the non-SQL-expressible (rows-only) data
+pipeline operators: LSH candidate generation is probabilistic, so these
+assert recall/error bounds against exact ground truth computed by the
+oracle-checked exact operators."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from extract_transform_load_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from extract_transform_load_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_minhash_recovers_exact_high_jaccard_pairs(docs):
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.5).collect()
+    }
+    high = {p for p, j in exact.items() if j >= 0.7}
+    if high:
+        recall = len(high & set(est)) / len(high)
+        assert recall >= 0.9, f"minhash missed high-jaccard pairs: recall={recall}"
+    for pair, e in est.items():
+        if pair in exact:
+            assert abs(exact[pair] - e) < 0.15, f"{pair}: est {e} vs exact {exact[pair]}"
+
+
+def test_simhash_finds_duplicate_pairs(docs):
+    pairs = simhash_pairs(docs, max_hamming=8, n_bands=8).collect()
+    assert len(pairs) > 0
+    assert all(r["hamming"] <= 8 for r in pairs)
+    # exact near-dups (jaccard >= 0.9) should be simhash-close
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    if exact:
+        recall = len(exact & found) / len(exact)
+        assert recall >= 0.8, f"simhash recall on jaccard>=0.9 dups: {recall}"
+
+
+def test_simhash_identical_texts_equal_signatures(spark):
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(d).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
+
+
+def test_ann_lsh_recall_vs_bruteforce(emb):
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk_bruteforce(emb, q, k=10).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, q, dim=64, k=10, n_bits=4, n_bands=12).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"ANN recall@10 = {recall}"
+
+
+def test_bruteforce_topk_self_excluded_and_ranked(emb):
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    rows = cosine_topk_bruteforce(emb, q, k=5).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True), f"ranks not by sim for {qid}"
+        assert len(rs) == 5

@@ -1,0 +1,108 @@
+"""Unit tests for the reusable operators, each against a hand-checked
+tiny frame (the reference has no test corpus — SURVEY.md §5 — so these
+define the expected semantics explicitly)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from extract_transform_load_spark.operators.asof import as_of_join
+from extract_transform_load_spark.operators.gaps import find_gaps, find_gaps_scalable
+from extract_transform_load_spark.operators.latest import latest_per_key
+from extract_transform_load_spark.operators.pagination import paginate
+from extract_transform_load_spark.pipeline.ingest import dedup_batch, idempotent_append
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def prices(spark):
+    return spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01 00:00:00"), 10.0, 1),
+            ("A", ts("2024-01-01 01:00:00"), 11.0, 2),
+            ("A", ts("2024-01-01 01:00:00"), 12.0, 3),  # same ts, higher idx wins
+            ("B", ts("2024-01-01 02:00:00"), 99.0, 4),
+        ],
+        "symbol string, pts timestamp, price double, idx int",
+    )
+
+
+def test_asof_basic(spark, prices):
+    events = spark.createDataFrame(
+        [
+            (1, "A", ts("2024-01-01 00:30:00")),  # -> 10.0
+            (2, "A", ts("2024-01-01 01:00:00")),  # tie ts: price at == event ts counts -> 12.0
+            (3, "A", ts("2024-01-01 05:00:00")),  # -> 12.0 (latest, tie broken by idx)
+            (4, "B", ts("2024-01-01 01:00:00")),  # before first B price -> null
+            (5, "C", ts("2024-01-01 01:00:00")),  # no prices at all -> null
+        ],
+        "event_id long, symbol string, ets timestamp",
+    )
+    out = as_of_join(
+        events, prices, on=["symbol"], left_ts="ets", right_ts="pts",
+        value_cols=["price"], right_order="idx",
+    )
+    got = {r["event_id"]: r["price_asof"] for r in out.collect()}
+    assert got == {1: 10.0, 2: 12.0, 3: 12.0, 4: None, 5: None}
+
+
+def test_latest_per_key_agg_and_window_agree(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00:00"), 1, "a"),
+            (1, ts("2024-01-02 00:00:00"), 2, "b"),
+            (1, ts("2024-01-02 00:00:00"), 3, "c"),  # tie ts -> higher tiebreak wins
+            (2, ts("2024-01-05 00:00:00"), 4, "d"),
+        ],
+        "k long, t timestamp, idx int, v string",
+    )
+    for use_window in (False, True):
+        out = latest_per_key(df, ["k"], "t", ["idx"], use_window=use_window)
+        got = {r["k"]: r["v"] for r in out.collect()}
+        assert got == {1: "c", 2: "d"}, f"use_window={use_window}"
+
+
+def test_gap_detection_variants(spark):
+    ids = [1, 2, 3, 7, 8, 12, 20]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    expected = {(4, 6), (9, 11), (13, 19)}
+    for fn in (find_gaps, find_gaps_scalable):
+        got = {(r["gap_start"], r["gap_end"]) for r in fn(df, "id").collect()}
+        assert got == expected, fn.__name__
+
+
+def test_gap_detection_scalable_many_partitions(spark):
+    # ids 0..999 with 10 known holes, forced through many range partitions
+    holes = {100, 205, 333, 401, 502, 640, 777, 803, 904, 950}
+    df = spark.createDataFrame([(i,) for i in range(1000) if i not in holes], "id long")
+    got = {(r["gap_start"], r["gap_end"]) for r in find_gaps_scalable(df, "id", num_ranges=16).collect()}
+    assert got == {(h, h) for h in holes}
+
+
+def test_paginate_total_order(spark):
+    df = spark.createDataFrame([(i, i % 3) for i in range(20)], "id long, grp long")
+    page = paginate(df, [F.col("grp").asc(), F.col("id").asc()], offset=5, limit=4)
+    assert [r["id"] for r in page.collect()] == [15, 18, 1, 4]
+
+
+def test_dedup_batch_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "first"), (1, 5, "earliest"), (2, 1, "only")],
+        "pk long, seq int, v string",
+    )
+    out = dedup_batch(df, ["pk"], order_col="seq")
+    got = {r["pk"]: r["v"] for r in out.collect()}
+    assert got == {1: "earliest", 2: "only"}
+
+
+def test_idempotent_append(spark):
+    existing = spark.createDataFrame([(1,), (2,)], "pk long")
+    batch = spark.createDataFrame([(2, "dup"), (3, "new")], "pk long, v string")
+    out = idempotent_append(existing, batch, ["pk"])
+    assert [(r["pk"], r["v"]) for r in out.collect()] == [(3, "new")]

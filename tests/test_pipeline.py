@@ -1,0 +1,197 @@
+"""Domain-pipeline tests: bronze event parsing (attribute projection,
+interest aliasing, skip path), as-of price enrichment, and the PnL
+engine — each against hand-computed expectations mirroring the reference
+semantics cited in the module docstrings."""
+
+from __future__ import annotations
+
+from datetime import datetime
+from decimal import Decimal
+
+import pytest
+
+from extract_transform_load_spark.pipeline.enrich import attach_asof_price, enrich_ls_opening
+from extract_transform_load_spark.pipeline.parsers import (
+    parse_lp_deposit,
+    parse_lp_withdraw,
+    parse_ls_close_position,
+    parse_ls_opening,
+    parse_ls_repayment,
+    parse_tr_profit,
+)
+from extract_transform_load_spark.pipeline.pnl import compute_loan_closings
+from extract_transform_load_spark.schemas import BRONZE_EVENT, MP_ASSET
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def bronze_row(block, etype, attrs, t="2024-01-01 00:00:00", idx=0):
+    return (block, f"hash{block}", idx, etype, ts(t), attrs)
+
+
+@pytest.fixture(scope="module")
+def bronze(spark):
+    rows = [
+        bronze_row(
+            100,
+            "wasm-ls-open",
+            {
+                "id": "lease1", "customer": "addr1", "currency": "ATOM", "air": "85",
+                "at": "2024-01-01T00:00:00", "loan-pool-id": "pool1",
+                "loan-amount": "1000000", "loan-symbol": "USDC",
+                "downpayment-amount": "500000", "downpayment-symbol": "USDC",
+            },
+        ),
+        # repayment, old attribute spelling (prev-/curr-)
+        bronze_row(
+            110,
+            "wasm-ls-repay",
+            {
+                "height": "110", "to": "lease1", "payment-symbol": "USDC",
+                "payment-amount": "200000", "at": "2024-01-02T00:00:00",
+                "loan-close": "false", "principal": "150000",
+                "prev-margin-interest": "10", "prev-loan-interest": "20",
+                "curr-margin-interest": "30", "curr-loan-interest": "40",
+            },
+        ),
+        # repayment, new alias spelling (overdue-/due-), terminal
+        bronze_row(
+            120,
+            "wasm-ls-repay",
+            {
+                "height": "120", "to": "lease1", "payment-symbol": "USDC",
+                "payment-amount": "1400000", "at": "2024-01-03T00:00:00",
+                "loan-close": "true", "principal": "850000",
+                "overdue-margin-interest": "11", "overdue-loan-interest": "21",
+                "due-margin-interest": "31", "due-loan-interest": "41",
+            },
+        ),
+        # close-position WITHOUT height -> must be skipped
+        bronze_row(
+            130,
+            "wasm-ls-close-position",
+            {"to": "lease2", "payment-symbol": "USDC", "payment-amount": "5"},
+        ),
+        bronze_row(
+            140,
+            "wasm-lp-deposit",
+            {
+                "height": "140", "from": "lender1", "to": "pool1",
+                "at": "2024-01-04T00:00:00", "deposit-amount": "777",
+                "deposit-symbol": "USDC", "receipts": "700",
+            },
+        ),
+        bronze_row(
+            150,
+            "wasm-lp-withdraw",
+            {
+                "height": "150", "from": "lender1", "to": "pool1",
+                "at": "2024-01-05T00:00:00", "withdraw-amount": "111",
+                "withdraw-symbol": "USDC", "receipts": "100", "close": "true",
+            },
+        ),
+        bronze_row(
+            160,
+            "wasm-tr-profit",
+            {"height": "160", "at": "2024-01-06T00:00:00",
+             "profit-amount-symbol": "USDC", "profit-amount-amount": "999"},
+        ),
+    ]
+    return spark.createDataFrame(rows, BRONZE_EVENT)
+
+
+def test_parse_ls_opening(bronze):
+    rows = parse_ls_opening(bronze).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["LS_contract_id"] == "lease1"
+    assert r["LS_interest"] == 85
+    assert r["LS_loan_amnt"] == Decimal("1000000")
+    assert r["LS_cltr_amnt"] == Decimal("500000")
+    assert r["LS_timestamp"] == ts("2024-01-01 00:00:00")
+
+
+def test_interest_alias_coalesce(bronze):
+    rows = {r["LS_repayment_height"]: r for r in parse_ls_repayment(bronze).collect()}
+    old, new = rows[110], rows[120]
+    # old spelling
+    assert old["LS_prev_margin_stable"] == Decimal("10")
+    assert old["LS_current_interest_stable"] == Decimal("40")
+    # alias spelling lands in the same columns (`event_parsing.rs:195-237`)
+    assert new["LS_prev_margin_stable"] == Decimal("11")
+    assert new["LS_prev_interest_stable"] == Decimal("21")
+    assert new["LS_current_margin_stable"] == Decimal("31")
+    assert new["LS_current_interest_stable"] == Decimal("41")
+    assert new["LS_loan_close"] is True
+
+
+def test_missing_height_skip_path(bronze):
+    assert parse_ls_close_position(bronze).count() == 0  # `event_parsing.rs:84-111`
+
+
+def test_parse_lp_and_tr(bronze):
+    dep = parse_lp_deposit(bronze).collect()[0]
+    assert dep["LP_amnt_asset"] == Decimal("777")
+    wd = parse_lp_withdraw(bronze).collect()[0]
+    assert wd["LP_deposit_close"] is True
+    pr = parse_tr_profit(bronze).collect()[0]
+    assert pr["TR_Profit_amnt"] == Decimal("999")
+
+
+@pytest.fixture(scope="module")
+def prices(spark):
+    rows = [
+        ("ATOM", ts("2023-12-31 00:00:00"), Decimal("9.5"), "p1"),
+        ("ATOM", ts("2024-01-01 00:00:00"), Decimal("10"), "p1"),
+        ("ATOM", ts("2024-01-02 00:00:00"), Decimal("12"), "p1"),
+        ("USDC", ts("2023-12-31 00:00:00"), Decimal("1"), "p1"),
+    ]
+    return spark.createDataFrame(rows, MP_ASSET)
+
+
+def test_attach_asof_price(spark, prices):
+    df = spark.createDataFrame(
+        [("e1", "ATOM", ts("2024-01-01 12:00:00")), ("e2", "ATOM", ts("2023-12-30 00:00:00"))],
+        "eid string, sym string, t timestamp",
+    )
+    out = attach_asof_price(df, prices, symbol_col="sym", ts_col="t", out_col="px")
+    got = {r["eid"]: r["px"] for r in out.collect()}
+    assert got["e1"] == Decimal("10.000000000000000000")
+    assert got["e2"] is None  # before first tick
+
+
+def test_enrich_ls_opening(bronze, prices):
+    opening = parse_ls_opening(bronze).withColumn("LS_position_type", __import__("pyspark").sql.functions.lit(None).cast("string"))
+    enriched = enrich_ls_opening(opening, prices).collect()[0]
+    # loan 1_000_000 ATOM-denominated asset at price 10 -> 10_000_000 stable
+    assert enriched["LS_loan_amnt_stable"] == Decimal("10000000")
+    # collateral USDC at price 1
+    assert enriched["LS_cltr_amnt_stable"] == Decimal("500000")
+    assert enriched["LS_opening_price"] == Decimal("10.000000000000000000")
+    # Long liquidation price: (loan/0.9)/(dp+loan)*price = (1e6/0.9)/(1.5e6)*10
+    expected = (Decimal("1000000") / Decimal("0.9")) / Decimal("1500000") * Decimal("10")
+    assert abs(enriched["LS_liquidation_price_at_open"] - expected) < Decimal("1e-9")
+
+
+def test_pnl_engine(spark, bronze, prices):
+    opening = enrich_ls_opening(parse_ls_opening(bronze), prices)
+    repayments = parse_ls_repayment(bronze)
+    empty_close = spark.createDataFrame(
+        [], "LS_contract_id string, LS_payment_amnt_stable decimal(38,0), LS_loan_close boolean, LS_timestamp timestamp"
+    )
+    closings = spark.createDataFrame([], "LS_contract_id string, LS_timestamp timestamp")
+    # stamp stable payments = nominal (USDC price 1)
+    import pyspark.sql.functions as F
+
+    repayments = repayments.withColumn(
+        "LS_payment_amnt_stable", F.col("LS_payment_amnt")
+    )
+    out = compute_loan_closings(opening, repayments, empty_close, empty_close, closings).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["Type"] == "repay"
+    assert r["LS_timestamp"] == ts("2024-01-03 00:00:00")
+    # proceeds 1.6e6 − loan_stable 1e7 − downpayment 5e5 + fee 0 = −8.9e6
+    assert r["LS_pnl"] == Decimal("-8900000")

@@ -247,4 +247,60 @@ def dispatch(bronze: DataFrame) -> dict[str, DataFrame]:
         "LP_Withdraw": parse_lp_withdraw(bronze),
         "TR_Profit": parse_tr_profit(bronze),
         "TR_Rewards_Distribution": parse_tr_rewards(bronze),
+        "LS_Liquidation_Warning": parse_ls_liquidation_warning(bronze),
+        "LS_Auto_Close_Position": parse_ls_auto_close_position(bronze),
+        "LS_Slippage_Anomaly": parse_ls_slippage_anomaly(bronze),
+        "Reserve_Cover_Loss": parse_reserve_cover_loss(bronze),
     }
+
+
+def parse_ls_liquidation_warning(bronze: DataFrame) -> DataFrame:
+    """`wasm-ls-liquidation-warning` → warning rows (`V001:212-221`)."""
+    return bronze.filter(F.col("event_type") == "wasm-ls-liquidation-warning").select(
+        _a("lease").alias("LS_contract_id"),
+        _a("customer").alias("LS_address_id"),
+        _a("lease-asset").alias("LS_asset_symbol"),
+        _a("level").cast("int").alias("LS_level"),
+        _amount("ltv").alias("LS_ltv"),
+        _ts().alias("LS_timestamp"),
+        F.col("tx_hash").alias("Tx_Hash"),
+    )
+
+
+def parse_ls_auto_close_position(bronze: DataFrame) -> DataFrame:
+    """`wasm-ls-auto-close-position` → take-profit / stop-loss strategy
+    rows (`V001:203-210`)."""
+    return bronze.filter(F.col("event_type") == "wasm-ls-auto-close-position").select(
+        _a("to").alias("LS_contract_id"),
+        _a("strategy").alias("LS_Close_Strategy"),
+        _amount("strategy-ltv").alias("LS_Close_Strategy_Ltv"),
+        _ts().alias("LS_timestamp"),
+        F.col("tx_hash").alias("Tx_Hash"),
+    )
+
+
+def parse_ls_slippage_anomaly(bronze: DataFrame) -> DataFrame:
+    """`wasm-ls-slippage-anomaly` (`V001:243-251`)."""
+    return bronze.filter(F.col("event_type") == "wasm-ls-slippage-anomaly").select(
+        _a("customer").alias("LS_address_id"),
+        _a("lease").alias("LS_contract_id"),
+        _a("lease-asset").alias("LS_asset_symbol"),
+        _amount("max-slippage").alias("LS_max_slipagge"),
+        _ts().alias("LS_timestamp"),
+        F.col("tx_hash").alias("Tx_Hash"),
+    )
+
+
+def parse_reserve_cover_loss(bronze: DataFrame) -> DataFrame:
+    """`wasm-reserve-cover-loss` (`V001:335-343`)."""
+    return bronze.filter(
+        (F.col("event_type") == "wasm-reserve-cover-loss") & _a("height").isNotNull()
+    ).select(
+        _a("to").alias("LS_contract_id"),
+        _a("height").cast("long").alias("LS_height"),
+        F.col("event_index").alias("LS_idx"),
+        _amount("payment-amount").alias("LS_payment_amnt"),
+        _a("payment-symbol").alias("LS_payment_symbol"),
+        _ts().alias("LS_timestamp"),
+        F.col("tx_hash").alias("Tx_Hash"),
+    )

@@ -136,3 +136,32 @@ def realized_pnl_by_address(loan_closings: DataFrame, opening: DataFrame) -> Dat
             ).alias("win_rate"),
         )
     )
+
+
+def loan_collects(
+    close_balances: DataFrame,
+    prices: DataFrame,
+    native_symbol: str = "NLS",
+) -> DataFrame:
+    """Loan-collect capture (SURVEY.md §2.A A19, `ls_loan_closing.rs:50-297`).
+
+    At close the reference reads the lease contract's bank balances and
+    records, per non-native symbol, the funds returned to the user.
+    Input here is the balances table (LS_contract_id, symbol, amount,
+    LS_timestamp) — explode already done source-side — and the output is
+    per-(contract, symbol) collected amounts with as-of stable values.
+    """
+    from ..pipeline.enrich import attach_asof_price, in_stable
+
+    filtered = close_balances.filter(
+        (F.col("symbol") != native_symbol) & (F.col("amount") > 0)
+    )
+    priced = attach_asof_price(
+        filtered, prices, symbol_col="symbol", ts_col="LS_timestamp", out_col="__px"
+    )
+    return priced.select(
+        "LS_contract_id",
+        F.col("symbol").alias("LS_symbol"),
+        F.col("amount").cast(AMOUNT).alias("LS_amount"),
+        in_stable(F.col("amount"), F.col("__px")).alias("LS_amount_stable"),
+    )

@@ -263,3 +263,24 @@ CURRENCY_REGISTRY = StructType(
         _f("last_seen_protocol", StringType()),
     ]
 )
+
+
+# `V001:317-332` — every Cosmos tx message, semi-raw (bronze table; the
+# protobuf decode itself is source-side, SURVEY §2.A A8).
+RAW_MESSAGE = StructType(
+    [
+        _f("index", IntegerType(), False),
+        _f("from", StringType()),
+        _f("to", StringType()),
+        _f("tx_hash", StringType(), False),
+        _f("type", StringType()),
+        _f("value", StringType()),
+        _f("block", LongType(), False),
+        _f("fee_amount", DecimalType(38, 0)),
+        _f("fee_denom", StringType()),
+        _f("memo", StringType()),
+        _f("timestamp", TimestampType(), False),
+        _f("rewards", StringType()),
+        _f("code", IntegerType()),  # null = success
+    ]
+)

@@ -1,0 +1,65 @@
+"""Serving-layer sinks: JDBC (Postgres) and CSV export.
+
+The reference loads into Postgres with multi-row batched VALUES inserts
+and `ON CONFLICT DO NOTHING` idempotency (`dao/postgre/ls_opening.rs:
+69-192`), pools 5 connections, and caps statements at 60 s
+(`configuration.rs:893-906`). The Spark equivalent is ``df.write.jdbc``
+with bounded ``numPartitions`` (each partition is one connection — match
+the reference's pool discipline) and ``batchsize`` (the multi-row VALUES
+analogue). CSV export mirrors `csv_response.rs:7-55` (`?format=csv`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    user: str | None = None,
+    password: str | None = None,
+    batchsize: int = 10_000,
+    num_partitions: int = 5,
+    isolation: str = "READ_COMMITTED",
+) -> None:
+    """Append a DataFrame to a JDBC table.
+
+    ``num_partitions=5`` mirrors the reference's max-5-connection pool —
+    a serving Postgres should never see one connection per Spark core.
+    Idempotency: pre-filter with ``pipeline.ingest.idempotent_append``
+    against the existing keys, or point ``table`` at a staging table and
+    merge server-side; plain JDBC append has no ON CONFLICT equivalent.
+    """
+    writer = (
+        df.coalesce(num_partitions)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .option("isolationLevel", isolation)
+        .mode(mode)
+    )
+    if user is not None:
+        writer = writer.option("user", user)
+    if password is not None:
+        writer = writer.option("password", password)
+    writer.save()
+
+
+def to_csv_string(df: DataFrame, limit: int | None = None) -> str:
+    """Small-result CSV export (the API attachment path, `csv_response.rs`).
+
+    Driver-side by design: export endpoints are capped result sets
+    (limit <= 100 in the reference). For bulk extracts use
+    ``write_csv_dir`` instead — never collect a big frame.
+    """
+    pdf = (df.limit(limit) if limit else df).toPandas()
+    return pdf.to_csv(index=False)
+
+
+def write_csv_dir(df: DataFrame, path: str, header: bool = True) -> None:
+    """Distributed CSV extract for bulk exports."""
+    df.write.option("header", str(header).lower()).mode("overwrite").csv(path)

@@ -1,0 +1,81 @@
+"""Structured Streaming ingest variant (SURVEY.md §2.A A1/A2/A5 + §2.B
+streaming notes).
+
+The reference's live path is a WebSocket block subscription feeding a
+bounded channel, one block per batch, with retry/backoff and idempotent
+per-block transactions (`provider/event.rs:40-205`,
+`event_dispatch.rs:193-244`). It has no watermarks or late-data policy —
+events carry block timestamps and arrive block-ordered.
+
+The Spark-native equivalent needs three things, all built-in:
+
+1. **Source**: any streaming DataFrame with the bronze event schema
+   (file source watching a landing dir, Kafka, or ``rate`` for tests).
+2. **Idempotency**: ``withWatermark(event time) + dropDuplicates(PK)`` —
+   exactly-once within the watermark horizon, replacing the reference's
+   per-block `ON CONFLICT DO NOTHING` transaction.
+3. **Sink**: ``foreachBatch`` running the same *batch* parser/enrichment
+   code (pipeline.parsers / pipeline.ingest) and an idempotent write —
+   one code path for batch backfill and streaming, the core medallion
+   property the reference lacks (its backfill and live paths are
+   separate Rust modules).
+
+Pacing (the reference's 1 s propagation delay + channel of 64) maps to
+``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger`` + trigger interval.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+
+
+def deduped_stream(
+    stream: DataFrame,
+    pk: Sequence[str],
+    event_time_col: str = "timestamp",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked exactly-once-per-PK event stream.
+
+    The watermark bounds the dedup state store: replays older than the
+    horizon fall to the batch reconciliation path (pipeline.ingest's
+    anti-join), mirroring how the reference separates live ingest from
+    gap backfill (`synchronization.rs`).
+    """
+    return stream.withWatermark(event_time_col, watermark).dropDuplicates(list(pk))
+
+
+def start_silver_stream(
+    bronze_stream: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    write_batch: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    pk: Sequence[str] = ("block", "tx_hash", "event_index"),
+    event_time_col: str = "timestamp",
+    watermark: str = "1 hour",
+    trigger_seconds: int | None = None,
+):
+    """Wire bronze stream → dedup → batch transform → idempotent sink.
+
+    ``transform`` is any *batch* function (e.g. ``parsers.parse_ls_opening``)
+    — foreachBatch hands it a plain DataFrame, so the silver logic is
+    written once and reused verbatim for backfill. ``write_batch`` gets
+    (transformed_df, batch_id); make it idempotent on PK (e.g.
+    ``pipeline.ingest.idempotent_append`` + parquet append, or a JDBC
+    upsert) because foreachBatch is at-least-once on retry.
+    """
+    deduped = deduped_stream(bronze_stream, pk, event_time_col, watermark)
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch(transform(batch_df), batch_id)
+
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(run_batch)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

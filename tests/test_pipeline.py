@@ -195,3 +195,71 @@ def test_pnl_engine(spark, bronze, prices):
     assert r["LS_timestamp"] == ts("2024-01-03 00:00:00")
     # proceeds 1.6e6 − loan_stable 1e7 − downpayment 5e5 + fee 0 = −8.9e6
     assert r["LS_pnl"] == Decimal("-8900000")
+
+
+def test_parse_warning_autoclose_anomaly_reserve(spark):
+    rows = [
+        bronze_row(200, "wasm-ls-liquidation-warning",
+                   {"lease": "l1", "customer": "a1", "lease-asset": "ATOM", "level": "2",
+                    "ltv": "720", "at": "2024-02-01T00:00:00"}),
+        bronze_row(201, "wasm-ls-auto-close-position",
+                   {"to": "l1", "strategy": "take-profit", "strategy-ltv": "650",
+                    "at": "2024-02-02T00:00:00"}),
+        bronze_row(202, "wasm-ls-slippage-anomaly",
+                   {"customer": "a1", "lease": "l1", "lease-asset": "ATOM",
+                    "max-slippage": "40", "at": "2024-02-03T00:00:00"}),
+        bronze_row(203, "wasm-reserve-cover-loss",
+                   {"to": "l1", "height": "203", "payment-amount": "123",
+                    "payment-symbol": "USDC", "at": "2024-02-04T00:00:00"}),
+        bronze_row(204, "wasm-reserve-cover-loss", {"to": "l2"}),  # no height -> skipped
+    ]
+    from extract_transform_load_spark.pipeline.parsers import (
+        dispatch,
+        parse_ls_auto_close_position,
+        parse_ls_liquidation_warning,
+        parse_ls_slippage_anomaly,
+        parse_reserve_cover_loss,
+    )
+
+    bronze = spark.createDataFrame(rows, BRONZE_EVENT)
+    w = parse_ls_liquidation_warning(bronze).collect()
+    assert len(w) == 1 and w[0]["LS_level"] == 2 and w[0]["LS_ltv"] == Decimal("720")
+    ac = parse_ls_auto_close_position(bronze).collect()
+    assert ac[0]["LS_Close_Strategy"] == "take-profit"
+    an = parse_ls_slippage_anomaly(bronze).collect()
+    assert an[0]["LS_max_slipagge"] == Decimal("40")
+    rc = parse_reserve_cover_loss(bronze).collect()
+    assert len(rc) == 1 and rc[0]["LS_payment_amnt"] == Decimal("123")
+    assert len(dispatch(bronze)) == 13
+
+
+def test_loan_collects(spark, prices):
+    from extract_transform_load_spark.pipeline.pnl import loan_collects
+
+    balances = spark.createDataFrame(
+        [
+            ("l1", "ATOM", 100, ts("2024-01-01 12:00:00")),
+            ("l1", "NLS", 999, ts("2024-01-01 12:00:00")),   # native -> excluded
+            ("l1", "USDC", 0, ts("2024-01-01 12:00:00")),    # zero -> excluded
+        ],
+        "LS_contract_id string, symbol string, amount long, LS_timestamp timestamp",
+    )
+    out = loan_collects(balances, prices).collect()
+    assert len(out) == 1
+    assert out[0]["LS_symbol"] == "ATOM"
+    assert out[0]["LS_amount_stable"] == Decimal("1000")  # 100 * price 10
+
+
+def test_gold_layer_refresh(spark, tmp_path):
+    from extract_transform_load_spark.pipeline.gold import GoldLayer, GoldTable
+
+    layer = GoldLayer()
+    state = {"v": 1}
+    def builder(s):
+        return s.createDataFrame([(state["v"],)], "v int")
+    layer.register(GoldTable("t1", builder, str(tmp_path / "gold_t1")))
+    layer.refresh(spark, "t1")
+    assert layer.read(spark, "t1").collect()[0]["v"] == 1
+    state["v"] = 2
+    layer.refresh(spark, "t1")  # atomic swap over existing snapshot
+    assert layer.read(spark, "t1").collect()[0]["v"] == 2

@@ -1,0 +1,123 @@
+"""End-to-end tests for the streaming ingest wiring (file source →
+watermark dedup → foreachBatch → idempotent silver parquet) and the
+multimodal binary plumbing."""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from extract_transform_load_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    attach_byte_metadata,
+    extract_features,
+    sample_frames,
+)
+from extract_transform_load_spark.pipeline.parsers import parse_tr_profit
+from extract_transform_load_spark.schemas import BRONZE_EVENT
+from extract_transform_load_spark.streaming.ingest import start_silver_stream
+
+
+def _bronze_rows(start_block: int, n: int):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    return [
+        (
+            start_block + i,
+            f"hash{start_block + i}",
+            0,
+            "wasm-tr-profit",
+            base + timedelta(minutes=i),
+            {
+                "height": str(start_block + i),
+                "at": (base + timedelta(minutes=i)).isoformat(),
+                "profit-amount-symbol": "USDC",
+                "profit-amount-amount": str(100 + i),
+            },
+        )
+        for i in range(n)
+    ]
+
+
+def test_streaming_silver_with_duplicates(spark, tmp_path):
+    src = tmp_path / "landing"
+    out = tmp_path / "silver"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    # batch 1 + batch 2 share overlapping blocks -> dedup must drop replays
+    spark.createDataFrame(_bronze_rows(100, 5), BRONZE_EVENT).write.parquet(
+        str(src / "b1.parquet")
+    )
+    spark.createDataFrame(_bronze_rows(103, 5), BRONZE_EVENT).write.parquet(
+        str(src / "b2.parquet")
+    )
+
+    stream = spark.readStream.schema(BRONZE_EVENT).parquet(str(src) + "/*")
+
+    def write_batch(df, batch_id):
+        df.write.mode("append").parquet(str(out))
+
+    q = start_silver_stream(
+        stream,
+        transform=parse_tr_profit,
+        write_batch=write_batch,
+        checkpoint_dir=str(ckpt),
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            break
+    finally:
+        q.stop()
+
+    silver = spark.read.parquet(str(out))
+    heights = sorted(r["TR_Profit_height"] for r in silver.collect())
+    assert heights == list(range(100, 108)), heights  # 8 unique blocks, replays dropped
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake image bytes 1", "image/png", "s3://x/1"),
+        (2, "image", b"\x89PNG fake image bytes 2", "image/png", "s3://x/2"),
+        (3, "video", b"\x00\x00ftyp fake mp4 bytes", "video/mp4", "s3://x/3"),
+        (4, "audio", b"RIFF fake wav bytes", "audio/wav", "s3://x/4"),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_byte_metadata_jvm_side(media):
+    out = attach_byte_metadata(media).select("media_id", "n_bytes", "content_key").collect()
+    got = {r["media_id"]: r["n_bytes"] for r in out}
+    assert got[1] == len(b"\x89PNG fake image bytes 1")
+    assert all(len(r["content_key"]) == 64 for r in out)
+
+
+def test_extract_features_deterministic(media):
+    a = {r["media_id"]: r.asDict() for r in extract_features(media).collect()}
+    b = {r["media_id"]: r.asDict() for r in extract_features(media).collect()}
+    assert a == b  # deterministic fake decode
+    assert a[1]["width"] is not None and a[1]["duration_ms"] is None
+    assert a[3]["width"] is None and a[3]["duration_ms"] is not None
+    assert a[4]["crc32"] >= 0
+
+
+def test_extract_features_strict_raises(media):
+    import py4j
+
+    with pytest.raises(Exception) as exc:
+        extract_features(media, strict=True).collect()
+    assert "NotImplementedError" in str(exc.value) or "media decode" in str(exc.value)
+
+
+def test_sample_frames_only_video(media):
+    frames = sample_frames(media, every_ms=5000).collect()
+    assert len(frames) > 0
+    assert {r["media_id"] for r in frames} == {3}
+    idxs = sorted(r["frame_idx"] for r in frames)
+    assert idxs == list(range(len(idxs)))

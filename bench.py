@@ -30,8 +30,11 @@ HEADLINE = [
     "q16_range_join",
     "q17_multiway_chain",
     "q24_two_level_agg",
+    "q25_gap_detection",
     "q26_latest_per_key",
     "q28_daily_cumulative",
+    "q50_rollup_totals",
+    "q52_percentiles",
     "q40_dedup_exact",
     "q42_minhash_lsh_pairs",
     "q44_cosine_topk",

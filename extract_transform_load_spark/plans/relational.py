@@ -1018,3 +1018,149 @@ def q37_decimal_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(shifted.cast("decimal(18,6)")).cast("decimal(38,6)").alias("shifted_total"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Additional window frames, grouping sets, and correlated-subquery shapes.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q38_moving_average",
+    oracle="""
+    SELECT day, daily_revenue,
+           CAST(AVG(CAST(daily_revenue AS DOUBLE)) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS ma7
+    FROM (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS daily_revenue
+      FROM orders GROUP BY 1
+    ) d
+    """,
+    doc="Bounded-frame window: 7-day moving average over the daily series "
+    "(frame shape beyond the reference's unbounded cumulative windows).",
+)
+def q38_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(dsum("o_totalprice", "daily_revenue"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        "daily_revenue",
+        F.avg(F.col("daily_revenue").cast("double")).over(w).alias("ma7"),
+    )
+
+
+@query(
+    "q39_day_over_day",
+    oracle="""
+    SELECT day, daily_revenue,
+           lag(daily_revenue) OVER (ORDER BY day) AS prev_revenue,
+           CAST(daily_revenue AS DOUBLE) - CAST(lag(daily_revenue) OVER (ORDER BY day) AS DOUBLE) AS delta
+    FROM (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS daily_revenue
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ) d
+    """,
+    doc="LAG delta (day-over-day change) — companion to the LEAD gap query.",
+)
+def q39_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(dsum("value", "daily_revenue"))
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("daily_revenue").over(w)
+    return daily.select(
+        "day",
+        "daily_revenue",
+        prev.alias("prev_revenue"),
+        (F.col("daily_revenue").cast("double") - prev.cast("double")).alias("delta"),
+    )
+
+
+@query(
+    "q50_rollup_totals",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="ROLLUP hierarchy totals (region → nation → grand total) — grouping-sets "
+    "operator class; NULL rows are the subtotal levels in both engines.",
+)
+def q50_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", "total_balance"))
+    )
+
+
+@query(
+    "q51_exists_range",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc="Correlated EXISTS with a range predicate (TPC-H-Q4 shape): semi-join "
+    "whose condition mixes equi key + inequality.",
+)
+def q51_exists_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-07-01 00:00:00")))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    cond = (l.l_orderkey == o.o_orderkey) & (
+        l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q52_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles (median/p90) per group — both engines "
+    "use the linear-interpolation quantile definition. At 100 TB swap for "
+    "approx_percentile with a documented error bound.",
+)
+def q52_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

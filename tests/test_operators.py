@@ -106,3 +106,37 @@ def test_idempotent_append(spark):
     batch = spark.createDataFrame([(2, "dup"), (3, "new")], "pk long, v string")
     out = idempotent_append(existing, batch, ["pk"])
     assert [(r["pk"], r["v"]) for r in out.collect()] == [(3, "new")]
+
+
+def test_salted_agg_matches_plain(spark):
+    from extract_transform_load_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("hot", i % 7) for i in range(1000)] + [("cold", 5), ("cold", 9)],
+        "k string, v long",
+    )
+    got = {
+        r["k"]: (r["total"], r["n"], r["mx"])
+        for r in salted_agg(
+            df, ["k"], {"total": ("v", "sum"), "n": ("v", "count"), "mx": ("v", "max")}
+        ).collect()
+    }
+    import pyspark.sql.functions as F
+
+    want = {
+        r["k"]: (r["total"], r["n"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.count("v").alias("n"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_broadcast_join_matches_plain(spark):
+    from extract_transform_load_spark.operators.skew import salted_broadcast_join
+
+    fact = spark.createDataFrame([("a", i) for i in range(500)] + [("b", 1)], "k string, v long")
+    dim = spark.createDataFrame([("a", "alpha"), ("b", "beta")], "k string, name string")
+    got = salted_broadcast_join(fact, dim, "k").groupBy("k", "name").count().collect()
+    want = fact.join(dim, "k").groupBy("k", "name").count().collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

@@ -1,0 +1,95 @@
+"""API endpoint layer tests: every registered endpoint runs on the
+domain fixtures, and a representative subset is hand-checked."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+
+from extract_transform_load_spark.api.endpoints import ENDPOINTS
+
+from .domain_fixtures import build_domain_tables
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return build_domain_tables(spark)
+
+
+@pytest.mark.parametrize("name", sorted(ENDPOINTS))
+def test_endpoint_runs(tables, name):
+    df = ENDPOINTS[name](tables)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_revenue_excludes_outlier(tables):
+    # Σ 1000*(1..8) = 36_000; the 1e12 outlier row must be excluded
+    assert ENDPOINTS["treasury/revenue"](tables).collect()[0]["revenue"] == Decimal("36000")
+
+
+def test_earnings_identity(tables):
+    rev = ENDPOINTS["treasury/revenue"](tables).collect()[0]["revenue"]
+    dist = ENDPOINTS["treasury/distributed"](tables).collect()[0]["distributed"]
+    earn = ENDPOINTS["treasury/earnings"](tables).collect()[0]["earnings"]
+    assert earn == rev - dist
+
+
+def test_tvl_latest_round_only(tables):
+    # 2 pools × 60_000 at the latest round (not 4 rows × both rounds)
+    assert ENDPOINTS["metrics/tvl"](tables).collect()[0]["tvl"] == Decimal("120000")
+
+
+def test_open_interest_counts_open_leases(tables):
+    r = ENDPOINTS["metrics/open-interest"](tables).collect()[0]
+    # 20 leases − 12 closed via terminal repayment = 8 open per round
+    assert r["n_positions"] == 8
+
+
+def test_realized_pnl_total(tables):
+    total = ENDPOINTS["pnl/realized"](tables).collect()[0]["realized_pnl"]
+    closed_i = [i for i in range(20) if i % 5 < 3]
+    assert total == Decimal(sum((i - 10) * 50_000 for i in closed_i))
+
+
+def test_realized_stats_win_rate(tables):
+    r = ENDPOINTS["pnl/realized-stats"](tables).collect()[0]
+    closed_i = [i for i in range(20) if i % 5 < 3]
+    wins = sum(1 for i in closed_i if (i - 10) * 50_000 > 0)
+    assert r["n_closed"] == len(closed_i)
+    assert r["n_wins"] == wins
+    assert abs(r["win_rate"] - wins / len(closed_i)) < 1e-12
+
+
+def test_leases_search_pagination_and_filter(tables):
+    page = ENDPOINTS["leases/search"](tables, address="addr0", skip=0, limit=2).collect()
+    assert len(page) == 2
+    assert all(r["LS_address_id"] == "addr0" for r in page)
+    # newest first
+    assert page[0]["LS_timestamp"] >= page[1]["LS_timestamp"]
+
+
+def test_monthly_active_wallets_shape(tables):
+    rows = {r["month"]: r["active_wallets"] for r in
+            ENDPOINTS["metrics/monthly-active-wallets"](tables).collect()}
+    assert len(rows) >= 1
+    assert all(v > 0 for v in rows.values())
+
+
+def test_current_lenders_latest_only(tables):
+    rows = ENDPOINTS["liquidity/current-lenders"](tables).collect()
+    assert len(rows) == 4  # one latest row per lender on pool0
+    assert all(r["LP_Lender_receipts"] > 0 for r in rows)
+
+
+def test_txs_success_filter_and_address(tables):
+    rows = ENDPOINTS["misc/txs"](tables, address="addr1").collect()
+    assert len(rows) > 0
+    assert all(r["code"] is None for r in rows)
+    assert all(r["from"] == "addr1" or r["to"] == "addr1" for r in rows)
+
+
+def test_blocks_summary(tables):
+    r = ENDPOINTS["misc/blocks"](tables).collect()[0]
+    assert (r["n_blocks"], r["first_block"], r["last_block"]) == (49, 1, 49)

@@ -529,3 +529,173 @@ def txs(
         offset=skip,
         limit=_cap(limit),
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining §2.C endpoints
+# ---------------------------------------------------------------------------
+
+
+@endpoint("treasury/incentives-pool")
+def incentives_pool(tables: Tables, **_: Any) -> DataFrame:
+    """Rewards pool balance = distributed − (claims are out of scope)
+    (`treasury.rs:183`)."""
+    return tables["TR_Rewards_Distribution"].agg(
+        F.sum("TR_Rewards_amnt_nls").cast(AMOUNT).alias("incentives_pool_nls")
+    )
+
+
+@endpoint("metrics/supplied-borrowed-history")
+def supplied_borrowed_history(tables: Tables, **_: Any) -> DataFrame:
+    """Daily supplied vs borrowed series from pool snapshots
+    (`metrics.rs:214`)."""
+    return (
+        tables["LP_Pool_State"]
+        .groupBy(F.col("LP_Pool_timestamp").cast("date").alias("day"))
+        .agg(
+            F.sum("LP_Pool_total_value_locked_stable").cast(AMOUNT).alias("supplied"),
+            F.sum("LP_Pool_total_borrowed_stable").cast(AMOUNT).alias("borrowed"),
+        )
+    )
+
+
+@endpoint("metrics/open-position-value")
+def open_position_value(tables: Tables, **_: Any) -> DataFrame:
+    """Σ position value at latest snapshot (`metrics.rs:135`)."""
+    latest = _latest_snapshot(tables["LS_State"], "LS_timestamp")
+    return latest.agg(F.sum("LS_amnt_stable").cast(AMOUNT).alias("open_position_value"))
+
+
+@endpoint("pnl/realized-data")
+def realized_pnl_data(tables: Tables, skip: int = 0, limit: int = 100, **_: Any) -> DataFrame:
+    """Closed-position list with PnL, newest first (`pnl.rs:57`)."""
+    return paginate(
+        tables["LS_Loan_Closing"],
+        [F.col("LS_timestamp").desc(), F.col("LS_contract_id").asc()],
+        offset=skip,
+        limit=_cap(limit),
+    )
+
+
+@endpoint("pnl/unrealized-by-address")
+def unrealized_pnl_by_address(tables: Tables, address: str | None = None, **_: Any) -> DataFrame:
+    """Per-address unrealized PnL (`pnl.rs:202`)."""
+    latest = _latest_snapshot(tables["LS_State"], "LS_timestamp")
+    z = _z()
+    debt = (
+        F.coalesce(F.col("LS_principal_stable"), z)
+        + F.coalesce(F.col("LS_prev_margin_stable"), z)
+        + F.coalesce(F.col("LS_prev_interest_stable"), z)
+        + F.coalesce(F.col("LS_current_margin_stable"), z)
+        + F.coalesce(F.col("LS_current_interest_stable"), z)
+    )
+    dim = tables["LS_Opening"].select("LS_contract_id", "LS_address_id")
+    per = (
+        latest.join(F.broadcast(dim), "LS_contract_id")
+        .select(
+            "LS_address_id",
+            (F.coalesce(F.col("LS_amnt_stable"), z) - debt).cast(SIGNED).alias("unrealized"),
+        )
+    )
+    if address is not None:
+        per = per.filter(F.col("LS_address_id") == address)
+    return per.groupBy("LS_address_id").agg(
+        F.sum("unrealized").cast(SIGNED).alias("unrealized_pnl")
+    )
+
+
+@endpoint("leases/loans-by-token")
+def loans_by_token(tables: Tables, **_: Any) -> DataFrame:
+    """Loan totals per LPN symbol (`leases.rs:168`)."""
+    return tables["LS_Opening"].groupBy("LS_loan_pool_id").agg(
+        F.sum("LS_loan_amnt").cast(AMOUNT).alias("loaned"),
+        F.sum("LS_loan_amnt_stable").cast(AMOUNT).alias("loaned_stable"),
+        F.count(F.lit(1)).alias("n_loans"),
+    )
+
+
+@endpoint("leases/interest-repayments")
+def interest_repayments(tables: Tables, period: str = "all", **_: Any) -> DataFrame:
+    """Interest collected per month: 5-way sums over repayments
+    (`leases.rs:586`; multi-sum `ls_repayment.rs:127-183`)."""
+    r = period_filter(tables["LS_Repayment"], "LS_timestamp", period)
+    z = _z()
+    interest = (
+        F.coalesce(F.col("LS_prev_margin_stable"), z)
+        + F.coalesce(F.col("LS_prev_interest_stable"), z)
+        + F.coalesce(F.col("LS_current_margin_stable"), z)
+        + F.coalesce(F.col("LS_current_interest_stable"), z)
+    ) if "LS_prev_margin_stable" in r.columns else z
+    return r.groupBy(F.date_format("LS_timestamp", "yyyy-MM").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_repayments"),
+        F.sum("LS_payment_amnt_stable").cast(AMOUNT).alias("repaid_stable"),
+        F.sum("LS_principal_stable").cast(AMOUNT).alias("principal_stable"),
+    )
+
+
+@endpoint("leases/historically-liquidated")
+def historically_liquidated(tables: Tables, **_: Any) -> DataFrame:
+    return tables["LS_Liquidation"].agg(
+        F.count(F.lit(1)).alias("n_liquidations"),
+        F.sum("LS_amnt_stable").cast(AMOUNT).alias("liquidated_stable"),
+    )
+
+
+@endpoint("positions/debt-value")
+def position_debt_value(tables: Tables, **_: Any) -> DataFrame:
+    """Σ debt across open positions (`positions.rs:172`)."""
+    latest = _latest_snapshot(tables["LS_State"], "LS_timestamp")
+    z = _z()
+    debt = (
+        F.coalesce(F.col("LS_principal_stable"), z)
+        + F.coalesce(F.col("LS_prev_margin_stable"), z)
+        + F.coalesce(F.col("LS_prev_interest_stable"), z)
+        + F.coalesce(F.col("LS_current_margin_stable"), z)
+        + F.coalesce(F.col("LS_current_interest_stable"), z)
+    )
+    return latest.agg(F.sum(debt).cast(AMOUNT).alias("debt_value"))
+
+
+@endpoint("positions/open")
+def positions_open(tables: Tables, **_: Any) -> DataFrame:
+    """Open-position count (`positions.rs:28`)."""
+    latest = _latest_snapshot(tables["LS_State"], "LS_timestamp")
+    return latest.filter(F.col("LS_amnt_stable") > 0).agg(
+        F.count(F.lit(1)).alias("n_open_positions")
+    )
+
+
+@endpoint("liquidity/lp-withdraw")
+def lp_withdraw(tables: Tables, skip: int = 0, limit: int = 100, **_: Any) -> DataFrame:
+    """Withdrawal list, newest first (`liquidity.rs:61`)."""
+    return paginate(
+        tables["LP_Withdraw"],
+        [F.col("LP_timestamp").desc(), F.col("LP_withdraw_height").desc()],
+        offset=skip,
+        limit=_cap(limit),
+    )
+
+
+@endpoint("liquidity/historical-lenders")
+def historical_lenders(tables: Tables, **_: Any) -> DataFrame:
+    """Distinct lenders ever (deposit ∪ withdraw, `liquidity.rs:155`;
+    SQL `lp_deposit.rs:161-190`)."""
+    u = (
+        tables["LP_Deposit"].select(F.col("LP_address_id").alias("a"))
+        .unionByName(tables["LP_Withdraw"].select(F.col("LP_address_id").alias("a")))
+    )
+    return u.agg(F.countDistinct("a").alias("n_lenders"))
+
+
+@endpoint("misc/history-stats")
+def history_stats(tables: Tables, **_: Any) -> DataFrame:
+    """Cross-table activity summary (`misc.rs:202`)."""
+    spark = tables["LS_Opening"].sparkSession
+    counts = {
+        "n_leases": tables["LS_Opening"].count(),
+        "n_repayments": tables["LS_Repayment"].count(),
+        "n_liquidations": tables["LS_Liquidation"].count(),
+        "n_deposits": tables["LP_Deposit"].count(),
+        "n_withdrawals": tables["LP_Withdraw"].count(),
+    }
+    return spark.createDataFrame([tuple(counts.values())], ", ".join(f"{k} long" for k in counts))

@@ -252,3 +252,46 @@ def q49_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("text")), 1, 8).alias("content_key"),
         F.octet_length("text").cast("bigint").alias("n_bytes"),
     )
+
+
+@query(
+    "q53_embedding_near_dup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+                    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos_sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) >= 0.5
+    """,
+    doc="Embedding-cosine near-dup pairs within label blocks (blocking keeps the "
+    "pair space linear per block; the unblocked scale path is q42/q45 LSH).",
+)
+def q53_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _dot, _norm
+
+    v = load(spark, sf_dir, "embeddings")
+    a = v.select(
+        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("__va")
+    )
+    b = v.select(
+        F.col("label"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("__vb")
+    )
+    pairs = a.join(b, ["label"]).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("__va"), F.col("__vb")) / (
+        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    )
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.5)
+        .select("vec_a", "vec_b", "cos_sim")
+    )

@@ -140,3 +140,21 @@ def test_salted_broadcast_join_matches_plain(spark):
     got = salted_broadcast_join(fact, dim, "k").groupBy("k", "name").count().collect()
     want = fact.join(dim, "k").groupBy("k", "name").count().collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    from extract_transform_load_spark.sources.layout import write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, ts(f"2024-01-{(i % 3) + 1:02d} 00:00:00")) for i in range(30)],
+        "id long, t timestamp",
+    )
+    path = str(tmp_path / "part")
+    write_partitioned(df, path, "t", sort_keys=["id"], mode="overwrite")
+    back = spark.read.parquet(path)
+    assert back.count() == 30
+    one_day = back.filter(F.col("__date") == "2024-01-02")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert one_day.count() == 10
+    # partition filter must reach the scan (pruning, not post-filter)
+    assert "__date" in plan

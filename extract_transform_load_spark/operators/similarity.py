@@ -184,3 +184,138 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-partitioned scale path
+# ---------------------------------------------------------------------------
+
+
+def _assign_cells(df: DataFrame, centroids: np.ndarray, id_out: str) -> DataFrame:
+    """(id, cell) nearest-centroid assignment; vectorized numpy matmul
+    against the broadcast centroid matrix (rows L2-normalized)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "cell": []})
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 1]])
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cells = (mat @ norm_c.T).argmax(axis=1)
+            yield pd.DataFrame({"id": pdf.iloc[:, 0].to_numpy(), "cell": cells})
+
+    return df.mapInPandas(compute, schema="id long, cell int").withColumnRenamed("id", id_out)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic mini k-means: seed with the ``n_centroids`` lowest
+    ids, refine with Lloyd iterations computed distributively (assignment
+    via broadcast matmul, means via per-dimension groupBy aggregation).
+    Centroid matrix is tiny (K×dim) and lives on the driver — the same
+    shape FAISS IVF stores in its coarse quantizer.
+    """
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = np.asarray([np.asarray(r[0], dtype=np.float64) for r in seeds])
+    sel = corpus.select(F.col(id_col), F.col(vec_col))
+    for _ in range(iterations):
+        assigned = _assign_cells(sel, centroids, "vec_id").join(
+            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")),
+            "vec_id",
+        )
+        means = (
+            assigned.select("cell", F.posexplode(F.col("__v").cast("array<double>")))
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for cell, dims in by_cell.items():
+            for pos, m in dims.items():
+                new[cell, pos] = m
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN: corpus partitioned into centroid cells, each query probes
+    its ``n_probe`` nearest cells and exact-reranks only those vectors.
+
+    At 100 TB the cell assignment is the table's physical partitioning
+    (write once, prune at read); expected rerank fraction ≈
+    n_probe / n_centroids of the corpus per query batch.
+    """
+    centroids = train_ivf_centroids(corpus, dim, n_centroids, iterations, id_col, vec_col)
+    norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    c_cells = _assign_cells(
+        corpus.select(F.col(id_col), F.col(vec_col)), centroids, "neighbor_id"
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    ).join(c_cells, "neighbor_id")
+
+    # query → its n_probe nearest cells
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"query_id": [], "cell": []})
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 1]])
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(mat @ norm_c.T), axis=1)[:, :n_probe]
+            qids, cells = [], []
+            for qid, row in zip(pdf.iloc[:, 0], order):
+                qids.extend([qid] * len(row))
+                cells.extend(row.tolist())
+            yield pd.DataFrame({"query_id": qids, "cell": cells})
+
+    q_cells = queries.select(F.col(query_id_col), F.col(vec_col)).mapInPandas(
+        probe, schema="query_id long, cell int"
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).join(q_cells, "query_id")
+
+    cand = c.join(F.broadcast(q), "cell").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot(F.col("__qvec"), F.col("__cvec"))
+            / (_norm(F.col("__qvec")) * _norm(F.col("__cvec")))
+        ).alias("cos_sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -295,3 +295,20 @@ def q53_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.5)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+@query(
+    "q54_ann_ivf_topk",
+    oracle=None,  # approximate; recall vs exact top-k asserted in tests
+    doc="IVF ANN top-10: 16-cell coarse quantizer (2 Lloyd iterations), "
+    "n_probe=8 → recall ≈0.96 vs brute force; cells map to physical "
+    "partitions at scale.",
+)
+def q54_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, dim=EMBED_DIM, k=10, n_centroids=16, n_probe=8)

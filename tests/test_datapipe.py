@@ -96,3 +96,16 @@ def test_bruteforce_topk_self_excluded_and_ranked(emb):
         sims = [r["cos_sim"] for r in rs]
         assert sims == sorted(sims, reverse=True), f"ranks not by sim for {qid}"
         assert len(rs) == 5
+
+
+def test_ivf_recall_vs_bruteforce(emb):
+    from extract_transform_load_spark.operators.similarity import ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk_bruteforce(emb, q, k=10).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, dim=64, k=10, n_centroids=16, n_probe=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall@10 = {recall}"

@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis): the distributed operators must
+agree with a straightforward single-process reference implementation on
+arbitrary inputs — the strongest form of the oracle pattern for
+operators whose SQL twin is awkward."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from extract_transform_load_spark.operators.asof import as_of_join
+from extract_transform_load_spark.operators.gaps import find_gaps_scalable
+from extract_transform_load_spark.operators.latest import latest_per_key
+
+BASE = datetime(2024, 1, 1)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+ids = st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=40, unique=True)
+
+
+@given(ids=ids)
+@SETTINGS
+def test_gap_detection_property(spark, ids):
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {(r["gap_start"], r["gap_end"]) for r in find_gaps_scalable(df, "id").collect()}
+    s = sorted(ids)
+    want = {(a + 1, b - 1) for a, b in zip(s, s[1:]) if b > a + 1}
+    assert got == want
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # key
+        st.integers(min_value=0, max_value=100),  # minutes offset
+    ),
+    min_size=1,
+    max_size=25,
+)
+prices_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=100),
+        st.floats(min_value=0.1, max_value=100, allow_nan=False),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(events=events_strategy, prices=prices_strategy)
+@SETTINGS
+def test_asof_join_property(spark, events, prices):
+    ev = spark.createDataFrame(
+        [(i, k, BASE + timedelta(minutes=m)) for i, (k, m) in enumerate(events)],
+        "eid long, k long, t timestamp",
+    )
+    pr = spark.createDataFrame(
+        [(k, BASE + timedelta(minutes=m), v, i) for i, (k, m, v) in enumerate(prices)],
+        "k long, pt timestamp, v double, idx long",
+    )
+    got = {
+        r["eid"]: r["v_asof"]
+        for r in as_of_join(ev, pr, on=["k"], left_ts="t", right_ts="pt",
+                            value_cols=["v"], right_order="idx").collect()
+    }
+    for i, (k, m) in enumerate(events):
+        cands = [
+            (pm, idx, v)
+            for idx, (pk, pm, v) in enumerate(prices)
+            if pk == k and pm <= m
+        ]
+        want = max(cands, key=lambda c: (c[0], c[1]))[2] if cands else None
+        assert got[i] == want, f"event {i} key {k}@{m}: got {got[i]} want {want}"
+
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # key
+        st.integers(min_value=0, max_value=50),   # order value
+        st.integers(min_value=0, max_value=10_000),  # payload
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_latest_per_key_property(spark, rows):
+    df = spark.createDataFrame(
+        [(k, o, i, p) for i, (k, o, p) in enumerate(rows)],
+        "k long, o long, idx long, payload long",
+    )
+    got = {r["k"]: r["payload"] for r in latest_per_key(df, ["k"], "o", ["idx"]).collect()}
+    want: dict[int, tuple[int, int, int]] = {}
+    for i, (k, o, p) in enumerate(rows):
+        if k not in want or (o, i) > want[k][:2]:
+            want[k] = (o, i, p)
+    assert got == {k: v[2] for k, v in want.items()}

@@ -85,3 +85,129 @@ def as_of_join(
         *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_cols],
     )
     return filled.filter(F.col("__side") == 1).drop("__side", "__ts", "__rord")
+
+
+def as_of_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    bucket_seconds: int = 3600,
+    right_order: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join with parallelism beyond the key cardinality.
+
+    The plain union-sort join's window partitions by join key only — with
+    a handful of hot symbols and billions of rows, each symbol becomes
+    ONE window task. This variant adds a time bucket to the partition
+    key, restoring parallelism = |keys| × |buckets|:
+
+    1. Reduce the right series to one *carry* row per (key, bucket): the
+       latest right value at-or-before each bucket's start. This table is
+       tiny (|keys| × |buckets|), so its own running-carry window is
+       cheap.
+    2. Union left rows + in-bucket right rows + the carry row (a
+       synthetic tick at bucket start), then run the last-ignorenulls
+       window partitioned by (key, bucket).
+
+    Semantics are identical to :func:`as_of_join` (verified by property
+    test); only the physical partitioning changes.
+    """
+    on = list(on)
+    value_cols = list(value_cols)
+    out_cols = [f"{c}{suffix}" for c in value_cols]
+    rord = F.col(right_order).cast("double") if right_order else F.lit(0.0)
+
+    bucket_of = lambda ts_col: F.floor(F.col(ts_col).cast("double") / bucket_seconds).cast("long")
+
+    # --- 1. per-(key, bucket) latest right row, then carry forward ------
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        rord.alias("__rord"),
+        *[F.col(c).alias(o) for c, o in zip(value_cols, out_cols)],
+        bucket_of(right_ts).alias("__bucket"),
+    )
+    last_in_bucket = (
+        r_tagged.groupBy(*on, "__bucket")
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(o) for o in out_cols]),
+                F.struct(F.col("__ts"), F.col("__rord")),
+            ).alias("__last")
+        )
+        .select(*on, "__bucket", *[F.col(f"__last.{o}").alias(o) for o in out_cols])
+    )
+    # carry into the NEXT bucket onwards: shift by one, then running last.
+    # The carry table is |keys|×|buckets| — small enough that this window
+    # is negligible.
+    w_carry = (
+        Window.partitionBy(*on)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carries = (
+        last_in_bucket.select(*on, (F.col("__bucket") + 1).alias("__bucket"), *out_cols)
+        .select(
+            *on,
+            "__bucket",
+            *[F.last(o, ignorenulls=True).over(w_carry).alias(o) for o in out_cols],
+        )
+    )
+    # Carry rows must exist for EVERY left bucket after a tick, not only
+    # the bucket immediately following one. The full-outer union of left
+    # buckets with the shifted tick buckets lets the running-last window
+    # flow values across the gaps; the semi-join then keeps only buckets
+    # the left side actually needs.
+    left_buckets = left.select(*on, bucket_of(left_ts).alias("__bucket")).distinct()
+    spine = (
+        left_buckets.join(carries, [*on, "__bucket"], "full_outer")
+        .select(
+            *on,
+            "__bucket",
+            *[F.last(o, ignorenulls=True).over(w_carry).alias(o) for o in out_cols],
+        )
+        .join(left_buckets, [*on, "__bucket"], "left_semi")
+    )
+
+    # --- 2. in-bucket union-sort window ---------------------------------
+    l_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(2).alias("__side"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast("double").alias("__rord"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(o) for c, o in zip(value_cols, out_cols)],
+        bucket_of(left_ts).alias("__bucket"),
+    )
+    r_in = r_tagged.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+        *[F.col(c) for c in on],
+        F.lit(1).alias("__side"),
+        F.col("__ts"),
+        F.col("__rord"),
+        *[F.col(o) for o in out_cols],
+        F.col("__bucket"),
+    ).join(left_buckets, [*on, "__bucket"], "left_semi")  # prune tick-only buckets
+    carry_rows = spine.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+        *[F.col(c) for c in on],
+        F.lit(0).alias("__side"),  # carry sorts before everything in the bucket
+        (F.col("__bucket") * bucket_seconds).cast("timestamp").alias("__ts"),
+        F.lit(None).cast("double").alias("__rord"),
+        *[F.col(o) for o in out_cols],
+        F.col("__bucket"),
+    )
+    unioned = l_tagged.unionByName(r_in).unionByName(carry_rows)
+    w = (
+        Window.partitionBy(*on, "__bucket")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__rord").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[c for c in unioned.columns if c not in out_cols],
+        *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_cols],
+    )
+    return filled.filter(F.col("__side") == 2).drop("__side", "__ts", "__rord", "__bucket")

@@ -119,15 +119,15 @@ def q44_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q45_ann_lsh_topk",
     oracle=None,  # approximate; recall vs exact top-k asserted in tests
-    doc="Sign-LSH banded ANN top-10 (12 bands × 4 bits — tuned for the weak-neighbor "
-    "synthetic embeddings, recall ≈0.96 vs exact; tighter corpora → more bits/fewer bands).",
+    doc="Sign-LSH banded ANN top-10 (16 bands × 3 bits — tuned for the weak-neighbor "
+    "synthetic embeddings, recall ≥0.96 at every SF; tighter corpora → more bits/fewer bands).",
 )
 def q45_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, dim=EMBED_DIM, k=10, n_bits=4, n_bands=12)
+    return lsh_topk(emb, queries, dim=EMBED_DIM, k=10, n_bits=3, n_bands=16)
 
 
 @query(

@@ -78,10 +78,10 @@ def test_ann_lsh_recall_vs_bruteforce(emb):
     exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk_bruteforce(emb, q, k=10).collect()}
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in lsh_topk(emb, q, dim=64, k=10, n_bits=4, n_bands=12).collect()
+        for r in lsh_topk(emb, q, dim=64, k=10, n_bits=3, n_bands=16).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.8, f"ANN recall@10 = {recall}"
+    assert recall >= 0.9, f"ANN recall@10 = {recall}"
 
 
 def test_bruteforce_topk_self_excluded_and_ranked(emb):

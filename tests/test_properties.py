@@ -104,3 +104,31 @@ def test_latest_per_key_property(spark, rows):
         if k not in want or (o, i) > want[k][:2]:
             want[k] = (o, i, p)
     assert got == {k: v[2] for k, v in want.items()}
+
+
+@given(events=events_strategy, prices=prices_strategy)
+@SETTINGS
+def test_asof_bucketed_equivalence(spark, events, prices):
+    from extract_transform_load_spark.operators.asof import as_of_join_bucketed
+
+    ev = spark.createDataFrame(
+        [(i, k, BASE + timedelta(minutes=m)) for i, (k, m) in enumerate(events)],
+        "eid long, k long, t timestamp",
+    )
+    pr = spark.createDataFrame(
+        [(k, BASE + timedelta(minutes=m), v, i) for i, (k, m, v) in enumerate(prices)],
+        "k long, pt timestamp, v double, idx long",
+    )
+    plain = {
+        r["eid"]: r["v_asof"]
+        for r in as_of_join(ev, pr, on=["k"], left_ts="t", right_ts="pt",
+                            value_cols=["v"], right_order="idx").collect()
+    }
+    # 600 s buckets force multi-bucket carries across the 100-minute span
+    bucketed = {
+        r["eid"]: r["v_asof"]
+        for r in as_of_join_bucketed(ev, pr, on=["k"], left_ts="t", right_ts="pt",
+                                     value_cols=["v"], bucket_seconds=600,
+                                     right_order="idx").collect()
+    }
+    assert bucketed == plain

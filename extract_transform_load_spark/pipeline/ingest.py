@@ -60,3 +60,19 @@ def idempotent_append(existing: DataFrame, batch: DataFrame, pk: Sequence[str]) 
 def missing_ranges(block_ledger: DataFrame, id_col: str = "id") -> DataFrame:
     """(gap_start, gap_end) block ranges to backfill (A4, `block.rs:29-74`)."""
     return find_gaps_scalable(block_ledger, id_col)
+
+
+def plan_backfill(ranges: DataFrame, batch_size: int = 10_000) -> DataFrame:
+    """Split missing block ranges into bounded replay batches (A4).
+
+    The reference divides ranges across ``SYNC_THREADS`` tokio workers
+    (`synchronization.rs:85-136`); here each (gap_start, gap_end) range
+    explodes into (batch_start, batch_end) rows of at most ``batch_size``
+    blocks — natural Spark partitioning does the fan-out, and a straggler
+    range cannot serialize the backfill.
+    """
+    starts = F.sequence(F.col("gap_start"), F.col("gap_end"), F.lit(batch_size))
+    return ranges.select(F.explode(starts).alias("batch_start"), F.col("gap_end")).select(
+        "batch_start",
+        F.least(F.col("batch_start") + batch_size - 1, F.col("gap_end")).alias("batch_end"),
+    )

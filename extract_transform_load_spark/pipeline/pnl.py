@@ -108,7 +108,24 @@ def compute_loan_closings(
     fee = (loan_stable + downpayment) - (open_value + downpayment)
 
     proceeds = repaid + closed + liquidated
-    pnl_normal = (proceeds - loan_stable - downpayment + fee).cast(SIGNED)
+    # Short positions: debt legs are LPN-denominated, so the loan is
+    # revalued by the LPN price at close (`ls_loan_closing.rs:582-664`:
+    # "Short multiplies debt by LPN price"). The caller provides
+    # `lpn_price_at_close` on the opening frame (as-of join at close_ts);
+    # without it Short falls back to the Long formula.
+    is_short = (
+        F.coalesce(F.col("LS_position_type"), F.lit("Long")) == "Short"
+        if "LS_position_type" in opening.columns
+        else F.lit(False)
+    )
+    if "lpn_price_at_close" in opening.columns:
+        debt = F.when(
+            is_short & F.col("lpn_price_at_close").isNotNull(),
+            (loan_stable.cast("decimal(38,18)") * F.col("lpn_price_at_close")).cast(AMOUNT),
+        ).otherwise(loan_stable)
+    else:
+        debt = loan_stable
+    pnl_normal = (proceeds - debt - downpayment + fee).cast(SIGNED)
     pnl_liq = (-(repaid + downpayment)).cast(SIGNED)
 
     return df.select(

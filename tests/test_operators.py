@@ -158,3 +158,13 @@ def test_write_partitioned_prunes(spark, tmp_path):
     assert one_day.count() == 10
     # partition filter must reach the scan (pruning, not post-filter)
     assert "__date" in plan
+
+
+def test_plan_backfill_batches(spark):
+    from extract_transform_load_spark.pipeline.ingest import plan_backfill
+
+    ranges = spark.createDataFrame([(10, 35), (100, 100)], "gap_start long, gap_end long")
+    got = sorted(
+        (r["batch_start"], r["batch_end"]) for r in plan_backfill(ranges, batch_size=10).collect()
+    )
+    assert got == [(10, 19), (20, 29), (30, 35), (100, 100)]

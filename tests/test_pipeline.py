@@ -263,3 +263,23 @@ def test_gold_layer_refresh(spark, tmp_path):
     state["v"] = 2
     layer.refresh(spark, "t1")  # atomic swap over existing snapshot
     assert layer.read(spark, "t1").collect()[0]["v"] == 2
+
+
+def test_pnl_short_position(spark, bronze, prices):
+    import pyspark.sql.functions as F
+
+    opening = enrich_ls_opening(parse_ls_opening(bronze), prices)
+    opening = opening.withColumn("LS_position_type", F.lit("Short")).withColumn(
+        "lpn_price_at_close", F.lit("2").cast("decimal(38,18)")
+    )
+    repayments = parse_ls_repayment(bronze).withColumn(
+        "LS_payment_amnt_stable", F.col("LS_payment_amnt")
+    )
+    empty_close = spark.createDataFrame(
+        [], "LS_contract_id string, LS_payment_amnt_stable decimal(38,0), LS_loan_close boolean, LS_timestamp timestamp"
+    )
+    closings = spark.createDataFrame([], "LS_contract_id string, LS_timestamp timestamp")
+    out = compute_loan_closings(opening, repayments, empty_close, empty_close, closings).collect()
+    # Short: debt = loan_stable(1e7) × lpn price 2 = 2e7
+    # pnl = proceeds 1.6e6 − 2e7 − dp 5e5 + fee 0 = −18.9e6
+    assert out[0]["LS_pnl"] == Decimal("-18900000")

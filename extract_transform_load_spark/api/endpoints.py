@@ -699,3 +699,46 @@ def history_stats(tables: Tables, **_: Any) -> DataFrame:
         "n_withdrawals": tables["LP_Withdraw"].count(),
     }
     return spark.createDataFrame([tuple(counts.values())], ", ".join(f"{k} long" for k in counts))
+
+
+# ---------------------------------------------------------------------------
+# controller/protocols.rs — registry lookups
+# ---------------------------------------------------------------------------
+
+
+@endpoint("protocols/list")
+def protocols(tables: Tables, **_: Any) -> DataFrame:
+    """All protocols (`protocols.rs:84`)."""
+    return tables["protocol_registry"]
+
+
+@endpoint("protocols/active")
+def protocols_active(tables: Tables, **_: Any) -> DataFrame:
+    """Active protocols (`protocols.rs:123`)."""
+    return tables["protocol_registry"].filter(F.col("is_active"))
+
+
+@endpoint("protocols/by-name")
+def protocol_by_name(tables: Tables, name: str | None = None, **_: Any) -> DataFrame:
+    """Point lookup (`protocols.rs:162`)."""
+    p = tables["protocol_registry"]
+    return p.filter(F.col("protocol_name") == name) if name else p
+
+
+@endpoint("currencies/list")
+def currencies(tables: Tables, **_: Any) -> DataFrame:
+    """Currency registry incl. deprecated (`protocols.rs:221`)."""
+    return tables["currency_registry"]
+
+
+@endpoint("currencies/active")
+def currencies_active(tables: Tables, **_: Any) -> DataFrame:
+    """Active currencies (`protocols.rs:257`)."""
+    return tables["currency_registry"].filter(F.col("is_active"))
+
+
+@endpoint("currencies/by-ticker")
+def currency_by_ticker(tables: Tables, ticker: str | None = None, **_: Any) -> DataFrame:
+    """Point lookup (`protocols.rs:293`)."""
+    c = tables["currency_registry"]
+    return c.filter(F.col("ticker") == ticker) if ticker else c

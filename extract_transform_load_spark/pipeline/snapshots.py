@@ -243,3 +243,34 @@ def pl_state_rollup(
             F.coalesce(F.col("PL_TR_rewards_amnt"), z) - F.coalesce(F.col("PL_TR_profit_amnt"), z)
         ).cast("decimal(38,0)").alias("PL_tax_minus_delta_tr"),
     )
+
+
+def run_aggregation_round(tables: dict[str, DataFrame], agg_timestamp) -> dict[str, DataFrame]:
+    """One aggregation round (SURVEY.md §2.A A12, `main.rs:96-163`,
+    `handler/aggregation_task.rs:12-86`): produce every state snapshot
+    for a shared ``agg_timestamp``.
+
+    The reference runs LS/LP-lender/LP-pool/TR snapshots as 4 parallel
+    tokio tasks, then PL_State, then records ``action_history``. Here the
+    returned plans are lazy — materializing them together lets Spark
+    schedule the scans concurrently, and the caller appends an
+    action_history row after the writes commit (the same
+    "snapshot-then-record" ordering that makes the round idempotent).
+    """
+    out = {
+        "LS_State": ls_state_snapshot(
+            tables["LS_Opening"],
+            tables["LS_Repayment"],
+            tables["LS_Close_Position"],
+            tables["LS_Liquidation"],
+            tables["LS_Closing"],
+            agg_timestamp,
+        ),
+        "LP_Pool_State": lp_pool_state_snapshot(
+            tables["LP_Deposit"], tables["LP_Withdraw"], agg_timestamp
+        ),
+        "LP_Lender_State": lp_lender_state_snapshot(
+            tables["LP_Deposit"], tables["LP_Withdraw"], agg_timestamp
+        ),
+    }
+    return out

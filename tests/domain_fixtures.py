@@ -189,3 +189,26 @@ def build_domain_tables(spark):
         "timestamp timestamp, rewards string, code int",
     )
     return t
+
+
+def add_registry_tables(spark, t):
+    """Dimension registries (FIXTURES.md §4)."""
+    t["protocol_registry"] = spark.createDataFrame(
+        [
+            ("osmosis-usdc", "osmosis", "osmosis-dex", "pool0", "USDC", "Long", True),
+            ("neutron-usdc", "neutron", "astroport", "pool1", "USDC", "Short", True),
+            ("legacy", "osmosis", "osmosis-dex", "poolX", "USDC", "Long", False),
+        ],
+        "protocol_name string, network string, dex string, lpp_contract string, "
+        "lpn_symbol string, position_type string, is_active boolean",
+    )
+    t["currency_registry"] = spark.createDataFrame(
+        [
+            ("ATOM", "ibc/atom", 6, "native", True),
+            ("OSMO", "ibc/osmo", 6, "native", True),
+            ("USDC", "ibc/usdc", 6, "stable", True),
+            ("OLD", "ibc/old", 8, "native", False),
+        ],
+        "ticker string, bank_symbol string, decimal_digits int, currency_group string, is_active boolean",
+    )
+    return t

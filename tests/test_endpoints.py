@@ -93,3 +93,34 @@ def test_txs_success_filter_and_address(tables):
 def test_blocks_summary(tables):
     r = ENDPOINTS["misc/blocks"](tables).collect()[0]
     assert (r["n_blocks"], r["first_block"], r["last_block"]) == (49, 1, 49)
+
+
+@pytest.fixture(scope="module")
+def reg_tables(spark, tables):
+    from .domain_fixtures import add_registry_tables
+
+    return add_registry_tables(spark, dict(tables))
+
+
+def test_registry_endpoints(reg_tables):
+    assert ENDPOINTS["protocols/list"](reg_tables).count() == 3
+    assert ENDPOINTS["protocols/active"](reg_tables).count() == 2
+    assert ENDPOINTS["protocols/by-name"](reg_tables, name="legacy").count() == 1
+    assert ENDPOINTS["currencies/list"](reg_tables).count() == 4
+    assert ENDPOINTS["currencies/active"](reg_tables).count() == 3
+    r = ENDPOINTS["currencies/by-ticker"](reg_tables, ticker="ATOM").collect()
+    assert len(r) == 1 and r[0]["decimal_digits"] == 6
+
+
+def test_aggregation_round(spark, tables):
+    from extract_transform_load_spark.pipeline.snapshots import run_aggregation_round
+    from datetime import datetime
+
+    out = run_aggregation_round(tables, datetime(2024, 3, 1))
+    ls = out["LS_State"].collect()
+    assert len(ls) == 8  # open leases only
+    assert all(str(r["LS_timestamp"]) == "2024-03-01 00:00:00" for r in ls)
+    pools = {r["LP_Pool_id"] for r in out["LP_Pool_State"].collect()}
+    assert pools == {"pool0", "pool1"}
+    lenders = out["LP_Lender_State"].collect()
+    assert all(r["LP_Lender_receipts"] > 0 for r in lenders)

@@ -312,3 +312,37 @@ def q54_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(emb, queries, dim=EMBED_DIM, k=10, n_centroids=16, n_probe=8)
+
+
+@query(
+    "q55_top_terms",
+    oracle="""
+    SELECT lang, word, n, rnk FROM (
+      SELECT lang, word, n,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS INT) AS rnk
+      FROM (
+        SELECT lang, word, COUNT(*) AS n
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) u
+        GROUP BY 1, 2
+      ) c
+    ) r WHERE rnk <= 10
+    """,
+    doc="Top-10 terms per language: explode tokens → grouped count → "
+    "per-group top-k with deterministic tie-break (vocabulary/term-freq "
+    "analysis for corpus curation).",
+)
+def q55_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select("lang", "word", "n", "rnk")
+    )

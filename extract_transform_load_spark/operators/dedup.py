@@ -159,7 +159,14 @@ def minhash_signatures(
     Docs with fewer than k words have no shingles and drop out (they
     cannot be near-duplicates under a k-shingle model).
     """
-    sh = shingle_sets(docs, text_col, id_col, k)
+    # No distinct() before the aggregation: MIN is idempotent over
+    # duplicate shingles, so the exploded stream feeds the groupBy
+    # directly — map-side partial mins collapse each map task's shingles
+    # to one 64-vector per doc, and the only shuffle moves those vectors.
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
     mins = [
         F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"|{i}")))).alias(f"__h{i}")
         for i in range(num_hashes)

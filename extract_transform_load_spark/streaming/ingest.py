@@ -79,3 +79,35 @@ def start_silver_stream(
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def windowed_counts(
+    stream: DataFrame,
+    event_time_col: str = "timestamp",
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+    group_cols: Sequence[str] = (),
+):
+    """Tumbling-window aggregate with late-data watermark.
+
+    The reference's only windowing is batch GROUP BY on date_trunc
+    buckets (SURVEY §2.B B0c/B13/B24) because its pipeline is strictly
+    block-ordered; a streaming deployment needs the event-time watermark
+    to bound state while producing the same buckets. The output schema
+    (window_start, window_end, groups..., n) matches what the batch
+    date_trunc query produces, so gold tables can be served from either
+    path.
+    """
+    import pyspark.sql.functions as F
+
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(event_time_col, window_duration), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *group_cols,
+            "n",
+        )
+    )

@@ -121,3 +121,43 @@ def test_sample_frames_only_video(media):
     assert {r["media_id"] for r in frames} == {3}
     idxs = sorted(r["frame_idx"] for r in frames)
     assert idxs == list(range(len(idxs)))
+
+
+def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+    """Tumbling-window streaming agg == the equivalent batch GROUP BY."""
+    from extract_transform_load_spark.streaming.ingest import windowed_counts
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = _bronze_rows(500, 50)  # 50 events, 1/minute from 2024-01-01 00:00
+    spark.createDataFrame(rows, BRONZE_EVENT).write.parquet(str(src / "a.parquet"))
+
+    stream = spark.readStream.schema(BRONZE_EVENT).parquet(str(src) + "/*")
+    q = (
+        windowed_counts(stream, "timestamp", "15 minutes", "1 hour", ["event_type"])
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (str(r["window_start"]), r["n"])
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    batch = spark.createDataFrame(rows, BRONZE_EVENT)
+    want = {
+        (str(r["w"]["start"]), r["n"])
+        for r in batch.groupBy(
+            F.window("timestamp", "15 minutes").alias("w"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # complete mode emits every window state — must equal the batch twin
+    # (append mode would hold back open windows until the watermark
+    # passes, which needs a follow-up microbatch to observe)
+    assert got == want

@@ -188,7 +188,7 @@ def build_domain_tables(spark):
         "block long, fee_amount decimal(38,0), fee_denom string, memo string, "
         "timestamp timestamp, rewards string, code int",
     )
-    return t
+    return add_registry_tables(spark, t)
 
 
 def add_registry_tables(spark, t):

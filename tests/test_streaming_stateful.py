@@ -1,0 +1,142 @@
+"""Stream/batch equivalence for the applyInPandasWithState position
+tracker: state must carry across microbatches and the final emitted
+state per contract must equal the batch twin."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from decimal import Decimal
+
+from extract_transform_load_spark.streaming.stateful import (
+    POSITION_EVENT,
+    positions_batch,
+    track_positions,
+)
+
+BASE = datetime(2024, 1, 1)
+
+
+def _events():
+    d = Decimal
+    rows = [
+        # c0: fully repaid -> closed via zero principal
+        ("c0", "open", d(1000), BASE),
+        ("c0", "repay", d(400), BASE + timedelta(hours=1)),
+        ("c0", "repay", d(600), BASE + timedelta(hours=30)),
+        # c1: partially repaid -> open
+        ("c1", "open", d(1000), BASE),
+        ("c1", "repay", d(300), BASE + timedelta(hours=31)),
+        # c2: market-closed with principal left
+        ("c2", "open", d(500), BASE + timedelta(hours=2)),
+        ("c2", "close", d(0), BASE + timedelta(hours=32)),
+        # c3: opened only
+        ("c3", "open", d(750), BASE + timedelta(hours=33)),
+    ]
+    early = [r for r in rows if r[3] < BASE + timedelta(hours=24)]
+    late = [r for r in rows if r[3] >= BASE + timedelta(hours=24)]
+    return rows, early, late
+
+
+def test_stateful_stream_matches_batch(spark, tmp_path):
+    rows, early, late = _events()
+    src = tmp_path / "ev"
+    src.mkdir()
+    # two files + maxFilesPerTrigger=1 -> state must survive the
+    # microbatch boundary (c0/c1 open in batch 1, mutate in batch 2)
+    spark.createDataFrame(early, POSITION_EVENT).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    spark.createDataFrame(late, POSITION_EVENT).coalesce(1).write.parquet(
+        str(src / "b2.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(POSITION_EVENT)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        track_positions(stream)
+        .writeStream.format("memory")
+        .queryName("positions")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.sql("select * from positions").collect()
+    # update mode: one row per (contract, microbatch-with-events);
+    # the latest emission per contract is its final state
+    latest = {}
+    for r in emitted:
+        cur = latest.get(r["contract_id"])
+        if cur is None or r["last_event_at"] > cur["last_event_at"]:
+            latest[r["contract_id"]] = r
+    got = {
+        c: (r["opened_at"], r["principal"], r["n_repayments"], r["status"], r["last_event_at"])
+        for c, r in latest.items()
+    }
+
+    batch = positions_batch(spark.createDataFrame(rows, POSITION_EVENT)).collect()
+    want = {
+        r["contract_id"]: (
+            r["opened_at"], r["principal"], r["n_repayments"], r["status"], r["last_event_at"]
+        )
+        for r in batch
+    }
+    assert got == want
+    assert want["c0"][3] == "closed" and want["c0"][1] == Decimal(0)
+    assert want["c1"][3] == "open" and want["c1"][1] == Decimal(700)
+    assert want["c2"][3] == "closed"
+    assert want["c3"][3] == "open"
+    # c0 and c1 were updated across both microbatches -> >=2 emissions each
+    assert sum(1 for r in emitted if r["contract_id"] == "c0") >= 2
+
+
+def test_idle_timeout_evicts_closed(spark, tmp_path):
+    """With a processing-time timeout the state store drops idle keys
+    (a re-open after eviction restarts from scratch — documented)."""
+    rows, early, late = _events()
+    src = tmp_path / "ev"
+    src.mkdir()
+    spark.createDataFrame(early + late, POSITION_EVENT).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    stream = (
+        spark.readStream.schema(POSITION_EVENT)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        track_positions(stream, idle_timeout_ms=50)
+        .writeStream.format("memory")
+        .queryName("positions_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    # NOTE: with ProcessingTimeTimeout the engine keeps scheduling
+    # (empty) batches to fire expired timers, so processAllAvailable()
+    # never settles — poll the sink with a deadline instead.
+    import time
+
+    per_key = {}
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            emitted = spark.sql("select * from positions_t").collect()
+            per_key = {c: 0 for c in ("c0", "c1", "c2", "c3")}
+            for r in emitted:
+                if r["contract_id"] in per_key:
+                    per_key[r["contract_id"]] += 1
+            # one update emission + one timeout (final) emission per key
+            if all(n >= 2 for n in per_key.values()):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert all(n >= 2 for n in per_key.values()), per_key

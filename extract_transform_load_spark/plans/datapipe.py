@@ -346,3 +346,92 @@ def q55_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("lang", "word", "n", "rnk")
     )
+
+
+def _docs_as_media(docs: DataFrame) -> DataFrame:
+    """Cast the documents table as a media table (payload = UTF-8 bytes).
+
+    The container has no real image/audio files; deriving deterministic
+    binary payloads from `documents` lets the multimodal plumbing
+    (binary column + typed metadata, `operators/multimodal.py`) run
+    oracle-checked on driver-provided data.
+    """
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+@query(
+    "q56_media_metadata",
+    oracle="""
+    SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           COUNT(*) AS n_media,
+           CAST(SUM(octet_length(encode(text))) AS DECIMAL(38,0)) AS total_bytes,
+           COUNT(DISTINCT sha256(text)) AS n_distinct_payloads,
+           MIN(sha256(text)) AS first_sha
+    FROM documents GROUP BY 1
+    """,
+    doc="Per-kind media byte accounting, JVM-side only (octet_length + "
+    "sha2 — the payload column is scanned once, nothing decodes). The "
+    "dedup-by-content-hash rollup a 100 TB media lake runs before any "
+    "GPU decode pass.",
+)
+def q56_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_byte_metadata
+
+    m = attach_byte_metadata(_docs_as_media(load(spark, sf_dir, "documents")))
+    return m.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").cast("decimal(38,0)").alias("total_bytes"),
+        F.countDistinct("content_key").alias("n_distinct_payloads"),
+        F.min("content_key").alias("first_sha"),
+    )
+
+
+@query(
+    "q57_media_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             sha256(text) AS content_sha256
+      FROM documents
+    ), b AS (
+      SELECT *,
+        (strpos('0123456789abcdef', substr(content_sha256, 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(content_sha256, 2, 1)) - 1 AS b0,
+        (strpos('0123456789abcdef', substr(content_sha256, 3, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(content_sha256, 4, 1)) - 1 AS b1,
+        (strpos('0123456789abcdef', substr(content_sha256, 5, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(content_sha256, 6, 1)) - 1 AS b2,
+        (strpos('0123456789abcdef', substr(content_sha256, 7, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(content_sha256, 8, 1)) - 1 AS b3
+      FROM m
+    )
+    SELECT media_id, kind, n_bytes, content_sha256,
+      CAST(CASE WHEN kind = 'image' THEN 64 + b0 % 192 END AS INT) AS width,
+      CAST(CASE WHEN kind = 'image' THEN 64 + b1 % 192 END AS INT) AS height,
+      CAST(CASE WHEN kind IN ('audio','video') THEN b2 * 256 + b3 END AS BIGINT) AS duration_ms
+    FROM b
+    """,
+    doc="Arrow-batched feature extraction over binary payloads "
+    "(mapInPandas, `operators/multimodal.py`). The decode is the "
+    "deterministic stand-in (real codecs absent here), which makes even "
+    "the Python-side batch path oracle-checkable: the oracle recomputes "
+    "the fake's sha256-derived fields in pure SQL.",
+)
+def q57_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_features
+
+    feats = extract_features(_docs_as_media(load(spark, sf_dir, "documents")))
+    return feats.select(
+        "media_id", "kind", "n_bytes", "content_sha256", "width", "height", "duration_ms"
+    )

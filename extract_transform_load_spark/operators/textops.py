@@ -47,6 +47,41 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized(text))
 
 
+def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., MOSS).
+
+    The rolling-hash fingerprint family the reference lacks: hash every
+    char ``k``-gram, slide a window of ``w`` consecutive gram hashes,
+    keep each window's minimum, dedupe. Guarantees: any shared substring
+    of length >= k + w - 1 contributes at least one *common* selected
+    fingerprint, and selection density is ~2/(w+1) — sub-linear output
+    per document.
+
+    Spark-first shape: all higher-order array functions
+    (transform/slice/array_min) inside whole-stage codegen — the
+    imperative O(1) rolling update becomes a vectorized per-gram hash,
+    which is the right trade on a columnar batch engine. md5 is the gram
+    hash so min-selection (lexicographic) is bit-identical in any engine
+    — the DuckDB oracle runs the same algorithm in SQL.
+
+    Short-doc guards (ANSI mode: ``sequence`` throws on negative
+    ranges): fewer than ``w`` grams → one window over all grams; no
+    grams → empty set.
+    """
+    n_grams = F.length(text) - k + 1
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.md5(text.substr(i, F.lit(k)))
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), n_grams - w + 1), lambda j: F.array_min(F.slice(grams, j, w))
+    )
+    return (
+        F.when(n_grams >= w, F.array_sort(F.array_distinct(mins)))
+        .when(n_grams >= 1, F.array(F.array_min(grams)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Array of k-word shingles (distinct not applied — caller decides).
 

@@ -435,3 +435,45 @@ def q57_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "kind", "n_bytes", "content_sha256", "width", "height", "duration_ms"
     )
+
+
+@query(
+    "q58_winnowing",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 8 THEN
+               list_transform(generate_series(1, length(text) - 7), i -> md5(substr(text, i, 8)))
+             ELSE [] END AS grams
+      FROM documents
+    ), sel AS (
+      SELECT doc_id,
+        CASE
+          WHEN len(grams) >= 4 THEN
+            list_sort(list_distinct(list_transform(
+              generate_series(1, len(grams) - 3), j -> list_aggregate(grams[j:j+3], 'min'))))
+          WHEN len(grams) >= 1 THEN [list_aggregate(grams, 'min')]
+          ELSE []
+        END AS fps
+      FROM g
+    )
+    SELECT doc_id, CAST(len(fps) AS INT) AS n_fingerprints,
+           fps[1] AS first_fp, fps[len(fps)] AS last_fp
+    FROM sel
+    """,
+    doc="Winnowing (rolling-hash) document fingerprints: char-8-gram md5 "
+    "hashes, window-4 minima, deduped (MOSS). Shared substrings of "
+    "length >= 11 guarantee a common fingerprint — the partial-overlap "
+    "detector exact/MinHash dedup can't provide.",
+)
+def q58_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents")
+    fps = d.select("doc_id", winnow_fingerprints(F.col("text"), k=8, w=4).alias("fps"))
+    return fps.select(
+        "doc_id",
+        F.size("fps").alias("n_fingerprints"),
+        F.get("fps", 0).alias("first_fp"),
+        F.get("fps", F.size("fps") - 1).alias("last_fp"),
+    )

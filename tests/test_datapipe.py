@@ -109,3 +109,38 @@ def test_ivf_recall_vs_bruteforce(emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF recall@10 = {recall}"
+
+
+def test_winnowing_overlap_guarantee(spark):
+    """Any shared substring of length >= k + w - 1 = 11 must contribute a
+    common selected fingerprint (the MOSS guarantee); disjoint texts
+    share none."""
+    from extract_transform_load_spark.operators.textops import winnow_fingerprints
+
+    shared = "a quick brown fox jumped over the lazy dog today"
+    rows = [
+        (1, "PREFIX ONE " + shared),
+        (2, shared + " SUFFIX TWO"),
+        (3, "zzzz completely unrelated content qqqq 1234567890"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string").select(
+        "doc_id", winnow_fingerprints(F.col("text"), k=8, w=4).alias("fps")
+    )
+    fps = {r["doc_id"]: set(r["fps"]) for r in df.collect()}
+    assert fps[1] & fps[2], "docs sharing a 49-char substring must share fingerprints"
+    assert not (fps[1] & fps[3])
+    # density: winnowing selects ~2/(w+1) of positions, far fewer than grams
+    assert len(fps[1]) < len(rows[0][1]) - 8 + 1
+
+
+def test_winnowing_short_doc_guards(spark):
+    from extract_transform_load_spark.operators.textops import winnow_fingerprints
+
+    rows = [(1, "tiny"), (2, "exactly8!"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id int, text string").select(
+        "doc_id", winnow_fingerprints(F.col("text"), k=8, w=4).alias("fps")
+    )
+    got = {r["doc_id"]: r["fps"] for r in df.collect()}
+    assert got[1] == [] or len(got[1]) <= 1  # < k chars -> no grams
+    assert len(got[2]) == 1  # 2 grams < w -> single whole-doc window
+    assert got[3] == []

@@ -1164,3 +1164,48 @@ def q52_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q59_sessionization",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+    FROM s GROUP BY 1, 2
+    """,
+    doc="Sessionization: per-user 30-min-gap sessions via lag → boundary "
+    "flag → running session counter → per-session rollup. The batch twin "
+    "of a streaming session window; the whole chain (two windows + the "
+    "final groupBy) runs on ONE hash exchange because every step keys on "
+    "user_id. Gap arithmetic in exact integer microseconds; value summed "
+    "as decimal (float sums are partition-order dependent).",
+)
+def q59_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    boundary = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    s = e.withColumn(
+        "session_id",
+        F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return s.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+    )

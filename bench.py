@@ -39,6 +39,8 @@ HEADLINE = [
     "q42_minhash_lsh_pairs",
     "q44_cosine_topk",
     "q46_text_quality",
+    "q58_winnowing",
+    "q59_sessionization",
 ]
 
 

@@ -1209,3 +1209,23 @@ def q59_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
     )
+
+
+@query(
+    "q60_approx_distinct_mau",
+    oracle=None,  # HyperLogLog implementations differ across engines;
+    # error bound vs exact countDistinct asserted in tests/test_operators.py
+    doc="Scale variant of q18: HyperLogLog++ approximate monthly active "
+    "users (rsd=0.01). countDistinct shuffles every distinct "
+    "(month, user) pair; the HLL sketch is a fixed ~few-KB accumulator "
+    "per group that merges map-side — at 100 TB the shuffle carries "
+    "O(groups) sketches instead of O(distinct users) rows. The exact "
+    "query stays the oracle-checked default; this is the documented "
+    "trade for corpus-scale cardinality dashboards.",
+)
+def q60_approx_distinct_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(F.date_format("ts", "yyyy-MM").alias("month")).agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("mau_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

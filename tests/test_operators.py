@@ -168,3 +168,26 @@ def test_plan_backfill_batches(spark):
         (r["batch_start"], r["batch_end"]) for r in plan_backfill(ranges, batch_size=10).collect()
     )
     assert got == [(10, 19), (20, 29), (30, 35), (100, 100)]
+
+
+def test_approx_distinct_mau_error_bound(spark, sf_dir):
+    """HLL++ rsd=0.01 must land within 5% of exact per month (far inside
+    the 3-sigma bound for these cardinalities)."""
+    import pyspark.sql.functions as F
+    from extract_transform_load_spark.plans.registry import REGISTRY
+    from extract_transform_load_spark.sources.tables import load
+
+    approx = {
+        r["month"]: r["mau_approx"]
+        for r in REGISTRY["q60_approx_distinct_mau"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["month"]: r["mau"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+        .agg(F.countDistinct("user_id").alias("mau"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for month, mau in exact.items():
+        assert abs(approx[month] - mau) <= max(1, 0.05 * mau), (month, approx[month], mau)

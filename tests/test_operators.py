@@ -191,3 +191,43 @@ def test_approx_distinct_mau_error_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for month, mau in exact.items():
         assert abs(approx[month] - mau) <= max(1, 0.05 * mau), (month, approx[month], mau)
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """Co-bucketed tables on the join key must join without any Exchange
+    (the bucketing pre-pays the shuffle once at write time): the only
+    Exchange in the whole plan is the final groupBy's."""
+    import pyspark.sql.functions as F
+    from extract_transform_load_spark.sources.layout import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], num_buckets=8,
+                   sort_keys=["o_orderkey"])
+    write_bucketed(lineitem, "t_lineitem_b", ["l_orderkey"], num_buckets=8,
+                   sort_keys=["l_orderkey"])
+    # broadcast would hide the point at this SF: force the SMJ path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ob = spark.table("t_orders_b")
+        lb = spark.table("t_lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange") == 1, plan  # only the final agg shuffles
+
+        got = {r["o_orderpriority"]: r["n"] for r in joined.collect()}
+        want = {
+            r["o_orderpriority"]: r["n"]
+            for r in orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

@@ -135,3 +135,47 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, strict: bool = False) 
     return media.select("media_id", "kind", "payload").mapInPandas(
         compute, "media_id long, frame_idx int, frame_ts_ms long, frame_key string"
     )
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 224, target_h: int = 224, strict: bool = False
+) -> DataFrame:
+    """Thumbnail/resize plumbing: (media_id, width, height, thumb) rows.
+
+    STUB decode/resample (PIL absent): the fake thumbnail is the
+    sha256 stream of the payload truncated to ``target_w*target_h//64``
+    bytes — deterministic, size-proportional, so partition sizing and
+    Arrow batch shape behave like a real thumbnail column. Non-image
+    rows pass through untouched-by-Python via the early filter (column
+    pruning keeps their payloads unread).
+    """
+
+    n_bytes = max(1, target_w * target_h // 64)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if strict:
+                    raise NotImplementedError("image resize requires PIL/pillow")
+                data = bytes(payload)
+                stream = b""
+                seed = hashlib.sha256(data).digest()
+                while len(stream) < n_bytes:
+                    stream += seed
+                    seed = hashlib.sha256(seed).digest()
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": target_w,
+                        "height": target_h,
+                        "thumb": stream[:n_bytes],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "thumb"])
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(compute, "media_id long, width int, height int, thumb binary")
+    )

@@ -161,3 +161,16 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     # (append mode would hold back open windows until the watermark
     # passes, which needs a follow-up microbatch to observe)
     assert got == want
+
+
+def test_resize_images_shape_and_determinism(media):
+    from extract_transform_load_spark.operators.multimodal import resize_images
+
+    a = {r["media_id"]: r.asDict() for r in resize_images(media, 64, 64).collect()}
+    b = {r["media_id"]: r.asDict() for r in resize_images(media, 64, 64).collect()}
+    assert set(a) == {1, 2}  # images only
+    assert all(len(r["thumb"]) == 64 * 64 // 64 for r in a.values())
+    assert {k: bytes(v["thumb"]) for k, v in a.items()} == {
+        k: bytes(v["thumb"]) for k, v in b.items()
+    }
+    assert bytes(a[1]["thumb"]) != bytes(a[2]["thumb"])

@@ -144,3 +144,30 @@ def test_winnowing_short_doc_guards(spark):
     assert got[1] == [] or len(got[1]) <= 1  # < k chars -> no grams
     assert len(got[2]) == 1  # 2 grams < w -> single whole-doc window
     assert got[3] == []
+
+
+def test_ivf_cell_partitioned_layout_prunes_scan(spark, sf_dir, tmp_path):
+    """The IVF scale path: materialize the corpus partitioned by cell id,
+    and a probe's cell filter must prune at plan time (PartitionFilters
+    on the scan), reading only the probed cells."""
+    from extract_transform_load_spark.operators.similarity import (
+        _assign_cells,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, dim=64, n_centroids=8, iterations=1)
+    cells = _assign_cells(emb.select("vec_id", "embedding"), cents, "vec_id")
+    out = str(tmp_path / "emb_by_cell")
+    emb.join(cells, "vec_id").write.partitionBy("cell").parquet(out)
+
+    probed = spark.read.parquet(out).filter(F.col("cell").isin(0, 1))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "cell" in pf, plan
+    n_all = spark.read.parquet(out).count()
+    n_probed = probed.count()
+    assert 0 < n_probed < n_all
+    # per-cell row counts agree with the unpartitioned assignment
+    want = cells.filter(F.col("cell").isin(0, 1)).count()
+    assert n_probed == want

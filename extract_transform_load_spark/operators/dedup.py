@@ -190,6 +190,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, scored by signature agreement.
 
@@ -199,8 +200,16 @@ def minhash_lsh_pairs(
     to est_jaccard >= threshold.
 
     Shuffles: one on (band, band_hash) to build buckets, one groupBy on
-    the deduped pair. Bucket blowup is bounded because equal band-slices
-    imply near-identical docs — at 100 TB add a bucket-size cap + salt.
+    the deduped pair. Bucket blowup is bounded in the typical case
+    because equal band-slices imply near-identical docs — but a 100 TB
+    corpus has degenerate clusters (boilerplate, empty-ish docs) whose
+    buckets go quadratic. ``max_bucket_size`` is the guard: buckets
+    larger than the cap are dropped from candidate generation (their
+    members still pair through their OTHER bands' smaller buckets, and a
+    cluster big enough to blow the cap is better handled by exact-dedup
+    first — `exact_duplicates` collapses it in one linear pass). The
+    windowed bucket count rides the same (band, band_hash) exchange the
+    join needs, so the guard adds no extra shuffle of the banded stream.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -214,6 +223,17 @@ def minhash_lsh_pairs(
         "band",
         F.xxhash64(F.col("band"), F.slice("signature", F.col("band") * r + 1, r)).alias("band_hash"),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        bucket_n = F.count(F.lit(1)).over(
+            Window.partitionBy("band", "band_hash")
+        )
+        banded = (
+            banded.withColumn("__bucket_n", bucket_n)
+            .filter(F.col("__bucket_n") <= max_bucket_size)
+            .drop("__bucket_n")
+        )
 
     a = banded.alias("a")
     b = banded.alias("b")

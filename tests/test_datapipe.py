@@ -171,3 +171,26 @@ def test_ivf_cell_partitioned_layout_prunes_scan(spark, sf_dir, tmp_path):
     # per-cell row counts agree with the unpartitioned assignment
     want = cells.filter(F.col("cell").isin(0, 1)).count()
     assert n_probed == want
+
+
+def test_minhash_bucket_cap_drops_degenerate_cluster(spark):
+    """A boilerplate cluster larger than the cap must not generate
+    candidate pairs from its (identical-signature) buckets, while normal
+    near-dup pairs still surface."""
+    from extract_transform_load_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+    near_a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near_b = "the quick brown fox jumps over the lazy dog near the river bank now"
+    rows = [(i, boiler) for i in range(20)] + [(100, near_a), (101, near_b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.5)
+    capped = minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, threshold=0.5, max_bucket_size=10
+    )
+    unc = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+    cap = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (100, 101) in unc and (100, 101) in cap  # small buckets unaffected
+    assert any(a < 20 and b < 20 for a, b in unc)  # cluster pairs exist uncapped
+    assert not any(a < 20 and b < 20 for a, b in cap)  # cap drops the cluster

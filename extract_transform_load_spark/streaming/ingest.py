@@ -111,3 +111,41 @@ def windowed_counts(
             "n",
         )
     )
+
+
+def session_counts(
+    stream: DataFrame,
+    event_time_col: str = "timestamp",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    group_cols: Sequence[str] = (),
+):
+    """Session-window aggregate — the streaming twin of the batch
+    sessionization query (q59 in `plans/relational.py`).
+
+    ``session_window`` keeps one merging window per key in the state
+    store: an event lands in an existing session if it falls within
+    ``gap`` of it, else opens a new one; adjacent sessions merge when an
+    event bridges them. The watermark closes sessions whose
+    ``end + watermark`` has passed, bounding state exactly like the
+    batch query's 30-minute gap rule bounds session length. Streaming
+    session windows only support append output and require at least one
+    grouping key (global session aggregation is unsupported) — append
+    emits each session exactly once, when the watermark finalizes it.
+
+    The same expression runs in batch (`df.groupBy(F.session_window(...))`),
+    which is what the equivalence test compares against.
+    """
+    import pyspark.sql.functions as F
+
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(F.session_window(event_time_col, gap), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *group_cols,
+            "n",
+        )
+    )

@@ -140,3 +140,81 @@ def test_idle_timeout_evicts_closed(spark, tmp_path):
     finally:
         q.stop()
     assert all(n >= 2 for n in per_key.values()), per_key
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Streaming session_window (append mode — the only supported output
+    for session windows): a bridging event in a later microbatch merges
+    two open sessions, and the finalized emission equals the batch twin
+    restricted to watermark-closed sessions."""
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.schemas import BRONZE_EVENT
+    from extract_transform_load_spark.streaming.ingest import session_counts
+
+    from .test_streaming_multimodal import _bronze_rows
+
+    base = datetime(2024, 1, 1)
+    src = tmp_path / "ev"
+    src.mkdir()
+    # b1: two bursts 10 min apart (gap 5 min -> two open sessions)
+    burst1 = _bronze_rows(100, 3)  # 00:00..00:02
+    burst2 = [
+        (200 + i, f"hash2{i}", 0, "wasm-tr-profit", base + timedelta(minutes=12 + i), {"k": "v"})
+        for i in range(3)
+    ]
+    # b2: bridge events inside the 00:02..00:12 hole -> one merged session
+    bridge = [
+        (300, "hashbr", 0, "wasm-tr-profit", base + timedelta(minutes=6), {"k": "v"}),
+        (301, "hashbr2", 0, "wasm-tr-profit", base + timedelta(minutes=9), {"k": "v"}),
+    ]
+    # b3: far-future flush pushes the watermark past the merged session
+    flush = [(400, "hashfl", 0, "wasm-tr-profit", base + timedelta(hours=2), {"k": "v"})]
+    for i, rows in enumerate([burst1 + burst2, bridge, flush]):
+        spark.createDataFrame(rows, BRONZE_EVENT).coalesce(1).write.parquet(
+            str(src / f"b{i}.parquet")
+        )
+
+    stream = (
+        spark.readStream.schema(BRONZE_EVENT)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        session_counts(stream, "timestamp", gap="5 minutes", watermark="30 minutes", group_cols=["event_type"])
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (str(r["session_start"]), str(r["session_end"]), r["event_type"], r["n"])
+        for r in spark.sql("select * from sessions").collect()
+    }
+    # batch twin over everything, restricted to sessions the final
+    # watermark (02:00 - 30 min = 01:30) closed
+    batch = spark.createDataFrame(burst1 + burst2 + bridge + flush, BRONZE_EVENT)
+    closed = (
+        batch.groupBy(F.session_window("timestamp", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "event_type",
+            "n",
+        )
+        .filter(F.col("session_end") <= F.lit(base + timedelta(minutes=90)))
+    )
+    want = {
+        (str(r["session_start"]), str(r["session_end"]), r["event_type"], r["n"])
+        for r in closed.collect()
+    }
+    assert got == want, (got, want)
+    # exactly one merged session covering bursts + bridge (8 events)
+    assert len(want) == 1 and next(iter(want))[3] == 8

@@ -231,3 +231,46 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_keyset_pagination_walks_whole_set_and_pushes_down(spark, sf_dir):
+    """Walking pages by cursor visits every row exactly once in order,
+    and the cursor predicate reaches the parquet scan as PushedFilters."""
+    import pyspark.sql.functions as F
+    from extract_transform_load_spark.operators.pagination import keyset_page
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    n = o.count()
+    seen, cursor, pages = [], None, 0
+    while True:
+        page = keyset_page(o, ["o_orderkey"], after=cursor, limit=500, max_limit=500).collect()
+        if not page:
+            break
+        seen.extend(r["o_orderkey"] for r in page)
+        cursor = (page[-1]["o_orderkey"],)
+        pages += 1
+    assert len(seen) == n
+    assert seen == sorted(seen)
+    assert pages >= 2
+
+    plan = (
+        keyset_page(o, ["o_orderkey"], after=(1000,), limit=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "GreaterThan(o_orderkey,1000)" in pushed, plan
+
+
+def test_keyset_composite_key_lexicographic(spark):
+    from extract_transform_load_spark.operators.pagination import keyset_page
+
+    rows = [(a, b) for a in (1, 2) for b in ("a", "b", "c")]
+    df = spark.createDataFrame(rows, "k1 int, k2 string")
+    page = keyset_page(df, ["k1", "k2"], after=(1, "b"), limit=3).collect()
+    assert [(r["k1"], r["k2"]) for r in page] == [(1, "c"), (2, "a"), (2, "b")]
+    page_d = keyset_page(df, ["k1", "k2"], after=(2, "b"), limit=2, descending=True).collect()
+    assert [(r["k1"], r["k2"]) for r in page_d] == [(2, "a"), (1, "c")]

@@ -38,6 +38,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 #: input contract: one row per lease event
 POSITION_EVENT = (
@@ -57,6 +58,60 @@ _STORE = "opened_us long, principal string, n_repayments int, status string, las
 
 def _us(ts: Any) -> int:
     return int(pd.Timestamp(ts).value // 1_000)
+
+
+def _fold(
+    pdfs: Iterator[pd.DataFrame],
+    opened_us: int | None,
+    principal: int,
+    n_rep: int,
+    status: str,
+    last_us: int | None,
+) -> tuple[int | None, int, int, str, int | None]:
+    """Apply a microbatch's events to one contract's state (shared by
+    both stateful APIs)."""
+    for pdf in pdfs:
+        pdf = pdf.sort_values("timestamp")
+        for kind, amount, ts in zip(pdf["kind"], pdf["amount"], pdf["timestamp"]):
+            if kind == "open":
+                opened_us = _us(ts)
+                principal += int(amount)
+                status = "open"
+            elif kind == "repay":
+                principal -= int(amount)
+                n_rep += 1
+                if principal <= 0:
+                    status = "closed"
+            elif kind in ("close", "liquidation"):
+                status = "closed"
+            last_us = _us(ts)
+    return opened_us, principal, n_rep, status, last_us
+
+
+def _emit(
+    contract_id: str,
+    opened_us: int | None,
+    principal: int,
+    n_rep: int,
+    status: str,
+    last_us: int | None,
+) -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {
+                "contract_id": contract_id,
+                "opened_at": pd.Timestamp(opened_us, unit="us")
+                if opened_us is not None
+                else None,
+                "principal": Decimal(principal),
+                "n_repayments": n_rep,
+                "status": status,
+                "last_event_at": pd.Timestamp(last_us, unit="us")
+                if last_us is not None
+                else None,
+            }
+        ]
+    )
 
 
 def track_positions(
@@ -89,47 +144,89 @@ def track_positions(
             # idle closed contract: final emission, then evict
             state.remove()
         else:
-            for pdf in pdfs:
-                pdf = pdf.sort_values("timestamp")
-                for kind, amount, ts in zip(
-                    pdf["kind"], pdf["amount"], pdf["timestamp"]
-                ):
-                    if kind == "open":
-                        opened_us = _us(ts)
-                        principal += int(amount)
-                        status = "open"
-                    elif kind == "repay":
-                        principal -= int(amount)
-                        n_rep += 1
-                        if principal <= 0:
-                            status = "closed"
-                    elif kind in ("close", "liquidation"):
-                        status = "closed"
-                    last_us = _us(ts)
+            opened_us, principal, n_rep, status, last_us = _fold(
+                pdfs, opened_us, principal, n_rep, status, last_us
+            )
             state.update((opened_us, str(principal), n_rep, status, last_us))
             if idle_timeout_ms:
                 state.setTimeoutDuration(idle_timeout_ms)
 
-        yield pd.DataFrame(
-            [
-                {
-                    "contract_id": contract_id,
-                    "opened_at": pd.Timestamp(opened_us, unit="us")
-                    if opened_us is not None
-                    else None,
-                    "principal": Decimal(principal),
-                    "n_repayments": n_rep,
-                    "status": status,
-                    "last_event_at": pd.Timestamp(last_us, unit="us")
-                    if last_us is not None
-                    else None,
-                }
-            ]
-        )
+        yield _emit(contract_id, opened_us, principal, n_rep, status, last_us)
 
     return (
         events.groupBy("contract_id")
         .applyInPandasWithState(update, POSITION_STATE, _STORE, "update", timeout)
+    )
+
+
+class PositionsProcessor(StatefulProcessor):
+    """StatefulProcessor for Spark 4's ``transformWithStateInPandas``.
+
+    Same semantics as the ``applyInPandasWithState`` tracker (both fold
+    through :func:`_fold`, so the transition logic is literally shared).
+    Module-level so the fold-through-fake-state unit test can drive it
+    without a streaming query.
+    """
+
+    def __init__(self, state_ttl_ms: int | None = None) -> None:
+        self._ttl = state_ttl_ms
+
+    def init(self, handle: Any) -> None:
+        self._state = handle.getValueState("position", _STORE, ttlDurationMs=self._ttl)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        (contract_id,) = key
+        if self._state.exists():
+            opened_us, principal_s, n_rep, status, last_us = self._state.get()
+            principal = int(principal_s)
+        else:
+            opened_us, principal, n_rep, status, last_us = None, 0, 0, "pending", None
+        opened_us, principal, n_rep, status, last_us = _fold(
+            rows, opened_us, principal, n_rep, status, last_us
+        )
+        self._state.update((opened_us, str(principal), n_rep, status, last_us))
+        yield _emit(contract_id, opened_us, principal, n_rep, status, last_us)
+
+    def close(self) -> None:
+        pass
+
+
+def track_positions_tws(
+    events: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
+    """:func:`track_positions` on Spark 4's ``transformWithStateInPandas``.
+
+    Same semantics as the ``applyInPandasWithState`` path (one shuffle
+    onto contract_id, O(1) state per key, update-mode emissions), on the
+    successor operator API. What the new API buys at scale:
+
+    - **State TTL is declarative**: ``getValueState(..., ttlDurationMs=…)``
+      replaces the manual timer bookkeeping — the store itself expires
+      idle contracts, so the "active leases only" discipline needs no
+      timeout-branch code at all.
+    - **Typed composite state** (value/list/map) lives in the RocksDB
+      state store (required by this operator), which is also the
+      production-scale choice: state >> executor heap spills to disk.
+    - Schema evolution of the state store across query restarts is
+      supported, which matters for a long-lived 100 TB pipeline.
+
+    Runtime requirements (both satisfied on a real cluster, the second
+    NOT in this test container):
+
+    - ``spark.sql.streaming.stateStore.providerClass`` =
+      ``...RocksDBStateStoreProvider`` (set on the session before the
+      query starts; the operator rejects the default HDFS-backed store);
+    - the ``protobuf`` pip package — the Python worker speaks to the
+      JVM state server over protobuf (``pyspark/sql/streaming/proto``).
+      Where it's absent the query fails at preInit with "Python worker
+      failed to connect back"; the live-stream test skips itself, and
+      the fold logic is covered by a fake-state unit test instead.
+    """
+    time_mode = "processingTime" if state_ttl_ms else "none"
+    return events.groupBy("contract_id").transformWithStateInPandas(
+        PositionsProcessor(state_ttl_ms), POSITION_STATE, "update", time_mode
     )
 
 

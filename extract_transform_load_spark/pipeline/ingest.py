@@ -10,7 +10,8 @@ recording the block id last (`event_dispatch.rs:193-244`,
 - ``idempotent_append``  : anti-join the batch against the existing
   table's PKs before appending — the scan engine's insert-if-absent.
   With Delta/Iceberg this becomes ``MERGE WHEN NOT MATCHED INSERT``;
-  plain parquet gets the anti-join + append pattern.
+  plain parquet gets the anti-join + append pattern (full matched-row
+  UPDATE/DELETE semantics live in ``sources/merge.py``).
 - ``missing_ranges``     : the backfill driver's gap query (A4) —
   delegates to operators.gaps; partition the returned ranges for replay
   (the reference splits them across ``sync_threads``; Spark partitions

@@ -1,0 +1,149 @@
+"""Delta-style MERGE (upsert/delete) emulation over plain parquet.
+
+The reference's sink is Postgres ``INSERT ... ON CONFLICT DO NOTHING``
+plus imperative UPDATEs per event (`dao/postgre/ls_opening.rs:69-192`,
+`handler/ls_loan_closing.rs:359-802`). The lakehouse twin of that
+write pattern is ``MERGE INTO target USING updates ON pk WHEN MATCHED
+UPDATE WHEN NOT MATCHED INSERT [WHEN MATCHED DELETE]`` — native in
+Delta/Iceberg/Hudi, absent over bare parquet paths. This module
+emulates it with the same *physical* strategy those formats use for
+copy-on-write tables:
+
+1. **Prune**: only partitions named by the updates/deletes are read —
+   the touched-partition list is a tiny driver-side collect (bounded by
+   the partition count, not the row count), and the target scan carries
+   an ``isin`` partition filter, so a 100 TB table with a 10-partition
+   delta reads 10 partitions.
+2. **Rewrite**: touched partitions are anti-joined against the change
+   PKs (dropping updated + deleted rows) and unioned with the updates —
+   one shuffle on the PK, only over touched-partition data.
+3. **Swap**: the rewrite lands in a hidden staging dir next to the
+   target; each touched partition directory is then swapped in via the
+   Hadoop FileSystem API (rename is atomic-per-directory on HDFS and
+   posix; on object stores it is copy+delete — same caveat as every
+   non-transactional format). Readers never observe a half-written
+   partition file because parquet files are staged complete.
+
+Single-writer discipline is assumed — exactly the reference's model
+(one ETL process owns the table). Multi-writer isolation is what a real
+table format's transaction log buys; this emulation documents the
+boundary instead of pretending to cross it.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def merge_plan(
+    existing: DataFrame,
+    updates: DataFrame,
+    pk: Sequence[str],
+    deletes: DataFrame | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """The logical MERGE: rows of ``existing`` surviving the change set.
+
+    - matched + in ``updates``  -> replaced by the update row
+    - matched + in ``deletes``  -> dropped
+    - unmatched update rows     -> inserted
+    - everything else           -> kept as-is
+
+    With ``order_col`` the *latest* update row per PK wins (CDC replay
+    with out-of-order events); otherwise updates must be PK-unique.
+    Pure DataFrame composition — callers that outgrow parquet point this
+    at a Delta/Iceberg MERGE with zero semantic change.
+    """
+    pk = list(pk)
+    if order_col is not None:
+        payload = [c for c in updates.columns if c not in pk]
+        updates = (
+            updates.groupBy(*pk)
+            .agg(F.max_by(F.struct(*payload), F.col(order_col)).alias("__row"))
+            .select(*pk, *[F.col(f"__row.{c}").alias(c) for c in payload])
+        )
+    changed_keys = updates.select(*pk)
+    if deletes is not None:
+        changed_keys = changed_keys.unionByName(deletes.select(*pk)).distinct()
+    survivors = existing.join(changed_keys, pk, "left_anti")
+    return survivors.unionByName(updates.select(*existing.columns))
+
+
+def merge_parquet(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    pk: Sequence[str],
+    partition_col: str | None = None,
+    deletes: DataFrame | None = None,
+    order_col: str | None = None,
+) -> list[str]:
+    """Copy-on-write MERGE into a parquet path; returns swapped partitions.
+
+    With ``partition_col`` (the table must be written partitioned by it,
+    and change rows must carry it) only touched partitions are read and
+    rewritten. Without it the whole table is rewritten — correct, but at
+    scale an unpartitioned merge target is itself the design error.
+    """
+    pk = list(pk)
+    if partition_col is None:
+        existing = spark.read.parquet(target_path)
+        merged = merge_plan(existing, updates, pk, deletes, order_col)
+        staging = f"{target_path.rstrip('/')}__staging_{uuid.uuid4().hex}"
+        merged.write.mode("overwrite").parquet(staging)
+        _swap(spark, staging, target_path)
+        return ["<all>"]
+
+    change_parts = updates.select(partition_col)
+    if deletes is not None:
+        change_parts = change_parts.unionByName(deletes.select(partition_col))
+    touched = sorted(r[0] for r in change_parts.distinct().collect())
+    if not touched:
+        return []
+
+    existing = spark.read.parquet(target_path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    merged = merge_plan(existing, updates, pk, deletes, order_col)
+    staging = f"{target_path.rstrip('/')}__staging_{uuid.uuid4().hex}"
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+
+    swapped = []
+    for value in touched:
+        part_dir = f"{partition_col}={value}"
+        _swap(spark, f"{staging}/{part_dir}", f"{target_path.rstrip('/')}/{part_dir}")
+        swapped.append(part_dir)
+    _delete(spark, staging)
+    return swapped
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _swap(spark: SparkSession, staged: str, live: str) -> None:
+    """Replace ``live`` with ``staged`` (Hadoop FS — file://, hdfs://, s3a://)."""
+    fs, staged_p, jvm = _hadoop_fs(spark, staged)
+    live_p = jvm.org.apache.hadoop.fs.Path(live)
+    trash = jvm.org.apache.hadoop.fs.Path(live + "__old_" + uuid.uuid4().hex)
+    if fs.exists(live_p):
+        if not fs.rename(live_p, trash):
+            raise IOError(f"could not move live dir aside: {live}")
+    if not fs.rename(staged_p, live_p):
+        fs.rename(trash, live_p)  # roll back
+        raise IOError(f"could not swap staged dir into place: {live}")
+    if fs.exists(trash):
+        fs.delete(trash, True)
+
+
+def _delete(spark: SparkSession, path: str) -> None:
+    fs, p, _ = _hadoop_fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)

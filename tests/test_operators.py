@@ -274,3 +274,61 @@ def test_keyset_composite_key_lexicographic(spark):
     assert [(r["k1"], r["k2"]) for r in page] == [(1, "c"), (2, "a"), (2, "b")]
     page_d = keyset_page(df, ["k1", "k2"], after=(2, "b"), limit=2, descending=True).collect()
     assert [(r["k1"], r["k2"]) for r in page_d] == [(2, "a"), (1, "c")]
+
+
+def test_merge_parquet_partition_pruned_upsert(spark, tmp_path):
+    """Copy-on-write MERGE over partitioned parquet: only touched
+    partitions are rewritten; untouched partition files stay byte-for-
+    byte in place (same file list) — the Delta-style upsert path."""
+    import os
+
+    from extract_transform_load_spark.sources.merge import merge_parquet
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)], "id long, day int, v string"
+    ).write.partitionBy("day").parquet(target)
+
+    def files(part):
+        d = f"{target}/day={part}"
+        return sorted(
+            (f, os.path.getmtime(f"{d}/{f}"))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_d0, before_d1 = files(0), files(1)
+
+    updates = spark.createDataFrame(
+        [(4, 1, "UPDATED"), (100, 1, "NEW")], "id long, day int, v string"
+    )
+    deletes = spark.createDataFrame([(7, 1)], "id long, day int")
+    swapped = merge_parquet(
+        spark, target, updates, ["id"], partition_col="day", deletes=deletes
+    )
+    assert swapped == ["day=1"]
+
+    out = {r["id"]: (r["day"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert out[4] == (1, "UPDATED")
+    assert out[100] == (1, "NEW")
+    assert 7 not in out
+    assert len(out) == 30  # 30 - 1 delete + 1 insert
+    assert out[3] == (0, "v3") and out[5] == (2, "v5")
+    # untouched partitions: identical file names AND mtimes (never rewritten)
+    assert files(0) == before_d0
+    assert files(1) != before_d1
+
+
+def test_merge_parquet_order_col_last_writer_wins(spark, tmp_path):
+    from extract_transform_load_spark.sources.merge import merge_parquet
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "old", 0)], "id long, v string, ver int"
+    ).write.parquet(target)
+    updates = spark.createDataFrame(
+        [(1, "mid", 5), (1, "final", 9), (2, "new", 1)], "id long, v string, ver int"
+    )
+    merge_parquet(spark, target, updates, ["id"], order_col="ver")
+    out = {r["id"]: (r["v"], r["ver"]) for r in spark.read.parquet(target).collect()}
+    assert out == {1: ("final", 9), 2: ("new", 1)}

@@ -260,6 +260,78 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_bucketed(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` with bucket-aggregation candidate generation.
+
+    Instead of self-joining the banded frame on (band, band_hash) — which
+    evaluates the signature pipeline TWICE (once per join side; Spark
+    does not share non-cached subplans) and shuffles the banded stream
+    twice — this groups each bucket's members into an array once and
+    explodes ordered pairs inside the bucket:
+
+        groupBy(band, band_hash) -> sort_array(collect_list(member))
+        -> posexplode + slice    -> each pair emitted exactly once
+
+    One signature computation, one shuffle of the banded stream. The
+    trade: a bucket's members must fit in one task's memory as an array
+    of (doc_id, 64-long signature) structs, so ``max_bucket_size`` is
+    mandatory here (default 1000 ≈ 0.5 MB/bucket) rather than optional —
+    which is also the right posture at 100 TB, where an uncapped
+    degenerate bucket is an OOM, not a slowdown. Members of a dropped
+    bucket still pair via their other bands, identical semantics to the
+    capped join path.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col)
+
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = sigs.select("doc_id", "signature", band_idx).select(
+        "doc_id",
+        "signature",
+        "band",
+        F.xxhash64(F.col("band"), F.slice("signature", F.col("band") * r + 1, r)).alias("band_hash"),
+    )
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "signature"))).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket_size))
+    )
+    lefts = buckets.select(
+        F.posexplode("members").alias("pos", "a"),
+        F.col("members"),
+    )
+    cand = (
+        lefts.select(
+            "a",
+            F.explode(F.slice("members", F.col("pos") + 2, F.size("members"))).alias("b"),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return (
+        cand.withColumn("est_jaccard", agree.cast("double") / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

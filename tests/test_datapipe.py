@@ -194,3 +194,23 @@ def test_minhash_bucket_cap_drops_degenerate_cluster(spark):
     assert (100, 101) in unc and (100, 101) in cap  # small buckets unaffected
     assert any(a < 20 and b < 20 for a, b in unc)  # cluster pairs exist uncapped
     assert not any(a < 20 and b < 20 for a, b in cap)  # cap drops the cluster
+
+
+def test_minhash_bucketed_strategy_matches_join(docs):
+    """The bucket-aggregation candidate generator emits exactly the same
+    scored pairs as the self-join path (measured slower at sf0.1 local —
+    q42 keeps the join — but it is the memory-bounded formulation for
+    degenerate-bucket corpora, so its semantics are locked here)."""
+    from extract_transform_load_spark.operators.dedup import (
+        minhash_lsh_pairs_bucketed,
+    )
+
+    join_pairs = {
+        (r["doc_a"], r["doc_b"], round(r["est_jaccard"], 9))
+        for r in minhash_lsh_pairs(docs, 64, 16, threshold=0.5).collect()
+    }
+    bucketed = {
+        (r["doc_a"], r["doc_b"], round(r["est_jaccard"], 9))
+        for r in minhash_lsh_pairs_bucketed(docs, 64, 16, threshold=0.5).collect()
+    }
+    assert join_pairs == bucketed and len(bucketed) > 0

@@ -49,28 +49,40 @@ def merge_plan(
     """The logical MERGE: rows of ``existing`` surviving the change set.
 
     - matched + in ``updates``  -> replaced by the update row
-    - matched + in ``deletes``  -> dropped
+    - matched + in ``deletes``  -> dropped (unconditional)
     - unmatched update rows     -> inserted
     - everything else           -> kept as-is
 
-    With ``order_col`` the *latest* update row per PK wins (CDC replay
-    with out-of-order events); otherwise updates must be PK-unique.
-    Pure DataFrame composition — callers that outgrow parquet point this
-    at a Delta/Iceberg MERGE with zero semantic change.
+    With ``order_col``, last-writer-wins runs across existing AND update
+    rows — the Delta ``WHEN MATCHED AND s.ver > t.ver THEN UPDATE``
+    discipline: replaying an already-applied (older) batch is a no-op,
+    which is what makes an at-least-once streaming sink idempotent.
+    Order-value ties pick an arbitrary writer (a true replay carries an
+    identical row, so ties are only visible on conflicting same-version
+    writes). Without ``order_col`` updates must be PK-unique and always
+    replace. Pure DataFrame composition — callers that outgrow parquet
+    point this at a Delta/Iceberg MERGE with zero semantic change.
     """
     pk = list(pk)
-    if order_col is not None:
-        payload = [c for c in updates.columns if c not in pk]
-        updates = (
-            updates.groupBy(*pk)
+    upd = updates.select(*existing.columns)
+    if order_col is None:
+        changed = upd
+    else:
+        # matched existing rows compete with the updates on order_col
+        matched = existing.join(upd.select(*pk).distinct(), pk, "left_semi")
+        pool = matched.unionByName(upd)
+        payload = [c for c in existing.columns if c not in pk]
+        changed = (
+            pool.groupBy(*pk)
             .agg(F.max_by(F.struct(*payload), F.col(order_col)).alias("__row"))
             .select(*pk, *[F.col(f"__row.{c}").alias(c) for c in payload])
         )
-    changed_keys = updates.select(*pk)
+    changed_keys = upd.select(*pk)
     if deletes is not None:
         changed_keys = changed_keys.unionByName(deletes.select(*pk)).distinct()
+        changed = changed.join(deletes.select(*pk), pk, "left_anti")
     survivors = existing.join(changed_keys, pk, "left_anti")
-    return survivors.unionByName(updates.select(*existing.columns))
+    return survivors.unionByName(changed)
 
 
 def merge_parquet(

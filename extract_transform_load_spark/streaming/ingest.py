@@ -81,6 +81,50 @@ def start_silver_stream(
     return writer.start()
 
 
+def merge_sink(
+    target_path: str,
+    pk: Sequence[str],
+    partition_col: str | None = None,
+    order_col: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """A ``write_batch`` for :func:`start_silver_stream` that UPSERTS.
+
+    Streaming twin of the reference's per-block transaction: each
+    microbatch MERGEs into the parquet target via
+    ``sources.merge.merge_parquet`` — matched PKs are replaced, new PKs
+    inserted, and with ``order_col`` a replayed microbatch (foreachBatch
+    is at-least-once on retry) re-applies the same rows idempotently
+    instead of duplicating them. With ``partition_col`` each microbatch
+    rewrites only the partitions it touches — for block-ordered streams
+    that's the current hot partition, so sink cost tracks batch size,
+    not table size.
+
+    First microbatch bootstraps the target with a plain partitioned
+    write (MERGE needs an existing table to read).
+    """
+    from ..sources.merge import merge_parquet
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            spark.read.parquet(target_path).schema
+            exists = True
+        except Exception:
+            exists = False
+        if not exists:
+            writer = batch.write.mode("overwrite")
+            if partition_col:
+                writer = writer.partitionBy(partition_col)
+            writer.parquet(target_path)
+            return
+        merge_parquet(
+            spark, target_path, batch, pk,
+            partition_col=partition_col, order_col=order_col,
+        )
+
+    return write
+
+
 def windowed_counts(
     stream: DataFrame,
     event_time_col: str = "timestamp",

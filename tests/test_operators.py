@@ -332,3 +332,19 @@ def test_merge_parquet_order_col_last_writer_wins(spark, tmp_path):
     merge_parquet(spark, target, updates, ["id"], order_col="ver")
     out = {r["id"]: (r["v"], r["ver"]) for r in spark.read.parquet(target).collect()}
     assert out == {1: ("final", 9), 2: ("new", 1)}
+
+
+def test_merge_parquet_replay_of_old_batch_is_noop(spark, tmp_path):
+    """order_col last-writer-wins runs across existing AND updates:
+    re-merging an already-applied older batch changes nothing — the
+    idempotency contract the at-least-once streaming sink relies on."""
+    from extract_transform_load_spark.sources.merge import merge_parquet
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "new", 9), (2, "kept", 3)], "id long, v string, ver int"
+    ).write.parquet(target)
+    stale = spark.createDataFrame([(1, "old", 2)], "id long, v string, ver int")
+    merge_parquet(spark, target, stale, ["id"], order_col="ver")
+    out = {r["id"]: (r["v"], r["ver"]) for r in spark.read.parquet(target).collect()}
+    assert out == {1: ("new", 9), 2: ("kept", 3)}

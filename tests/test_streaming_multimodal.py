@@ -174,3 +174,44 @@ def test_resize_images_shape_and_determinism(media):
         k: bytes(v["thumb"]) for k, v in b.items()
     }
     assert bytes(a[1]["thumb"]) != bytes(a[2]["thumb"])
+
+
+def test_streaming_merge_sink_upserts_across_microbatches(spark, tmp_path):
+    """foreachBatch + merge_parquet: microbatch 2 updates a PK written by
+    microbatch 1 (and inserts a new one); the target parquet holds the
+    upserted state — the streaming twin of the reference's per-block
+    ON CONFLICT transaction."""
+    from extract_transform_load_spark.streaming.ingest import merge_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "id long, day int, v string, ver int"
+    b1 = [(1, 1, "one", 1), (2, 1, "two", 1), (3, 2, "three", 1)]
+    b2 = [(2, 1, "two-updated", 2), (4, 2, "four", 2)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1.parquet"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2.parquet"))
+
+    target = str(tmp_path / "target")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(merge_sink(target, ["id"], partition_col="day", order_col="ver"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {r["id"]: (r["day"], r["v"], r["ver"]) for r in spark.read.parquet(target).collect()}
+    assert out == {
+        1: (1, "one", 1),
+        2: (1, "two-updated", 2),
+        3: (2, "three", 1),
+        4: (2, "four", 2),
+    }

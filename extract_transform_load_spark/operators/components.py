@@ -1,0 +1,127 @@
+"""Distributed connected components — the "pairs → clusters" dedup step.
+
+Near-dup detection (q41/q42/q43) emits *pairs*; acting on them (keep one
+doc per duplicate cluster) needs the transitive closure: A~B and B~C
+must collapse into one cluster even though (A,C) was never emitted.
+That's connected components over the pair graph — the step the
+reference's engine (and vanilla Spark SQL) has no operator for.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014 — public).
+Each round is two groupBy shuffles over the edge list; the edge set
+contracts toward a forest of stars whose centers are the component
+minima, converging in O(log n) rounds rather than O(diameter) for naive
+label propagation — the difference between 20 and 10,000 rounds on a
+100 TB web-crawl dedup graph with chain-shaped boilerplate clusters.
+
+Scale notes:
+- every round is expressed as joins/groupBys on the (u, v) edge frame —
+  hash-partitioned by node id, no driver-side graph state;
+- ``localCheckpoint`` after each round truncates the lineage (an
+  iterative plan otherwise grows until Catalyst analysis dominates);
+- convergence is detected by an order-independent edge-set signature
+  (count + bit_xor of xxhash64) — one tiny aggregate per round, no
+  edge-set collect.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to u's smallest neighborhood
+    member (including u itself): emit (v, min(N(u) ∪ {u})) for v > u."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("__mn"))
+        .select("u", F.least("u", "__mn").alias("m"))
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges large→small, then connect each node's small
+    neighbors (and itself) to the smallest of them."""
+    d = (
+        e.select(F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    mins = d.groupBy("a").agg(F.min("b").alias("m"))
+    return (
+        d.join(mins, "a")
+        .filter(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("a").alias("u"), F.col("m").alias("v")))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = the
+    smallest node id reachable from it.
+
+    ``max_iter`` is a safety rail — the alternation converges in
+    O(log n) rounds (~20 covers any realistic graph); hitting the rail
+    raises instead of returning partial clusters, because a silently
+    unconverged dedup merges nothing it should.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = tuple(
+            e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("x"),
+            ).first()
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # converged: e is a star forest (node -> component root)
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame, left: str = "doc_a", right: str = "doc_b", max_iter: int = 50
+) -> DataFrame:
+    """Cluster assignment from near-dup pairs: (doc_id, cluster_id, keep).
+
+    ``cluster_id`` is the smallest doc id in the duplicate cluster and
+    ``keep`` marks that representative — first-writer-wins, the same
+    deterministic choice as ``exact_duplicates``. Docs in no pair are
+    absent (trivially kept). Feed it q41's exact pairs for auditable
+    dedup or q42's MinHash pairs at 100 TB — the operator is agnostic.
+    """
+    comps = connected_components(pairs, src=left, dst=right, max_iter=max_iter)
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("keep"),
+    )

@@ -348,6 +348,55 @@ def q55_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q61_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    )
+    SELECT u AS doc_id,
+           least(u, MIN(v)) AS cluster_id,
+           u = least(u, MIN(v)) AS keep
+    FROM reach GROUP BY u
+    """,
+    doc="Duplicate-cluster assignment: connected components (large-star/"
+    "small-star, operators/components.py) over the exact Jaccard pairs "
+    "of q41 — the transitive-closure step that turns near-dup PAIRS "
+    "into keep/drop decisions. The oracle computes the same closure "
+    "with a recursive CTE (fine at gate scale; the Spark side is the "
+    "O(log n)-round 100 TB path, and at that scale it consumes q42's "
+    "MinHash pairs instead).",
+)
+def q61_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5, k=3)
+    return dedup_clusters(pairs)
+
+
 def _docs_as_media(docs: DataFrame) -> DataFrame:
     """Cast the documents table as a media table (payload = UTF-8 bytes).
 

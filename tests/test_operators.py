@@ -348,3 +348,28 @@ def test_merge_parquet_replay_of_old_batch_is_noop(spark, tmp_path):
     merge_parquet(spark, target, stale, ["id"], order_col="ver")
     out = {r["id"]: (r["v"], r["ver"]) for r in spark.read.parquet(target).collect()}
     assert out == {1: ("new", 9), 2: ("kept", 3)}
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """A 12-node path (worst case for naive label propagation — O(n)
+    rounds) plus a separate triangle: large-star/small-star must collapse
+    both to their minima within the O(log n) iteration budget."""
+    from extract_transform_load_spark.operators.components import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    chain = [(i, i + 1) for i in range(100, 112)]
+    tri = [(7, 9), (9, 8), (8, 7)]
+    df = spark.createDataFrame(chain + tri, "doc_a long, doc_b long")
+    comps = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "doc_a", "doc_b", max_iter=10).collect()
+    }
+    assert all(comps[n] == 100 for n in range(100, 113))
+    assert all(comps[n] == 7 for n in (7, 8, 9))
+
+    clusters = dedup_clusters(df).collect()
+    keep = {r["doc_id"] for r in clusters if r["keep"]}
+    assert keep == {100, 7}
+    assert len(clusters) == 16  # every node in the pair graph is assigned

@@ -177,6 +177,156 @@ def lp_lender_state_snapshot(
     )
 
 
+def _window(df: DataFrame, ts_col: str, lo: Column, hi: Column) -> DataFrame:
+    return df.filter((F.col(ts_col) > lo) & (F.col(ts_col) <= hi))
+
+
+def ls_state_incremental(
+    prev_state: DataFrame,
+    opening: DataFrame,
+    repayments: DataFrame,
+    close_positions: DataFrame,
+    liquidations: DataFrame,
+    closings: DataFrame,
+    prev_ts,
+    agg_timestamp,
+) -> DataFrame:
+    """Roll an LS_State snapshot forward using only (prev_ts, ts] events.
+
+    The full reconstruction (:func:`ls_state_snapshot`) re-aggregates the
+    entire event log every round — correct, but at 100 TB the log scan
+    dwarfs the state: an hourly round re-reads years of history to move
+    one hour. The state is additive per contract, so the snapshot rolls
+    forward instead: cost is O(|delta| + |open set|) — the delta scan
+    partition-prunes to one hour of a time-partitioned event table and
+    the open set is the (small) previous snapshot.
+
+    Transitions, matching the full reconstruction exactly:
+    - opened in delta  -> seeded from the opening row (+ delta events);
+    - closed in delta  -> dropped from the active set (any close source);
+    - otherwise        -> amounts shifted by the delta sums.
+
+    Requires the lifecycle invariant the domain guarantees (repayment
+    never exceeds outstanding principal — the loan closes at zero), since
+    the full path's ``greatest(·, 0)`` clamp is not additive through an
+    overpayment. Equivalence to the full reconstruction is tested.
+    """
+    lo = F.lit(prev_ts).cast("timestamp")
+    hi = F.lit(agg_timestamp).cast("timestamp")
+    z = F.lit(0).cast(AMOUNT)
+
+    d_rep = _window(repayments, "LS_timestamp", lo, hi)
+    d_cp = _window(close_positions, "LS_timestamp", lo, hi)
+    d_liq = _window(liquidations, "LS_timestamp", lo, hi)
+    d_cl = _window(closings, "LS_timestamp", lo, hi)
+
+    carried = prev_state.select(
+        "LS_contract_id",
+        F.col("LS_amnt_stable").alias("__amnt"),
+        F.col("LS_principal_stable").alias("__principal"),
+        F.col("LS_repaid_stable").alias("__repaid"),
+    )
+    seeded = _window(opening, "LS_timestamp", lo, hi).select(
+        "LS_contract_id",
+        (F.coalesce(F.col("LS_loan_amnt_stable"), z) + F.coalesce(F.col("LS_cltr_amnt_stable"), z)).alias("__amnt"),
+        F.coalesce(F.col("LS_loan_amnt_stable"), z).alias("__principal"),
+        z.alias("__repaid"),
+    )
+    base = carried.unionByName(seeded)
+
+    closed_ids = (
+        d_rep.filter(F.col("LS_loan_close")).select("LS_contract_id")
+        .unionByName(d_cp.filter(F.col("LS_loan_close")).select("LS_contract_id"))
+        .unionByName(d_liq.filter(F.col("LS_loan_close")).select("LS_contract_id"))
+        .unionByName(d_cl.select("LS_contract_id"))
+        .distinct()
+    )
+    act = base.join(closed_ids, "LS_contract_id", "left_anti")
+
+    repaid_d = d_rep.groupBy("LS_contract_id").agg(
+        F.sum("LS_principal_stable").cast(AMOUNT).alias("__d_repaid")
+    )
+    closed_d = d_cp.groupBy("LS_contract_id").agg(
+        F.sum("LS_payment_amnt_stable").cast(AMOUNT).alias("__d_closed")
+    )
+    liq_d = d_liq.groupBy("LS_contract_id").agg(
+        F.sum("LS_payment_amnt_stable").cast(AMOUNT).alias("__d_liq")
+    )
+    out = (
+        act.join(repaid_d, "LS_contract_id", "left")
+        .join(closed_d, "LS_contract_id", "left")
+        .join(liq_d, "LS_contract_id", "left")
+    )
+    principal = F.col("__principal") - F.coalesce(F.col("__d_repaid"), z)
+    amnt = (
+        F.col("__amnt")
+        - F.coalesce(F.col("__d_closed"), z)
+        - F.coalesce(F.col("__d_liq"), z)
+    )
+    return out.select(
+        "LS_contract_id",
+        hi.alias("LS_timestamp"),
+        F.greatest(amnt, z).cast(AMOUNT).alias("LS_amnt_stable"),
+        F.greatest(principal, z).cast(AMOUNT).alias("LS_principal_stable"),
+        (F.col("__repaid") + F.coalesce(F.col("__d_repaid"), z)).cast(AMOUNT).alias("LS_repaid_stable"),
+    )
+
+
+def lp_pool_state_incremental(
+    prev_state: DataFrame,
+    deposits: DataFrame,
+    withdrawals: DataFrame,
+    prev_ts,
+    agg_timestamp,
+) -> DataFrame:
+    """Roll LP_Pool_State forward: TVL' = TVL + Σdelta deposits − Σdelta
+    withdrawals per pool (receipts likewise). New pools enter through the
+    full-outer join; cost is O(|delta| + |pools|)."""
+    lo = F.lit(prev_ts).cast("timestamp")
+    hi = F.lit(agg_timestamp).cast("timestamp")
+    z = F.lit(0).cast(AMOUNT)
+
+    d = (
+        _window(deposits, "LP_timestamp", lo, hi)
+        .groupBy("LP_Pool_id")
+        .agg(
+            F.sum("LP_amnt_asset").cast(AMOUNT).alias("__d_dep"),
+            F.sum("LP_amnt_receipts").cast(AMOUNT).alias("__d_minted"),
+        )
+    )
+    w = (
+        _window(withdrawals, "LP_timestamp", lo, hi)
+        .groupBy("LP_Pool_id")
+        .agg(
+            F.sum("LP_amnt_asset").cast(AMOUNT).alias("__d_wd"),
+            F.sum("LP_amnt_receipts").cast(AMOUNT).alias("__d_burned"),
+        )
+    )
+    prev = prev_state.select(
+        "LP_Pool_id",
+        F.col("LP_Pool_total_value_locked_asset").alias("__tvl"),
+        F.col("LP_Pool_total_issued_receipts").alias("__receipts"),
+    )
+    return (
+        prev.join(d, "LP_Pool_id", "full_outer")
+        .join(w, "LP_Pool_id", "full_outer")
+        .select(
+            "LP_Pool_id",
+            hi.alias("LP_Pool_timestamp"),
+            (
+                F.coalesce(F.col("__tvl"), z)
+                + F.coalesce(F.col("__d_dep"), z)
+                - F.coalesce(F.col("__d_wd"), z)
+            ).cast(AMOUNT).alias("LP_Pool_total_value_locked_asset"),
+            (
+                F.coalesce(F.col("__receipts"), z)
+                + F.coalesce(F.col("__d_minted"), z)
+                - F.coalesce(F.col("__d_burned"), z)
+            ).cast(AMOUNT).alias("LP_Pool_total_issued_receipts"),
+        )
+    )
+
+
 def pl_state_rollup(
     opening: DataFrame,
     repayments: DataFrame,

@@ -124,3 +124,41 @@ def test_aggregation_round(spark, tables):
     assert pools == {"pool0", "pool1"}
     lenders = out["LP_Lender_State"].collect()
     assert all(r["LP_Lender_receipts"] > 0 for r in lenders)
+
+
+def test_incremental_snapshot_equals_full(spark, tables):
+    """Rolling the t1 snapshot forward with only (t1, t2] events must
+    equal the full event-log reconstruction at t2 — the O(delta) hourly
+    round vs the O(history) rebuild."""
+    from datetime import datetime
+
+    from extract_transform_load_spark.pipeline.snapshots import (
+        lp_pool_state_incremental,
+        lp_pool_state_snapshot,
+        ls_state_incremental,
+        ls_state_snapshot,
+    )
+
+    t1 = datetime(2024, 1, 12)   # mid-lifecycle: opens/repays/closes on both sides
+    t2 = datetime(2024, 3, 1)
+
+    ls_args = (
+        tables["LS_Opening"], tables["LS_Repayment"], tables["LS_Close_Position"],
+        tables["LS_Liquidation"], tables["LS_Closing"],
+    )
+    full_t1 = ls_state_snapshot(*ls_args, t1)
+    full_t2 = {tuple(r) for r in ls_state_snapshot(*ls_args, t2).collect()}
+    inc_t2 = {
+        tuple(r)
+        for r in ls_state_incremental(full_t1, *ls_args, t1, t2).collect()
+    }
+    assert inc_t2 == full_t2 and len(full_t2) > 0
+
+    lp_args = (tables["LP_Deposit"], tables["LP_Withdraw"])
+    pool_t1 = lp_pool_state_snapshot(*lp_args, t1)
+    pool_t2 = {tuple(r) for r in lp_pool_state_snapshot(*lp_args, t2).collect()}
+    pool_inc = {
+        tuple(r)
+        for r in lp_pool_state_incremental(pool_t1, *lp_args, t1, t2).collect()
+    }
+    assert pool_inc == pool_t2 and len(pool_t2) > 0

@@ -1167,6 +1167,27 @@ def q52_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q62_approx_percentiles",
+    oracle=None,  # GK/KLL sketch implementations differ across engines;
+    # rank-error bound vs exact percentile asserted in tests/test_operators.py
+    doc="Scale variant of q52: approx_percentile (Greenwald-Khanna "
+    "sketch, accuracy=10000 => rank error <= 1/10000) per group. Exact "
+    "percentile materializes and sorts every group's values through one "
+    "shuffle; the sketch is a bounded-size accumulator that merges "
+    "map-side, so at 100 TB the shuffle carries O(groups) sketches. "
+    "q52 stays the oracle-checked default; this is the documented "
+    "trade for corpus-scale latency dashboards.",
+)
+def q62_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("median_price"),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "q59_sessionization",
     oracle="""
     WITH o AS (

@@ -373,3 +373,29 @@ def test_connected_components_chain_and_clusters(spark):
     keep = {r["doc_id"] for r in clusters if r["keep"]}
     assert keep == {100, 7}
     assert len(clusters) == 16  # every node in the pair graph is assigned
+
+
+def test_approx_percentile_rank_error_bound(spark, sf_dir):
+    """approx_percentile(accuracy=10000) guarantees rank error <=
+    n/10000 per group: the returned value must sit between the exact
+    values at ranks floor((q-eps)n) and ceil((q+eps)n)."""
+    from extract_transform_load_spark.plans.registry import REGISTRY
+    from extract_transform_load_spark.sources.tables import load
+
+    approx = {
+        r["o_orderpriority"]: (r["median_price"], r["p90_price"], r["n"])
+        for r in REGISTRY["q62_approx_percentiles"].fn(spark, sf_dir).collect()
+    }
+    rows = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice").collect()
+    by_group: dict[str, list[float]] = {}
+    for r in rows:
+        by_group.setdefault(r["o_orderpriority"], []).append(float(r["o_totalprice"]))
+    eps = 1.0 / 10000
+    for grp, vals in by_group.items():
+        vals.sort()
+        n = len(vals)
+        assert approx[grp][2] == n
+        for q, got in ((0.5, approx[grp][0]), (0.9, approx[grp][1])):
+            lo = vals[max(0, int((q - eps) * n) - 1)]
+            hi = vals[min(n - 1, int((q + eps) * n) + 1)]
+            assert lo <= float(got) <= hi, (grp, q, got, lo, hi)

@@ -214,3 +214,39 @@ def test_minhash_bucketed_strategy_matches_join(docs):
         for r in minhash_lsh_pairs_bucketed(docs, 64, 16, threshold=0.5).collect()
     }
     assert join_pairs == bucketed and len(bucketed) > 0
+
+
+def test_quantized_cosine_recall_and_store_shrink(emb, tmp_path):
+    """int8-quantized cosine top-10 must keep recall >= 0.9 vs exact
+    float top-10, and the quantized parquet store must be substantially
+    smaller than the float32 one (the 100 TB rationale)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=10)
+    qcorpus = quantize_embeddings(emb).select("vec_id", "embedding_q")
+    qqueries = quantize_embeddings(queries).select("query_id", "embedding_q")
+    approx = cosine_topk_quantized(qcorpus, qqueries, k=10)
+
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, recall
+
+    fdir, qdir = str(tmp_path / "f"), str(tmp_path / "q")
+    emb.select("vec_id", "embedding").write.parquet(fdir)
+    qcorpus.write.parquet(qdir)
+    size = lambda d: sum(
+        os.path.getsize(os.path.join(d, f)) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    assert size(qdir) < 0.55 * size(fdir), (size(qdir), size(fdir))

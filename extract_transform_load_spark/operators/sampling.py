@@ -1,0 +1,72 @@
+"""Deterministic sampling & dataset splits for corpus curation.
+
+A training pipeline needs splits and samples that are (a) reproducible
+run-to-run with no stored state, (b) stable under corpus growth — a doc
+keeps its split when new docs arrive, which no ``ORDER BY random()``
+or row-number scheme survives — and (c) join-free at 100 TB: the
+assignment must be a pure function of the document key, computable
+inside the scan's codegen, never a shuffle or a broadcast of an
+assignment table.
+
+Everything here keys off the first byte of ``md5(id)`` — engine-portable
+(identical in DuckDB, so the queries are oracle-checked end-to-end)
+and uniform. 256 buckets bound ratio granularity to 1/256 ≈ 0.4%,
+plenty for 80/10/10-style splits; finer ratios widen the prefix.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def hash_bucket(id_col: Column, buckets: int = 256) -> Column:
+    """Stable bucket in [0, buckets): first-bytes of md5 of the id.
+
+    ``conv(hex, 16, 10)`` runs JVM-side; the md5 of the (stringified)
+    key is uniform regardless of key skew — sequential ids, hot shards,
+    anything.
+    """
+    if buckets > 1 << 28:
+        raise ValueError("bucket count beyond md5-prefix precision")
+    nibbles = max(2, (buckets - 1).bit_length() + 3 >> 2)
+    prefix = F.conv(F.substring(F.md5(id_col.cast("string")), 1, nibbles), 16, 10)
+    return (prefix.cast("bigint") % buckets).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, int]] = (("train", 205), ("val", 26), ("test", 25)),
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic split label.
+
+    ``splits`` is (label, weight-in-256ths); weights must sum to 256.
+    The default is ~80/10/10. The assignment is a scan-local expression:
+    no shuffle, no state, stable forever for a given id.
+    """
+    weights = [w for _, w in splits]
+    if sum(weights) != 256:
+        raise ValueError(f"split weights must sum to 256, got {sum(weights)}")
+    b = hash_bucket(F.col(id_col), 256)
+    edge = 0
+    expr = None
+    for label, w in splits[:-1]:
+        edge += w
+        expr = F.when(b < edge, label) if expr is None else expr.when(b < edge, label)
+    expr = expr.otherwise(splits[-1][0]) if expr is not None else F.lit(splits[-1][0])
+    return df.withColumn(out_col, expr)
+
+
+def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Reproducible ``fraction``-sample keyed on the id (granularity
+    1/256). Unlike ``df.sample`` it is stable across runs, partitionings
+    and Spark versions, and a doc's membership never flips as the corpus
+    grows — the property eval-set holdouts need."""
+    if not 0 < fraction <= 1:
+        raise ValueError("fraction must be in (0, 1]")
+    cut = round(fraction * 256)
+    return df.filter(hash_bucket(F.col(id_col), 256) < cut)

@@ -397,6 +397,40 @@ def q61_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+@query(
+    "q64_hash_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS INT) AS bucket
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang, bucket,
+             CASE WHEN bucket < 205 THEN 'train'
+                  WHEN bucket < 231 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b
+    )
+    SELECT split, lang, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+    FROM s GROUP BY 1, 2
+    """,
+    doc="Deterministic ~80/10/10 train/val/test split keyed on md5(doc_id) "
+    "(operators/sampling.py): a pure scan-local expression — no shuffle, "
+    "no stored assignment, stable as the corpus grows. Rolled up per "
+    "(split, lang) for the gate; the per-doc assignment is the operator.",
+)
+def q64_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_split
+
+    d = hash_split(load(spark, sf_dir, "documents"), "doc_id")
+    return d.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 _Q8 = """
   list_transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
     (CASE WHEN list_max(list_transform({col}, y -> abs(CAST(y AS DOUBLE)))) > 0

@@ -399,3 +399,34 @@ def test_approx_percentile_rank_error_bound(spark, sf_dir):
             lo = vals[max(0, int((q - eps) * n) - 1)]
             hi = vals[min(n - 1, int((q + eps) * n) + 1)]
             assert lo <= float(got) <= hi, (grp, q, got, lo, hi)
+
+
+def test_hash_split_stability_and_ratios(spark):
+    """Split assignment is a pure function of the id: stable under
+    corpus growth (the first 1000 docs keep their split when 1000 more
+    arrive), ratios land near 80/10/10, and deterministic_sample is a
+    subset-consistent prefix (0.1-sample ⊂ 0.25-sample)."""
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    small = spark.range(1000)
+    big = spark.range(2000)
+    s_small = {r["id"]: r["split"] for r in hash_split(small, "id").collect()}
+    s_big = {r["id"]: r["split"] for r in hash_split(big, "id").collect()}
+    assert all(s_big[i] == s for i, s in s_small.items())
+
+    from collections import Counter
+
+    c = Counter(s_big.values())
+    assert abs(c["train"] / 2000 - 205 / 256) < 0.04
+    assert abs(c["val"] / 2000 - 26 / 256) < 0.03
+    assert abs(c["test"] / 2000 - 25 / 256) < 0.03
+
+    s10 = {r["id"] for r in deterministic_sample(big, "id", 0.1).collect()}
+    s25 = {r["id"] for r in deterministic_sample(big, "id", 0.25).collect()}
+    assert s10 <= s25
+    assert abs(len(s25) / 2000 - 0.25) < 0.05

@@ -41,6 +41,9 @@ HEADLINE = [
     "q46_text_quality",
     "q58_winnowing",
     "q59_sessionization",
+    "q62_approx_percentiles",
+    "q63_quantized_topk",
+    "q64_hash_split",
 ]
 
 

@@ -1,0 +1,98 @@
+"""Executable plan audits: the PERFORMANCE.md claims as assertions.
+
+Each test pins a physical-plan property that the 100 TB design depends
+on (pushdown reaching the scan, broadcasts instead of fact shuffles,
+single-exchange window chains, map-side partial aggregation). Plan
+strings come from the pre-execution executed plan — pushdown and
+explicit broadcasts are static properties, so the assertions hold at
+any SF. If a refactor or a Spark conf change regresses a plan shape,
+this file fails before PERFORMANCE.md goes stale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from extract_transform_load_spark.plans.registry import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert read.count(":") <= 8  # 7 columns of 16 — pruning reached the scan
+
+
+def test_q02_point_lookup_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q02_point_lookup")
+    assert "EqualTo(o_custkey,42)" in plan.replace(" ", "")
+
+
+def test_q11_dim_join_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q11_dim_join_rollup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q17_chain_all_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q17_multiway_chain")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q15_asof_single_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q15_asof_join")
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+
+
+def test_q16_range_join_not_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q16_range_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q26_latest_per_key_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q26_latest_per_key")
+    assert "partial_max_by" in plan
+
+
+def test_q59_sessionization_one_exchange_one_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q59_sessionization")
+    assert plan.count("Exchange") == 1
+    assert plan.count("+- Sort ") + plan.count("+- *Sort ") >= 1
+    # window chain + session groupBy reuse the one user partitioning
+    assert plan.count("Exchange") == 1
+
+
+def test_q63_quantized_topk_no_corpus_shuffle(spark, sf_dir):
+    """The corpus side must stream: the only exchanges are the broadcast
+    of the tiny probe set and the final top-k window's."""
+    plan = plan_of(spark, sf_dir, "q63_quantized_topk")
+    assert "BroadcastExchange" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q64_hash_split_scan_local(spark, sf_dir):
+    """Split assignment adds no exchange beyond the rollup's own."""
+    plan = plan_of(spark, sf_dir, "q64_hash_split")
+    assert plan.count("Exchange") == 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q01_pricing_summary", "q26_latest_per_key", "q50_rollup_totals"],
+)
+def test_aggregates_are_codegen(spark, sf_dir, name):
+    """Hot aggregation paths stay inside whole-stage codegen (the `*(n)`
+    stage markers only appear in the finalized adaptive plan, so
+    execute first)."""
+    df = REGISTRY[name].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "*(1)" in plan  # at least one whole-stage-codegen stage

@@ -431,6 +431,65 @@ def q64_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q65_curated_corpus",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, lang, text,
+             md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint
+      FROM documents
+    ),
+    k AS (
+      SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep FROM fp
+    ),
+    q AS (
+      SELECT doc_id, lang, keep,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr,
+             CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS INT) AS bucket
+      FROM k
+    )
+    SELECT CASE WHEN bucket < 205 THEN 'train' WHEN bucket < 231 THEN 'val' ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           SUM(n_words) AS total_words,
+           MIN(doc_id) AS first_doc
+    FROM q
+    WHERE keep AND ttr >= 0.3
+    GROUP BY 1, 2
+    """,
+    doc="End-to-end curation: exact-dedup representative × quality floor "
+    "(type-token ratio >= 0.3) × deterministic split, rolled up per "
+    "(split, lang) — the one-pass corpus-build query composing q40, q46 "
+    "and q64's operators. One window over the fingerprint partitioning "
+    "+ one rollup shuffle; everything else is scan-local.",
+)
+def q65_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.sampling import hash_split
+    from ..operators.textops import fingerprint as fp_col
+
+    d = load(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    n = F.size(w).cast("bigint")
+    ttr = F.size(F.array_distinct(w)).cast("double") / n
+    keep = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy(fp_col(F.col("text")))
+    )
+    curated = hash_split(
+        d.select("doc_id", "lang", n.alias("n_words"), ttr.alias("ttr"), keep.alias("keep")),
+        "doc_id",
+    ).filter(F.col("keep") & (F.col("ttr") >= 0.3))
+    return curated.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 _Q8 = """
   list_transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
     (CASE WHEN list_max(list_transform({col}, y -> abs(CAST(y AS DOUBLE)))) > 0

@@ -430,3 +430,45 @@ def test_hash_split_stability_and_ratios(spark):
     s25 = {r["id"] for r in deterministic_sample(big, "id", 0.25).collect()}
     assert s10 <= s25
     assert abs(len(s25) / 2000 - 0.25) < 0.05
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered files must each cover a small rectangle of the 2-D key
+    space: for BOTH columns the mean per-file value span is a fraction
+    of the global span, whereas single-column sorting leaves the second
+    column's per-file span at ~100%. That per-file min/max footprint is
+    exactly what parquet footer pruning skips on."""
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.sources.layout import write_zordered
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+
+    def mean_file_span(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .agg(F.avg("span"))
+            .first()[0]
+        )
+        total = li.agg(F.max(col) - F.min(col)).first()[0]
+        return float(per_file) / float(total)
+
+    zpath = str(tmp_path / "z")
+    write_zordered(li, zpath, ["l_orderkey", "l_partkey"], num_files=16)
+    spath = str(tmp_path / "s")
+    li.repartitionByRange(16, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.parquet(spath)
+
+    z_ok = mean_file_span(zpath, "l_orderkey")
+    z_pk = mean_file_span(zpath, "l_partkey")
+    s_pk = mean_file_span(spath, "l_partkey")
+    # single-column sort: partkey uncorrelated with orderkey -> ~full span
+    assert s_pk > 0.9, s_pk
+    # z-order: both dimensions clustered well below the global span
+    assert z_ok < 0.5, z_ok
+    assert z_pk < 0.5, z_pk

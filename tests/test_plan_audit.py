@@ -96,3 +96,40 @@ def test_aggregates_are_codegen(spark, sf_dir, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "*(1)" in plan  # at least one whole-stage-codegen stage
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """When a selective dim filter feeds a shuffle join, Spark injects a
+    Bloom filter from the dim side into the fact scan (might_contain
+    pre-filter) — runtime row pruning before the shuffle. The
+    application-side size gate (default 10 GB) is what keeps it off for
+    toy inputs, so the test zeroes it; a 100 TB fact table clears the
+    default gate on its own."""
+    import pyspark.sql.functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "bloom filter was not injected"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

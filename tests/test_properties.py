@@ -176,3 +176,59 @@ def test_connected_components_property(spark, edges):
         for r in connected_components(df).collect()
     }
     assert got == want
+
+
+merge_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),   # pk
+        st.integers(min_value=0, max_value=50),  # payload
+        st.integers(min_value=0, max_value=9),   # version
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(existing=merge_rows, updates=merge_rows, delete_keys=st.lists(st.integers(0, 8), max_size=4))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_merge_plan_property(spark, existing, updates, delete_keys):
+    """merge_plan == dict-model MERGE: last-writer-wins across existing
+    and updates by version, deletes unconditional. Versions are made
+    globally unique (even=existing, odd=updates) because max_by ties
+    are architecturally arbitrary — real CDC streams carry unique
+    (block, index) orderings for the same reason."""
+    from extract_transform_load_spark.sources.merge import merge_plan
+
+    existing = [(pk, v, i * 20 + ver * 2) for i, (pk, v, ver) in enumerate(existing)]
+    updates = [(pk, v, i * 20 + ver * 2 + 1) for i, (pk, v, ver) in enumerate(updates)]
+
+    def squash(rows):
+        best = {}
+        for pk, v, ver in rows:
+            if pk not in best or ver > best[pk][2]:
+                best[pk] = (pk, v, ver)
+        return best
+
+    ex, up = squash(existing), squash(updates)
+    model = dict(ex)
+    for pk, row in up.items():
+        if pk not in model or row[2] > model[pk][2]:
+            model[pk] = row
+    for pk in delete_keys:
+        model.pop(pk, None)
+    want = set(model.values())
+
+    schema = "pk long, v long, ver long"
+    got_df = merge_plan(
+        spark.createDataFrame(list(ex.values()), schema),
+        spark.createDataFrame(list(up.values()), schema),
+        ["pk"],
+        deletes=spark.createDataFrame([(k,) for k in delete_keys], "pk long"),
+        order_col="ver",
+    )
+    got = {(r["pk"], r["v"], r["ver"]) for r in got_df.collect()}
+    assert got == want

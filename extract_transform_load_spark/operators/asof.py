@@ -45,12 +45,19 @@ def as_of_join(
     value_cols: Sequence[str],
     right_order: str | None = None,
     suffix: str = "_asof",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each ``left`` row, attach the latest ``right`` values with
     ``right[right_ts] <= left[left_ts]``, matching on key columns ``on``.
 
     Returns all ``left`` columns plus ``{value_col}{suffix}`` for each
     requested value column (null when no prior right row exists).
+
+    ``tolerance_seconds`` bounds staleness (pandas ``merge_asof``
+    tolerance): a match older than the bound yields nulls instead — the
+    domain rule that a price tick from last week must not enrich
+    today's event. Implemented by carrying the matched tick's timestamp
+    through the same window (one extra filled column, no extra shuffle).
     """
     on = list(on)
     value_cols = list(value_cols)
@@ -62,6 +69,7 @@ def as_of_join(
         F.lit(1).alias("__side"),
         F.col(left_ts).alias("__ts"),
         F.lit(None).cast("double").alias("__rord"),
+        F.lit(None).cast("timestamp").alias("__vts"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(o) for c, o in zip(value_cols, out_cols)],
     )
     rord = F.col(right_order).cast("double") if right_order else F.lit(0.0)
@@ -71,6 +79,7 @@ def as_of_join(
         F.lit(0).alias("__side"),
         F.col(right_ts).alias("__ts"),
         rord.alias("__rord"),
+        F.col(right_ts).cast("timestamp").alias("__vts"),
         *[F.col(c).alias(o) for c, o in zip(value_cols, out_cols)],
     )
     unioned = l_tagged.unionByName(r_tagged)
@@ -80,11 +89,23 @@ def as_of_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__rord").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    fill_cols = [*out_cols, "__vts"]
     filled = unioned.select(
-        *[c for c in unioned.columns if c not in out_cols],
-        *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_cols],
+        *[c for c in unioned.columns if c not in fill_cols],
+        *[F.last(o, ignorenulls=True).over(w).alias(o) for o in fill_cols],
     )
-    return filled.filter(F.col("__side") == 1).drop("__side", "__ts", "__rord")
+    result = filled.filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        fresh = (
+            F.unix_micros(F.col(left_ts).cast("timestamp"))
+            - F.unix_micros(F.col("__vts"))
+        ) <= int(tolerance_seconds * 1_000_000)
+        result = result.select(
+            *[c for c in result.columns if c not in fill_cols],
+            *[F.when(fresh, F.col(o)).alias(o) for o in out_cols],
+            "__vts",
+        )
+    return result.drop("__side", "__ts", "__rord", "__vts")
 
 
 def as_of_join_bucketed(

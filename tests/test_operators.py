@@ -472,3 +472,37 @@ def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
     # z-order: both dimensions clustered well below the global span
     assert z_ok < 0.5, z_ok
     assert z_pk < 0.5, z_pk
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, prices):
+    """tolerance_seconds bounds match staleness: an event 2h after the
+    last tick attaches nothing under a 1h tolerance, but the same event
+    attaches normally without one. Fresh matches are unaffected."""
+    from extract_transform_load_spark.operators.asof import as_of_join
+
+    events = spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01 01:30:00")),  # 30 min after 01:00 tick -> fresh
+            ("A", ts("2024-01-01 03:30:00")),  # 2.5 h after last tick -> stale
+            ("B", ts("2024-01-01 02:15:00")),  # 15 min after tick -> fresh
+        ],
+        "symbol string, ets timestamp",
+    )
+    out = {
+        (r["symbol"], str(r["ets"])): r["price_asof"]
+        for r in as_of_join(
+            events, prices, ["symbol"], "ets", "pts", ["price"],
+            right_order="idx", tolerance_seconds=3600,
+        ).collect()
+    }
+    assert out[("A", "2024-01-01 01:30:00")] == 12.0  # idx tie-break kept
+    assert out[("A", "2024-01-01 03:30:00")] is None
+    assert out[("B", "2024-01-01 02:15:00")] == 99.0
+
+    no_tol = {
+        (r["symbol"], str(r["ets"])): r["price_asof"]
+        for r in as_of_join(
+            events, prices, ["symbol"], "ets", "pts", ["price"], right_order="idx"
+        ).collect()
+    }
+    assert no_tol[("A", "2024-01-01 03:30:00")] == 12.0

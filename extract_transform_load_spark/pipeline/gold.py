@@ -30,6 +30,11 @@ class GoldTable:
     builder: Callable[[SparkSession], DataFrame]
     path: str
     refresh_seconds: int = 3600  # reference's aggregated-state TTL
+    #: optional roll-forward: (spark, previous snapshot) -> next snapshot.
+    #: When set, ``refresh(incremental=True)`` applies only the event
+    #: delta (pipeline.snapshots.*_incremental) instead of rebuilding
+    #: from the full log — the hourly round costs O(delta + state).
+    incremental: Callable[[SparkSession, DataFrame], DataFrame] | None = None
 
 
 class GoldLayer:
@@ -41,16 +46,24 @@ class GoldLayer:
             raise ValueError(f"duplicate gold table {table.name!r}")
         self._tables[table.name] = table
 
-    def refresh(self, spark: SparkSession, name: str) -> None:
+    def refresh(self, spark: SparkSession, name: str, incremental: bool = False) -> None:
         """Rebuild one gold table atomically (temp dir + rename-by-path).
 
         Readers keep a consistent view: parquet readers resolve files at
         plan time, and the swap is a metadata operation. On object
         stores use a format with atomic commits (Delta/Iceberg) instead.
+
+        With ``incremental=True`` (and a registered roll-forward) the
+        previous snapshot seeds the new one; the staging write
+        materializes the read of the old files before the swap replaces
+        them. Falls back to the full builder when no snapshot exists.
         """
         t = self._tables[name]
         tmp = f"{t.path}__staging"
-        df = t.builder(spark)
+        if incremental and t.incremental is not None and self._exists(spark, t.path):
+            df = t.incremental(spark, spark.read.parquet(t.path))
+        else:
+            df = t.builder(spark)
         df.write.mode("overwrite").parquet(tmp)
         jvm = spark._jvm
         jsc = spark._jsc
@@ -60,6 +73,13 @@ class GoldLayer:
         if fs.exists(dst):
             fs.delete(dst, True)
         fs.rename(src, dst)
+
+    @staticmethod
+    def _exists(spark: SparkSession, path: str) -> bool:
+        jvm = spark._jvm
+        jsc = spark._jsc
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(jsc.hadoopConfiguration())
+        return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
 
     def refresh_all(self, spark: SparkSession) -> None:
         for name in self._tables:

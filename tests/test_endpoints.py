@@ -162,3 +162,39 @@ def test_incremental_snapshot_equals_full(spark, tables):
         for r in lp_pool_state_incremental(pool_t1, *lp_args, t1, t2).collect()
     }
     assert pool_inc == pool_t2 and len(pool_t2) > 0
+
+
+def test_gold_incremental_refresh_matches_full(spark, tables, tmp_path):
+    """A gold LS_State table rolled forward incrementally (prev snapshot
+    + event delta) must equal a full rebuild at the new timestamp."""
+    from datetime import datetime
+
+    from extract_transform_load_spark.pipeline.gold import GoldLayer, GoldTable
+    from extract_transform_load_spark.pipeline.snapshots import (
+        ls_state_incremental,
+        ls_state_snapshot,
+    )
+
+    t1, t2 = datetime(2024, 1, 12), datetime(2024, 3, 1)
+    ls_args = (
+        tables["LS_Opening"], tables["LS_Repayment"], tables["LS_Close_Position"],
+        tables["LS_Liquidation"], tables["LS_Closing"],
+    )
+    clock = {"now": t1, "prev": None}
+    layer = GoldLayer()
+    layer.register(
+        GoldTable(
+            "ls_state",
+            builder=lambda s: ls_state_snapshot(*ls_args, clock["now"]),
+            path=str(tmp_path / "gold_ls"),
+            incremental=lambda s, prev: ls_state_incremental(
+                prev, *ls_args, clock["prev"], clock["now"]
+            ),
+        )
+    )
+    layer.refresh(spark, "ls_state")  # full build at t1 (no prior snapshot)
+    clock["prev"], clock["now"] = t1, t2
+    layer.refresh(spark, "ls_state", incremental=True)  # O(delta) roll
+    got = {tuple(r) for r in layer.read(spark, "ls_state").collect()}
+    want = {tuple(r) for r in ls_state_snapshot(*ls_args, t2).collect()}
+    assert got == want and len(want) > 0

@@ -74,18 +74,33 @@ def ngram_jaccard_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """All document pairs (a < b) with word-k-gram Jaccard >= threshold.
 
     Plan shape: explode to (doc, shingle) distinct → self-join on shingle
     (one shuffle, hash-partitioned by shingle) → count intersections per
     pair → join per-doc set sizes → Jaccard filter. Hot shingles create
-    quadratic bucket blowup; at scale, drop the top-p% most frequent
-    shingles first (standard df-cut) — they carry no discriminative
-    signal. AQE skew-join splitting handles residual imbalance.
+    quadratic bucket blowup: a boilerplate shingle shared by d docs
+    contributes d²/2 join rows. ``max_df`` is the standard df-cut —
+    shingles appearing in more than that many documents are dropped from
+    the index BEFORE the join (the per-shingle count rides the same
+    shingle-hash exchange the join needs). Set sizes still count every
+    shingle, so scores only drop (never rise): the cut is conservative —
+    it can miss pairs whose overlap is mostly boilerplate, by design.
+    AQE skew-join splitting handles residual imbalance under the cut.
     """
     sh = shingle_sets(docs, text_col, id_col, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        df_count = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        sh = (
+            sh.withColumn("__df", df_count)
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
 
     a = sh.alias("a")
     b = sh.alias("b")

@@ -177,6 +177,27 @@ def lp_lender_state_snapshot(
     )
 
 
+def tr_state_snapshot(tr_profit: DataFrame, agg_timestamp) -> DataFrame:
+    """TR_State at ``agg_timestamp``: cumulative treasury profit
+    (`handler/tr_state.rs:13-58` reads the live bank balance over gRPC;
+    the event-log reconstruction is the profit ledger's running sum —
+    one scalar aggregate, outlier rule applied as in the reference's
+    profit queries)."""
+    ts = F.lit(agg_timestamp).cast("timestamp")
+    return tr_profit.filter(
+        (F.col("TR_Profit_timestamp") <= ts)
+        & (F.col("TR_Profit_amnt_stable") < F.lit(10) ** 10)
+    ).agg(
+        ts.alias("TR_timestamp"),
+        F.coalesce(F.sum("TR_Profit_amnt_stable"), F.lit(0)).cast(AMOUNT).alias(
+            "TR_amnt_stable"
+        ),
+        F.coalesce(F.sum("TR_Profit_amnt_nls"), F.lit(0)).cast(AMOUNT).alias(
+            "TR_amnt_nls"
+        ),
+    )
+
+
 def _window(df: DataFrame, ts_col: str, lo: Column, hi: Column) -> DataFrame:
     return df.filter((F.col(ts_col) > lo) & (F.col(ts_col) <= hi))
 
@@ -422,5 +443,6 @@ def run_aggregation_round(tables: dict[str, DataFrame], agg_timestamp) -> dict[s
         "LP_Lender_State": lp_lender_state_snapshot(
             tables["LP_Deposit"], tables["LP_Withdraw"], agg_timestamp
         ),
+        "TR_State": tr_state_snapshot(tables["TR_Profit"], agg_timestamp),
     }
     return out

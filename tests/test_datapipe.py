@@ -250,3 +250,34 @@ def test_quantized_cosine_recall_and_store_shrink(emb, tmp_path):
         os.path.getsize(os.path.join(d, f)) for f in os.listdir(d) if f.endswith(".parquet")
     )
     assert size(qdir) < 0.55 * size(fdir), (size(qdir), size(fdir))
+
+
+def test_jaccard_df_cut_drops_boilerplate_shingles(spark):
+    """max_df removes hot boilerplate shingles before the self-join:
+    near-identical docs still pair, but a shingle shared by ALL docs no
+    longer contributes d^2 join rows (and scores never increase)."""
+    from extract_transform_load_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "terms of service apply to all"
+    docs = [
+        (0, f"alpha beta gamma delta epsilon zeta {boiler}"),
+        (1, f"alpha beta gamma delta epsilon zeta {boiler}"),  # dup of 0
+        *[(i, f"unique{i} text{i} body{i} is here now {boiler}") for i in range(2, 12)],
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncut = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.2).collect()
+    }
+    cut = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.2, max_df=5).collect()
+    }
+    assert (0, 1) in cut  # true duplicates survive the cut
+    # the cut is conservative: no new pairs, no increased scores
+    assert set(cut) <= set(uncut)
+    assert all(cut[p] <= uncut[p] + 1e-12 for p in cut)
+    # boilerplate-only pairs (sharing just the common tail) are gone
+    boiler_only = {p for p, j in uncut.items() if p != (0, 1)}
+    assert boiler_only and not (boiler_only & set(cut))

@@ -124,6 +124,9 @@ def test_aggregation_round(spark, tables):
     assert pools == {"pool0", "pool1"}
     lenders = out["LP_Lender_State"].collect()
     assert all(r["LP_Lender_receipts"] > 0 for r in lenders)
+    tr = out["TR_State"].collect()
+    # Σ 1000..8000 stable; the 1e12 outlier row is excluded by the <1e10 rule
+    assert len(tr) == 1 and tr[0]["TR_amnt_stable"] == 36_000
 
 
 def test_incremental_snapshot_equals_full(spark, tables):

@@ -348,6 +348,53 @@ def lp_pool_state_incremental(
     )
 
 
+def lp_lender_state_incremental(
+    prev_state: DataFrame,
+    deposits: DataFrame,
+    withdrawals: DataFrame,
+    prev_ts,
+    agg_timestamp,
+) -> DataFrame:
+    """Roll LP_Lender_State forward from the (prev_ts, ts] delta.
+
+    Lenders whose position hit zero are absent from ``prev_state`` (the
+    snapshot filters ``receipts > 0``) but re-enter through the
+    full-outer join if the delta deposits again — the same
+    re-materialization path as a full rebuild, so equivalence holds
+    through zero-crossings.
+    """
+    lo = F.lit(prev_ts).cast("timestamp")
+    hi = F.lit(agg_timestamp).cast("timestamp")
+    z = F.lit(0).cast(AMOUNT)
+    keys = ["LP_address_id", "LP_Pool_id"]
+
+    d = (
+        _window(deposits, "LP_timestamp", lo, hi)
+        .groupBy(*keys)
+        .agg(F.sum("LP_amnt_receipts").cast(AMOUNT).alias("__d_minted"))
+    )
+    w = (
+        _window(withdrawals, "LP_timestamp", lo, hi)
+        .groupBy(*keys)
+        .agg(F.sum("LP_amnt_receipts").cast(AMOUNT).alias("__d_burned"))
+    )
+    prev = prev_state.select(*keys, F.col("LP_Lender_receipts").alias("__receipts"))
+    return (
+        prev.join(d, keys, "full_outer")
+        .join(w, keys, "full_outer")
+        .select(
+            *keys,
+            hi.alias("LP_timestamp"),
+            (
+                F.coalesce(F.col("__receipts"), z)
+                + F.coalesce(F.col("__d_minted"), z)
+                - F.coalesce(F.col("__d_burned"), z)
+            ).cast(AMOUNT).alias("LP_Lender_receipts"),
+        )
+        .filter(F.col("LP_Lender_receipts") > 0)
+    )
+
+
 def pl_state_rollup(
     opening: DataFrame,
     repayments: DataFrame,

@@ -166,6 +166,19 @@ def test_incremental_snapshot_equals_full(spark, tables):
     }
     assert pool_inc == pool_t2 and len(pool_t2) > 0
 
+    from extract_transform_load_spark.pipeline.snapshots import (
+        lp_lender_state_incremental,
+        lp_lender_state_snapshot,
+    )
+
+    lend_t1 = lp_lender_state_snapshot(*lp_args, t1)
+    lend_t2 = {tuple(r) for r in lp_lender_state_snapshot(*lp_args, t2).collect()}
+    lend_inc = {
+        tuple(r)
+        for r in lp_lender_state_incremental(lend_t1, *lp_args, t1, t2).collect()
+    }
+    assert lend_inc == lend_t2 and len(lend_t2) > 0
+
 
 def test_gold_incremental_refresh_matches_full(spark, tables, tmp_path):
     """A gold LS_State table rolled forward incrementally (prev snapshot

@@ -283,3 +283,27 @@ def test_pnl_short_position(spark, bronze, prices):
     # Short: debt = loan_stable(1e7) × lpn price 2 = 2e7
     # pnl = proceeds 1.6e6 − 2e7 − dp 5e5 + fee 0 = −18.9e6
     assert out[0]["LS_pnl"] == Decimal("-18900000")
+
+
+def test_observe_counts_single_pass_metrics(spark):
+    """observe() rides the action's own scan: the observation reports
+    exact row/flag counts after the write action with no extra query."""
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.pipeline.monitor import observe_counts
+
+    df = spark.createDataFrame(
+        [(i, "wasm-ls-open" if i % 3 else None) for i in range(30)],
+        "id long, event_type string",
+    )
+    instrumented, obs = observe_counts(
+        df,
+        {
+            "skipped": F.col("event_type").isNull(),
+            "parsed": F.col("event_type").isNotNull(),
+        },
+        name="ingest",
+    )
+    assert instrumented.count() == 30  # the action that carries the metrics
+    got = obs.get
+    assert got == {"rows": 30, "skipped": 10, "parsed": 20}

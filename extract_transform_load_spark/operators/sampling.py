@@ -70,3 +70,45 @@ def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFra
         raise ValueError("fraction must be in (0, 1]")
     cut = round(fraction * 256)
     return df.filter(hash_bucket(F.col(id_col), 256) < cut)
+
+
+def shuffled(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic global shuffle: order by md5(id).
+
+    Training-data export wants rows decorrelated from ingest order
+    (time, source, crawl host). ``orderBy(rand())`` is neither stable
+    nor resumable; hashing the key gives the same pseudo-random
+    permutation on every run — a re-export after a failure produces
+    byte-identical shards. One range-partitioned sort, the same cost
+    Spark pays for any global orderBy.
+    """
+    return (
+        df.withColumn("__shuffle_key", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__shuffle_key")
+        .drop("__shuffle_key")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    rows_per_shard: int = 100_000,
+    fmt: str = "json",
+    mode: str = "overwrite",
+) -> None:
+    """Export deterministically-shuffled, size-bounded training shards.
+
+    ``maxRecordsPerFile`` caps shard size inside the writer (no extra
+    repartition pass); combined with :func:`shuffled`, shard N is the
+    same rows on every run — loaders can resume mid-epoch by shard
+    index. ``fmt`` is json (JSONL, the common text-pipeline interchange)
+    or parquet.
+    """
+    (
+        shuffled(df, id_col)
+        .write.option("maxRecordsPerFile", rows_per_shard)
+        .mode(mode)
+        .format(fmt)
+        .save(path)
+    )

@@ -506,3 +506,38 @@ def test_asof_tolerance_nulls_stale_matches(spark, prices):
         ).collect()
     }
     assert no_tol[("A", "2024-01-01 03:30:00")] == 12.0
+
+
+def test_training_shards_deterministic_and_bounded(spark, tmp_path):
+    """Shards are size-capped JSONL and byte-deterministic across runs
+    (resumable export); the shuffle decorrelates ingest order."""
+    import hashlib
+    import os
+
+    from extract_transform_load_spark.operators.sampling import (
+        shuffled,
+        write_training_shards,
+    )
+
+    df = spark.range(1000).selectExpr("id", "concat('doc ', id) AS text")
+
+    def digest(path):
+        # filenames carry the write-job UUID; shard ORDER + contents are
+        # the deterministic part
+        return [
+            hashlib.sha256(open(os.path.join(path, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(path))
+            if f.endswith(".json")
+        ]
+
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(df.coalesce(1), p1, "id", rows_per_shard=300)
+    write_training_shards(df.coalesce(1), p2, "id", rows_per_shard=300)
+    d1, d2 = digest(p1), digest(p2)
+    assert d1 == d2 and len(d1) >= 4  # 1000 rows / 300 cap -> >= 4 shards
+
+    rows = spark.read.json(p1).count()
+    assert rows == 1000
+    # decorrelated: the hash order is not the ingest order
+    first = [r["id"] for r in shuffled(df, "id").limit(10).collect()]
+    assert first != sorted(first)

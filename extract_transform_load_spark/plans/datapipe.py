@@ -542,6 +542,26 @@ def q63_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_quantized(corpus_q, queries_q, k=10)
 
 
+@query(
+    "q66_pq_topk",
+    oracle=None,  # k-means codebooks + ADC are not SQL-expressible;
+    # recall >= 0.8 vs exact cosine asserted in tests/test_datapipe.py
+    doc="Product-quantized ANN top-10 (m=16 subspaces x 32 codes -> "
+    "16-byte codes, 16x store compression) with ADC shortlist + exact "
+    "rerank of ~50 candidates per query (FAISS refine pattern; "
+    "operators/pq.py). The bulk scan reads codes only — at 100 TB "
+    "compose with IVF cells for the standard IVF-PQ index.",
+)
+def q66_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, dim=EMBED_DIM, k=10, m=16, n_codes=32, refine_factor=5)
+
+
 def _docs_as_media(docs: DataFrame) -> DataFrame:
     """Cast the documents table as a media table (payload = UTF-8 bytes).
 

@@ -44,6 +44,7 @@ HEADLINE = [
     "q62_approx_percentiles",
     "q63_quantized_topk",
     "q64_hash_split",
+    "q66_pq_topk",
 ]
 
 

@@ -220,3 +220,114 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 16,
+    n_codes: int = 32,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    refine_factor: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ: coarse cells prune the scan, PQ codes shrink it, exact
+    rerank restores precision — the standard FAISS IVFPQ + refine stack.
+
+    Per query only the ``n_probe`` nearest cells' codes are ADC-scored
+    (the others are masked out; at 100 TB the cell id is the physical
+    partition key so they are never read at all), the shortlist's float
+    vectors are point-read for exact re-scoring. Cells and codebooks
+    both train deterministically. This variant encodes raw vectors, not
+    residuals — one codebook serves every cell, which keeps encode
+    cell-independent (re-clustering never re-encodes) at a small recall
+    cost vs residual PQ.
+    """
+    from .similarity import _assign_cells, _dot, _norm, train_ivf_centroids
+
+    centroids = train_ivf_centroids(corpus, dim, n_centroids, id_col=id_col, vec_col=vec_col)
+    norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    codebooks = train_pq_codebooks(corpus, dim, m, n_codes, id_col=id_col, vec_col=vec_col)
+
+    cells = _assign_cells(
+        corpus.select(F.col(id_col), F.col(vec_col)), centroids, "neighbor_id"
+    )
+    codes = pq_encode(corpus, codebooks, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    ).join(cells, "neighbor_id")
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = _normalized_matrix([r[1] for r in q_rows])
+    d_sub = dim // m
+    luts = np.einsum("qsd,skd->qsk", q_mat.reshape(len(q_ids), m, d_sub), codebooks)
+    probed = np.argsort(-(q_mat @ norm_c.T), axis=1)[:, :n_probe]  # (Q, n_probe)
+
+    shortlist_k = k * refine_factor
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sub_idx = np.arange(m)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"query_id": [], "neighbor_id": [], "adc": []})
+                continue
+            code_mat = np.asarray(
+                [np.asarray(c, dtype=np.int64) for c in pdf["pq_code"]]
+            )
+            cell_arr = pdf["cell"].to_numpy()
+            ids_arr = pdf["neighbor_id"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(q_ids):
+                mask = np.isin(cell_arr, probed[qi])
+                if not mask.any():
+                    continue
+                sims = luts[qi][sub_idx[None, :], code_mat[mask]].sum(axis=1)
+                top = np.argsort(-sims)[: shortlist_k + 1]
+                out_q.extend([qid] * len(top))
+                out_n.extend(ids_arr[mask][top])
+                out_s.extend(sims[top])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "adc": out_s})
+
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        codes.mapInPandas(score, schema="query_id long, neighbor_id long, adc double")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__r", F.row_number().over(w_short))
+        .filter(F.col("__r") <= shortlist_k)
+        .select("query_id", "neighbor_id")
+    )
+    cand = (
+        shortlist.join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("__qvec"), F.col("__cvec"))
+                / (_norm(F.col("__qvec")) * _norm(F.col("__cvec")))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -562,6 +562,26 @@ def q66_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries, dim=EMBED_DIM, k=10, m=16, n_codes=32, refine_factor=5)
 
 
+@query(
+    "q67_ivfpq_topk",
+    oracle=None,  # k-means + ADC are not SQL-expressible;
+    # recall >= 0.75 vs exact cosine asserted in tests/test_datapipe.py
+    doc="IVF-PQ ANN top-10: 16 coarse cells prune the scan (n_probe=8; "
+    "the cell id is the physical partition key at scale), 16-byte PQ "
+    "codes shrink what's scanned, exact rerank of the ADC shortlist "
+    "restores precision — the standard FAISS IVFPQ+refine stack "
+    "(operators/pq.py::ivfpq_topk).",
+)
+def q67_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(emb, queries, dim=EMBED_DIM, k=10)
+
+
 def _docs_as_media(docs: DataFrame) -> DataFrame:
     """Cast the documents table as a media table (payload = UTF-8 bytes).
 

@@ -112,3 +112,37 @@ def write_training_shards(
         .format(fmt)
         .save(path)
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    id_col: str,
+    n_per_stratum: int,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic N-per-stratum sample: smallest md5(id) wins.
+
+    Balanced corpora (N docs per language, per source, per quality
+    bucket) need a sample that is reproducible AND corpus-growth-stable
+    per stratum — ``sampleBy`` is neither, and fractions can't promise
+    exact counts. Ranking by the md5-hex of the key inside each stratum
+    is a pseudo-random but stable total order (engine-portable
+    lexicographic ordering, see q58's hash-ordering note), so the
+    selected set only changes when a new doc hashes below the current
+    cut.
+
+    Scale: one shuffle on the strata key. ``row_number`` must see each
+    stratum whole, but Spark's window TopK pushes a per-partition
+    rank-limit below the exchange (WindowGroupLimit), so the shuffle
+    carries ~n_per_stratum rows per input partition per stratum, not
+    the full table — the same physical shape as any top-k-per-group.
+    """
+    from pyspark.sql import Window
+
+    key = F.col(id_col)
+    w = Window.partitionBy(*strata_cols).orderBy(F.md5(key.cast("string")), key)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n_per_stratum)
+    )

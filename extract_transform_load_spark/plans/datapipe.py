@@ -711,3 +711,100 @@ def q58_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get("fps", 0).alias("first_fp"),
         F.get("fps", F.size("fps") - 1).alias("last_fp"),
     )
+
+
+@query(
+    "q68_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, CAST(rk AS INT) AS sample_rank
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    WHERE rk <= 40
+    """,
+    doc="Deterministic 40-docs-per-language balanced sample "
+    "(operators/sampling.py::stratified_sample): rank by md5(doc_id) "
+    "inside each stratum — reproducible, growth-stable, exact counts, "
+    "unlike sampleBy. One shuffle on the stratum key; WindowGroupLimit "
+    "prunes to ~N rows per input partition before the exchange.",
+)
+def q68_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(d, ["lang"], "doc_id", 40)
+
+
+@query(
+    "q69_decontamination",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN b < 205 THEN 'train' WHEN b < 231 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT *,
+               CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS INT) AS b
+        FROM documents
+      )
+    ),
+    toks AS (SELECT doc_id, lang, split, string_split(text, ' ') AS w FROM s),
+    g AS (
+      SELECT doc_id, split, array_to_string(w[i:i+7], ' ') AS gram
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) t
+    ),
+    tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+    cont AS (SELECT DISTINCT g.doc_id FROM g JOIN tr USING (gram) WHERE g.split = 'test')
+    SELECT s.lang,
+           COUNT(*) AS n_test_docs,
+           SUM(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           CAST(SUM(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS contamination_rate
+    FROM s LEFT JOIN cont ON s.doc_id = cont.doc_id
+    WHERE s.split = 'test'
+    GROUP BY s.lang
+    """,
+    doc="Train/test decontamination report: a test doc is contaminated "
+    "if any of its word-8-grams appears in any train doc (the standard "
+    "benchmark-overlap check, self-applied to q64's deterministic "
+    "split). Physical shape at 100 TB: explode grams scan-side, "
+    "distinct the train grams (one shuffle), LEFT SEMI join the test "
+    "grams against them (hash join on the gram), distinct doc_ids, "
+    "then a broadcast-back to the per-lang rollup. The gram explosion "
+    "is linear in corpus tokens and never materialized.",
+)
+def q69_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_split
+    from ..operators.textops import word_shingles
+
+    d = hash_split(
+        load(spark, sf_dir, "documents").select("doc_id", "lang", "text"), "doc_id"
+    )
+    grams = d.select(
+        "doc_id", "split", F.explode(word_shingles(F.col("text"), k=8)).alias("gram")
+    )
+    train_grams = grams.filter(F.col("split") == "train").select("gram").distinct()
+    contaminated = (
+        grams.filter(F.col("split") == "test")
+        .join(train_grams, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(1))
+    )
+    test = d.filter(F.col("split") == "test").select("doc_id", "lang")
+    return (
+        test.join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_docs"),
+            F.sum(F.coalesce(F.col("is_cont"), F.lit(0))).alias("n_contaminated"),
+            (
+                F.sum(F.coalesce(F.col("is_cont"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("contamination_rate"),
+        )
+    )

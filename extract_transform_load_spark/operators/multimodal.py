@@ -179,3 +179,73 @@ def resize_images(
         .select("media_id", "payload")
         .mapInPandas(compute, "media_id long, width int, height int, thumb binary")
     )
+
+
+def accelerator_batches(
+    media: DataFrame,
+    max_rows: int = 32,
+    max_bytes: int = 1 << 20,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Pack payloads into GPU-transfer-shaped batches: one output row per
+    batch, carrying a contiguous buffer + an offset manifest.
+
+    Batched GPU decoders (nvJPEG/DALI-style) want N payloads in one
+    pinned host buffer per kernel launch, capped by transfer-buffer
+    bytes — not a row-at-a-time iterator. This stage builds exactly that
+    shape engine-side: greedy packing, closing a batch at ``max_rows``
+    OR ``max_bytes`` (an oversized payload gets its own batch). The
+    decode kernel itself is the stub downstream; the packing, caps, and
+    manifest are the real contract.
+
+    Scale/determinism: packing is partition-local (no shuffle beyond the
+    optional repartition) and runs greedily over rows sorted by
+    ``media_id`` within each hash partition, so batch composition is a
+    pure function of (corpus, partitions, caps) — re-runs rebuild
+    byte-identical batches, which makes downstream derived tables
+    (embeddings keyed by batch) reproducible.
+    """
+
+    src = media.select("media_id", "payload")
+    if partitions is not None:
+        src = src.repartition(partitions, "media_id")
+    src = src.sortWithinPartitions("media_id")
+
+    out_schema = (
+        "batch_key long, n_rows int, n_bytes long, "
+        "media_ids array<long>, offsets array<long>, packed binary"
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids: list[int] = []
+        offs: list[int] = []
+        buf = bytearray()
+
+        def flush():
+            row = {
+                "batch_key": ids[0],
+                "n_rows": len(ids),
+                "n_bytes": len(buf),
+                "media_ids": list(ids),
+                "offsets": list(offs),
+                "packed": bytes(buf),
+            }
+            ids.clear()
+            offs.clear()
+            buf.clear()
+            return pd.DataFrame([row])
+
+        for pdf in batches:
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                if ids and (
+                    len(ids) >= max_rows or len(buf) + len(data) > max_bytes
+                ):
+                    yield flush()
+                ids.append(int(mid))
+                offs.append(len(buf))
+                buf.extend(data)
+        if ids:
+            yield flush()
+
+    return src.mapInPandas(pack, out_schema)

@@ -215,3 +215,50 @@ def test_streaming_merge_sink_upserts_across_microbatches(spark, tmp_path):
         3: (2, "three", 1),
         4: (2, "four", 2),
     }
+
+
+def test_accelerator_batches_pack_exactly_and_respect_caps(spark):
+    from extract_transform_load_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        accelerator_batches,
+    )
+
+    payloads = {i: bytes([i % 251]) * (50 + 37 * i % 400) for i in range(1, 41)}
+    rows = [(i, "image", p, "image/png", f"s3://x/{i}") for i, p in payloads.items()]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    batches = accelerator_batches(df, max_rows=8, max_bytes=1200, partitions=4).collect()
+
+    seen = {}
+    for b in batches:
+        assert b["n_rows"] <= 8
+        assert b["n_rows"] == len(b["media_ids"]) == len(b["offsets"])
+        assert b["n_bytes"] == len(b["packed"])
+        # oversized-single-payload is the only way past the byte cap
+        assert b["n_bytes"] <= 1200 or b["n_rows"] == 1
+        ends = list(b["offsets"][1:]) + [b["n_bytes"]]
+        for mid, off, end in zip(b["media_ids"], b["offsets"], ends):
+            seen[mid] = bytes(b["packed"][off:end])
+    # every payload packed exactly once, byte-identical
+    assert seen == payloads
+
+
+def test_accelerator_batches_deterministic_across_runs(spark):
+    from extract_transform_load_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        accelerator_batches,
+    )
+
+    rows = [
+        (i, "image", bytes([i]) * (20 + i), "image/png", f"s3://x/{i}")
+        for i in range(1, 30)
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def snapshot():
+        return sorted(
+            (b["batch_key"], tuple(b["media_ids"]), bytes(b["packed"]))
+            for b in accelerator_batches(df, max_rows=5, max_bytes=500, partitions=3).collect()
+        )
+
+    assert snapshot() == snapshot()

@@ -431,3 +431,114 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta-vs-corpus) dedup — the production shape at 100 TB
+# ---------------------------------------------------------------------------
+
+
+def _band_table(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, signature, band, band_hash) — the LSH bucket key stream.
+
+    Same banding as ``minhash_lsh_pairs``; factored for delta joins so a
+    stored corpus band table and a fresh delta batch band identically.
+    """
+    r = num_hashes // bands
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    return sigs.select("doc_id", "signature", band_idx).select(
+        "doc_id",
+        "signature",
+        "band",
+        F.xxhash64(F.col("band"), F.slice("signature", F.col("band") * r + 1, r)).alias(
+            "band_hash"
+        ),
+    )
+
+
+def dedup_delta_exact(
+    delta: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admit only delta docs whose content fingerprint is new.
+
+    A daily batch must not re-dedup the whole corpus: the state that
+    matters is just the fingerprint set (one md5 per unique doc — a few
+    TB of keys for a 100 TB corpus, not the corpus). Within the delta
+    the smallest id per fingerprint wins (same first-writer-wins rule as
+    ``exact_duplicates``); against history, anything already in
+    ``seen_fingerprints`` is rejected. Returns the admitted rows with
+    their ``fingerprint`` — append it to the store and the operator is
+    its own state maintenance.
+
+    Scale: one window shuffle over the delta (small) + one anti-join
+    against the store on the fingerprint. Bucket the store by
+    fingerprint (`sources/layout.py`) and the anti-join co-locates
+    without reshuffling the store side.
+    """
+    from pyspark.sql import Window
+
+    d = delta.withColumn("fingerprint", fingerprint(F.col(text_col)))
+    w = Window.partitionBy("fingerprint")
+    in_batch = d.withColumn("__keep", F.col(id_col) == F.min(id_col).over(w)).filter(
+        F.col("__keep")
+    ).drop("__keep")
+    return in_batch.join(
+        seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
+    )
+
+
+def minhash_delta_pairs(
+    delta: DataFrame,
+    corpus_sigs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs between a fresh delta and the stored corpus.
+
+    ``corpus_sigs`` is the persisted (doc_id, signature) table that
+    ``minhash_signatures`` produced when each historical batch was
+    admitted — the corpus TEXT is never touched again. The delta batch
+    computes its own signatures, bands identically, and joins its band
+    keys against the corpus band table: candidate generation cost is
+    (delta size × collision rate), independent of corpus size. Output:
+    (delta_doc, corpus_doc, est_jaccard >= threshold).
+
+    Equivalence: restricted to cross pairs, this returns exactly what a
+    full-corpus ``minhash_lsh_pairs`` re-run would (same hash family,
+    same bands, same scoring) — tested in tests/test_datapipe.py.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    delta_band = _band_table(
+        minhash_signatures(delta, num_hashes, k, text_col, id_col), num_hashes, bands
+    )
+    corpus_band = _band_table(corpus_sigs, num_hashes, bands)
+
+    a, b = delta_band.alias("a"), corpus_band.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("delta_doc"),
+            F.col("b.doc_id").alias("corpus_doc"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["delta_doc", "corpus_doc"])
+    )
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return (
+        cand.withColumn("est_jaccard", agree.cast("double") / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("delta_doc", "corpus_doc", "est_jaccard")
+    )

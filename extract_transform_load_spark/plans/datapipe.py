@@ -832,3 +832,86 @@ def q70_residual_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivfpq_topk(emb, queries, dim=EMBED_DIM, k=10, residual=True)
+
+
+@query(
+    "q71_repetition_stats",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+    ),
+    c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_bigram_frac,
+           CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+             / SUM(cnt) AS dup_bigram_frac
+    FROM c GROUP BY 1
+    """,
+    doc="Gopher-style repetition quality signals per doc: the mass of "
+    "the most frequent word bigram and of all repeated bigrams, as "
+    "fractions of total bigram occurrences — the filter that catches "
+    "boilerplate/spam documents TTR (q46) misses. Two shuffles: "
+    "(doc, gram) count then per-doc rollup; the gram explosion stays "
+    "pipeline-local between them. Word-level because the corpus is "
+    "single-space word soup (no line structure to hash).",
+)
+def q71_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), k=2)).alias("gram")
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_bigram_frac"),
+        (
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum("cnt")
+        ).alias("dup_bigram_frac"),
+    )
+
+
+@query(
+    "q72_dedup_delta",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint
+      FROM documents
+    ),
+    corpus AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 400),
+    delta AS (
+      SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep
+      FROM fp WHERE doc_id >= 400
+    )
+    SELECT d.doc_id, d.lang, d.fingerprint
+    FROM delta d LEFT JOIN corpus c ON d.fingerprint = c.fingerprint
+    WHERE d.keep AND c.fingerprint IS NULL
+    """,
+    doc="Incremental exact dedup (operators/dedup.py::dedup_delta_exact): "
+    "admit a delta batch (doc_id >= 400) against the historical corpus "
+    "(doc_id < 400) using only the corpus FINGERPRINT store — the "
+    "production shape where a daily batch never re-scans 100 TB of "
+    "history. In-delta first-writer-wins window + one anti-join on the "
+    "fingerprint; bucket the store by fingerprint and the store side "
+    "never reshuffles.",
+)
+def q72_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_delta_exact
+    from ..operators.textops import fingerprint as fp_col
+
+    docs = load(spark, sf_dir, "documents")
+    corpus_fps = (
+        docs.filter(F.col("doc_id") < 400)
+        .select(fp_col(F.col("text")).alias("fingerprint"))
+        .distinct()
+    )
+    delta = docs.filter(F.col("doc_id") >= 400)
+    return dedup_delta_exact(delta, corpus_fps).select("doc_id", "lang", "fingerprint")

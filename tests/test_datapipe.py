@@ -403,3 +403,32 @@ def test_residual_codes_reconstruct_better_than_raw(spark):
     raw_err = decode_err(mat, raw_books)
     res_err = decode_err(mat - norm_c[cells], res_books)
     assert res_err < raw_err, (res_err, raw_err)
+
+
+def test_minhash_delta_pairs_match_full_rerun(docs):
+    """Delta-vs-corpus LSH returns exactly the cross pairs a full-corpus
+    re-run would find — the stored signature table loses nothing."""
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.operators.dedup import (
+        minhash_delta_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    split_at = 400
+    corpus = docs.filter(F.col("doc_id") < split_at)
+    delta = docs.filter(F.col("doc_id") >= split_at)
+
+    corpus_sigs = minhash_signatures(corpus)
+    got = {
+        frozenset((r["delta_doc"], r["corpus_doc"]))
+        for r in minhash_delta_pairs(delta, corpus_sigs).collect()
+    }
+    full_cross = {
+        frozenset((r["doc_a"], r["doc_b"]))
+        for r in minhash_lsh_pairs(docs).collect()
+        if (r["doc_a"] < split_at) != (r["doc_b"] < split_at)
+    }
+    assert got == full_cross
+    assert got  # the synthetic corpus has cross near-dups; empty = broken

@@ -915,3 +915,78 @@ def q72_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     delta = docs.filter(F.col("doc_id") >= 400)
     return dedup_delta_exact(delta, corpus_fps).select("doc_id", "lang", "fingerprint")
+
+
+@query(
+    "q73_bm25_ranking",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl, string_split(text, ' ') AS w
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM toks),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+      FROM (SELECT doc_id, dl, unnest(w) AS term FROM toks)
+      WHERE term IN ('spark', 'join', 'window')
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                        / (CAST(df.df AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(tf.dl AS DOUBLE) / avgdl))))
+             AS DECIMAL(38, 12)) AS term_score
+      FROM tf JOIN df USING (term) CROSS JOIN stats
+    )
+    SELECT doc_id, SUM(term_score) AS bm25
+    FROM scored GROUP BY 1
+    """,
+    doc="BM25 lexical ranking for the query {spark, join, window} "
+    "(k1=1.2, b=0.75): tf from one explode+groupBy, df and the "
+    "(N, avgdl) scalars broadcast back — the standard retrieval scorer "
+    "a mixed lexical/embedding curation pipeline needs next to q44's "
+    "dense scores. Engine-parity notes: the per-term double score is "
+    "cast to DECIMAL(38,12) BEFORE the per-doc SUM (float addition "
+    "order is partition-dependent; decimal addition is exact; scale 12 "
+    "because Spark casts via the shortest 17-digit repr while DuckDB "
+    "expands the full binary value — scale 18 cannot agree), and the "
+    "score expression is written in the identical operation order on "
+    "both sides so every IEEE op rounds identically.",
+)
+def q73_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = ["spark", "join", "window"]
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(words(F.col("text"))).alias("dl"), words(F.col("text")).alias("w")
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", "dl", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * tf_norm).cast("decimal(38,12)").alias("term_score"))
+    )
+    return scored.groupBy("doc_id").agg(F.sum("term_score").alias("bm25"))

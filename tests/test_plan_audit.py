@@ -133,3 +133,29 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_q68_stratified_sample_windowgrouplimit(spark, sf_dir):
+    # the rank-limit must sit BELOW the exchange (Partial) so the
+    # shuffle carries ~N rows per stratum per input partition
+    plan = plan_of(spark, sf_dir, "q68_stratified_sample")
+    assert "WindowGroupLimit" in plan
+    partial = plan.split("Exchange")[-1]  # below the (only) exchange
+    assert "WindowGroupLimit" in partial and "Partial" in partial
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read  # only doc_id + lang leave the scan
+
+
+def test_q69_decontamination_semi_join_no_text_in_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q69_decontamination")
+    assert "LeftSemi" in plan  # train-gram membership is a semi join
+    assert "CartesianProduct" not in plan
+
+
+def test_q72_dedup_delta_pushdown_and_anti_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q72_dedup_delta")
+    # the delta/corpus split predicates reach both parquet scans
+    flat = plan.replace(" ", "")
+    assert "GreaterThanOrEqual(doc_id,400)" in flat
+    assert "LessThan(doc_id,400)" in flat
+    assert "LeftAnti" in plan  # store rejection is an anti join

@@ -146,3 +146,104 @@ def stratified_sample(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= n_per_stratum)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column,
+    n: int,
+    key_col: str = "es_key",
+) -> DataFrame:
+    """Deterministic weighted sample without replacement (top-n).
+
+    Efraimidis–Spirakis A-Res: each row gets key u^(1/w) with u uniform
+    in (0,1); the n largest keys are a weighted sample without
+    replacement. Here u derives from md5(id) (first 12 hex nibbles →
+    48-bit uniform), so the draw is a pure function of the key set —
+    reproducible, growth-stable in distribution, no RNG state. Upsample
+    long/high-quality docs by passing their weight; w must be > 0.
+
+    Scale: scan-local key computation + one top-n (global sort prunes
+    to n per partition via TakeOrdered). Keys are well-separated random
+    uniforms, so double rounding can't flip the order in practice.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 48))
+    key = F.pow(u, F.lit(1.0) / weight_col.cast("double"))
+    return (
+        df.withColumn(key_col, key)
+        .orderBy(F.col(key_col).desc(), F.col(id_col))
+        .limit(n)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Greedy token-budget sequence packing for training export.
+
+    LLM training wants fixed-budget sequences with minimal padding, so
+    short documents are concatenated until the next doc would overflow
+    ``budget`` tokens (an oversized single doc gets its own pack —
+    truncation policy belongs downstream). Packing runs partition-local
+    over rows sorted by md5(id) within hash partitions: no shuffle
+    beyond the optional repartition, deterministic pack composition
+    run-to-run — the property that makes shard-resumable training
+    (see ``write_training_shards``) hold after packing too.
+
+    Output: one row per pack — (pack_key = first doc id, n_docs,
+    total_tokens, fill_ratio, doc_ids).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    src = df.select(F.col(id_col), F.col(token_col))
+    if partitions is not None:
+        src = src.repartition(partitions, id_col)
+    src = src.withColumn("__ord", F.md5(F.col(id_col).cast("string"))).sortWithinPartitions(
+        "__ord"
+    )
+
+    out_schema = (
+        "pack_key long, n_docs int, total_tokens long, "
+        "fill_ratio double, doc_ids array<long>"
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids: list[int] = []
+        total = 0
+
+        def flush():
+            nonlocal total
+            row = {
+                "pack_key": ids[0],
+                "n_docs": len(ids),
+                "total_tokens": total,
+                "fill_ratio": min(total / budget, 1.0),
+                "doc_ids": list(ids),
+            }
+            ids.clear()
+            total = 0
+            return pd.DataFrame([row])
+
+        for pdf in batches:
+            for did, toks in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                t = int(toks)
+                if ids and total + t > budget:
+                    yield flush()
+                ids.append(int(did))
+                total += t
+        if ids:
+            yield flush()
+
+    return src.select(id_col, token_col).mapInPandas(pack, out_schema)

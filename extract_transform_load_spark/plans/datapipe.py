@@ -990,3 +990,58 @@ def q73_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (idf * tf_norm).cast("decimal(38,12)").alias("term_score"))
     )
     return scored.groupBy("doc_id").agg(F.sum("term_score").alias("bm25"))
+
+
+@query(
+    "q74_weighted_sample",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_words,
+             pow(
+               (CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                     AS DOUBLE) + 0.5) / 281474976710656.0,
+               1.0 / CAST(len(string_split(text, ' ')) AS DOUBLE)
+             ) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words
+    FROM k ORDER BY es_key DESC, doc_id LIMIT 60
+    """,
+    doc="Deterministic weighted sample without replacement "
+    "(operators/sampling.py::weighted_sample — Efraimidis-Spirakis "
+    "A-Res with md5-derived uniforms, weight = document length): the "
+    "length-upweighted draw a token-budget-aware curation pass makes. "
+    "No RNG state, reproducible run-to-run; scan-local keys + one "
+    "TakeOrdered top-n (n per partition, no full sort). The pow key "
+    "is excluded from the output so the oracle compares the SELECTED "
+    "SET, immune to last-ulp pow differences.",
+)
+def q74_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(words(F.col("text"))).cast("bigint").alias("n_words")
+    )
+    return weighted_sample(d, "doc_id", F.col("n_words"), 60).select(
+        "doc_id", "lang", "n_words"
+    )
+
+
+@query(
+    "q75_sequence_packing",
+    oracle=None,  # greedy stateful packing is not SQL-expressible; properties tested
+    doc="Token-budget sequence packing (sampling.pack_sequences): "
+    "concatenate hash-ordered documents into 1024-token training "
+    "sequences, one output row per pack with fill ratio. "
+    "Partition-local greedy fill — no shuffle, deterministic pack "
+    "composition. Properties (exact doc coverage, budget cap, "
+    "determinism, fill efficiency) are pinned in tests/test_datapipe.py.",
+)
+def q75_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import pack_sequences
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(d, "doc_id", "n_tokens", budget=1024, partitions=8)

@@ -432,3 +432,35 @@ def test_minhash_delta_pairs_match_full_rerun(docs):
     }
     assert got == full_cross
     assert got  # the synthetic corpus has cross near-dups; empty = broken
+
+
+def test_pack_sequences_coverage_budget_determinism(docs):
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.operators.sampling import pack_sequences
+
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    tokens = {r["doc_id"]: r["n_tokens"] for r in d.collect()}
+    budget = 1024
+
+    def run():
+        return pack_sequences(d, "doc_id", "n_tokens", budget, partitions=4).collect()
+
+    packs = run()
+    seen: list[int] = []
+    for p in packs:
+        assert p["n_docs"] == len(p["doc_ids"])
+        assert p["total_tokens"] == sum(tokens[i] for i in p["doc_ids"])
+        # budget holds unless a single doc overflows it alone
+        assert p["total_tokens"] <= budget or p["n_docs"] == 1
+        seen.extend(p["doc_ids"])
+    assert sorted(seen) == sorted(tokens)  # every doc packed exactly once
+
+    fill = sum(p["total_tokens"] for p in packs) / (len(packs) * budget)
+    assert fill >= 0.6, fill  # greedy fill is actually efficient here
+
+    a = sorted((p["pack_key"], tuple(p["doc_ids"])) for p in packs)
+    b = sorted((p["pack_key"], tuple(p["doc_ids"])) for p in run())
+    assert a == b  # deterministic composition

@@ -247,3 +247,14 @@ def pack_sequences(
             yield flush()
 
     return src.select(id_col, token_col).mapInPandas(pack, out_schema)
+
+
+def read_training_shards(spark, path: str, schema, fmt: str = "json") -> DataFrame:
+    """Read back a ``write_training_shards`` export with an explicit
+    schema — never inference: at shard-store scale a schema-inference
+    pass is a full extra read, and silent type widening (long→double on
+    a single stray value) would poison a training run. The loader's
+    contract is the round trip: read(write(df)) row-equals df, tested.
+    """
+    reader = spark.read.schema(schema)
+    return reader.json(path) if fmt == "json" else reader.parquet(path)

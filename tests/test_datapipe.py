@@ -464,3 +464,28 @@ def test_pack_sequences_coverage_budget_determinism(docs):
     a = sorted((p["pack_key"], tuple(p["doc_ids"])) for p in packs)
     b = sorted((p["pack_key"], tuple(p["doc_ids"])) for p in run())
     assert a == b  # deterministic composition
+
+
+def test_training_shard_roundtrip(docs, tmp_path):
+    """write_training_shards → read_training_shards is lossless and the
+    shard files respect the row cap."""
+    import glob
+
+    from extract_transform_load_spark.operators.sampling import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    spark = docs.sparkSession
+    out = str(tmp_path / "shards")
+    sel = docs.select("doc_id", "lang", "text")
+    write_training_shards(sel, out, "doc_id", rows_per_shard=120)
+
+    back = read_training_shards(spark, out, sel.schema)
+    assert sorted(r["doc_id"] for r in back.collect()) == sorted(
+        r["doc_id"] for r in sel.collect()
+    )
+    assert back.schema == sel.schema
+    for f in glob.glob(out + "/part-*"):
+        with open(f) as fh:
+            assert sum(1 for _ in fh) <= 120

@@ -159,3 +159,19 @@ def test_q72_dedup_delta_pushdown_and_anti_join(spark, sf_dir):
     assert "GreaterThanOrEqual(doc_id,400)" in flat
     assert "LessThan(doc_id,400)" in flat
     assert "LeftAnti" in plan  # store rejection is an anti join
+
+
+def test_q73_bm25_broadcasts_stats(spark, sf_dir):
+    # df + (N, avgdl) scalars must broadcast; the tf stream must not
+    # sort-merge against them
+    plan = plan_of(spark, sf_dir, "q73_bm25_ranking")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q74_weighted_sample_takeordered(spark, sf_dir):
+    # top-n must be TakeOrdered (n per partition), never a global sort
+    plan = plan_of(spark, sf_dir, "q74_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -1045,3 +1045,55 @@ def q75_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(words(F.col("text"))).cast("long").alias("n_tokens")
     )
     return pack_sequences(d, "doc_id", "n_tokens", budget=1024, partitions=8)
+
+
+@query(
+    "q76_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    vocab AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    total AS (SELECT SUM(cnt) AS n_tokens FROM vocab),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(tf.tf AS BIGINT) AS tf,
+             CAST(CAST(tf.tf AS DOUBLE)
+                  * ln(CAST(cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+               AS DECIMAL(38, 12)) AS term_lp
+      FROM tf JOIN vocab USING (term) CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_words,
+           CAST(CAST(SUM(term_lp) AS DOUBLE) / SUM(tf) AS DOUBLE) AS avg_logprob
+    FROM scored GROUP BY 1
+    """,
+    doc="Unigram log-probability quality score per doc (the KenLM-style "
+    "perplexity-filter stand-in): avg over tokens of ln(corpus unigram "
+    "probability) — gibberish and off-distribution docs score low. Two "
+    "token-stream shuffles (vocab counts, per-doc tf) + a vocab hash "
+    "join; the n_tokens scalar broadcasts. Per-term logprobs go "
+    "DECIMAL(38,12) before the per-doc sum (partition-order-free), the "
+    "final average divides in double from the exact sum.",
+)
+def q76_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_tokens"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    term_lp = (
+        F.col("tf").cast("double")
+        * F.log(F.col("cnt").cast("double") / F.col("n_tokens").cast("double"))
+    ).cast("decimal(38,12)")
+    scored = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.col("tf").cast("bigint").alias("tf"), term_lp.alias("term_lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_words"),
+        (F.sum("term_lp").cast("double") / F.sum("tf")).cast("double").alias("avg_logprob"),
+    )

@@ -1097,3 +1097,78 @@ def q76_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").cast("bigint").alias("n_words"),
         (F.sum("term_lp").cast("double") / F.sum("tf")).cast("double").alias("avg_logprob"),
     )
+
+
+@query(
+    "q77_leakage_safe_split",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang, fingerprint,
+             CAST(((strpos('0123456789abcdef', substr(md5(fingerprint), 1, 1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(md5(fingerprint), 2, 1)) - 1) AS INT) AS bucket
+      FROM fp
+    )
+    SELECT doc_id, lang, fingerprint,
+           CASE WHEN bucket < 205 THEN 'train'
+                WHEN bucket < 231 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    doc="Leakage-safe deterministic split: the split keys on the CONTENT "
+    "fingerprint, not the doc id, so exact duplicates always land in "
+    "the same split — id-keyed splits (q64) leak every duplicated doc "
+    "across train/test. Still a pure scan-local expression: no "
+    "shuffle, no dedup pass required first. (Near-dup leakage needs "
+    "cluster-keyed splits — compose q61's components with this.)",
+)
+def q77_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_split
+    from ..operators.textops import fingerprint as fp_col
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", fp_col(F.col("text")).alias("fingerprint")
+    )
+    return hash_split(d, "fingerprint")
+
+
+@query(
+    "q78_chunking",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, text, n, unnest(generate_series(0, CAST(greatest(n - 1, 0) AS BIGINT), 96)) AS start
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(start / 96 AS INT) AS chunk_idx,
+           CAST(start AS BIGINT) AS char_start,
+           substr(text, CAST(start AS INT) + 1, 128) AS chunk
+    FROM idx
+    """,
+    doc="Sliding-window document chunking for embedding pipelines: "
+    "128-char windows with 32-char overlap (stride 96), each chunk "
+    "carrying its (doc_id, chunk_idx, char_start) provenance — the "
+    "unit an embedding or retrieval index consumes. Scan-local "
+    "explode, no shuffle; chunk count is linear in corpus chars and "
+    "never materialized outside the pipeline.",
+)
+def q78_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    size, stride = 128, 96
+    d = load(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length("text") - 1, F.lit(0)), F.lit(stride)
+    )
+    ex = d.select("doc_id", "text", F.explode(starts).alias("start"))
+    return ex.select(
+        "doc_id",
+        (F.col("start") / stride).cast("int").alias("chunk_idx"),
+        F.col("start").cast("bigint").alias("char_start"),
+        F.substring(F.col("text"), F.col("start") + 1, size).alias("chunk"),
+    )

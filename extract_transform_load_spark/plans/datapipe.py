@@ -1172,3 +1172,74 @@ def q78_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start").cast("bigint").alias("char_start"),
         F.substring(F.col("text"), F.col("start") + 1, size).alias("chunk"),
     )
+
+
+@query(
+    "q79_cluster_safe_split",
+    oracle="""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    ),
+    clusters AS (SELECT u AS doc_id, least(u, MIN(v)) AS cluster_id FROM reach GROUP BY u),
+    keyed AS (
+      SELECT d.doc_id, d.lang, COALESCE(c.cluster_id, d.doc_id) AS cluster_key
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, lang, cluster_key,
+           CASE WHEN b < 205 THEN 'train' WHEN b < 231 THEN 'val' ELSE 'test' END AS split
+    FROM (
+      SELECT *,
+             CAST(((strpos('0123456789abcdef', substr(md5(CAST(cluster_key AS VARCHAR)), 1, 1)) - 1) * 16
+                 + strpos('0123456789abcdef', substr(md5(CAST(cluster_key AS VARCHAR)), 2, 1)) - 1) AS INT) AS b
+      FROM keyed
+    )
+    """,
+    doc="Cluster-keyed leakage-safe split: near-duplicate docs share a "
+    "split because the split keys on their connected-component id "
+    "(q61's closure over exact-Jaccard pairs; singletons key on their "
+    "own id) — closing the near-dup train/test leak that q77's "
+    "fingerprint split only closes for exact dups. At 100 TB the "
+    "component pass consumes q42's MinHash pairs; the split itself "
+    "stays a scan-local expression over the cluster key.",
+)
+def q79_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import dedup_clusters
+    from ..operators.sampling import hash_split
+
+    d = load(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        ngram_jaccard_pairs(d, threshold=0.5, k=3)
+    ).select("doc_id", "cluster_id")
+    keyed = (
+        d.select("doc_id", "lang")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_key"),
+        )
+    )
+    return hash_split(keyed, "cluster_key")

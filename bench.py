@@ -46,6 +46,7 @@ HEADLINE = [
     "q64_hash_split",
     "q66_pq_topk",
     "q69_decontamination",
+    "q76_unigram_logprob",
 ]
 
 

@@ -1243,3 +1243,44 @@ def q79_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hash_split(keyed, "cluster_key")
+
+
+@query(
+    "q80_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    c AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    t AS (SELECT SUM(cnt) AS total FROM c)
+    SELECT term, CAST(cnt AS BIGINT) AS cnt
+    FROM c CROSS JOIN t
+    WHERE CAST(cnt AS DOUBLE) / total > 0.01
+    """,
+    doc="Heavy hitters over the token stream (support > 1%): "
+    "`freqItems` (Spark's Misra-Gries-family single-pass sketch, "
+    "guaranteed a SUPERSET of the true heavy items) prunes the "
+    "candidate set, then an exact count verifies each candidate — so "
+    "the output is deterministic and exactly the true heavy hitters "
+    "while the full-vocabulary shuffle is replaced by a semi join on "
+    "a handful of candidates. The 100 TB shape for 'top boilerplate "
+    "tokens/domains' monitors where the exact q55 rollup would "
+    "shuffle the whole vocabulary.",
+)
+def q80_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    support = 0.01
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(words(F.col("text"))).alias("term"))
+    cand = [
+        t
+        for t in toks.freqItems(["term"], support=support).collect()[0][0]
+        if t is not None
+    ]
+    total = toks.count()
+    return (
+        toks.filter(F.col("term").isin(cand))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt").cast("double") / F.lit(float(total)) > support)
+        .select("term", F.col("cnt").cast("bigint").alias("cnt"))
+    )

@@ -175,3 +175,11 @@ def test_q74_weighted_sample_takeordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q74_weighted_sample")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+@pytest.mark.parametrize("name", ["q77_leakage_safe_split", "q78_chunking"])
+def test_scan_local_queries_have_no_exchange(spark, sf_dir, name):
+    # split assignment and chunking are pure scan-side expressions —
+    # any Exchange here is a regression
+    plan = plan_of(spark, sf_dir, name)
+    assert "Exchange" not in plan, name

@@ -1284,3 +1284,42 @@ def q80_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt").cast("double") / F.lit(float(total)) > support)
         .select("term", F.col("cnt").cast("bigint").alias("cnt"))
     )
+
+
+@query(
+    "q81_embedding_centroids",
+    oracle=f"""
+    WITH el AS (
+      SELECT label, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+      FROM embeddings, LATERAL (SELECT unnest(range(1, {EMBED_DIM + 1})) AS i) t
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(micro) AS DOUBLE) / COUNT(*) / 1000000.0 AS DOUBLE) AS centroid
+    FROM el GROUP BY 1, 2
+    """,
+    doc="Per-label embedding centroids — the corpus drift monitor (a "
+    "shifting centroid or exploding dispersion flags an ingest or "
+    "model change). One posexplode + one (label, dim) rollup with "
+    "map-side combine; elements are floor-quantized to integer "
+    "micro-units before summing so the aggregate is exact, "
+    "partition-order-free, and engine-portable (float-derived doubles "
+    "can't round-trip a decimal cast at the float's own ulp; bigint "
+    "sums can). 1e-6 quantization is far below any drift signal.",
+)
+def q81_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("val").cast("double") * F.lit(1000000.0)).cast("bigint").alias("micro"),
+    )
+    return el.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("micro").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0))
+        .cast("double")
+        .alias("centroid"),
+    )

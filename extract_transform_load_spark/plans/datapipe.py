@@ -1323,3 +1323,70 @@ def q81_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("centroid"),
     )
+
+
+@query(
+    "q82_embedding_dispersion",
+    oracle=f"""
+    WITH el AS (
+      SELECT label, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS micro
+      FROM embeddings, LATERAL (SELECT unnest(range(1, {EMBED_DIM + 1})) AS i) t
+    ),
+    d AS (
+      SELECT label, dim,
+             COUNT(*) AS n,
+             CAST(SUM(micro) AS DECIMAL(38, 0)) AS s1,
+             CAST(SUM(CAST(micro * micro AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS s2
+      FROM el GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT label, MIN(n) AS n,
+             CAST(SUM(s2) AS DECIMAL(38, 0)) AS a,
+             CAST(SUM(CAST(s1 * s1 AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS b
+      FROM d GROUP BY 1
+    )
+    SELECT label,
+           CAST(n AS BIGINT) AS n_vectors,
+           CAST(CAST(n AS DECIMAL(38, 0)) * a - b AS DOUBLE)
+             / ({EMBED_DIM}.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1000000000000.0)
+             AS variance
+    FROM g
+    """,
+    doc="Per-label embedding dispersion — q81's companion drift signal "
+    "(variance exploding = mixed or corrupted sources behind one "
+    "label). Everything stays EXACT until one final division: "
+    "micro-unit sums and sums-of-squares in DECIMAL(38,0) (bigint "
+    "squares would overflow-throw under ANSI at corpus scale), "
+    "combined as (n·ΣS2 − ΣS1²)/(dims·n²·10¹²) so no intermediate "
+    "double ever feeds a decimal cast (the q73/q81 portability traps). "
+    "Same single posexplode + rollup shape as q81.",
+)
+def q82_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("val").cast("double") * F.lit(1000000.0)).cast("bigint").alias("micro"),
+    )
+    d = el.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("micro").cast("decimal(38,0)").alias("s1"),
+        F.sum((F.col("micro") * F.col("micro")).cast("decimal(38,0)")).alias("s2"),
+    )
+    g = d.groupBy("label").agg(
+        F.min("n").alias("n"),
+        F.sum("s2").cast("decimal(38,0)").alias("a"),
+        F.sum((F.col("s1") * F.col("s1")).cast("decimal(38,0)")).alias("b"),
+    )
+    n_dbl = F.col("n").cast("double")
+    return g.select(
+        "label",
+        F.col("n").cast("bigint").alias("n_vectors"),
+        (
+            (F.col("n").cast("decimal(38,0)") * F.col("a") - F.col("b")).cast("double")
+            / (F.lit(float(EMBED_DIM)) * n_dbl * n_dbl * F.lit(1_000_000_000_000.0))
+        ).alias("variance"),
+    )

@@ -182,6 +182,59 @@ def weighted_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Downsample groups to hit a target mixture distribution.
+
+    Data mixing: a training corpus rarely arrives at the language/domain
+    proportions the run wants, and the standard fix is downsample-only
+    rebalancing (never upsampling — duplication is the dedup pipeline's
+    enemy). Given target shares ``targets[g]`` (positive, summing to ~1
+    over the groups to keep; others are dropped), the largest corpus
+    satisfying them keeps an expected ``scale * t_g`` rows of group g
+    where ``scale = min_g(n_g / t_g)`` — the binding group (smallest
+    relative to its target) is kept whole and every other group is
+    thinned to match.
+
+    Membership is the house deterministic rule: a 48-bit uniform from
+    ``md5(id)`` compared against the group's acceptance probability —
+    a pure function of (key, corpus group counts), so the draw is
+    reproducible and engine-portable (oracle-checked in q83). Counts are
+    expected, not exact (±√n noise): the exact-count alternative is an
+    in-group rank (see :func:`stratified_sample`), which costs a window
+    shuffle PARTITIONED BY THE GROUP KEY — five language keys at 100 TB
+    is five reducers; the threshold form is a tiny count aggregate plus
+    a broadcast-back, and the big table never shuffles.
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    if any(t <= 0 for t in targets.values()):
+        raise ValueError("target shares must be positive")
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        sorted((g, float(t)) for g, t in targets.items()),
+        schema=f"{group_col} string, __target double",
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    joined = counts.join(F.broadcast(tgt), group_col)
+    scale = joined.select(F.min(F.col("__n") / F.col("__target")).alias("__scale"))
+    fracs = joined.crossJoin(F.broadcast(scale)).select(
+        group_col,
+        ((F.col("__scale") * F.col("__target")) / F.col("__n")).alias("__p"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 48))
+    return df.join(F.broadcast(fracs), group_col).filter(u < F.col("__p")).drop("__p")
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -1390,3 +1390,38 @@ def q82_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(float(EMBED_DIM)) * n_dbl * n_dbl * F.lit(1_000_000_000_000.0))
         ).alias("variance"),
     )
+
+
+@query(
+    "q83_mixture_resample",
+    oracle="""
+    WITH tgt(lang, target) AS (
+      VALUES ('de', 0.2), ('en', 0.2), ('es', 0.2), ('fr', 0.2), ('zh', 0.2)
+    ),
+    c AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+    j AS (SELECT c.lang, c.n, tgt.target FROM c JOIN tgt USING (lang)),
+    sc AS (SELECT MIN(n / target) AS scale FROM j),
+    p AS (SELECT lang, (scale * target) / n AS p FROM j CROSS JOIN sc)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN p USING (lang)
+    WHERE (CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                AS DOUBLE) + 0.5) / 281474976710656.0 < p.p
+    """,
+    doc="Domain/language mixture resampling: downsample-only rebalance "
+    "of the corpus to equal per-language shares (the data-mixing step "
+    "before training export). The binding group is kept whole; every "
+    "other is thinned by a deterministic md5-keyed coin. Two passes: "
+    "a tiny per-group count aggregate, then a broadcast of 5 "
+    "acceptance probabilities back over a scan-local filter — the "
+    "corpus itself never shuffles, which is what makes the op viable "
+    "at 100 TB (an exact-count variant would window-shuffle the whole "
+    "table into one reducer per language). Probability arithmetic is "
+    "plain IEEE double products/divisions in an identical evaluation "
+    "order on both engines, so the per-row decision is bit-portable.",
+)
+def q83_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import mixture_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    targets = {g: 0.2 for g in ("de", "en", "es", "fr", "zh")}
+    return mixture_sample(d, "lang", "doc_id", targets)

@@ -489,3 +489,33 @@ def test_training_shard_roundtrip(docs, tmp_path):
     for f in glob.glob(out + "/part-*"):
         with open(f) as fh:
             assert sum(1 for _ in fh) <= 120
+
+
+def test_mixture_sample_balances_and_keeps_binding_group(docs):
+    from extract_transform_load_spark.operators.sampling import mixture_sample
+
+    targets = {g: 0.2 for g in ("de", "en", "es", "fr", "zh")}
+    before = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    out = mixture_sample(docs.select("doc_id", "lang"), "lang", "doc_id", targets)
+    after = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+
+    binding = min(before, key=lambda g: before[g] / targets[g])
+    # The binding group is kept whole (acceptance probability exactly 1).
+    assert after[binding] == before[binding]
+    # Every group thins toward the binding group's size: expected count is
+    # the same for all groups here (equal targets), noise is +/- sqrt(n).
+    expected = before[binding]
+    for g, n in after.items():
+        assert abs(n - expected) <= 4 * expected**0.5, (g, n, expected)
+    # Deterministic: a second run selects the identical set.
+    again = mixture_sample(docs.select("doc_id", "lang"), "lang", "doc_id", targets)
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_mixture_sample_rejects_bad_targets(docs):
+    from extract_transform_load_spark.operators.sampling import mixture_sample
+
+    with pytest.raises(ValueError):
+        mixture_sample(docs, "lang", "doc_id", {})
+    with pytest.raises(ValueError):
+        mixture_sample(docs, "lang", "doc_id", {"en": 0.0})

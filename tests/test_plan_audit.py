@@ -183,3 +183,12 @@ def test_scan_local_queries_have_no_exchange(spark, sf_dir, name):
     # any Exchange here is a regression
     plan = plan_of(spark, sf_dir, name)
     assert "Exchange" not in plan, name
+
+
+def test_q83_mixture_probe_side_broadcast_only(spark, sf_dir):
+    # the corpus side must join the 5-row probability table by broadcast
+    # and never sort-merge; the only exchanges belong to the tiny
+    # per-group count aggregate feeding the broadcast
+    plan = plan_of(spark, sf_dir, "q83_mixture_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -110,3 +110,53 @@ def lang_scores(text: Column) -> dict[str, Column]:
         lang: sum(substring_count(padded, m) for m in markers)
         for lang, markers in LANG_MARKERS.items()
     }
+
+
+# --- PII detection / redaction -----------------------------------------
+#
+# Training corpora scraped from the web carry emails, phone numbers,
+# IPs and national-id-shaped strings that must be scrubbed before
+# export (the reference has no such surface; this is a training-data
+# pipeline extension). Patterns stay in the portable regex subset that
+# Java (Spark) and RE2 (DuckDB) interpret identically: character
+# classes, bounded quantifiers, non-capturing groups, \b — no
+# lookaround, no backreferences (RE2 has neither). Caveat: \s differs
+# at \x0B between the engines; none of these patterns relies on it
+# beyond plain spaces.
+#
+# Redaction applies in priority order (email > ssn > ipv4 > phone) so a
+# higher-priority match can't be re-counted by a looser later pattern —
+# an SSN is phone-shaped, an IP is phone-shaped. Counts follow the same
+# discipline: each category is counted on the text with all
+# higher-priority categories already replaced. Placeholder tokens are
+# digit-free, so redaction is idempotent.
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\(?\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every PII match with its digit-free placeholder token."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category match counts under the priority discipline.
+
+    Returns {category: int column}; count category N on the text with
+    categories 1..N-1 already redacted, so overlapping shapes (SSN vs
+    phone) are attributed once, to the higher-priority category.
+    """
+    out: dict[str, Column] = {}
+    cur = text
+    for name, pat, repl in PII_PATTERNS:
+        out[name] = F.regexp_count(cur, F.lit(pat)).cast("int")
+        cur = F.regexp_replace(cur, pat, repl)
+    return out

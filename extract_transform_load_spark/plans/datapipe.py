@@ -1425,3 +1425,89 @@ def q83_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     targets = {g: 0.2 for g in ("de", "en", "es", "fr", "zh")}
     return mixture_sample(d, "lang", "doc_id", targets)
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_PHONE = r"\(?\+?\d[\d\s().-]{7,}\d"
+
+
+@query(
+    "q84_pii_scrub",
+    oracle=f"""
+    WITH prof AS (
+      SELECT c_custkey,
+             'user' || CAST(c_custkey AS VARCHAR) || '@example.com ip 10.' ||
+             CAST(c_custkey % 200 AS VARCHAR) || '.' ||
+             CAST(c_custkey % 100 AS VARCHAR) || '.' ||
+             CAST(c_custkey % 50 AS VARCHAR) ||
+             ' ssn ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+             lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+             lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+             ' call (555) ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+             lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' end' AS t
+      FROM customer
+    ),
+    s1 AS (
+      SELECT c_custkey,
+             CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_email,
+             regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t
+      FROM prof
+    ),
+    s2 AS (
+      SELECT c_custkey, n_email,
+             CAST(len(regexp_extract_all(t, '{_PII_SSN}')) AS INT) AS n_ssn,
+             regexp_replace(t, '{_PII_SSN}', '<SSN>', 'g') AS t
+      FROM s1
+    ),
+    s3 AS (
+      SELECT c_custkey, n_email, n_ssn,
+             CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS INT) AS n_ipv4,
+             regexp_replace(t, '{_PII_IPV4}', '<IP>', 'g') AS t
+      FROM s2
+    )
+    SELECT c_custkey, n_email, n_ssn, n_ipv4,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INT) AS n_phone,
+           regexp_replace(t, '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM s3
+    """,
+    doc="PII scrubbing before training export (operators/textops.py "
+    "PII_PATTERNS): emails, SSN-shaped ids, IPv4s, phone numbers "
+    "detected and replaced by digit-free placeholders, counted under a "
+    "priority discipline so phone-shaped SSNs aren't double-counted. "
+    "The synthetic corpus is PII-free, so the query manufactures "
+    "deterministic PII-bearing profiles from customer keys INSIDE the "
+    "query, identically on both engines — the oracle then genuinely "
+    "exercises match/replace parity of the portable regex subset "
+    "(Java vs RE2). Scan-local codegen expressions, no shuffle; "
+    "semantics on hand-written PII strings are unit-tested in "
+    "tests/test_operators.py.",
+)
+def q84_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import pii_counts, pii_redact
+
+    k = F.col("c_custkey")
+
+    def pad(mod: int, width: int):
+        return F.lpad((k % mod).cast("string"), width, "0")
+
+    profile = F.concat(
+        F.lit("user"), k.cast("string"), F.lit("@example.com ip 10."),
+        (k % 200).cast("string"), F.lit("."),
+        (k % 100).cast("string"), F.lit("."),
+        (k % 50).cast("string"),
+        F.lit(" ssn "), pad(1000, 3), F.lit("-"), pad(100, 2), F.lit("-"), pad(10000, 4),
+        F.lit(" call (555) "), pad(1000, 3), F.lit("-"), pad(10000, 4),
+        F.lit(" end"),
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", profile.alias("t"))
+    counts = pii_counts(F.col("t"))
+    return c.select(
+        "c_custkey",
+        counts["email"].alias("n_email"),
+        counts["ssn"].alias("n_ssn"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+        pii_redact(F.col("t")).alias("redacted"),
+    )

@@ -541,3 +541,39 @@ def test_training_shards_deterministic_and_bounded(spark, tmp_path):
     # decorrelated: the hash order is not the ingest order
     first = [r["id"] for r in shuffled(df, "id").limit(10).collect()]
     assert first != sorted(first)
+
+
+def test_pii_redact_and_counts(spark):
+    from extract_transform_load_spark.operators.textops import pii_counts, pii_redact
+
+    rows = [
+        (1, "mail jane.doe+x@corp.example.org and bob@a.io today"),
+        (2, "ssn 123-45-6789 host 192.168.0.1 tel (555) 867-5309"),
+        (3, "intl +44 20 7946 0958 done"),
+        (4, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    counts = pii_counts(F.col("t"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            pii_redact(F.col("t")).alias("red"),
+            counts["email"].alias("email"),
+            counts["ssn"].alias("ssn"),
+            counts["ipv4"].alias("ipv4"),
+            counts["phone"].alias("phone"),
+        ).collect()
+    }
+    assert out[1]["red"] == "mail <EMAIL> and <EMAIL> today"
+    assert (out[1]["email"], out[1]["ssn"], out[1]["ipv4"], out[1]["phone"]) == (2, 0, 0, 0)
+    assert out[2]["red"] == "ssn <SSN> host <IP> tel <PHONE>"
+    assert (out[2]["email"], out[2]["ssn"], out[2]["ipv4"], out[2]["phone"]) == (0, 1, 1, 1)
+    assert out[3]["red"] == "intl <PHONE> done"
+    assert out[3]["phone"] == 1
+    assert out[4]["red"] == rows[3][1]
+
+    # idempotent: placeholders are digit-free, a second pass is a no-op
+    twice = df.select(pii_redact(pii_redact(F.col("t"))).alias("red")).collect()
+    once = df.select(pii_redact(F.col("t")).alias("red")).collect()
+    assert twice == once

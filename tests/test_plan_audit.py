@@ -177,7 +177,7 @@ def test_q74_weighted_sample_takeordered(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan
 
 
-@pytest.mark.parametrize("name", ["q77_leakage_safe_split", "q78_chunking"])
+@pytest.mark.parametrize("name", ["q77_leakage_safe_split", "q78_chunking", "q84_pii_scrub"])
 def test_scan_local_queries_have_no_exchange(spark, sf_dir, name):
     # split assignment and chunking are pure scan-side expressions —
     # any Exchange here is a regression

@@ -133,3 +133,44 @@ def test_interval_join_left_outer_emits_nulls_after_watermark(spark, tmp_path):
 
     assert len(rows) == 1
     assert rows[0]["price"] is None and rows[0]["price_ts"] is None
+
+
+def test_interval_join_streaming_plan_is_symmetric_hash_with_state_pruning(spark, tmp_path):
+    """Plan audit for the stream-stream join: the physical operator must
+    be StreamingSymmetricHashJoin (per-key symmetric state, incremental
+    emission) with watermark-derived state-removal predicates on BOTH
+    sides — without them join state grows with total history, the exact
+    failure mode the interval condition exists to prevent."""
+    ev_dir, tick_dir = tmp_path / "ev", tmp_path / "tick"
+    ev_dir.mkdir()
+    tick_dir.mkdir()
+    spark.createDataFrame(_events(8), EV_SCHEMA).write.parquet(str(ev_dir / "a.parquet"))
+    spark.createDataFrame(_ticks(8), TICK_SCHEMA).write.parquet(str(tick_dir / "a.parquet"))
+
+    joined = interval_join(
+        spark.readStream.schema(EV_SCHEMA).parquet(str(ev_dir) + "/*"),
+        spark.readStream.schema(TICK_SCHEMA).parquet(str(tick_dir) + "/*"),
+        keys=["symbol"],
+        tolerance="5 minutes",
+        watermark="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_plan")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        plan = q._jsq.explainInternal(True)
+    finally:
+        q.stop()
+
+    assert "StreamingSymmetricHashJoin" in plan
+    # watermark-derived state-removal predicates must exist on BOTH
+    # sides ("state cleanup [ left value predicate: ..., right value
+    # predicate: ... ]") — this is what bounds the two state stores
+    assert "state cleanup" in plan
+    assert "left value predicate" in plan and "right value predicate" in plan
+    assert plan.count("EventTimeWatermark") >= 2

@@ -1511,3 +1511,63 @@ def q84_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["phone"].alias("n_phone"),
         pii_redact(F.col("t")).alias("redacted"),
     )
+
+
+@query(
+    "q85_expectations",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS negative_total,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END)
+               AS BIGINT) AS unexpected_status,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_custkey,
+             CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS date_after_2000
+      FROM orders
+    )
+    SELECT 'negative_total' AS check_name, negative_total AS violations, n_rows FROM o
+    UNION ALL SELECT 'unexpected_status', unexpected_status, n_rows FROM o
+    UNION ALL SELECT 'null_custkey', null_custkey, n_rows FROM o
+    UNION ALL SELECT 'date_after_2000', date_after_2000, n_rows FROM o
+    UNION ALL
+    SELECT 'unique_o_orderkey',
+           CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'l_orderkey_references_o_orderkey',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders oo
+                                   WHERE oo.o_orderkey = l.l_orderkey)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    """,
+    doc="Data-quality expectation audit (pipeline/monitor.py): Deequ-style "
+    "constraint verification over orders + lineitem — range, "
+    "accepted-values, not-null and date-window checks compiled into ONE "
+    "aggregate pass (adding a check is free; per-check count() loops "
+    "re-scan the table), plus a uniqueness check (single distinct "
+    "aggregate) and a referential-integrity anti-join, unioned into one "
+    "(check_name, violations, n_rows) report. Two checks intentionally "
+    "catch rows ('P' statuses, post-2000 dates) so the gate verifies "
+    "real violation arithmetic, not just zeros.",
+)
+def q85_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.monitor import expectation_report, expect_references, expect_unique
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    report = expectation_report(
+        o,
+        {
+            "negative_total": F.col("o_totalprice") < 0,
+            "unexpected_status": ~F.col("o_orderstatus").isin("O", "F"),
+            "null_custkey": F.col("o_custkey").isNull(),
+            "date_after_2000": F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"),
+        },
+    )
+    return report.unionByName(expect_unique(o, "o_orderkey")).unionByName(
+        expect_references(li, "l_orderkey", o, "o_orderkey")
+    )

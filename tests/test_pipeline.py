@@ -8,6 +8,7 @@ from __future__ import annotations
 from datetime import datetime
 from decimal import Decimal
 
+import pyspark.sql.functions as F
 import pytest
 
 from extract_transform_load_spark.pipeline.enrich import attach_asof_price, enrich_ls_opening
@@ -307,3 +308,37 @@ def test_observe_counts_single_pass_metrics(spark):
     assert instrumented.count() == 30  # the action that carries the metrics
     got = obs.get
     assert got == {"rows": 30, "skipped": 10, "parsed": 20}
+
+
+def test_expectation_report_counts_violations(spark):
+    from extract_transform_load_spark.pipeline.monitor import (
+        expectation_report,
+        expect_references,
+        expect_unique,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (1, -5), (2, 20), (None, 30), (9, 40)], "fk int, amount int"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+
+    rep = {
+        r["check_name"]: (r["violations"], r["n_rows"])
+        for r in expectation_report(
+            child,
+            {"neg_amount": F.col("amount") < 0, "null_fk": F.col("fk").isNull()},
+        ).collect()
+    }
+    assert rep == {"neg_amount": (1, 5), "null_fk": (1, 5)}
+
+    uniq = expect_unique(child, "fk").collect()[0]
+    # two non-null rows share fk=1 -> one duplicate; nulls don't count
+    assert (uniq["check_name"], uniq["violations"], uniq["n_rows"]) == ("unique_fk", 1, 5)
+
+    refs = expect_references(child, "fk", parent, "pk").collect()[0]
+    # fk=9 is an orphan; the null fk is not a match either -> anti-join keeps it
+    assert refs["check_name"] == "fk_references_pk"
+    assert refs["violations"] == 2 and refs["n_rows"] == 5
+
+    with pytest.raises(ValueError):
+        expectation_report(child, {})

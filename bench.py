@@ -46,7 +46,10 @@ HEADLINE = [
     "q64_hash_split",
     "q66_pq_topk",
     "q69_decontamination",
+    "q71_repetition_stats",
     "q76_unigram_logprob",
+    "q83_mixture_resample",
+    "q85_expectations",
 ]
 
 

@@ -17,7 +17,7 @@ backend from a query listener).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import Column, DataFrame, Observation, Window
 
 
 def observe_counts(
@@ -98,3 +98,97 @@ def expect_references(
     ).crossJoin(
         child.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     ).select("check_name", "violations", "n_rows")
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str],
+    numeric: list[str] | None = None,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """One-pass column profiler: (column, n_rows, n_null, n_distinct,
+    min_num, max_num) per profiled column — the table-level health view
+    a 100 TB lakehouse publishes next to each dataset (null-rate spikes
+    and cardinality collapses are the two cheapest drift tells).
+
+    All per-column aggregates compile into ONE aggregate over one scan;
+    min/max are reported for ``numeric`` columns only (double-cast) —
+    stringified min/max of doubles is an engine-portability trap (Java
+    vs DuckDB float formatting), so non-numeric columns report NULL.
+
+    Exact ``count(distinct)`` over k columns plans an Expand (k× the
+    scan's rows through the aggregate). That is the oracle-checkable
+    form; pass ``approx_distinct=True`` at scale for one HLL sketch per
+    column instead (±2%, no Expand).
+    """
+    numeric = numeric or []
+    aggs: list[Column] = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in columns:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"__null_{c}"))
+        nd = F.approx_count_distinct(c) if approx_distinct else F.countDistinct(c)
+        aggs.append(nd.cast("bigint").alias(f"__nd_{c}"))
+        if c in numeric:
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"__min_{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+    parts = []
+    for c in columns:
+        lo = f"__min_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
+        hi = f"__max_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
+        parts.append(f"'{c}', __null_{c}, __nd_{c}, {lo}, {hi}")
+    return wide.selectExpr(
+        f"stack({len(columns)}, {', '.join(parts)}) "
+        "AS (column, n_null, n_distinct, min_num, max_num)",
+        "n_rows",
+    ).select("column", "n_rows", "n_null", "n_distinct", "min_num", "max_num")
+
+
+def psi_drift(
+    cohort_a: DataFrame,
+    cohort_b: DataFrame,
+    bucket: Column,
+    smoothing: int = 1,
+) -> DataFrame:
+    """Population-stability-index drift between two cohorts over a
+    shared bucketing: per-bucket (bucket, p_a, p_b, contrib) rows whose
+    ``SUM(contrib)`` is the PSI (rule of thumb: >0.2 = shifted).
+
+    The monitor for "is this week's crawl the same distribution we
+    trained on" — over length buckets, quality-score buckets, language
+    shares. Laplace ``smoothing`` keeps empty buckets finite (and is
+    what makes the statistic well-defined when a bucket exists in only
+    one cohort). Arithmetic is engine-portable: exact bigint counts,
+    IEEE double ratios in a fixed evaluation order, and ``ln`` (JVM
+    Math.log matches DuckDB bitwise in this container — the q73 note).
+
+    Scale: each cohort collapses to one tiny per-bucket count aggregate
+    before anything joins — the full-outer join is over bucket
+    cardinality (dozens), never rows.
+    """
+    ca = cohort_a.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a")
+    )
+    cb = cohort_b.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b")
+    )
+    tot_a = cohort_a.agg(F.count(F.lit(1)).cast("bigint").alias("tot_a"))
+    tot_b = cohort_b.agg(F.count(F.lit(1)).cast("bigint").alias("tot_b"))
+    joined = (
+        ca.join(cb, "bucket", "full_outer")
+        .crossJoin(F.broadcast(tot_a))
+        .crossJoin(F.broadcast(tot_b))
+    )
+    nb = F.count(F.lit(1)).over(Window.partitionBy())
+    s = F.lit(float(smoothing))
+    p_a = (F.coalesce(F.col("n_a"), F.lit(0)).cast("double") + s) / (
+        F.col("tot_a").cast("double") + s * nb.cast("double")
+    )
+    p_b = (F.coalesce(F.col("n_b"), F.lit(0)).cast("double") + s) / (
+        F.col("tot_b").cast("double") + s * nb.cast("double")
+    )
+    return joined.select(
+        "bucket",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        ((p_a - p_b) * (F.log(p_a) - F.log(p_b))).alias("contrib"),
+    )

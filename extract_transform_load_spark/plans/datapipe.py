@@ -1571,3 +1571,97 @@ def q85_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.unionByName(expect_unique(o, "o_orderkey")).unionByName(
         expect_references(li, "l_orderkey", o, "o_orderkey")
     )
+
+
+@query(
+    "q86_table_profile",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS null_doc_id,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd_doc_id,
+             MIN(CAST(doc_id AS DOUBLE)) AS min_doc_id,
+             MAX(CAST(doc_id AS DOUBLE)) AS max_doc_id,
+             CAST(COUNT(*) - COUNT(lang) AS BIGINT) AS null_lang,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS nd_lang,
+             CAST(COUNT(*) - COUNT(source) AS BIGINT) AS null_source,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS nd_source,
+             CAST(COUNT(*) - COUNT(n_chars) AS BIGINT) AS null_n_chars,
+             CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS nd_n_chars,
+             MIN(CAST(n_chars AS DOUBLE)) AS min_n_chars,
+             MAX(CAST(n_chars AS DOUBLE)) AS max_n_chars
+      FROM documents
+    )
+    SELECT 'doc_id' AS column, n_rows, null_doc_id AS n_null, nd_doc_id AS n_distinct,
+           min_doc_id AS min_num, max_doc_id AS max_num FROM w
+    UNION ALL
+    SELECT 'lang', n_rows, null_lang, nd_lang, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM w
+    UNION ALL
+    SELECT 'source', n_rows, null_source, nd_source, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM w
+    UNION ALL
+    SELECT 'n_chars', n_rows, null_n_chars, nd_n_chars, min_n_chars, max_n_chars FROM w
+    """,
+    doc="Dataset-level column profile (pipeline/monitor.py::profile_table): "
+    "null counts, exact distinct cardinalities and numeric min/max for "
+    "every published column, computed in ONE aggregate pass and "
+    "unpivoted to long form — the health sheet next to each lakehouse "
+    "dataset. Exact count(distinct) over k columns is an Expand (k× "
+    "rows through the agg), the oracle-checkable form; the operator's "
+    "approx_distinct flag swaps in one HLL sketch per column at scale. "
+    "min/max only for numeric columns: stringified double formatting "
+    "is engine-divergent (the reason this profile never strings).",
+)
+def q86_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.monitor import profile_table
+
+    d = load(spark, sf_dir, "documents")
+    return profile_table(
+        d, ["doc_id", "lang", "source", "n_chars"], numeric=["doc_id", "n_chars"]
+    )
+
+
+@query(
+    "q87_psi_drift",
+    oracle="""
+    WITH a AS (SELECT CAST(floor(n_chars / 200) AS BIGINT) AS bucket FROM documents WHERE lang = 'en'),
+    b AS (SELECT CAST(floor(n_chars / 200) AS BIGINT) AS bucket FROM documents WHERE lang = 'de'),
+    ca AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_a FROM a GROUP BY 1),
+    cb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b FROM b GROUP BY 1),
+    ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot_a FROM a),
+    tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot_b FROM b),
+    j AS (
+      SELECT COALESCE(ca.bucket, cb.bucket) AS bucket, n_a, n_b, tot_a, tot_b,
+             CAST(COUNT(*) OVER () AS DOUBLE) AS nb
+      FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+      CROSS JOIN ta CROSS JOIN tb
+    )
+    SELECT bucket,
+           (CAST(COALESCE(n_a, 0) AS DOUBLE) + 1.0) / (CAST(tot_a AS DOUBLE) + 1.0 * nb) AS p_a,
+           (CAST(COALESCE(n_b, 0) AS DOUBLE) + 1.0) / (CAST(tot_b AS DOUBLE) + 1.0 * nb) AS p_b,
+           (((CAST(COALESCE(n_a, 0) AS DOUBLE) + 1.0) / (CAST(tot_a AS DOUBLE) + 1.0 * nb))
+            - ((CAST(COALESCE(n_b, 0) AS DOUBLE) + 1.0) / (CAST(tot_b AS DOUBLE) + 1.0 * nb)))
+           * (ln((CAST(COALESCE(n_a, 0) AS DOUBLE) + 1.0) / (CAST(tot_a AS DOUBLE) + 1.0 * nb))
+              - ln((CAST(COALESCE(n_b, 0) AS DOUBLE) + 1.0) / (CAST(tot_b AS DOUBLE) + 1.0 * nb)))
+           AS contrib
+    FROM j
+    """,
+    doc="Population-stability-index drift monitor "
+    "(pipeline/monitor.py::psi_drift): en-cohort vs de-cohort document "
+    "length distributions over 200-char buckets; SUM(contrib) is the "
+    "PSI. Each cohort collapses to a per-bucket count BEFORE any join, "
+    "so the full-outer join runs over bucket cardinality, never rows — "
+    "the shape that survives two 100 TB cohorts. Laplace smoothing "
+    "keeps one-sided buckets finite; ratios are IEEE doubles from "
+    "exact counts in a fixed evaluation order and JVM ln matches "
+    "DuckDB bitwise (q73 note), so contributions hash-match.",
+)
+def q87_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.monitor import psi_drift
+
+    d = load(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / 200).cast("bigint")
+    return psi_drift(
+        d.filter(F.col("lang") == "en"),
+        d.filter(F.col("lang") == "de"),
+        bucket,
+    )

@@ -342,3 +342,40 @@ def test_expectation_report_counts_violations(spark):
 
     with pytest.raises(ValueError):
         expectation_report(child, {})
+
+
+def test_profile_table_one_pass_semantics(spark):
+    from extract_transform_load_spark.pipeline.monitor import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", None), (3, None, 30.0), (3, "b", 5.0)],
+        "id int, tag string, score double",
+    )
+    prof = {
+        r["column"]: r
+        for r in profile_table(df, ["id", "tag", "score"], numeric=["score"]).collect()
+    }
+    assert all(r["n_rows"] == 4 for r in prof.values())
+    assert (prof["id"]["n_null"], prof["id"]["n_distinct"]) == (0, 3)
+    assert (prof["tag"]["n_null"], prof["tag"]["n_distinct"]) == (1, 2)
+    assert (prof["score"]["n_null"], prof["score"]["n_distinct"]) == (1, 3)
+    assert prof["score"]["min_num"] == 5.0 and prof["score"]["max_num"] == 30.0
+    assert prof["id"]["min_num"] is None  # non-numeric columns never string-format
+
+    approx = profile_table(df, ["id"], approx_distinct=True).collect()[0]
+    assert abs(approx["n_distinct"] - 3) <= 1
+
+
+def test_psi_drift_zero_for_identical_and_positive_for_shifted(spark):
+    from extract_transform_load_spark.pipeline.monitor import psi_drift
+
+    a = spark.createDataFrame([(i % 4,) for i in range(100)], "b int")
+    same = psi_drift(a, a, F.col("b")).agg(F.sum("contrib").alias("psi")).collect()[0]
+    assert same["psi"] == 0.0  # identical cohorts: p_a == p_b exactly
+
+    b = spark.createDataFrame([(i % 2,) for i in range(100)], "b int")
+    rows = psi_drift(a, b, F.col("b")).collect()
+    assert len(rows) == 4  # full outer keeps one-sided buckets
+    psi = sum(r["contrib"] for r in rows)
+    assert psi > 0.2  # a real shift registers
+    assert all(r["p_a"] > 0 and r["p_b"] > 0 for r in rows)  # smoothing keeps finite

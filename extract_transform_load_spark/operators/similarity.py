@@ -364,3 +364,116 @@ def cosine_topk_quantized(
     return cosine_topk_bruteforce(
         corpus_q, queries_q, k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF store maintenance — append deltas without retraining
+# ---------------------------------------------------------------------------
+
+
+def ivf_write_store(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus as a cell-partitioned parquet store.
+
+    The cell id becomes the table's PHYSICAL partitioning, so a probe's
+    cell filter prunes at plan time (see the layout test) — at 100 TB
+    the index is the directory structure, not a sidecar."""
+    cells = _assign_cells(corpus.select(F.col(id_col), F.col(vec_col)), centroids, id_col)
+    corpus.join(cells, id_col).write.partitionBy("cell").mode(mode).parquet(path)
+
+
+def ivf_append_delta(
+    delta: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Admit a delta batch into an existing IVF store without retraining.
+
+    The incremental-index twin of ``dedup_delta_exact`` (q72): new
+    vectors are assigned against the FROZEN coarse centroids and
+    appended into their cell partitions — O(delta) work, existing files
+    untouched, and a search over the store is identical to a full
+    rebuild with the same centroids (tested). The trade is staleness:
+    appends shift the true cell means, so recall decays as the corpus
+    drifts from the training snapshot — watch the q81/q82
+    centroid-drift monitors and retrain + rewrite when they trip;
+    FAISS makes the same frozen-quantizer trade on add().
+    """
+    ivf_write_store(delta, centroids, path, id_col, vec_col, mode="append")
+
+
+def ivf_topk_over_store(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search against a cell-partitioned store: probe each query's
+    ``n_probe`` nearest cells, scan ONLY those partitions, exact-rerank.
+
+    The probed-cell set is collected driver-side (≤ Q × n_probe ints —
+    a query batch is small by definition) so the cell filter is a
+    literal ``isin`` the planner turns into static partition pruning;
+    a join-based filter would need runtime DPP to avoid reading the
+    whole store."""
+    norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"query_id": [], "cell": []})
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 1]])
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(mat @ norm_c.T), axis=1)[:, :n_probe]
+            qids, cells = [], []
+            for qid, row in zip(pdf.iloc[:, 0], order):
+                qids.extend([qid] * len(row))
+                cells.extend(row.tolist())
+            yield pd.DataFrame({"query_id": qids, "cell": cells})
+
+    q_cells = (
+        queries.select(F.col(query_id_col), F.col(vec_col))
+        .mapInPandas(probe, schema="query_id long, cell int")
+        .collect()
+    )
+    probed = sorted({r["cell"] for r in q_cells})
+    q_cells_df = spark.createDataFrame(
+        [(r["query_id"], r["cell"]) for r in q_cells], "query_id long, cell int"
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).join(q_cells_df, "query_id")
+
+    store = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    c = store.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), "cell"
+    )
+    cand = c.join(F.broadcast(q), "cell").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot(F.col("__qvec"), F.col("__cvec"))
+            / (_norm(F.col("__qvec")) * _norm(F.col("__cvec")))
+        ).alias("cos_sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

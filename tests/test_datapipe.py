@@ -519,3 +519,61 @@ def test_mixture_sample_rejects_bad_targets(docs):
         mixture_sample(docs, "lang", "doc_id", {})
     with pytest.raises(ValueError):
         mixture_sample(docs, "lang", "doc_id", {"en": 0.0})
+
+
+def test_ivf_delta_append_equals_full_rebuild(spark, emb, tmp_path):
+    """Incremental IVF maintenance: appending a delta batch against the
+    frozen centroids must yield a store whose assignments AND search
+    results are identical to rebuilding the store from the full corpus
+    with the same centroids — the q72-style O(delta) admission, for ANN."""
+    from extract_transform_load_spark.operators.similarity import (
+        ivf_append_delta,
+        ivf_topk_over_store,
+        ivf_write_store,
+        train_ivf_centroids,
+    )
+
+    full = emb.select("vec_id", "embedding")
+    initial = full.filter(F.col("vec_id") % 5 != 0)
+    delta = full.filter(F.col("vec_id") % 5 == 0)
+    cents = train_ivf_centroids(initial, dim=64, n_centroids=8, iterations=1)
+
+    rebuilt, grown = str(tmp_path / "rebuilt"), str(tmp_path / "grown")
+    ivf_write_store(full, cents, rebuilt)
+    ivf_write_store(initial, cents, grown)
+    ivf_append_delta(delta, cents, grown)
+
+    def snapshot(path):
+        return {
+            (r["vec_id"], r["cell"])
+            for r in spark.read.parquet(path).select("vec_id", "cell").collect()
+        }
+
+    assert snapshot(grown) == snapshot(rebuilt)
+
+    queries = full.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    res_a = ivf_topk_over_store(spark, grown, cents, queries, k=5, n_probe=3)
+    res_b = ivf_topk_over_store(spark, rebuilt, cents, queries, k=5, n_probe=3)
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
+    assert sorted(map(key, res_a.collect())) == sorted(map(key, res_b.collect()))
+    assert res_a.count() > 0
+
+
+def test_ivf_store_search_prunes_partitions(spark, emb, tmp_path):
+    from extract_transform_load_spark.operators.similarity import (
+        ivf_topk_over_store,
+        ivf_write_store,
+        train_ivf_centroids,
+    )
+
+    corpus = emb.select("vec_id", "embedding")
+    cents = train_ivf_centroids(corpus, dim=64, n_centroids=8, iterations=1)
+    path = str(tmp_path / "store")
+    ivf_write_store(corpus, cents, path)
+
+    queries = corpus.filter(F.col("vec_id") < 3).withColumnRenamed("vec_id", "query_id")
+    res = ivf_topk_over_store(spark, path, cents, queries, k=5, n_probe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "cell" in pf, plan  # the isin filter prunes cell directories
+    assert res.count() > 0

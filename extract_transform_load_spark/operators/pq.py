@@ -100,6 +100,7 @@ def train_residual_codebooks(
     iterations: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    per_cell: bool = False,
 ) -> np.ndarray:
     """PQ codebooks trained on IVF *residuals* (x̂ − ĉ(cell)).
 
@@ -112,13 +113,36 @@ def train_residual_codebooks(
     The other trade: codes are only decodable relative to a cell, so
     re-clustering the coarse level forces a re-encode, which raw-vector
     PQ avoids.
+
+    ``per_cell=True`` trains a SEPARATE codebook per coarse cell
+    (returns shape (C, m, k, d_sub) instead of (m, k, d_sub)): each
+    cell's residual distribution gets its own fit — "local codebooks"
+    in the IVFADC literature — at C× the codebook memory (still tiny:
+    C·m·k·d_sub floats broadcast to every executor) and C× the training
+    k-means. Cells with fewer sample residuals than k seed by cycling
+    what they have; empty cells inherit the global residual books.
     """
     _check_pq_params(dim, m, k)
     norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     rows = corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
     mat = _normalized_matrix([r[0] for r in rows])  # (n, dim)
     assign = (mat @ norm_c.T).argmax(axis=1)
-    return _kmeans_subspaces(mat - norm_c[assign], m, k, iterations)
+    resid = mat - norm_c[assign]
+    shared = _kmeans_subspaces(resid, m, k, iterations)
+    if not per_cell:
+        return shared
+    n_cells = centroids.shape[0]
+    d_sub = dim // m
+    books = np.empty((n_cells, m, k, d_sub), dtype=np.float64)
+    for c in range(n_cells):
+        cell_resid = resid[assign == c]
+        if len(cell_resid) == 0:
+            books[c] = shared
+            continue
+        if len(cell_resid) < k:
+            cell_resid = cell_resid[np.arange(k) % len(cell_resid)]
+        books[c] = _kmeans_subspaces(cell_resid, m, k, iterations)
+    return books
 
 
 def pq_encode(
@@ -164,8 +188,11 @@ def pq_encode_residual(
     """(id, cell, pq_code) — residual vs the nearest coarse centroid,
     then nearest residual-codebook entry per subspace. One Arrow pass
     computes assignment and codes together, so the IVF join
-    ``_assign_cells`` does separately disappears."""
-    m, k, d_sub = codebooks.shape
+    ``_assign_cells`` does separately disappears. ``codebooks`` may be
+    shared (m, k, d_sub) or per-cell (C, m, k, d_sub); per-cell rows
+    encode against their own cell's books."""
+    per_cell = codebooks.ndim == 4
+    m, k, d_sub = codebooks.shape[-3:]
     norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -179,7 +206,11 @@ def pq_encode_residual(
             codes = np.empty((len(pdf), m), dtype=np.int8)
             for s in range(m):
                 sub = resid[:, s * d_sub : (s + 1) * d_sub]
-                d2 = ((sub[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
+                if per_cell:
+                    cb = codebooks[cells, s]  # (n, k, d_sub) per-row books
+                    d2 = ((sub[:, None, :] - cb) ** 2).sum(axis=2)
+                else:
+                    d2 = ((sub[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
                 codes[:, s] = d2.argmin(axis=1).astype(np.int8)
             yield pd.DataFrame(
                 {
@@ -320,6 +351,7 @@ def ivfpq_topk(
     n_probe: int = 8,
     refine_factor: int = 5,
     residual: bool = False,
+    per_cell_codebooks: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -340,15 +372,24 @@ def ivfpq_topk(
     residual distribution, and the ADC score adds the exact q·ĉ(cell)
     term back per row — better shortlists, at the cost of re-encoding
     whenever the coarse quantizer moves.
+
+    ``per_cell_codebooks=True`` (residual only) trains one codebook per
+    coarse cell — tighter per-cell fits on clustered corpora for C× the
+    (tiny) codebook memory; the ADC LUT grows to (Q, C, m, k), still
+    driver-side negligible.
     """
     from .similarity import _assign_cells, _dot, _norm, train_ivf_centroids
+
+    if per_cell_codebooks and not residual:
+        raise ValueError("per-cell codebooks only make sense for residual encoding")
 
     centroids = train_ivf_centroids(corpus, dim, n_centroids, id_col=id_col, vec_col=vec_col)
     norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
     if residual:
         codebooks = train_residual_codebooks(
-            corpus, centroids, dim, m, n_codes, id_col=id_col, vec_col=vec_col
+            corpus, centroids, dim, m, n_codes, id_col=id_col, vec_col=vec_col,
+            per_cell=per_cell_codebooks,
         )
         codes = pq_encode_residual(
             corpus, codebooks, centroids, id_col, vec_col
@@ -366,7 +407,11 @@ def ivfpq_topk(
     q_ids = [r[0] for r in q_rows]
     q_mat = _normalized_matrix([r[1] for r in q_rows])
     d_sub = dim // m
-    luts = np.einsum("qsd,skd->qsk", q_mat.reshape(len(q_ids), m, d_sub), codebooks)
+    q_sub = q_mat.reshape(len(q_ids), m, d_sub)
+    if per_cell_codebooks:
+        luts = np.einsum("qsd,cskd->qcsk", q_sub, codebooks)  # (Q, C, m, k)
+    else:
+        luts = np.einsum("qsd,skd->qsk", q_sub, codebooks)
     q_cell_ip = q_mat @ norm_c.T if residual else None  # (Q, C): exact q·ĉ term
     probed = np.argsort(-(q_mat @ norm_c.T), axis=1)[:, :n_probe]  # (Q, n_probe)
 
@@ -388,7 +433,13 @@ def ivfpq_topk(
                 mask = np.isin(cell_arr, probed[qi])
                 if not mask.any():
                     continue
-                sims = luts[qi][sub_idx[None, :], code_mat[mask]].sum(axis=1)
+                if per_cell_codebooks:
+                    row_cells = cell_arr[mask].astype(np.int64)
+                    sims = luts[qi][
+                        row_cells[:, None], sub_idx[None, :], code_mat[mask]
+                    ].sum(axis=1)
+                else:
+                    sims = luts[qi][sub_idx[None, :], code_mat[mask]].sum(axis=1)
                 if q_cell_ip is not None:
                     sims = sims + q_cell_ip[qi][cell_arr[mask].astype(np.int64)]
                 top = np.argsort(-sims)[: shortlist_k + 1]

@@ -577,3 +577,71 @@ def test_ivf_store_search_prunes_partitions(spark, emb, tmp_path):
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "cell" in pf, plan  # the isin filter prunes cell directories
     assert res.count() > 0
+
+
+def test_per_cell_residual_codebooks_reconstruct_better(spark):
+    """Local codebooks: per-cell residual fits must reconstruct clustered
+    corpora at least as well as one shared residual codebook (each cell's
+    k-means sees only its own residual distribution)."""
+    import numpy as np
+
+    from extract_transform_load_spark.operators.pq import (
+        _normalized_matrix,
+        train_residual_codebooks,
+    )
+    from extract_transform_load_spark.operators.similarity import train_ivf_centroids
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = centers[np.arange(512) % 8] + 0.15 * rng.normal(size=(512, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+    m, k = 16, 32
+    centroids = train_ivf_centroids(df, dim=64, n_centroids=8)
+    norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    shared = train_residual_codebooks(df, centroids, dim=64, m=m, k=k)
+    local = train_residual_codebooks(df, centroids, dim=64, m=m, k=k, per_cell=True)
+    assert local.shape == (8, m, k, 64 // m)
+
+    mat = _normalized_matrix(list(vecs))
+    cells = (mat @ norm_c.T).argmax(axis=1)
+    resid = mat - norm_c[cells]
+    d_sub = 64 // m
+
+    def err(books_for_row) -> float:
+        total = 0.0
+        for s in range(m):
+            sub = resid[:, s * d_sub : (s + 1) * d_sub]
+            for i in range(len(sub)):
+                b = books_for_row(i)[s]
+                total += ((sub[i][None, :] - b) ** 2).sum(axis=1).min()
+        return total
+
+    shared_err = err(lambda i: shared)
+    local_err = err(lambda i: local[cells[i]])
+    assert local_err <= shared_err, (local_err, shared_err)
+
+
+def test_per_cell_ivfpq_recall(emb):
+    """End-to-end per-cell-codebook IVF-PQ holds the recall floor on the
+    shared corpus and stays self-consistent (refine rerank is exact)."""
+    from extract_transform_load_spark.operators.pq import ivfpq_topk
+    from extract_transform_load_spark.operators.similarity import cosine_topk_bruteforce
+
+    corpus = emb.select("vec_id", "embedding")
+    queries = (
+        corpus.filter(F.col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    )
+    got = ivfpq_topk(
+        corpus, queries, dim=64, k=5, m=16, n_codes=32, n_centroids=16,
+        n_probe=8, residual=True, per_cell_codebooks=True,
+    )
+    want = cosine_topk_bruteforce(corpus, queries, k=5)
+    g = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    w = {(r["query_id"], r["neighbor_id"]) for r in want.collect()}
+    recall = len(g & w) / len(w)
+    assert recall >= 0.75, recall

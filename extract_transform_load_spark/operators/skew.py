@@ -87,3 +87,41 @@ def salted_broadcast_join(
     )
     out = salted_fact.join(salted_dim, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_report(
+    df: DataFrame, keys: Sequence[str], top_n: int = 20
+) -> DataFrame:
+    """Key-concentration diagnosis: the top-N hottest key values with
+    their row share and cumulative share — the measurement that decides
+    whether a join/agg needs :func:`salted_agg`, AQE skew splitting, or
+    nothing (rule of thumb: top-1 share ≫ 1/shuffle-partitions means
+    one reducer owns the key's whole row mass).
+
+    Scale shape: one partial-combined count aggregate, then
+    ``orderBy(n).limit(top_n)`` — which the planner executes as
+    TakeOrdered (top-N per partition, never a global sort of the key
+    space) — then share arithmetic on the ≤ top_n survivors with the
+    scalar total broadcast in. Deterministic tie-break on the key.
+    """
+    keys = list(keys)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    total = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    top = counts.orderBy(F.col("n").desc(), *[F.col(k).asc() for k in keys]).limit(top_n)
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.col("n").desc(), *[F.col(k).asc() for k in keys])
+    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.withColumn("rank", F.row_number().over(w_rank))
+        .crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n",
+            F.col("rank").cast("int").alias("rank"),
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
+            (
+                F.sum("n").over(w_cum).cast("double") / F.col("total").cast("double")
+            ).alias("cum_share"),
+        )
+    )

@@ -1665,3 +1665,33 @@ def q87_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("lang") == "de"),
         bucket,
     )
+
+
+@query(
+    "q88_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+    r AS (
+      SELECT user_id, n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk
+      FROM c QUALIFY rk <= 20
+    )
+    SELECT user_id, n, CAST(rk AS INT) AS rank,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           CAST(SUM(n) OVER (ORDER BY rk) AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+    FROM r CROSS JOIN t
+    """,
+    doc="Join/agg skew diagnosis (operators/skew.py::skew_report): the "
+    "top-20 hottest user_id values with row share and cumulative share "
+    "— the measurement that decides between salted_agg, AQE skew "
+    "splitting, or nothing. Count aggregate with map-side combine, "
+    "then TakeOrdered top-N (never a global sort of the key space); "
+    "share arithmetic happens on ≤ 20 rows with the scalar total "
+    "broadcast in. Shares are IEEE doubles from exact bigint counts.",
+)
+def q88_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import skew_report
+
+    return skew_report(load(spark, sf_dir, "events"), ["user_id"], top_n=20)

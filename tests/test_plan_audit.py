@@ -192,3 +192,11 @@ def test_q83_mixture_probe_side_broadcast_only(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q83_mixture_resample")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q88_skew_report_takeordered(spark, sf_dir):
+    # the hot-key top-N must be TakeOrdered over the count aggregate —
+    # a rangepartitioned global sort of the key space is the regression
+    plan = plan_of(spark, sf_dir, "q88_skew_report")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

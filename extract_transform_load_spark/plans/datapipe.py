@@ -1695,3 +1695,51 @@ def q88_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import skew_report
 
     return skew_report(load(spark, sf_dir, "events"), ["user_id"], top_n=20)
+
+
+@query(
+    "q89_boilerplate_mass",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS gram
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i) t
+    ),
+    gc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM g GROUP BY 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(SUM(CASE WHEN n_docs >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS boiler_frac
+    FROM g JOIN gc USING (gram)
+    GROUP BY 1
+    """,
+    doc="Cross-document boilerplate mass: the fraction of each doc's "
+    "distinct word-5-grams that recur in >= 3 documents — the "
+    "repeated-template signal (footers, navigation, license "
+    "blurbs) that RefinedWeb/CCNet-style curation removes BEFORE "
+    "near-dup detection (a doc can be boilerplate-heavy without "
+    "having any single near-duplicate; q41/q42 can't see it, and "
+    "q71 only sees WITHIN-doc repetition). Shape: scan-local gram "
+    "explode, one gram-count shuffle, then the doc rollup reuses the "
+    "gram partitioning for the join — two shuffles total; grams "
+    "never leave the pipeline and the hot gram table is the "
+    "df-cut-style rollup, not raw text.",
+)
+def q89_boilerplate_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), 5))).alias("gram"),
+    )
+    gc = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    joined = grams.join(gc, "gram")
+    is_boiler = F.when(F.col("n_docs") >= 3, 1).otherwise(0)
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(is_boiler).cast("bigint").alias("n_boiler"),
+        (F.sum(is_boiler).cast("double") / F.count(F.lit(1))).alias("boiler_frac"),
+    )

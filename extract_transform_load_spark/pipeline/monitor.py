@@ -192,3 +192,47 @@ def psi_drift(
         p_b.alias("p_b"),
         ((p_a - p_b) * (F.log(p_a) - F.log(p_b))).alias("contrib"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    z: float = 3.0,
+    approx: bool = False,
+) -> DataFrame:
+    """Median/MAD robust outlier detection per key group.
+
+    Mean/stddev z-scores are poisoned by the outliers they hunt; the
+    robust pair (median, median-absolute-deviation × 1.4826) is the
+    standard fix. Rows with |value − med| > z · 1.4826 · MAD are
+    returned with their ``med``/``mad``/``robust_z`` evidence columns;
+    zero-MAD groups (constant values) flag nothing rather than
+    dividing by zero.
+
+    Two grouped percentile passes + two broadcast-backs of the tiny
+    per-group stats — the fact table never shuffles. Exact
+    ``percentile`` buffers each group's values in the aggregate (the
+    oracle-checkable form, and fine for bounded group counts);
+    ``approx=True`` swaps both medians for ``approx_percentile`` — the
+    constant-memory sketch the same query needs at 100 TB.
+    """
+    pct = "approx_percentile" if approx else "percentile"
+    med = df.groupBy(*key_cols).agg(
+        F.expr(f"{pct}({value_col}, 0.5)").alias("__med")
+    )
+    with_med = df.join(F.broadcast(med), key_cols)
+    mad = with_med.groupBy(*key_cols).agg(
+        F.expr(f"{pct}(abs({value_col} - __med), 0.5)").alias("__mad")
+    )
+    out = with_med.join(F.broadcast(mad), key_cols)
+    z_col = (F.col(value_col) - F.col("__med")) / (F.lit(1.4826) * F.col("__mad"))
+    return (
+        out.filter((F.col("__mad") > 0) & (F.abs(z_col) > F.lit(z)))
+        .select(
+            *df.columns,
+            F.col("__med").alias("med"),
+            F.col("__mad").alias("mad"),
+            z_col.alias("robust_z"),
+        )
+    )

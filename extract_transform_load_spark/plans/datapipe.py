@@ -1743,3 +1743,39 @@ def q89_boilerplate_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_boiler).cast("bigint").alias("n_boiler"),
         (F.sum(is_boiler).cast("double") / F.count(F.lit(1))).alias("boiler_frac"),
     )
+
+
+@query(
+    "q90_robust_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT e.event_id, e.event_type, e.value, m.med
+      FROM events e JOIN m USING (event_type)
+    ),
+    md AS (
+      SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      FROM d GROUP BY 1
+    )
+    SELECT d.event_id, d.event_type, d.value, d.med, md.mad,
+           (d.value - d.med) / (1.4826 * md.mad) AS robust_z
+    FROM d JOIN md USING (event_type)
+    WHERE md.mad > 0 AND abs((d.value - d.med) / (1.4826 * md.mad)) > 3.0
+    """,
+    doc="Robust anomaly detection (pipeline/monitor.py::robust_outliers): "
+    "median/MAD flags per event_type — the estimator outliers can't "
+    "poison, unlike mean/stddev z-scores. Two grouped exact-percentile "
+    "passes whose per-type stats broadcast back over the scan (the "
+    "fact table never shuffles); the approx=True variant swaps in "
+    "constant-memory percentile sketches at 100 TB. Exact-median "
+    "parity holds engine-to-engine: both interpolate the same sorted "
+    "doubles, and the z arithmetic is IEEE in a fixed order.",
+)
+def q90_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.monitor import robust_outliers
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return robust_outliers(e, ["event_type"], "value", z=3.0)

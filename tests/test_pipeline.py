@@ -379,3 +379,23 @@ def test_psi_drift_zero_for_identical_and_positive_for_shifted(spark):
     psi = sum(r["contrib"] for r in rows)
     assert psi > 0.2  # a real shift registers
     assert all(r["p_a"] > 0 and r["p_b"] > 0 for r in rows)  # smoothing keeps finite
+
+
+def test_robust_outliers_flags_and_guards(spark):
+    from extract_transform_load_spark.pipeline.monitor import robust_outliers
+
+    # group "a": tight cluster around 10 with one wild point;
+    # group "b": constant values (MAD = 0) must flag nothing.
+    # Deviations have a repeated nonzero median so the approx path
+    # (which returns an actual element, not an interpolation) agrees.
+    rows = [("a", float(v)) for v in (9, 10, 11, 9, 10, 11, 9, 10, 11, 500)]
+    rows += [("b", 7.0)] * 6
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    out = robust_outliers(df, ["g"], "v", z=3.0).collect()
+    assert [(r["g"], r["v"]) for r in out] == [("a", 500.0)]
+    assert out[0]["robust_z"] > 3.0
+    assert out[0]["med"] == 10.0 and out[0]["mad"] == 1.0
+
+    approx = robust_outliers(df, ["g"], "v", z=3.0, approx=True).collect()
+    assert [(r["g"], r["v"]) for r in approx] == [("a", 500.0)]

@@ -159,3 +159,94 @@ def _delete(spark: SparkSession, path: str) -> None:
     fs, p, _ = _hadoop_fs(spark, path)
     if fs.exists(p):
         fs.delete(p, True)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    partition_col: str | None = None,
+    rows_per_file: int = 5_000_000,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet dir into right-sized
+    files, atomically. Returns (files_before, files_after).
+
+    Streaming/incremental sinks accrete files per trigger; at 100 TB
+    the scan's task count — and the namenode's metadata load — track
+    FILE count, not byte count, so periodic compaction is standing
+    maintenance (Delta OPTIMIZE, Iceberg rewrite_data_files — this is
+    the plain-parquet equivalent). Partitioned tables repartition by
+    the partition key so each partition lands as one writer's output,
+    capped by ``maxRecordsPerFile``; unpartitioned tables pay one
+    count() to size the target file count. Same staging + atomic swap
+    as :func:`merge_parquet` — readers never see a half-compacted dir.
+    """
+    df = spark.read.parquet(path)
+    before = _count_files(spark, path)
+    staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex}"
+    if partition_col is not None:
+        (
+            df.repartition(F.col(partition_col))
+            .write.option("maxRecordsPerFile", rows_per_file)
+            .mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(staging)
+        )
+    else:
+        n = df.count()
+        files = max(1, -(-n // rows_per_file))
+        (
+            df.repartition(files)
+            .write.option("maxRecordsPerFile", rows_per_file)
+            .mode("overwrite")
+            .parquet(staging)
+        )
+    _swap(spark, staging, path)
+    return before, _count_files(spark, path)
+
+
+def _count_files(spark: SparkSession, path: str) -> int:
+    fs, jpath, _ = _hadoop_fs(spark, path)
+    it = fs.listFiles(jpath, True)
+    n = 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
+
+
+def forget_keys(
+    spark: SparkSession,
+    keys: DataFrame,
+    targets: Sequence[tuple[str, Sequence[str], str | None]],
+) -> dict[str, list[str]]:
+    """Right-to-be-forgotten: propagate key deletions across every table.
+
+    ``keys`` holds the identifying columns (e.g. one ``user_id``
+    column); ``targets`` lists (path, pk, partition_col) for every
+    table that may reference them. Each table is semi-join-scanned once
+    to locate the full PKs (and partitions) owning those keys — the
+    same discovery scan Delta pays for an unindexed DELETE — then
+    :func:`merge_parquet` rewrites only the touched partitions.
+    Returns {path: swapped partition dirs}; an empty list means the
+    table held nothing for those keys and no file was touched — the
+    audit trail a compliance job wants per table.
+    """
+    out: dict[str, list[str]] = {}
+    key_cols = list(keys.columns)
+    for path, pk, partition_col in targets:
+        existing = spark.read.parquet(path)
+        empty_updates = existing.limit(0)
+        sel = list(pk) + ([partition_col] if partition_col else [])
+        dels = (
+            existing.join(F.broadcast(keys), key_cols, "left_semi")
+            .select(*sel)
+            .distinct()
+        )
+        if not dels.take(1):
+            out[path] = []
+            continue
+        out[path] = merge_parquet(
+            spark, path, empty_updates, pk, partition_col, deletes=dels
+        )
+    return out

@@ -577,3 +577,58 @@ def test_pii_redact_and_counts(spark):
     twice = df.select(pii_redact(pii_redact(F.col("t"))).alias("red")).collect()
     once = df.select(pii_redact(F.col("t")).alias("red")).collect()
     assert twice == once
+
+
+def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
+    from extract_transform_load_spark.sources.merge import compact_parquet
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 2000).selectExpr("id", "id % 4 AS part")
+    df.repartition(16).write.partitionBy("part").parquet(path)
+
+    before_rows = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    n_before, n_after = compact_parquet(spark, path, partition_col="part")
+    assert n_before > n_after
+    assert n_after <= 4  # one writer output per partition
+    after_rows = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert after_rows == before_rows
+
+    # unpartitioned path: count-sized file target
+    p2 = str(tmp_path / "flat")
+    spark.range(0, 1000).repartition(12).write.parquet(p2)
+    b, a = compact_parquet(spark, p2, rows_per_file=600)
+    assert b == 12 and a == 2
+    assert spark.read.parquet(p2).count() == 1000
+
+
+def test_forget_keys_propagates_deletes_across_tables(spark, tmp_path):
+    from extract_transform_load_spark.sources.merge import forget_keys
+
+    events = str(tmp_path / "events")
+    profile = str(tmp_path / "profiles")
+    spark.createDataFrame(
+        [(i, i % 5, f"d{i % 3}") for i in range(60)], "event_id long, user_id long, day string"
+    ).write.partitionBy("day").parquet(events)
+    spark.createDataFrame(
+        [(u, f"u{u}") for u in range(5)], "user_id long, name string"
+    ).write.parquet(profile)
+
+    keys = spark.createDataFrame([(2,), (4,)], "user_id long")
+    report = forget_keys(
+        spark,
+        keys,
+        [(events, ["event_id"], "day"), (profile, ["user_id"], None)],
+    )
+    assert set(report) == {events, profile}
+    assert len(report[events]) == 3  # every day partition held the users
+
+    ev = spark.read.parquet(events)
+    assert ev.filter(F.col("user_id").isin(2, 4)).count() == 0
+    assert ev.count() == 60 - 24  # 60 * 2/5 rows removed
+    pr = spark.read.parquet(profile)
+    assert sorted(r["user_id"] for r in pr.collect()) == [0, 1, 3]
+
+    # keys absent everywhere: audit reports empty, nothing rewritten
+    report2 = forget_keys(spark, spark.createDataFrame([(99,)], "user_id long"),
+                          [(events, ["event_id"], "day")])
+    assert report2 == {events: []}

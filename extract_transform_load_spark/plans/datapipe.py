@@ -1779,3 +1779,45 @@ def q90_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
     return robust_outliers(e, ["event_type"], "value", z=3.0)
+
+
+from .registry import REGISTRY as _REG  # noqa: E402
+
+_Q48_SQL = _REG["q48_lang_id"].oracle
+
+
+@query(
+    "q91_label_confusion",
+    oracle=f"""
+    WITH q48 AS ({_Q48_SQL}),
+    c AS (
+      SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM q48 GROUP BY 1, 2
+    ),
+    t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+    SELECT c.lang, c.predicted_lang, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+    FROM c JOIN t USING (lang)
+    """,
+    doc="Corpus label-quality audit: confusion matrix of the DECLARED "
+    "lang column against the q48 heuristic detector, with each cell's "
+    "share of its declared row — the monitor that catches mislabeled "
+    "or polluted language shards before they skew the q83 mixture "
+    "(a declared-en shard detecting 30% de is an ingest bug, not a "
+    "sampling input). Pure composition: the q48 scan (codegen "
+    "expressions, no shuffle) plus two tiny count aggregates; the "
+    "oracle embeds q48's SQL as a CTE so both layers compose "
+    "identically.",
+)
+def q91_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _REG["q48_lang_id"].fn(spark, sf_dir)
+    c = base.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = c.groupBy("lang").agg(F.sum("n").cast("bigint").alias("tot"))
+    return c.join(F.broadcast(t), "lang").select(
+        "lang",
+        "predicted_lang",
+        "n",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("share"),
+    )

@@ -30,13 +30,21 @@ def observe_counts(
     the ``Observation``; read ``observation.get`` AFTER an action has
     materialized the frame. Single consumer rule: observe once per
     frame, fan metrics out from the dict.
+
+    Streaming frames use the named-observe form (the ``Observation``
+    class is batch-only) and return ``None`` for the observation: read
+    the per-microbatch values from
+    ``StreamingQueryProgress.observedMetrics[name]`` instead — same
+    metric expressions, zero extra passes, per-batch granularity.
     """
-    obs = Observation(name)
     metrics = [F.count(F.lit(1)).alias("rows")]
     for metric, flag in flags.items():
         metrics.append(
             F.coalesce(F.sum(F.when(flag, 1).otherwise(0)), F.lit(0)).alias(metric)
         )
+    if df.isStreaming:
+        return df.observe(name, *metrics), None
+    obs = Observation(name)
     return df.observe(obs, *metrics), obs
 
 

@@ -160,3 +160,50 @@ def pii_counts(text: Column) -> dict[str, Column]:
         out[name] = F.regexp_count(cur, F.lit(pat)).cast("int")
         cur = F.regexp_replace(cur, pat, repl)
     return out
+
+
+def build_vocab(df: Column | "DataFrame", text_col: str = "text", size: int = 30000):
+    """Deterministic frequency vocab: top-``size`` words get ids
+    1..size (rank by count desc, word asc — reproducible run-to-run);
+    id 0 is reserved for OOV. One word-count aggregate with map-side
+    combine, then TakeOrdered top-``size`` — the full vocabulary is
+    counted but never globally sorted; the ranking window runs over the
+    ≤ size survivors on one partition (a vocab is driver-scale by
+    definition)."""
+    from pyspark.sql import Window
+
+    w = df.select(F.explode(words(F.col(text_col))).alias("word"))
+    counts = w.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("word").asc()).limit(size)
+    rank = Window.orderBy(F.col("n").desc(), F.col("word").asc())
+    return top.withColumn("token_id", F.row_number().over(rank)).select("word", "token_id")
+
+
+def encode_tokens(
+    df, vocab, id_col: str = "doc_id", text_col: str = "text"
+):
+    """(id, token_ids array<int>, n_tokens, n_oov) — the text → id-array
+    step a training exporter runs after curation and before packing
+    (q75 budgets on counts; this produces the ids those counts meter).
+
+    Order is load-bearing: collect_list has no ordering guarantee under
+    shuffle, so positions ride along and ``array_sort`` over
+    (pos, id) structs restores document order deterministically before
+    the ids are peeled out. The vocab broadcasts (a vocab is MB-scale
+    against a 100 TB corpus); unknown words encode as 0.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("pos", "word")
+    )
+    j = toks.join(F.broadcast(vocab), "word", "left")
+    tid = F.coalesce(F.col("token_id"), F.lit(0))
+    return j.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), tid.alias("tid")))),
+            lambda s: s.tid,
+        ).alias("token_ids"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+    )

@@ -1821,3 +1821,45 @@ def q91_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("tot").cast("double")).alias("share"),
     )
+
+
+@query(
+    "q92_tokenize_ids",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (
+      SELECT doc_id, i AS pos, w[i] AS word
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+    ),
+    counts AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+    vocab AS (
+      SELECT word, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS INT) AS token_id
+      FROM counts QUALIFY token_id <= 24
+    ),
+    enc AS (
+      SELECT tok.doc_id, tok.pos, COALESCE(v.token_id, 0) AS tid
+      FROM tok LEFT JOIN vocab v USING (word)
+    )
+    SELECT doc_id,
+           list(tid ORDER BY pos) AS token_ids,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM enc GROUP BY 1
+    """,
+    doc="Vocabulary encoding (operators/textops.py::build_vocab + "
+    "encode_tokens): corpus-derived frequency vocab (rank by count "
+    "desc, word asc — deterministic), then text → ordered id arrays "
+    "with OOV = 0 — the export step between curation and q75 packing. "
+    "The vocab here is capped at 24 of the corpus's 31 words so the "
+    "OOV path is genuinely exercised. Order survives the shuffle "
+    "because positions ride in the collected structs and array_sort "
+    "restores document order (collect_list alone guarantees nothing). "
+    "One word-count aggregate + broadcast vocab join — the corpus "
+    "never shuffles for the join.",
+)
+def q92_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import build_vocab, encode_tokens
+
+    d = load(spark, sf_dir, "documents")
+    vocab = build_vocab(d, "text", size=24)
+    return encode_tokens(d, vocab)

@@ -632,3 +632,21 @@ def test_forget_keys_propagates_deletes_across_tables(spark, tmp_path):
     report2 = forget_keys(spark, spark.createDataFrame([(99,)], "user_id long"),
                           [(events, ["event_id"], "day")])
     assert report2 == {events: []}
+
+
+def test_encode_tokens_order_and_oov(spark):
+    from extract_transform_load_spark.operators.textops import build_vocab, encode_tokens
+
+    df = spark.createDataFrame(
+        [(1, "b a b c b a"), (2, "a rare b")], "doc_id long, text string"
+    )
+    # counts: b=4, a=3, c=1, rare=1 -> vocab(3): b=1, a=2, c=3; 'rare' OOV
+    vocab = build_vocab(df, "text", size=3)
+    v = {r["word"]: r["token_id"] for r in vocab.collect()}
+    assert v == {"b": 1, "a": 2, "c": 3}
+
+    enc = {r["doc_id"]: r for r in encode_tokens(df, vocab).collect()}
+    assert enc[1]["token_ids"] == [1, 2, 1, 3, 1, 2]  # document order kept
+    assert (enc[1]["n_tokens"], enc[1]["n_oov"]) == (6, 0)
+    assert enc[2]["token_ids"] == [2, 0, 1]  # OOV encodes as 0 in place
+    assert (enc[2]["n_tokens"], enc[2]["n_oov"]) == (3, 1)

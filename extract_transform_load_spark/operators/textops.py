@@ -207,3 +207,26 @@ def encode_tokens(
         .cast("bigint")
         .alias("n_oov"),
     )
+
+
+def decode_tokens(encoded, vocab, id_col: str = "doc_id", oov_marker: str = "<unk>"):
+    """Inverse of :func:`encode_tokens`: id arrays → text, OOV ids (0)
+    rendering as ``oov_marker``. Round trip decode(encode(d)) == d for
+    fully in-vocab documents (tested) — the loader-side check that an
+    exported id-shard and its vocab actually belong together."""
+    inv = vocab.select(F.col("token_id"), F.col("word"))
+    ex = encoded.select(F.col(id_col), F.posexplode("token_ids").alias("pos", "token_id"))
+    j = ex.join(F.broadcast(inv), "token_id", "left")
+    word = F.coalesce(F.col("word"), F.lit(oov_marker))
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("pos"), word.alias("w")))),
+                    lambda s: s.w,
+                ),
+                " ",
+            ).alias("text")
+        )
+    )

@@ -650,3 +650,23 @@ def test_encode_tokens_order_and_oov(spark):
     assert (enc[1]["n_tokens"], enc[1]["n_oov"]) == (6, 0)
     assert enc[2]["token_ids"] == [2, 0, 1]  # OOV encodes as 0 in place
     assert (enc[2]["n_tokens"], enc[2]["n_oov"]) == (3, 1)
+
+
+def test_decode_tokens_round_trip(spark):
+    from extract_transform_load_spark.operators.textops import (
+        build_vocab,
+        decode_tokens,
+        encode_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "b a b c b a"), (2, "a rare b")], "doc_id long, text string"
+    )
+    full_vocab = build_vocab(df, "text", size=10)
+    enc = encode_tokens(df, full_vocab)
+    back = {r["doc_id"]: r["text"] for r in decode_tokens(enc, full_vocab).collect()}
+    assert back == {1: "b a b c b a", 2: "a rare b"}  # lossless when in-vocab
+
+    small = build_vocab(df, "text", size=3)
+    lossy = decode_tokens(encode_tokens(df, small), small).collect()
+    assert {r["text"] for r in lossy} == {"b a b c b a", "a <unk> b"}

@@ -200,3 +200,11 @@ def test_q88_skew_report_takeordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q88_skew_report")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_q89_boilerplate_two_shuffle_budget(spark, sf_dir):
+    # gram count + doc rollup; the gram/count join must reuse the gram
+    # hash partitioning rather than add a third shuffle of the grams
+    plan = plan_of(spark, sf_dir, "q89_boilerplate_mass")
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "CartesianProduct" not in plan

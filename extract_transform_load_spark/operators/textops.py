@@ -162,6 +162,67 @@ def pii_counts(text: Column) -> dict[str, Column]:
     return out
 
 
+def scrub_frequent_grams(
+    docs,
+    k: int = 5,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Remove boilerplate spans: every word-``k``-gram occurrence whose
+    gram recurs in >= ``min_docs`` distinct documents is masked out of
+    the text (all ``k`` covered word positions drop), and the document
+    is rebuilt from the surviving words in order.
+
+    This is the transformation twin of the q89 *measurement*: q89 tells
+    you how much repeated-template mass a corpus carries; this actually
+    strips it (the RefinedWeb/CCNet step that removes footers, nav
+    bars and license blurbs while keeping the unique prose around
+    them). Overlapping frequent grams merge naturally — coverage is a
+    position set, not a span list.
+
+    Scale shape: gram occurrences explode scan-side; one shuffle
+    counts per-gram doc-frequency (map-side partial over distinct
+    (doc, gram) pairs); the occurrences↔frequent-grams join reuses the
+    gram hash partitioning; covered positions then collapse to ONE
+    small array per doc (``collect_set`` — boilerplate coverage is a
+    tiny fraction of corpus tokens), and the rebuild is a codegen-only
+    indexed ``filter`` over the words array — the corpus text itself
+    is never shuffled, only (id, position-set) pairs are.
+    """
+    occ = docs.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(F.col(text_col), k)).alias("start", "gram"),
+    )
+    freq = (
+        occ.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    cov = (
+        occ.join(freq, "gram")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("start"), F.col("start") + (k - 1))).alias("pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("cov"))
+    )
+    w = words(F.col(text_col))
+    kept = F.filter(w, lambda x, i: ~F.array_contains(F.col("cov"), i))
+    return (
+        docs.join(cov, id_col, "left")
+        .withColumn("cov", F.coalesce(F.col("cov"), F.array().cast("array<int>")))
+        .select(
+            F.col(id_col),
+            F.size(w).cast("bigint").alias("n_tokens"),
+            F.size(kept).cast("bigint").alias("n_kept"),
+            F.array_join(kept, " ").alias("scrubbed_text"),
+        )
+    )
+
+
 def build_vocab(df: Column | "DataFrame", text_col: str = "text", size: int = 30000):
     """Deterministic frequency vocab: top-``size`` words get ids
     1..size (rank by count desc, word asc — reproducible run-to-run);

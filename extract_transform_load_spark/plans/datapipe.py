@@ -1863,3 +1863,133 @@ def q92_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     vocab = build_vocab(d, "text", size=24)
     return encode_tokens(d, vocab)
+
+
+@query(
+    "q93_roundtrip_fidelity",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (
+      SELECT doc_id, i AS pos, w[i] AS word
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+    ),
+    counts AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+    vocab AS (
+      SELECT word, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS INT) AS token_id
+      FROM counts QUALIFY token_id <= 24
+    ),
+    enc AS (
+      SELECT tok.doc_id, tok.pos, COALESCE(v.token_id, 0) AS tid
+      FROM tok LEFT JOIN vocab v USING (word)
+    ),
+    dec AS (
+      SELECT e.doc_id,
+             string_agg(COALESCE(v.word, '<unk>'), ' ' ORDER BY e.pos) AS decoded,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN e.tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      FROM enc e LEFT JOIN vocab v ON v.token_id = e.tid
+      GROUP BY 1
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dec.decoded = d.text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lossless,
+           CAST(SUM(dec.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(dec.n_oov) AS BIGINT) AS n_oov,
+           CAST(SUM(dec.n_oov) AS DOUBLE) / CAST(SUM(dec.n_tokens) AS DOUBLE)
+             AS oov_rate
+    FROM dec JOIN documents d USING (doc_id)
+    GROUP BY 1
+    """,
+    doc="Export shard validation: encode the corpus with the q92 vocab, "
+    "decode the id arrays back (operators/textops.py::decode_tokens), "
+    "and audit per language how many documents survive the round trip "
+    "losslessly and what token share fell to OOV — the loader-side "
+    "check that an exported id-shard and its vocab actually belong "
+    "together, and the per-shard signal for sizing the real vocab "
+    "(an oov_rate cliff in one language means its script never made "
+    "the frequency cut). Composes three broadcast-vocab joins over "
+    "one corpus scan lineage; the decoded text is compared inside the "
+    "per-doc aggregate so full texts never reach the final shuffle — "
+    "only (lang, flags, counts) rows do.",
+)
+def q93_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import build_vocab, decode_tokens, encode_tokens
+
+    d = load(spark, sf_dir, "documents")
+    vocab = build_vocab(d, "text", size=24)
+    enc = encode_tokens(d, vocab)
+    dec = decode_tokens(enc, vocab).withColumnRenamed("text", "decoded")
+    j = (
+        enc.select("doc_id", "n_tokens", "n_oov")
+        .join(dec, "doc_id")
+        .join(d.select("doc_id", "lang", "text"), "doc_id")
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("decoded") == F.col("text"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lossless"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_oov").cast("bigint").alias("n_oov"),
+        (F.sum("n_oov").cast("double") / F.sum("n_tokens").cast("double")).alias(
+            "oov_rate"
+        ),
+    )
+
+
+@query(
+    "q94_boilerplate_scrub",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    occ AS (
+      SELECT doc_id, i AS start, array_to_string(w[i:i+4], ' ') AS gram
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i) t
+    ),
+    freq AS (
+      SELECT gram
+      FROM (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY 1)
+      WHERE nd >= 3
+    ),
+    cov AS (
+      SELECT DISTINCT occ.doc_id, p AS pos
+      FROM occ JOIN freq USING (gram),
+           LATERAL (SELECT unnest(generate_series(occ.start, occ.start + 4)) AS p) t
+    ),
+    tok AS (
+      SELECT doc_id, i AS pos, w[i] AS word
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+    ),
+    kept AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(t.word, ' ' ORDER BY t.pos) AS scrubbed_text
+      FROM tok t
+      LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+      WHERE c.pos IS NULL
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+           COALESCE(k.scrubbed_text, '') AS scrubbed_text
+    FROM documents d LEFT JOIN kept k USING (doc_id)
+    """,
+    doc="Boilerplate scrubbing (operators/textops.py::"
+    "scrub_frequent_grams): the transformation twin of q89 — every "
+    "word-5-gram occurrence recurring in >= 3 documents is masked and "
+    "the doc rebuilt from surviving words, the RefinedWeb/CCNet step "
+    "that strips footers and license blurbs while keeping unique "
+    "prose. Overlapping frequent grams merge via position-set "
+    "coverage. The Spark side collapses covered positions to one "
+    "small per-doc array and rebuilds with a codegen indexed filter "
+    "over the words array (0-based; the oracle replays the identical "
+    "algorithm 1-based with an anti-join rebuild) — corpus text never "
+    "shuffles, only (id, position) pairs do.",
+)
+def q94_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import scrub_frequent_grams
+
+    return scrub_frequent_grams(
+        load(spark, sf_dir, "documents"), k=5, min_docs=3
+    )

@@ -670,3 +670,44 @@ def test_decode_tokens_round_trip(spark):
     small = build_vocab(df, "text", size=3)
     lossy = decode_tokens(encode_tokens(df, small), small).collect()
     assert {r["text"] for r in lossy} == {"b a b c b a", "a <unk> b"}
+
+
+def test_scrub_frequent_grams(spark):
+    from extract_transform_load_spark.operators.textops import scrub_frequent_grams
+
+    boiler = "all rights reserved contact us"  # 5-gram template in 3 docs
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique prose one {boiler}"),
+            (2, f"{boiler} and more unique prose"),
+            (3, f"totally {boiler} split text"),
+            (4, "no template here at all friend"),
+            (5, boiler),  # pure boilerplate -> scrubs to empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_frequent_grams(docs, k=5, min_docs=3).collect()}
+    assert len(out) == 5  # fully-scrubbed docs still appear
+    assert out[1]["scrubbed_text"] == "unique prose one"
+    assert out[2]["scrubbed_text"] == "and more unique prose"
+    assert out[3]["scrubbed_text"] == "totally split text"
+    assert out[4]["scrubbed_text"] == "no template here at all friend"
+    assert (out[4]["n_tokens"], out[4]["n_kept"]) == (6, 6)
+    assert out[5]["scrubbed_text"] == ""
+    assert (out[5]["n_tokens"], out[5]["n_kept"]) == (5, 0)
+
+
+def test_scrub_overlapping_grams_merge(spark):
+    from extract_transform_load_spark.operators.textops import scrub_frequent_grams
+
+    # "a b c d e f" holds two overlapping frequent 5-grams (abcde,
+    # bcdef) in 3 docs — coverage is a position set, so all 6 words go
+    shared = "a b c d e f"
+    docs = spark.createDataFrame(
+        [(i, f"keep{i} {shared} tail{i}") for i in (1, 2, 3)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_frequent_grams(docs, k=5, min_docs=3).collect()}
+    for i in (1, 2, 3):
+        assert out[i]["scrubbed_text"] == f"keep{i} tail{i}"
+        assert (out[i]["n_tokens"], out[i]["n_kept"]) == (8, 2)

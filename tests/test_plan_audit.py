@@ -208,3 +208,21 @@ def test_q89_boilerplate_two_shuffle_budget(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q89_boilerplate_mass")
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "CartesianProduct" not in plan
+
+
+def test_q93_vocab_joins_broadcast(spark, sf_dir):
+    # every vocab join (encode's word lookup, decode's id lookup) must
+    # broadcast the MB-scale vocab — the corpus never shuffles for them
+    plan = plan_of(spark, sf_dir, "q93_roundtrip_fidelity")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q94_scrub_shuffle_budget(spark, sf_dir):
+    # gram doc-frequency, occurrence/frequent-gram join, per-doc
+    # coverage collapse, coverage/docs join — bounded exchange budget
+    # and no text column in any exchange-feeding projection beyond the
+    # final doc join
+    plan = plan_of(spark, sf_dir, "q94_boilerplate_scrub")
+    assert plan.count("Exchange hashpartitioning") <= 5
+    assert "CartesianProduct" not in plan

@@ -11,9 +11,10 @@ The Spark-native equivalent needs three things, all built-in:
 
 1. **Source**: any streaming DataFrame with the bronze event schema
    (file source watching a landing dir, Kafka, or ``rate`` for tests).
-2. **Idempotency**: ``withWatermark(event time) + dropDuplicates(PK)`` —
-   exactly-once within the watermark horizon, replacing the reference's
-   per-block `ON CONFLICT DO NOTHING` transaction.
+2. **Idempotency**: ``withWatermark(event time) +
+   dropDuplicatesWithinWatermark(PK)`` — exactly-once within the
+   watermark horizon with state bounded BY that horizon, replacing the
+   reference's per-block `ON CONFLICT DO NOTHING` transaction.
 3. **Sink**: ``foreachBatch`` running the same *batch* parser/enrichment
    code (pipeline.parsers / pipeline.ingest) and an idempotent write —
    one code path for batch backfill and streaming, the core medallion
@@ -39,12 +40,21 @@ def deduped_stream(
 ) -> DataFrame:
     """Watermarked exactly-once-per-PK event stream.
 
-    The watermark bounds the dedup state store: replays older than the
-    horizon fall to the batch reconciliation path (pipeline.ingest's
-    anti-join), mirroring how the reference separates live ingest from
-    gap backfill (`synchronization.rs`).
+    Uses ``dropDuplicatesWithinWatermark``, not plain
+    ``dropDuplicates``: with a PK subset that excludes the event-time
+    column, plain streaming dropDuplicates NEVER evicts its state store
+    (the watermark only bounds state when the event-time column is one
+    of the dedup keys) — an unbounded-memory defect at corpus scale.
+    The WithinWatermark variant keys state on the PK alone and expires
+    each entry once the watermark passes its first-seen event time, so
+    state is O(keys per horizon). Replays older than the horizon fall
+    to the batch reconciliation path (pipeline.ingest's anti-join),
+    mirroring how the reference separates live ingest from gap backfill
+    (`synchronization.rs`).
     """
-    return stream.withWatermark(event_time_col, watermark).dropDuplicates(list(pk))
+    return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        list(pk)
+    )
 
 
 def start_silver_stream(

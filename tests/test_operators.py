@@ -697,6 +697,97 @@ def test_scrub_frequent_grams(spark):
     assert (out[5]["n_tokens"], out[5]["n_kept"]) == (5, 0)
 
 
+DIM_SCHEMA = (
+    "cust long, segment string, valid_from timestamp, valid_to timestamp,"
+    " is_current boolean"
+)
+CH_SCHEMA = "cust long, segment string, effective_ts timestamp"
+
+
+def _scd2_rows(df):
+    return sorted(
+        (r["cust"], r["segment"], str(r["valid_from"]),
+         str(r["valid_to"]), r["is_current"])
+        for r in df.collect()
+    )
+
+
+def test_scd2_apply_versions_changes(spark):
+    from datetime import datetime
+
+    from extract_transform_load_spark.sources.merge import scd2_apply
+
+    t = lambda d: datetime(2026, 1, d)  # noqa: E731
+    dim = spark.createDataFrame(
+        [
+            (1, "gold", t(1), None, True),        # will change
+            (2, "silver", t(1), None, True),      # untouched
+            (3, "bronze", t(1), t(2), False),     # closed history
+            (3, "gold", t(2), None, True),        # no-op change arrives
+        ],
+        DIM_SCHEMA,
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "platinum", t(5)),   # real change
+            (3, "gold", t(6)),       # no-op: equals current attrs
+            (4, "new", t(7)),        # brand-new key
+            (2, "silver", t(1)),     # stale echo at current valid_from
+        ],
+        CH_SCHEMA,
+    )
+    out = scd2_apply(dim, changes, ["cust"], ["segment"])
+    assert _scd2_rows(out) == sorted(
+        [
+            (1, "gold", str(t(1)), str(t(5)), False),
+            (1, "platinum", str(t(5)), "None", True),
+            (2, "silver", str(t(1)), "None", True),
+            (3, "bronze", str(t(1)), str(t(2)), False),
+            (3, "gold", str(t(2)), "None", True),
+            (4, "new", str(t(7)), "None", True),
+        ]
+    )
+
+
+def test_scd2_apply_chains_and_collapses_within_batch(spark):
+    from datetime import datetime
+
+    from extract_transform_load_spark.sources.merge import scd2_apply
+
+    t = lambda d: datetime(2026, 2, d)  # noqa: E731
+    dim = spark.createDataFrame([(1, "a", t(1), None, True)], DIM_SCHEMA)
+    changes = spark.createDataFrame(
+        [(1, "a", t(2)), (1, "b", t(3)), (1, "b", t(4)), (1, "c", t(5))],
+        CH_SCHEMA,
+    )
+    out = scd2_apply(dim, changes, ["cust"], ["segment"])
+    # a@2 is a no-op vs current, b@4 is a no-op vs b@3 — chain a -> b -> c
+    assert _scd2_rows(out) == sorted(
+        [
+            (1, "a", str(t(1)), str(t(3)), False),
+            (1, "b", str(t(3)), str(t(5)), False),
+            (1, "c", str(t(5)), "None", True),
+        ]
+    )
+
+
+def test_scd2_apply_replay_is_idempotent(spark):
+    from datetime import datetime
+
+    from extract_transform_load_spark.sources.merge import scd2_apply
+
+    t = lambda d: datetime(2026, 3, d)  # noqa: E731
+    dim = spark.createDataFrame(
+        [(1, "a", t(1), None, True), (2, "x", t(1), None, True)], DIM_SCHEMA
+    )
+    changes = spark.createDataFrame(
+        [(1, "b", t(3)), (1, "c", t(4)), (3, "new", t(5))], CH_SCHEMA
+    )
+    once = scd2_apply(dim, changes, ["cust"], ["segment"])
+    twice = scd2_apply(once, changes, ["cust"], ["segment"])
+    assert _scd2_rows(once) == _scd2_rows(twice)
+
+
 def test_scrub_overlapping_grams_merge(spark):
     from extract_transform_load_spark.operators.textops import scrub_frequent_grams
 

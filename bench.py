@@ -50,6 +50,8 @@ HEADLINE = [
     "q76_unigram_logprob",
     "q83_mixture_resample",
     "q85_expectations",
+    "q93_roundtrip_fidelity",
+    "q94_boilerplate_scrub",
 ]
 
 

@@ -1993,3 +1993,71 @@ def q94_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_frequent_grams(
         load(spark, sf_dir, "documents"), k=5, min_docs=3
     )
+
+
+@query(
+    "q95_scd2_dimension",
+    oracle="""
+    WITH ch AS (
+      SELECT o_custkey AS cust,
+             CASE WHEN MAX(o_totalprice) > 150000 THEN 'BIG' ELSE 'SMALL' END
+               AS segment,
+             CAST(o_orderdate AS TIMESTAMP) AS eff
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    pool AS (
+      SELECT c_custkey AS cust, c_mktsegment AS segment,
+             TIMESTAMP '1990-01-01' AS eff, TRUE AS is_seed
+      FROM customer
+      UNION ALL
+      SELECT cust, segment, eff, FALSE FROM ch
+    ),
+    s AS (
+      SELECT *,
+             LAG(segment) OVER (PARTITION BY cust ORDER BY eff, is_seed DESC)
+               AS prev
+      FROM pool
+    ),
+    surv AS (SELECT cust, segment, eff FROM s WHERE prev IS NULL OR segment <> prev),
+    v AS (
+      SELECT cust, segment, eff AS valid_from,
+             LEAD(eff) OVER (PARTITION BY cust ORDER BY eff) AS valid_to
+      FROM surv
+    )
+    SELECT cust, segment, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM v
+    """,
+    doc="SCD type-2 dimension versioning under the gate "
+    "(sources/merge.py::scd2_apply): the customer snapshot becomes a "
+    "versioned dimension and a change batch derived from orders "
+    "(per-customer-per-day segment recomputation) is applied — "
+    "consecutive same-segment changes collapse to nothing, real "
+    "changes close the open version and chain new ones, each key ends "
+    "with exactly one is_current row. The oracle replays the identical "
+    "seed→dedupe→lead algorithm in window SQL. Physical shape: one "
+    "delta-sized exchange for the per-key window (both window "
+    "operators share it); closed history — the 100 TB side of a real "
+    "dimension — never shuffles.",
+)
+def q95_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.merge import scd2_apply
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    dim = c.select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    ch = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").cast("timestamp").alias("effective_ts"),
+    ).agg(
+        F.when(F.max("o_totalprice") > 150000, "BIG")
+        .otherwise("SMALL")
+        .alias("segment")
+    )
+    return scd2_apply(dim, ch, ["cust"], ["segment"])

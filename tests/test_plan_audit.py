@@ -218,6 +218,17 @@ def test_q93_vocab_joins_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q95_scd2_single_window_exchange(spark, sf_dir):
+    # both window operators (no-op dedupe lag + version-closing lead)
+    # must share ONE per-key exchange; the stale-change filter joins
+    # via broadcast, and history/current never cartesian
+    plan = plan_of(spark, sf_dir, "q95_scd2_dimension")
+    assert plan.count("Window") == 2
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q94_scrub_shuffle_budget(spark, sf_dir):
     # gram doc-frequency, occurrence/frequent-gram join, per-doc
     # coverage collapse, coverage/docs join — bounded exchange budget

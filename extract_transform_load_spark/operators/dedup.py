@@ -124,6 +124,104 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard-threshold pairs via PPJoin-style prefix filtering
+    (Xiao et al., WWW'08) — same result set as
+    :func:`ngram_jaccard_pairs`, asymptotically fewer candidate pairs.
+
+    The all-pairs inverted index joins every shared shingle; a shingle
+    shared by d documents costs d²/2 join rows whether or not any pair
+    can clear the threshold. Prefix filtering makes the index
+    *threshold-aware*: order every document's shingles by one global
+    rare-first order (document frequency asc, shingle asc — ties
+    broken identically everywhere), and index only each doc's first
+    ``|d| - ceil(t·|d|) + 1`` shingles. Lossless: if J(A,B) >= t the
+    smallest common shingle under the global order must sit inside
+    BOTH prefixes (else the overlap fits in a suffix of length
+    ceil(t·|d|)-1 < t·|d|, contradicting the required overlap), so
+    every qualifying pair still collides. A length filter
+    (t·|a| <= |b| on both sides) prunes further at the join, and
+    candidates are verified exactly with ``array_intersect`` on the
+    full shingle arrays — no false positives survive.
+
+    Scale trade vs the naive join: more (cheap) exchanges — df count,
+    per-doc ranking window, candidate distinct — but the quadratic
+    term now runs over prefix collisions only, ~(1-t) of the index
+    rows and a far smaller hot-shingle blowup (rare-first ordering
+    puts the boilerplate shingles in suffixes, exactly where they are
+    never indexed). At t=0.5 the prefix index is about half the full
+    index and candidate volume drops by the product of both sides'
+    cuts; at t=0.9 it is a tenth. The df-cut heuristic of
+    ``ngram_jaccard_pairs(max_df=...)`` trades recall for the same
+    effect; this keeps recall exact.
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_sets(docs, text_col, id_col, k)
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    by_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfc, "shingle")
+        .withColumn(
+            "rnk",
+            F.row_number().over(by_doc.orderBy(F.col("df").asc(), F.col("shingle").asc())),
+        )
+        .withColumn("set_size", F.count(F.lit(1)).over(by_doc))
+    )
+    prefix_len = (
+        F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+    )
+    pre = ranked.filter(F.col("rnk") <= prefix_len).select(
+        "doc_id", "shingle", "set_size"
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    length_ok = (
+        F.col("b.set_size") >= F.ceil(F.lit(threshold) * F.col("a.set_size"))
+    ) & (F.col("a.set_size") >= F.ceil(F.lit(threshold) * F.col("b.set_size")))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & length_ok,
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("sset"),
+        F.count(F.lit(1)).alias("set_size"),
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sset").alias("set_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sset").alias("set_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    n_common = F.size(F.array_intersect(F.col("set_a"), F.col("set_b"))).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            n_common.cast("double")
+            / (F.col("size_a") + F.col("size_b") - n_common).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic 64-bit mixing (splitmix64) — shared by MinHash & SimHash
 # ---------------------------------------------------------------------------

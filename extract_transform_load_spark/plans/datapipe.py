@@ -2061,3 +2061,40 @@ def q95_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("segment")
     )
     return scd2_apply(dim, ch, ["cust"], ["segment"])
+
+
+@query(
+    "q96_prefix_jaccard",
+    oracle=None,  # set below — reuses q41's oracle verbatim (same result set)
+    doc="",
+)
+def q96_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5, k=3)
+
+
+def _finalize_q96() -> None:
+    """q96 must equal q41 bit-for-bit — same oracle string, by construction."""
+    from dataclasses import replace
+
+    spec = _REG["q96_prefix_jaccard"]
+    _REG["q96_prefix_jaccard"] = replace(
+        spec,
+        oracle=_REG["q41_ngram_jaccard_pairs"].oracle,
+        doc="Exact Jaccard near-dup pairs via PPJoin-style prefix "
+        "filtering (operators/dedup.py::prefix_jaccard_pairs): index "
+        "only each doc's rare-first prefix (|d| - ceil(t·|d|) + 1 "
+        "shingles under a global df-asc order), join prefixes, length-"
+        "filter, verify candidates exactly with array_intersect. "
+        "Lossless by the prefix-filtering theorem, so the oracle is "
+        "q41's SQL verbatim — the all-pairs join and the prefix join "
+        "must produce identical pairs, and the gate proves it. The "
+        "scale win over q41: the quadratic join runs over prefix "
+        "collisions (~(1-t) of index rows, boilerplate shingles never "
+        "indexed) instead of every shared shingle, with recall exact "
+        "rather than max_df's recall trade.",
+    )
+
+
+_finalize_q96()

@@ -2064,6 +2064,31 @@ def q95_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q97_sketch_mau",
+    oracle=None,  # DataSketches HLL binaries have no DuckDB twin;
+    # accuracy + merge-losslessness are property-tested in
+    # tests/test_datapipe.py against exact distinct counts
+    doc="Pre-aggregated distinct users via mergeable HLL sketches "
+    "(operators/sketches.py): one 4 KiB sketch per (day, event_type) "
+    "— the persistable rollup — then any date range / dimension "
+    "subset folds sketches instead of rescanning raw events "
+    "(q60's approx_count_distinct answers one fixed grouping per "
+    "scan; this answers every grouping from kilobytes). Union over "
+    "sketches is lossless in the sketch algebra: folding daily "
+    "sketches equals sketching the range directly (tested bit-for-"
+    "bit), so error never compounds. Deterministic output.",
+)
+def q97_sketch_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import build_distinct_sketches, merge_distinct_estimate
+
+    e = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type", "user_id"
+    )
+    daily = build_distinct_sketches(e, ["day", "event_type"], "user_id")
+    return merge_distinct_estimate(daily, ["event_type"])
+
+
+@query(
     "q96_prefix_jaccard",
     oracle=None,  # set below — reuses q41's oracle verbatim (same result set)
     doc="",

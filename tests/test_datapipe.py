@@ -338,6 +338,48 @@ def test_prefix_jaccard_prunes_candidate_volume(spark):
     assert prefix_rows * 10 <= naive_rows
 
 
+def test_hll_sketch_estimates_and_lossless_merge(spark, sf_dir):
+    """Sketch accuracy vs exact distincts, and the property the whole
+    design rests on: folding per-day sketches == sketching the range
+    directly (merge is lossless in the sketch algebra)."""
+    from extract_transform_load_spark.operators.sketches import (
+        build_distinct_sketches,
+        merge_distinct_estimate,
+    )
+    from extract_transform_load_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type", "user_id"
+    )
+    daily = build_distinct_sketches(e, ["day", "event_type"], "user_id")
+
+    folded = {
+        r["event_type"]: r["n_distinct"]
+        for r in merge_distinct_estimate(daily, ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: r["n_distinct"]
+        for r in merge_distinct_estimate(
+            build_distinct_sketches(e, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(folded) == set(exact)
+    for t, n in exact.items():
+        assert abs(folded[t] - n) / n < 0.05, f"{t}: est {folded[t]} vs exact {n}"
+        assert folded[t] == direct[t], "daily-fold must equal direct sketch"
+
+    # grand total (empty grouping) folds the same sketch table
+    total = merge_distinct_estimate(daily, []).collect()[0]["n_distinct"]
+    exact_total = e.agg(F.count_distinct("user_id")).collect()[0][0]
+    assert abs(total - exact_total) / exact_total < 0.05
+
+
 def test_jaccard_df_cut_drops_boilerplate_shingles(spark):
     """max_df removes hot boilerplate shingles before the self-join:
     near-identical docs still pair, but a shingle shared by ALL docs no

@@ -39,17 +39,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is written as parquet TIMESTAMP(NANOS), which Spark's
-    # vectorized reader rejects. We read nanos as raw INT64
-    # (spark.sql.legacy.parquet.nanosAsLong, set in session config) and
-    # truncate to microseconds — exactly what DuckDB's microsecond
-    # TIMESTAMP does when it reads the same file, so the two engines see
-    # identical values.
-    from pyspark.sql.types import LongType
+    # Timestamp normalization, depending on how the driver wrote the file:
+    # - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so we read
+    #   nanos as raw INT64 (spark.sql.legacy.parquet.nanosAsLong, set in
+    #   session config) and truncate to microseconds — exactly what
+    #   DuckDB's microsecond TIMESTAMP does with the same file.
+    # - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads it as
+    #   TIMESTAMP_NTZ; cast to TimestampType under the UTC session zone so
+    #   downstream epoch math (unix seconds, casts to double) works and the
+    #   wall-clock values match DuckDB's naive TIMESTAMP.
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -52,6 +52,8 @@ HEADLINE = [
     "q85_expectations",
     "q93_roundtrip_fidelity",
     "q94_boilerplate_scrub",
+    "q98_dsir_selection",
+    "q100_bpe_merges",
 ]
 
 

@@ -311,3 +311,72 @@ def read_training_shards(spark, path: str, schema, fmt: str = "json") -> DataFra
     """
     reader = spark.read.schema(schema)
     return reader.json(path) if fmt == "json" else reader.parquet(path)
+
+
+def importance_logratios(
+    docs: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance scores: per-doc log ratio of a target
+    unigram model vs the raw-corpus unigram model (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling").
+
+    ``target`` is a boolean column marking the in-domain subset (the
+    distribution we want more of — e.g. a declared-language slice or a
+    high-quality seed). Both unigram models are estimated in ONE pass
+    over the token stream (conditional counts in the same aggregate),
+    add-one smoothed over the joint vocabulary, and the per-doc score is
+    the length-normalized sum of per-token log ratios — positive means
+    "looks more like the target than the corpus average". ``selected``
+    flags docs whose average log ratio is positive, the deterministic
+    analogue of DSIR's importance resampling draw.
+
+    Scale shape: two token-stream shuffles (vocab counts, per-doc tf —
+    the same shape as the q76 unigram scorer), a term-keyed join, then a
+    partial-agg-friendly per-doc sum; the three scalars (token totals,
+    vocab size) broadcast. At 100 TB the vocab table is bounded by
+    hashing terms into buckets first (DSIR's hashed n-gram features) —
+    pass the docs through a projection that maps terms to
+    ``xxhash64(term) % B`` to cap the model table at B rows; scores are
+    unchanged in expectation.
+
+    Per-term contributions are summed as DECIMAL(38,12) so the result is
+    partition-order-free; the final division happens once in double.
+    """
+    from .textops import words
+
+    toks = docs.select(
+        F.col(id_col), target.alias("__is_t"), F.explode(words(F.col(text_col))).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt_raw"),
+        F.count(F.when(F.col("__is_t"), F.lit(1))).alias("cnt_tgt"),
+    )
+    totals = vocab.agg(
+        F.sum("cnt_raw").alias("n_raw"),
+        F.sum("cnt_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    log_ratio = F.log(
+        (F.col("cnt_tgt").cast("double") + 1) / (F.col("n_tgt").cast("double") + F.col("v"))
+    ) - F.log(
+        (F.col("cnt_raw").cast("double") + 1) / (F.col("n_raw").cast("double") + F.col("v"))
+    )
+    scored = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.col("tf").cast("bigint").alias("tf"),
+            (F.col("tf").cast("double") * log_ratio).cast("decimal(38,12)").alias("term_lr"),
+        )
+    )
+    avg = (F.sum("term_lr").cast("double") / F.sum("tf")).cast("double")
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_words"),
+        avg.alias("avg_logratio"),
+        (avg > 0).alias("selected"),
+    )

@@ -477,3 +477,53 @@ def ivf_topk_over_store(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    embeddings with the deterministic mini k-means coarse quantizer, then
+    drop any point whose cosine similarity to a LOWER-id point in the
+    same cluster reaches ``threshold`` — each semantic-duplicate chain
+    keeps its minimum id, the same keep rule the exact dedup paths (q40,
+    q65) use, so downstream keep/drop joins compose.
+
+    Returns the KEPT set ``(id, cell)``.
+
+    Scale shape: clustering makes the quadratic step linear-ish — pairs
+    are only formed within a cell (N²/K per cell in expectation), and the
+    pair join shuffles on ``cell`` so each cluster's comparisons are
+    partition-local. Skewed/huge cells are the known failure mode: at
+    real scale raise ``n_clusters`` so cells stay ~10⁴-10⁵ points (the
+    paper uses 11k clusters for 5B points) and salt any residual hot
+    cell. The drop decision is pairwise (not centroid-based) so the only
+    approximation vs brute-force dedup is cross-cluster misses — measured
+    by the q53 brute-force twin on the gate corpus.
+    """
+    assigned = _assign_cells(corpus.select(id_col, vec_col), train_ivf_centroids(
+        corpus, dim, n_clusters, iterations, id_col, vec_col
+    ), id_col).join(corpus.select(id_col, vec_col), id_col)
+    a = assigned.select(
+        F.col("cell"), F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+    )
+    cos = _dot(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb")))
+    drops = (
+        a.join(b, "cell")
+        .filter((F.col("__ida") < F.col("__idb")) & (cos >= threshold))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(drops, id_col, "left_anti")
+        .select(F.col(id_col), F.col("cell"))
+    )

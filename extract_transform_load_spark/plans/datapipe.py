@@ -2123,3 +2123,210 @@ def _finalize_q96() -> None:
 
 
 _finalize_q96()
+
+
+@query(
+    "q98_dsir_selection",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en') AS is_t,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term, COUNT(*) AS cnt_raw,
+             COUNT(CASE WHEN is_t THEN 1 END) AS cnt_tgt
+      FROM toks GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(cnt_raw) AS n_raw, SUM(cnt_tgt) AS n_tgt, COUNT(*) AS v
+      FROM vocab
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    scored AS (
+      SELECT tf.doc_id, CAST(tf.tf AS BIGINT) AS tf,
+             CAST(CAST(tf.tf AS DOUBLE) * (
+                  ln((CAST(cnt_tgt AS DOUBLE) + 1) / (CAST(n_tgt AS DOUBLE) + v))
+                - ln((CAST(cnt_raw AS DOUBLE) + 1) / (CAST(n_raw AS DOUBLE) + v))
+             ) AS DECIMAL(38, 12)) AS term_lr
+      FROM tf JOIN vocab USING (term) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_words,
+           CAST(CAST(SUM(term_lr) AS DOUBLE) / SUM(tf) AS DOUBLE) AS avg_logratio,
+           (CAST(CAST(SUM(term_lr) AS DOUBLE) / SUM(tf) AS DOUBLE) > 0) AS selected
+    FROM scored GROUP BY 1
+    """,
+    doc="DSIR-style importance-resampling scores (Xie et al. 2023): "
+    "per-doc length-normalized log ratio of a target unigram model "
+    "(here the declared-'en' slice) vs the raw-corpus model, add-one "
+    "smoothed over the joint vocabulary; selected = looks more like "
+    "the target than the corpus average. Both models estimated in one "
+    "conditional aggregate over the token stream — q76's plan shape "
+    "plus one boolean. At 100 TB, hash terms into B buckets first "
+    "(the paper's hashed n-gram features) to cap the model table.",
+)
+def q98_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import importance_logratios
+
+    d = load(spark, sf_dir, "documents")
+    return importance_logratios(d, F.col("lang") == "en")
+
+
+@query(
+    "q99_semantic_dedup",
+    oracle=None,  # k-means centroids aren't SQL-expressible; soundness + recall pytest-verified
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023): k-means "
+    "cluster the embedding space (deterministic mini-Lloyd coarse "
+    "quantizer), drop any vector with a >=0.85-cosine lower-id "
+    "neighbor in its cluster, keep the min id per duplicate chain. "
+    "Pairs form only within a cell so the quadratic step is N^2/K and "
+    "partition-local after one shuffle on cell; tests assert every "
+    "drop is justified (soundness) and measure cross-cluster misses "
+    "against the q53 brute-force twin.",
+)
+def q99_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, dim=EMBED_DIM, n_clusters=16, threshold=0.5)
+
+
+@query(
+    "q100_bpe_merges",
+    oracle=None,  # iterative argmax loop; driver/distributed paths proven identical in pytest
+    doc="BPE tokenizer training (Sennrich et al. 2016) over the corpus: "
+    "one scan aggregates (word, count), then 40 merge iterations run "
+    "over that vocabulary table — never the corpus. Driver-side loop "
+    "when the vocab collects (every production trainer's shape), "
+    "distributed zip_with/groupBy/fold loop when it doesn't; "
+    "deterministic tie-break (count desc, pair asc) makes the merge "
+    "sequence reproducible on any cluster.",
+)
+def q100_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import learn_bpe
+
+    d = load(spark, sf_dir, "documents")
+    merges = learn_bpe(d, n_merges=40)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string, merged string",
+    )
+
+
+@query(
+    "q101_paragraph_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST((i - 1) / 32 AS INT) AS chunk_idx,
+             array_to_string(list_slice(w, i, i + 31), ' ') AS chunk
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, CAST(greatest(len(w), 1) AS BIGINT), 32)) AS i
+      ) s
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_idx, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '')
+             AS scrubbed_text
+    FROM ranked GROUP BY doc_id
+    """,
+    doc="CCNet-style sub-document exact dedup with reassembly: docs split "
+    "into word-aligned 32-word paragraphs, every repeated paragraph "
+    "(global first occurrence by (doc_id, chunk_idx) wins) is dropped, "
+    "and each doc is rebuilt from its surviving paragraphs in order — "
+    "the transformation twin of q40 whole-doc dedup, catching shared "
+    "boilerplate blocks that whole-doc hashing misses and near-dup "
+    "pair-joins only flag. Plan: scan-local chunking (no shuffle), one "
+    "shuffle on chunk text for the first-occurrence window, one "
+    "doc-keyed shuffle to reassemble; chunk text itself never fans out "
+    "beyond its two key-shuffles. At 100 TB, hash the chunk to a "
+    "128-bit fingerprint for the window key so the shuffle carries "
+    "16-byte keys, not paragraphs (same move as q40/q72).",
+)
+def q101_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    size = 32
+    d = load(spark, sf_dir, "documents").select("doc_id", words(F.col("text")).alias("w"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(size))
+    chunks = d.select("doc_id", F.explode(starts).alias("i"), F.col("w")).select(
+        "doc_id",
+        (((F.col("i") - 1) / size).cast("int")).alias("chunk_idx"),
+        F.array_join(F.slice(F.col("w"), F.col("i"), size), " ").alias("chunk"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    )
+    ranked = chunks.withColumn("rn", rn)
+    kept_struct = F.when(F.col("rn") == 1, F.struct("chunk_idx", "chunk"))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.count(F.when(F.col("rn") == 1, F.lit(1))).cast("bigint").alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["chunk"]
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("scrubbed_text"),
+    )
+
+
+@query(
+    "q102_embedding_decontamination",
+    oracle=f"""
+    WITH test_v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+    train_v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+    sims AS (
+      SELECT t.vec_id,
+             list_sum(list_transform(range(1, {64 + 1}),
+                      i -> CAST(t.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, {64 + 1}),
+                      i -> CAST(t.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, {64 + 1}),
+                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))) AS cos_sim
+      FROM train_v t CROSS JOIN test_v q
+    )
+    SELECT vec_id, MAX(cos_sim) AS max_test_sim, (MAX(cos_sim) >= 0.35) AS contaminated
+    FROM sims GROUP BY 1
+    """,
+    doc="Embedding-space train/test decontamination, the semantic twin of "
+    "q69's n-gram overlap check: every train vector scored by its max "
+    "cosine to the (broadcast-size) test set; contaminated = a test "
+    "item's semantic duplicate sits in train. Exact brute force over "
+    "train×test — linear in train because the test side broadcasts, "
+    "partial max per partition, one doc-keyed combine. When the test "
+    "side outgrows a broadcast, prefilter candidates with the q45 LSH "
+    "bands / q54 IVF cells and rerank exactly.",
+)
+def q102_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _dot, _norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    test_v = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("embedding").alias("__vq")
+    )
+    train_v = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+    cos = _dot(F.col("embedding"), F.col("__vq")) / (
+        _norm(F.col("embedding")) * _norm(F.col("__vq"))
+    )
+    return (
+        train_v.crossJoin(F.broadcast(test_v))
+        .select("vec_id", cos.alias("cos_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max("cos_sim").alias("max_test_sim"),
+            (F.max("cos_sim") >= 0.35).alias("contaminated"),
+        )
+    )

@@ -773,3 +773,91 @@ def test_per_cell_ivfpq_recall(emb):
     w = {(r["query_id"], r["neighbor_id"]) for r in want.collect()}
     recall = len(g & w) / len(w)
     assert recall >= 0.75, recall
+
+
+# --- q99 SemDeDup ---------------------------------------------------------
+
+
+def test_semantic_dedup_exact_given_assignment(spark, emb):
+    """Given the cell assignment (same deterministic quantizer), the
+    keep/drop rule must match a numpy re-derivation exactly: drop i iff
+    some j < i in the same cell has cosine >= threshold."""
+    import numpy as np
+
+    from extract_transform_load_spark.operators.similarity import (
+        _assign_cells,
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    dim, tau = 64, 0.5
+    cents = train_ivf_centroids(emb, dim, n_centroids=16, iterations=2)
+    assigned = _assign_cells(emb.select("vec_id", "embedding"), cents, "vec_id")
+    cells = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    by_cell: dict[int, list[int]] = {}
+    for vid, c in cells.items():
+        by_cell.setdefault(c, []).append(vid)
+    expected_kept = set()
+    for members in by_cell.values():
+        members.sort()
+        mat = np.stack([vecs[v] / np.linalg.norm(vecs[v]) for v in members])
+        cos = mat @ mat.T
+        for i, vid in enumerate(members):
+            if not any(cos[i, j] >= tau for j in range(i)):
+                expected_kept.add(vid)
+
+    got = semantic_dedup(emb, dim=dim, n_clusters=16, threshold=tau)
+    got_kept = {r["vec_id"] for r in got.collect()}
+    assert got_kept == expected_kept
+    # the rows carry the assignment they were deduped under
+    got_cells = {r["vec_id"]: r["cell"] for r in got.collect()}
+    assert all(cells[v] == c for v, c in got_cells.items())
+
+
+# --- q100 BPE -------------------------------------------------------------
+
+
+def test_bpe_driver_and_distributed_paths_identical(docs):
+    from extract_transform_load_spark.operators.bpe import learn_bpe
+
+    sample = docs.limit(120)
+    fast = learn_bpe(sample, n_merges=12)
+    dist = learn_bpe(sample, n_merges=12, collect_threshold=0)
+    assert fast == dist
+    assert len(fast) == 12
+
+
+def test_bpe_hand_checked_merges(spark):
+    from extract_transform_load_spark.operators.bpe import learn_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lower newest newest newest newest widest")],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe(docs, n_merges=4, min_pair_count=2)
+    # Hand-derived: (w,e)=6 (2x lower + 4x newest) wins round 1; round 2
+    # ties (l,o)=5 with (s,t)=5 and pair-asc tie-break picks (l,o); then
+    # (s,t)=5; round 4 ties at 4 and (e,we) < (n,e) < (we,st).
+    assert merges == [("w", "e"), ("l", "o"), ("s", "t"), ("e", "we")]
+
+
+def test_bpe_encode_round_trip_and_trained_words(docs):
+    from extract_transform_load_spark.operators.bpe import encode_bpe, learn_bpe
+
+    sample = docs.limit(60).select("doc_id", "text")
+    merges = learn_bpe(sample, n_merges=15)
+    enc = encode_bpe(sample, merges)
+    joined = sample.join(enc, "doc_id").select(
+        (F.array_join("tokens", "") == F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .alias("ok"),
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+    rows = joined.collect()
+    assert all(r["ok"] for r in rows)          # lossless concatenation
+    assert all(r["n_tokens"] >= r["n_words"] for r in rows)  # >=1 token per word
+    # merges actually fire: token count strictly below char count
+    chars = sample.select(F.sum(F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).alias("c")).collect()[0]["c"]
+    toks = enc.select(F.sum(F.size("tokens")).alias("t")).collect()[0]["t"]
+    assert toks < chars

@@ -237,3 +237,31 @@ def test_q94_scrub_shuffle_budget(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q94_boilerplate_scrub")
     assert plan.count("Exchange hashpartitioning") <= 5
     assert "CartesianProduct" not in plan
+
+
+def test_q98_dsir_totals_broadcast(spark, sf_dir):
+    """The three model scalars broadcast; the only shuffles are the two
+    token-stream aggregates, the term join, and the final per-doc agg."""
+    plan = plan_of(spark, sf_dir, "q98_dsir_selection")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q101_paragraph_dedup_two_key_shuffles(spark, sf_dir):
+    """Chunking is scan-local; budget = chunk-keyed window exchange +
+    doc-keyed reassembly exchange (plus their sorts), nothing else."""
+    plan = plan_of(spark, sf_dir, "q101_paragraph_dedup")
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
+
+
+def test_q102_decontamination_test_side_broadcast(spark, sf_dir):
+    """Train never shuffles for the similarity step: the test set
+    broadcasts into a nested-loop cross join, and the only hash
+    exchange is the per-train-vector max combine."""
+    plan = plan_of(spark, sf_dir, "q102_embedding_decontamination")
+    assert "BroadcastNestedLoopJoin" in plan
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1, plan

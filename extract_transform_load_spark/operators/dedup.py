@@ -640,3 +640,74 @@ def minhash_delta_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("delta_doc", "corpus_doc", "est_jaccard")
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 25,
+    w: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring spans for removal, the span-granular
+    dedup flavor of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): find the char ranges of each doc covered
+    by substrings that occur ``min_count``+ times anywhere in the corpus
+    (other docs or the same doc), with overlapping hits merged into
+    maximal spans.
+
+    Where the paper builds a corpus-wide suffix array, the distributed
+    shape is anchor-based: winnowing anchors (content-defined, q58's
+    guarantee — any repeat of length >= k + w - 1 shares an anchor
+    fingerprint across its copies) are counted globally, anchors of
+    repeated fingerprints become [pos, pos+k) hit ranges, and a
+    gaps-and-islands window per doc merges them. Repeats shorter than
+    k + w - 1 chars may be missed (detection grain), and a span's edges
+    extend at most k-1 chars past the true repeat — the precision trade
+    that replaces suffix-array construction with two key shuffles.
+
+    Plan: anchor extraction is scan-local; shuffle 1 groups 16-byte
+    fingerprints for the global count (map-side partial count first);
+    shuffle 2 is the per-doc island window + span aggregate. Text never
+    shuffles. At 100 TB both shuffles carry anchors (~2/(w+1) of chars),
+    not documents.
+    """
+    from pyspark.sql import Window
+
+    from .textops import winnow_anchor_positions
+
+    anchors = (
+        docs.select(
+            F.col(id_col), F.explode(winnow_anchor_positions(F.col(text_col), k, w)).alias("a")
+        )
+        .select(F.col(id_col), F.col("a.pos").alias("pos"), F.col("a.fp").alias("fp"))
+        .distinct()
+    )
+    repeated = (
+        anchors.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("fp")
+    )
+    occ = anchors.join(repeated, "fp").select(
+        F.col(id_col), F.col("pos"), (F.col("pos") + k).alias("e")
+    )
+    by_doc = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max("e").over(by_doc.rowsBetween(Window.unboundedPreceding, -1))
+    ranked = occ.withColumn(
+        "new_island",
+        F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1).otherwise(0),
+    )
+    island = F.sum("new_island").over(by_doc.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ranked.withColumn("island", island)
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            F.max("e").cast("bigint").alias("span_end"),
+            (F.max("e") - F.min("pos")).cast("bigint").alias("span_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        )
+        .drop("island")
+    )

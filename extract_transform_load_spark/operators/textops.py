@@ -47,6 +47,42 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized(text))
 
 
+def let(value: Column, fn) -> Column:
+    """Bind ``value`` as a higher-order-function lambda variable so the
+    engine evaluates it exactly once per row: ``transform(array(value),
+    v -> fn(v))[0]``. This is the functional let-binding Spark's
+    expression language lacks — and the ONLY projection-proof way to
+    share an expensive subexpression across per-element lambdas:
+
+    - Referencing the expression tree directly inside a windowed
+      ``transform`` re-evaluates it per element (no loop-invariant
+      hoisting): winnowing went O(n^2) in md5 calls, 80-210 s on 5k
+      docs vs 2.6 s with the binding.
+    - Staging it as its own projection works until any downstream
+      Generate/aggregate lets CollapseProject or generator-pushdown
+      re-inline it (measured: clean 2-select plan has 1 md5, adding
+      ``explode`` inflates it to 15).
+
+    A lambda variable is a bound value — no optimizer rule substitutes
+    its definition into the body, so the plan stays one evaluation no
+    matter what is built on top.
+    """
+    return F.get(F.transform(F.array(value), fn), 0)
+
+
+def gram_hashes(text: Column, k: int = 8) -> Column:
+    """md5 of every char ``k``-gram (1-based starts); [] when the text is
+    shorter than ``k``. Always consume via ``let`` — see its docstring."""
+    n_grams = F.length(text) - k + 1
+    return (
+        F.when(
+            n_grams >= 1,
+            F.transform(F.sequence(F.lit(1), n_grams), lambda i: F.md5(text.substr(i, F.lit(k)))),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
 def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
     """Winnowing document fingerprints (Schleimer et al., MOSS).
 
@@ -57,29 +93,75 @@ def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
     fingerprint, and selection density is ~2/(w+1) — sub-linear output
     per document.
 
-    Spark-first shape: all higher-order array functions
-    (transform/slice/array_min) inside whole-stage codegen — the
-    imperative O(1) rolling update becomes a vectorized per-gram hash,
-    which is the right trade on a columnar batch engine. md5 is the gram
-    hash so min-selection (lexicographic) is bit-identical in any engine
-    — the DuckDB oracle runs the same algorithm in SQL.
+    Spark-first shape: all higher-order array functions inside
+    whole-stage codegen; the gram array is let-bound so the md5 pass
+    runs once per document (not once per window — see ``let``). md5 is
+    the gram hash so min-selection (lexicographic) is bit-identical in
+    any engine — the DuckDB oracle runs the same algorithm in SQL.
 
     Short-doc guards (ANSI mode: ``sequence`` throws on negative
     ranges): fewer than ``w`` grams → one window over all grams; no
     grams → empty set.
     """
-    n_grams = F.length(text) - k + 1
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: F.md5(text.substr(i, F.lit(k)))
-    )
-    mins = F.transform(
-        F.sequence(F.lit(1), n_grams - w + 1), lambda j: F.array_min(F.slice(grams, j, w))
-    )
-    return (
-        F.when(n_grams >= w, F.array_sort(F.array_distinct(mins)))
-        .when(n_grams >= 1, F.array(F.array_min(grams)))
-        .otherwise(F.array().cast("array<string>"))
-    )
+
+    def selection(grams: Column) -> Column:
+        n = F.size(grams)
+        mins = F.transform(
+            F.sequence(F.lit(1), n - w + 1), lambda j: F.array_min(F.slice(grams, j, w))
+        )
+        return (
+            F.when(n >= w, F.array_sort(F.array_distinct(mins)))
+            .when(n >= 1, F.array(F.array_min(grams)))
+            .otherwise(F.array().cast("array<string>"))
+        )
+
+    return let(gram_hashes(text, k), selection)
+
+
+def winnow_anchor_positions(text: Column, k: int = 25, w: int = 8) -> Column:
+    """Winnowing anchors WITH their char positions:
+    ``array<struct<pos int, fp string>>`` — ``winnow_fingerprints``'s
+    selection keeping where each selected gram starts (1-based), the
+    form span-level dedup needs. Content-defined selection is the
+    point: two copies of a repeated substring select the same gram
+    *contents* regardless of where the copies sit, so (unlike
+    stride-anchored sampling, whose windows mis-align between copies)
+    any shared substring of length >= k + w - 1 yields a common anchor
+    fingerprint in both copies.
+
+    Ties inside a window (equal md5 = equal gram content) resolve to the
+    first occurrence — ``array_position``/``list_position`` agree across
+    engines, so selection is bit-identical in the DuckDB oracle. Both
+    the gram array and each window's min are let-bound (``let``), so the
+    plan hashes each document once.
+    """
+
+    def selection(grams: Column) -> Column:
+        n = F.size(grams)
+
+        def win(j: Column) -> Column:
+            sl = F.slice(grams, j, w)
+            return let(
+                F.array_min(sl),
+                lambda m: F.struct(
+                    (j - 1 + F.array_position(sl, m)).cast("int").alias("pos"),
+                    m.alias("fp"),
+                ),
+            )
+
+        single = let(
+            F.array_min(grams),
+            lambda m: F.struct(
+                F.array_position(grams, m).cast("int").alias("pos"), m.alias("fp")
+            ),
+        )
+        return (
+            F.when(n >= w, F.transform(F.sequence(F.lit(1), n - w + 1), win))
+            .when(n >= 1, F.array(single))
+            .otherwise(F.array().cast("array<struct<pos:int,fp:string>>"))
+        )
+
+    return let(gram_hashes(text, k), selection)
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
@@ -88,10 +170,14 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     Guarded for short docs: sequence(0, n) errors in ANSI mode when
     n < 0, so texts with fewer than k words yield an empty array.
     """
-    w = words(text)
-    idx = F.sequence(F.lit(0), F.size(w) - k)
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)))
-    return F.when(F.size(w) >= k, shingles).otherwise(F.array().cast("array<string>"))
+    def sel(w: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(w) - k)
+        shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)))
+        return F.when(F.size(w) >= k, shingles).otherwise(F.array().cast("array<string>"))
+
+    # let-bound: referencing words(text) inside the per-shingle lambda
+    # would re-split the text once per shingle (see ``let``).
+    return let(words(text), sel)
 
 
 # Tiny per-language stopword marker lists for the heuristic language

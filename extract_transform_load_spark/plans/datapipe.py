@@ -2330,3 +2330,65 @@ def q102_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
             (F.max("cos_sim") >= 0.35).alias("contaminated"),
         )
     )
+
+
+@query(
+    "q103_repeated_spans",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, CASE WHEN length(text) >= 25 THEN
+        list_transform(generate_series(1, length(text) - 24), i -> md5(substr(text, i, 25)))
+        ELSE [] END AS grams
+      FROM documents
+    ),
+    sel AS (
+      SELECT doc_id,
+        CASE
+          WHEN len(grams) >= 8 THEN
+            list_transform(generate_series(1, len(grams) - 7), j ->
+              struct_pack(pos := CAST(j - 1 + list_position(grams[j:j+7], list_aggregate(grams[j:j+7], 'min')) AS INT),
+                          fp := list_aggregate(grams[j:j+7], 'min')))
+          WHEN len(grams) >= 1 THEN
+            [struct_pack(pos := CAST(list_position(grams, list_aggregate(grams, 'min')) AS INT),
+                         fp := list_aggregate(grams, 'min'))]
+          ELSE CAST([] AS STRUCT(pos INT, fp VARCHAR)[])
+        END AS anchors
+      FROM g
+    ),
+    occ0 AS (
+      SELECT DISTINCT doc_id, struct_extract(a, 'pos') AS pos, struct_extract(a, 'fp') AS fp
+      FROM sel, LATERAL (SELECT unnest(anchors) AS a) u
+    ),
+    rep AS (SELECT fp FROM occ0 GROUP BY fp HAVING COUNT(*) >= 2),
+    occ AS (SELECT doc_id, pos, pos + 25 AS e FROM occ0 JOIN rep USING (fp)),
+    ranked AS (
+      SELECT doc_id, pos, e,
+        MAX(e) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM occ
+    ),
+    isl AS (
+      SELECT doc_id, pos, e,
+        SUM(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      FROM ranked
+    )
+    SELECT doc_id,
+      CAST(MIN(pos) AS BIGINT) AS span_start,
+      CAST(MAX(e) AS BIGINT) AS span_end,
+      CAST(MAX(e) - MIN(pos) AS BIGINT) AS span_len,
+      CAST(COUNT(*) AS BIGINT) AS n_anchors
+    FROM isl GROUP BY doc_id, island
+    """,
+    doc="Exact repeated-substring spans (Lee et al. 2022 span-granular "
+    "dedup): char ranges covered by substrings occurring 2+ times "
+    "anywhere in the corpus, overlapping hits merged to maximal spans "
+    "via a gaps-and-islands window. Winnowing anchors (k=25, w=8) "
+    "replace the suffix array: content-defined selection guarantees "
+    "every repeat >= 32 chars shares an anchor fingerprint across its "
+    "copies, so detection is alignment-robust; two key shuffles total "
+    "and the text never shuffles.",
+)
+def q103_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import repeated_spans
+
+    return repeated_spans(load(spark, sf_dir, "documents"), k=25, w=8, min_count=2)

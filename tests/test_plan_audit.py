@@ -265,3 +265,12 @@ def test_q102_decontamination_test_side_broadcast(spark, sf_dir):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1, plan
+
+
+def test_winnowing_single_md5_evaluation(spark, sf_dir):
+    """The let-binding contract (textops.let): the gram-hash pass must
+    appear exactly once in q58's plan and at most twice in q103's
+    (partial/final agg split) — a regression here is the O(n^2)
+    per-window re-hash that cost 80-210 s on 5k docs."""
+    assert plan_of(spark, sf_dir, "q58_winnowing").count("md5") == 1
+    assert plan_of(spark, sf_dir, "q103_repeated_spans").count("md5") <= 2

@@ -2392,3 +2392,33 @@ def q103_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import repeated_spans
 
     return repeated_spans(load(spark, sf_dir, "documents"), k=25, w=8, min_count=2)
+
+
+@query(
+    "q104_bpe_encode",
+    oracle=None,  # merge sequence is iterative (q100); encode losslessness asserted in-query + pytest
+    doc="BPE corpus encoding with the q100-trained merges: whitespace "
+    "words -> merged subword tokens via rank-ordered merge application "
+    "(the trainer's own rule), Arrow-batched mapInPandas with a "
+    "per-batch word cache so cost tracks distinct words per batch, not "
+    "tokens. Scan-local — zero shuffles at any corpus size. Output "
+    "carries a per-doc lossless flag (token concatenation rebuilds the "
+    "text exactly) so the driver's rows-only check still verifies "
+    "round-trip integrity, not just row counts.",
+)
+def q104_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import encode_bpe, learn_bpe
+
+    d = load(spark, sf_dir, "documents")
+    merges = learn_bpe(d, n_merges=40)
+    enc = encode_bpe(d, merges)
+    joined = d.select("doc_id", "text").join(enc, "doc_id")
+    return joined.select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("bigint").alias("n_distinct_tokens"),
+        (
+            F.array_join("tokens", "")
+            == F.replace(F.col("text"), F.lit(" "), F.lit(""))
+        ).alias("lossless"),
+    )

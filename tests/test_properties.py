@@ -232,3 +232,103 @@ def test_merge_plan_property(spark, existing, updates, delete_keys):
     )
     got = {(r["pk"], r["v"], r["ver"]) for r in got_df.collect()}
     assert got == want
+
+
+# --- q103 repeated spans ---------------------------------------------------
+
+docs_strategy = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=120),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=docs_strategy)
+@SETTINGS
+def test_repeated_spans_reference_property(spark, texts):
+    """repeated_spans must equal a single-process re-derivation of the
+    same algorithm (winnow anchors -> global count -> island merge), and
+    its output must satisfy the span invariants: within-doc spans are
+    disjoint, ordered, inside the text, and each at least k chars."""
+    from extract_transform_load_spark.operators.dedup import repeated_spans
+
+    k, w = 5, 3
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_anchors"])
+        for r in repeated_spans(df, k=k, w=w).collect()
+    }
+
+    # reference: pure-python winnowing with identical tie-breaks
+    import hashlib
+
+    def anchors(text: str) -> set[tuple[int, str]]:
+        grams = [hashlib.md5(text[i : i + k].encode()).hexdigest() for i in range(len(text) - k + 1)]
+        if not grams:
+            return set()
+        if len(grams) < w:
+            m = min(grams)
+            return {(grams.index(m) + 1, m)}
+        out = set()
+        for j in range(len(grams) - w + 1):
+            window = grams[j : j + w]
+            m = min(window)
+            out.add((j + window.index(m) + 1, m))
+        return out
+
+    per_doc = {i: anchors(t) for i, t in enumerate(texts)}
+    from collections import Counter
+
+    counts = Counter(fp for a in per_doc.values() for _, fp in a)
+    want = set()
+    for i, anc in per_doc.items():
+        hits = sorted(p for p, fp in anc if counts[fp] >= 2)
+        isl: list[list[int]] = []
+        for p in hits:
+            if isl and p <= isl[-1][1]:
+                isl[-1][1] = max(isl[-1][1], p + k)
+                isl[-1][2] += 1
+            else:
+                isl.append([p, p + k, 1])
+        for s0, e0, n0 in isl:
+            want.add((i, s0, e0, n0))
+    assert got == want
+
+    # invariants
+    spans_by_doc: dict[int, list[tuple[int, int]]] = {}
+    for d, s0, e0, _ in got:
+        assert 1 <= s0 < e0 <= len(texts[d]) + 1
+        assert e0 - s0 >= k
+        spans_by_doc.setdefault(d, []).append((s0, e0))
+    for ss in spans_by_doc.values():
+        ss.sort()
+        for (s1, e1), (s2, _) in zip(ss, ss[1:]):
+            assert e1 < s2  # disjoint with a gap (else they'd have merged)
+
+
+# --- BPE ------------------------------------------------------------------
+
+corpus_strategy = st.lists(
+    st.text(alphabet="abc ", min_size=0, max_size=60), min_size=1, max_size=6
+)
+
+
+@given(texts=corpus_strategy)
+@SETTINGS
+def test_bpe_encode_lossless_property(spark, texts):
+    """For ANY corpus: distributed-learned merges == driver-learned
+    merges, and encoding is lossless (token concat rebuilds the
+    space-stripped text) with every token drawn from chars+merges."""
+    from extract_transform_load_spark.operators.bpe import encode_bpe, learn_bpe
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    fast = learn_bpe(df, n_merges=6, min_pair_count=2)
+    dist = learn_bpe(df, n_merges=6, min_pair_count=2, collect_threshold=0)
+    assert fast == dist
+
+    allowed = {a + b for a, b in fast}
+    enc = {r["doc_id"]: r["tokens"] for r in encode_bpe(df, fast).collect()}
+    for i, t in enumerate(texts):
+        assert "".join(enc[i]) == t.replace(" ", "")
+        for tok in enc[i]:
+            assert len(tok) == 1 or tok in allowed

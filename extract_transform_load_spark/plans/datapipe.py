@@ -2422,3 +2422,88 @@ def q104_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.replace(F.col("text"), F.lit(" "), F.lit(""))
         ).alias("lossless"),
     )
+
+
+_Q103_SQL = _REG["q103_repeated_spans"].oracle
+
+
+@query(
+    "q105_span_scrub",
+    oracle=f"""
+    WITH spans AS ({_Q103_SQL}),
+    j AS (
+      SELECT d.doc_id, d.text, s.span_start, s.span_end,
+             COALESCE(LAG(s.span_end) OVER (PARTITION BY d.doc_id ORDER BY s.span_start), 1)
+               AS prev_end
+      FROM documents d JOIN spans s ON d.doc_id = s.doc_id
+    ),
+    segs AS (
+      SELECT doc_id,
+             string_agg(substr(text, CAST(prev_end AS INT), CAST(span_start - prev_end AS INT)),
+                        '' ORDER BY span_start) AS head,
+             MAX(span_end) AS mx,
+             COUNT(*) AS n_spans,
+             SUM(span_end - span_start) AS removed
+      FROM j GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN g.doc_id IS NULL THEN d.text
+                ELSE COALESCE(g.head, '') || substr(d.text, CAST(g.mx AS INT)) END
+             AS scrubbed_text,
+           CAST(COALESCE(g.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(g.removed, 0) AS BIGINT) AS removed_chars
+    FROM documents d LEFT JOIN segs g ON d.doc_id = g.doc_id
+    """,
+    doc="Repeated-span scrubbing — q103's transformation twin (the "
+    "q89→q94 pattern at char grain): every doc rebuilt from the char "
+    "segments BETWEEN its flagged spans (lag window turns the span "
+    "list into cut points), docs with no spans pass through a left "
+    "join untouched. Removal is all-copies (aggressive boilerplate "
+    "strip); a keep-first variant composes q101's first-occurrence "
+    "rule over anchor fingerprints instead. Adds one lag window and "
+    "one doc-keyed join over q103 — the heavy text column rides only "
+    "the final join, never the span pipeline.",
+)
+def q105_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import repeated_spans
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = repeated_spans(load(spark, sf_dir, "documents"), k=25, w=8, min_count=2)
+    j = spans.join(d, "doc_id")
+    wv = Window.partitionBy("doc_id").orderBy("span_start")
+    prev_end = F.coalesce(F.lag("span_end").over(wv), F.lit(1))
+    seg = F.col("text").substr(
+        prev_end.cast("int"), (F.col("span_start") - prev_end).cast("int")
+    )
+    g = (
+        j.withColumn("prev_end", prev_end)
+        .withColumn("seg", seg)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("span_start", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                "",
+            ).alias("head"),
+            F.max("span_end").alias("mx"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start")).alias("removed"),
+        )
+    )
+    out = d.join(g, "doc_id", "left")
+    scrubbed = F.when(F.col("mx").isNull(), F.col("text")).otherwise(
+        F.concat(
+            F.coalesce(F.col("head"), F.lit("")),
+            F.col("text").substr(F.col("mx").cast("int"), F.length("text")),
+        )
+    )
+    return out.select(
+        "doc_id",
+        scrubbed.alias("scrubbed_text"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce(F.col("removed"), F.lit(0)).cast("bigint").alias("removed_chars"),
+    )

@@ -54,6 +54,9 @@ HEADLINE = [
     "q94_boilerplate_scrub",
     "q98_dsir_selection",
     "q100_bpe_merges",
+    "q103_repeated_spans",
+    "q106_sketch_quantiles",
+    "q107_theta_retention",
 ]
 
 

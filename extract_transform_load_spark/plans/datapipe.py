@@ -2507,3 +2507,77 @@ def q105_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
         F.coalesce(F.col("removed"), F.lit(0)).cast("bigint").alias("removed_chars"),
     )
+
+
+@query(
+    "q106_sketch_quantiles",
+    oracle=None,  # KLL estimates are approximate; rank-error bound + determinism pytest-verified
+    doc="Mergeable KLL quantile rollup — q97's pattern for percentiles: "
+    "per-(day, event_type) KLL sketches (k=200, ~1.65% rank error, "
+    "kilobytes each) are the persisted pre-aggregate; any later range "
+    "or dimension fold merges sketches and reads p50/p90/p99 without "
+    "rescanning raw history. The sketch answer to q52's exact "
+    "percentiles, losslessly mergeable where q62's single-shot "
+    "approx_percentile is not.",
+)
+def q106_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import build_quantile_sketches, merge_quantile_estimates
+
+    e = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type", "value"
+    )
+    daily = build_quantile_sketches(e, ["day", "event_type"], "value")
+    return merge_quantile_estimates(daily, ["event_type"], (0.5, 0.9, 0.99))
+
+
+@query(
+    "q107_theta_retention",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-05'
+    ),
+    b AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-25'
+    )
+    SELECT (SELECT COUNT(*) FROM a) AS n_early_click,
+           (SELECT COUNT(*) FROM b) AS n_late_purchase,
+           (SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS n_retained,
+           (SELECT COUNT(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b))
+             AS n_churned
+    """,
+    doc="Theta-sketch retention cohort: distinct users who clicked in "
+    "the first 4 days INTERSECTED with distinct purchasers in the last "
+    "6 — the set-algebra question (A∩B, A\\\\B across arbitrary range "
+    "folds) HLL sketches cannot answer. One theta sketch per (day, "
+    "type) is the pre-aggregate; both cohorts fold from it in a single "
+    "conditional aggregate (null-skipping union), then intersection/"
+    "difference run on two kilobyte sketches. Below the sketch's "
+    "nominal 2^12 entries estimates are exact — the oracle checks "
+    "exact equality at gate scale; beyond it the same plan degrades "
+    "gracefully to ~1-2% error while the exact path would shuffle "
+    "every distinct user.",
+)
+def q107_theta_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import build_theta_sketches
+
+    e = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type", "user_id"
+    )
+    th = build_theta_sketches(e, ["day", "event_type"], "user_id")
+    folded = th.agg(
+        F.expr(
+            "theta_union_agg(CASE WHEN event_type = 'click' AND day < TIMESTAMP '2024-01-05' THEN sketch END)"
+        ).alias("a"),
+        F.expr(
+            "theta_union_agg(CASE WHEN event_type = 'purchase' AND day >= TIMESTAMP '2024-01-25' THEN sketch END)"
+        ).alias("b"),
+    )
+    est = lambda x: F.expr(f"cast(round(theta_sketch_estimate({x})) as bigint)")  # noqa: E731
+    return folded.select(
+        est("a").alias("n_early_click"),
+        est("b").alias("n_late_purchase"),
+        est("theta_intersection(a, b)").alias("n_retained"),
+        est("theta_difference(a, b)").alias("n_churned"),
+    )

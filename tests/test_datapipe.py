@@ -861,3 +861,47 @@ def test_bpe_encode_round_trip_and_trained_words(docs):
     chars = sample.select(F.sum(F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).alias("c")).collect()[0]["c"]
     toks = enc.select(F.sum(F.size("tokens")).alias("t")).collect()[0]["t"]
     assert toks < chars
+
+
+def test_kll_quantile_sketch_rank_error_and_determinism(spark, sf_dir):
+    """q106: each folded-sketch quantile estimate must sit within the
+    KLL rank-error bound of the exact distribution (k=200 -> ~1.65%
+    single-sided; assert 5%), and repeated evaluation is deterministic
+    (a flapping estimate would break cached gold serving)."""
+    from extract_transform_load_spark.plans.registry import REGISTRY
+    from extract_transform_load_spark.sources.tables import load
+
+    q = REGISTRY["q106_sketch_quantiles"].fn(spark, sf_dir)
+    r1 = sorted(map(tuple, q.collect()))
+    r2 = sorted(map(tuple, q.collect()))
+    assert r1 == r2, "KLL fold must be deterministic"
+
+    e = load(spark, sf_dir, "events")
+    vals = {
+        t: sorted(
+            r["value"] for r in e.filter(F.col("event_type") == t).select("value").collect()
+        )
+        for t in {row[0] for row in r1}
+    }
+    import bisect
+
+    for t, p50, p90, p99 in r1:
+        xs = vals[t]
+        for quantile, est in ((0.5, p50), (0.9, p90), (0.99, p99)):
+            rank = bisect.bisect_right(xs, est) / len(xs)
+            assert abs(rank - quantile) <= 0.05, (t, quantile, est, rank)
+
+
+def test_theta_sketch_exact_mode_precondition(spark, sf_dir):
+    """q107's oracle asserts EXACT equality, which holds while cohort
+    cardinalities stay under the sketch's nominal 2^12 entries. If the
+    driver ever regenerates testdata past that, this test fails with a
+    readable message instead of a bare hash mismatch at the gate."""
+    from extract_transform_load_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "events")
+    n = e.select(F.count_distinct("user_id").alias("n")).collect()[0]["n"]
+    assert n < 4096, (
+        f"{n} distinct users exceeds theta exact mode; q107's oracle must "
+        "switch to an error-bound rows-only check"
+    )

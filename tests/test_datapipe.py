@@ -905,3 +905,52 @@ def test_theta_sketch_exact_mode_precondition(spark, sf_dir):
         f"{n} distinct users exceeds theta exact mode; q107's oracle must "
         "switch to an error-bound rows-only check"
     )
+
+
+def test_incremental_curation_equals_full_recompute(spark, sf_dir):
+    """The corpus-curation pipeline must be maintainable one batch at a
+    time: curating day-1, persisting the fingerprint store, then
+    admitting day-2 through dedup_delta_exact must keep EXACTLY the
+    docs a full q65-style recompute keeps (quality floor and split are
+    per-doc pure functions, so dedup admission is the only stateful
+    step). Holds when ids arrive monotonically — the delta operator's
+    first-batch-wins and q65's min-id rule then agree; out-of-order
+    backfills need the q72 reconciliation instead."""
+    from pyspark.sql import Window
+
+    from extract_transform_load_spark.operators.dedup import dedup_delta_exact
+    from extract_transform_load_spark.operators.sampling import hash_split
+    from extract_transform_load_spark.operators.textops import fingerprint as fp_col
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mid = d.approxQuantile("doc_id", [0.5], 0.0)[0]
+
+    # full recompute: q65's keep rule, doc grain
+    keep = F.col("doc_id") == F.min("doc_id").over(Window.partitionBy(fp_col(F.col("text"))))
+    full_kept = {
+        r["doc_id"]
+        for r in d.select("doc_id", keep.alias("k")).filter("k").collect()
+    }
+
+    empty_store = spark.createDataFrame([], "fingerprint string")
+    b1 = dedup_delta_exact(d.filter(F.col("doc_id") < mid), empty_store)
+    store1 = b1.select("fingerprint")
+    b2 = dedup_delta_exact(d.filter(F.col("doc_id") >= mid), store1)
+    inc_kept = {r["doc_id"] for r in b1.unionByName(b2).select("doc_id").collect()}
+    assert inc_kept == full_kept
+
+    # downstream stages commute with batching: same curated (doc, split)
+    def curate(df):
+        w = F.split(F.col("text"), " ")
+        ttr = F.size(F.array_distinct(w)).cast("double") / F.size(w)
+        return {
+            (r["doc_id"], r["split"])
+            for r in hash_split(df.withColumn("ttr", ttr), "doc_id")
+            .filter(F.col("ttr") >= 0.3)
+            .select("doc_id", "split")
+            .collect()
+        }
+
+    assert curate(b1.unionByName(b2)) == curate(
+        d.join(spark.createDataFrame([(i,) for i in full_kept], "doc_id long"), "doc_id")
+    )

@@ -214,3 +214,72 @@ def test_gold_incremental_refresh_matches_full(spark, tables, tmp_path):
     got = {tuple(r) for r in layer.read(spark, "ls_state").collect()}
     want = {tuple(r) for r in ls_state_snapshot(*ls_args, t2).collect()}
     assert got == want and len(want) > 0
+
+
+def test_reference_route_completeness():
+    """Every in-scope route from the reference's server.rs:54-122 (SURVEY
+    §2.C, 46 endpoints) must resolve to a registered endpoint. The four
+    out-of-scope routes are serving-infrastructure, not queries: version
+    (build metadata), subscribe GET/POST + test-push (the A24 web-push
+    notifier). A new reference route added without an engine twin fails
+    here by name."""
+    route_to_endpoint = {
+        "treasury/revenue": "treasury/revenue",
+        "treasury/revenue-series": "treasury/revenue-series",
+        "treasury/distributed": "treasury/distributed",
+        "treasury/buyback": "treasury/buyback",
+        "treasury/buyback-total": "treasury/buyback-total",
+        "treasury/incentives-pool": "treasury/incentives-pool",
+        "treasury/earnings": "treasury/earnings",
+        "metrics/tvl": "metrics/tvl",
+        "metrics/total-tx-value": "metrics/total-tx-value",
+        "metrics/supplied-funds": "metrics/supplied-funds",
+        "metrics/open-interest": "metrics/open-interest",
+        "metrics/open-position-value": "metrics/open-position-value",
+        "metrics/borrowed": "metrics/borrowed",
+        "metrics/supplied-borrowed-history": "metrics/supplied-borrowed-history",
+        "metrics/monthly-active-wallets": "metrics/monthly-active-wallets",
+        "pnl/realized": "pnl/realized",
+        "pnl/realized-data": "pnl/realized-data",
+        "pnl/realized-stats": "pnl/realized-stats",
+        "pnl/realized-wallet": "pnl/realized-by-wallet",
+        "pnl/unrealized": "pnl/unrealized",
+        "pnl/unrealized-by-address": "pnl/unrealized-by-address",
+        "pnl/over-time": "pnl/over-time",
+        "leases/search": "leases/search",
+        "leases/monthly": "leases/monthly",
+        "leases/leased-assets": "leases/leased-assets",
+        "leases/value-stats": "leases/value-stats",
+        "leases/loans-by-token": "leases/loans-by-token",
+        "leases/loans-granted": "leases/loans-granted",
+        "leases/ls-opening": "leases/search",            # same query, id filter
+        "leases/ls-loan-closing": "pnl/realized-data",   # closing records + PnL
+        "leases/liquidations": "leases/liquidations",
+        "leases/interest-repayments": "leases/interest-repayments",
+        "leases/historically-opened": "leases/historically-opened",
+        "leases/historically-repaid": "leases/historically-repaid",
+        "leases/historically-liquidated": "leases/historically-liquidated",
+        "positions/positions": "positions/open",
+        "positions/buckets": "positions/buckets",
+        "positions/daily": "positions/daily",
+        "positions/by-token": "positions/by-token",
+        "positions/debt-value": "positions/debt-value",
+        "liquidity/pools": "liquidity/pools",
+        "liquidity/lp-withdraw": "liquidity/lp-withdraw",
+        "liquidity/current-lenders": "liquidity/current-lenders",
+        "liquidity/historical-lenders": "liquidity/historical-lenders",
+        "misc/prices": "misc/prices",
+        "misc/blocks": "misc/blocks",
+        "misc/txs": "misc/txs",
+        "misc/history-stats": "misc/history-stats",
+        "protocols/list": "protocols/list",
+        "protocols/active": "protocols/active",
+        "protocols/by-name": "protocols/by-name",
+        "currencies/list": "currencies/list",
+        "currencies/active": "currencies/active",
+        "currencies/by-ticker": "currencies/by-ticker",
+    }
+    missing = {r: e for r, e in route_to_endpoint.items() if e not in ENDPOINTS}
+    assert not missing, f"routes without a registered endpoint: {missing}"
+    # and interest-overview exists beyond the mapped routes
+    assert "leases/interest-overview" in ENDPOINTS

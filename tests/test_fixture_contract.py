@@ -1,0 +1,58 @@
+"""Loud-failure contract on the driver-generated testdata.
+
+The driver regenerates /root/testdata per round and HAS changed shapes
+between rounds (events.ts switched TIMESTAMP(NANOS) -> MICROS in round
+1, breaking ts arithmetic until sources/tables.py learned both). Query
+oracles also bake in fixture facts — embedding dim 64, the five event
+types, an 'en' language slice, theta-exact user cardinality. When a
+regeneration drifts, these assertions name the assumption that broke
+instead of leaving a bare value-hash mismatch at the gate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from extract_transform_load_spark.plans.datapipe import EMBED_DIM
+from extract_transform_load_spark.sources.tables import TABLES, load
+
+
+def test_all_tables_present_and_nonempty(spark, sf_dir):
+    for name in TABLES:
+        assert load(spark, sf_dir, name).limit(1).count() == 1, f"{name} is empty"
+
+
+def test_embedding_dim_matches_constant(spark, sf_dir):
+    dims = (
+        load(spark, sf_dir, "embeddings")
+        .select(F.size("embedding").alias("d"))
+        .distinct()
+        .collect()
+    )
+    assert [r["d"] for r in dims] == [EMBED_DIM], (
+        f"embedding dim {[r['d'] for r in dims]} != EMBED_DIM {EMBED_DIM}; "
+        "q44/q53/q63/q66/q99/q102 oracles hardcode the dim"
+    )
+
+
+def test_events_shape_assumptions(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    assert dict(e.dtypes)["ts"] == "timestamp", (
+        "events.ts must normalize to TimestampType in load() — q06/q59/q107 "
+        "do epoch arithmetic on it"
+    )
+    types = {r["event_type"] for r in e.select("event_type").distinct().collect()}
+    assert {"click", "purchase"} <= types, (
+        f"q05/q107 filter on click/purchase; present: {sorted(types)}"
+    )
+
+
+def test_documents_shape_assumptions(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    langs = {r["lang"] for r in d.select("lang").distinct().collect()}
+    assert "en" in langs, "q98's DSIR target slice is lang='en'"
+    n_empty = d.filter(F.length("text") == 0).count()
+    assert n_empty == 0, (
+        f"{n_empty} empty docs; short-doc guards are tested via synthetic "
+        "frames but fixture stats (ttr, shingles) assume non-empty text"
+    )

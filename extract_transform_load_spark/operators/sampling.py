@@ -380,3 +380,51 @@ def importance_logratios(
         avg.alias("avg_logratio"),
         (avg > 0).alias("selected"),
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the T5/mT5 multilingual
+    recipe): target shares are computed FROM the corpus itself,
+    proportional to ``n_g^(1/T)`` — T=1 keeps natural proportions, T→∞
+    approaches uniform — then applied with :func:`mixture_sample`'s
+    downsample-only, md5-keyed acceptance rule. The rarest group binds
+    (kept whole); head groups are thinned toward the flattened mixture.
+
+    Same plan shape as ``mixture_sample``: a tiny count aggregate, share
+    arithmetic on that handful of rows, and a broadcast of per-group
+    probabilities over a scan-local filter — the corpus never shuffles.
+
+    Engine portability: at the default T=2 the weight is ``sqrt(n)``,
+    which IEEE 754 rounds correctly in every engine, so the acceptance
+    threshold (a fixed chain of correctly-rounded mul/div) is
+    bit-identical and the kept SET is oracle-checkable. Other
+    temperatures use ``pow``, whose last-ulp rounding is
+    platform-defined — deterministic within Spark, but cross-engine
+    hash checks should stick to T=2.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    n = F.col("__n")
+    w = F.sqrt(n) if abs(temperature - 2.0) < 1e-12 else F.pow(n, 1.0 / temperature)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    weighted = counts.select(group_col, n.alias("__n"), w.alias("__w"))
+    sw = weighted.agg(F.sum("__w").alias("__sw"))
+    shares = weighted.crossJoin(F.broadcast(sw)).select(
+        group_col, F.col("__n"), (F.col("__w") / F.col("__sw")).alias("__tgt")
+    )
+    scale = shares.agg(F.min(F.col("__n") / F.col("__tgt")).alias("__scale"))
+    fracs = shares.crossJoin(F.broadcast(scale)).select(
+        group_col, ((F.col("__scale") * F.col("__tgt")) / F.col("__n")).alias("__p")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 48))
+    return df.join(F.broadcast(fracs), group_col).filter(u < F.col("__p")).drop("__p")

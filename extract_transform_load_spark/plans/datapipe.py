@@ -2581,3 +2581,33 @@ def q107_theta_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         est("theta_intersection(a, b)").alias("n_retained"),
         est("theta_difference(a, b)").alias("n_churned"),
     )
+
+
+@query(
+    "q108_temperature_mixture",
+    oracle="""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+    t AS (SELECT lang, n, sqrt(n) AS w FROM c),
+    s AS (SELECT SUM(w) AS sw FROM t),
+    p0 AS (SELECT lang, n, w / sw AS tgt FROM t CROSS JOIN s),
+    sc AS (SELECT MIN(n / tgt) AS scale FROM p0),
+    pr AS (SELECT lang, (scale * tgt) / n AS p FROM p0 CROSS JOIN sc)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN pr USING (lang)
+    WHERE (CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                AS DOUBLE) + 0.5) / 281474976710656.0 < pr.p
+    """,
+    doc="Temperature-scaled mixture sampling (T5/mT5 multilingual "
+    "recipe, T=2): target shares proportional to sqrt(n_g) flatten the "
+    "language mixture toward the tail; the rarest language binds and "
+    "is kept whole, head languages thin deterministically. q83 with "
+    "corpus-derived targets instead of literals — same two tiny "
+    "aggregates + broadcast-probability scan, corpus never shuffles. "
+    "sqrt is IEEE-correctly-rounded in every engine (pow is not), "
+    "which is what makes the kept set hash-checkable cross-engine.",
+)
+def q108_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temperature_mixture_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return temperature_mixture_sample(d, "lang", "doc_id", temperature=2.0)

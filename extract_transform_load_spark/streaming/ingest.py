@@ -203,3 +203,53 @@ def session_counts(
             "n",
         )
     )
+
+
+def sketch_sink(
+    target_path: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    lgk: int = 12,
+) -> Callable[[DataFrame, int], None]:
+    """A ``write_batch`` that continuously maintains the q97 mergeable
+    HLL pre-aggregate: each microbatch is sketched per group cell and
+    UNIONED into the persisted sketch table (register-wise max — order-
+    and batch-boundary-insensitive, so any micro-batching of the stream
+    converges to the same sketches a batch build produces, which the
+    equivalence test asserts via estimates).
+
+    This is the streaming form of the reference's cache refresher
+    (A23): instead of re-running distinct-count queries on a TTL, the
+    serving aggregate is upserted incrementally at stream pace and any
+    range/dimension rollup folds it (`sketches.merge_distinct_estimate`)
+    without touching raw history. Each microbatch's work is a partial
+    aggregate of the batch plus a rewrite of the kilobyte sketch table —
+    sink cost tracks batch size, never history size.
+
+    Replay caveat: foreachBatch is at-least-once on retry; HLL union is
+    idempotent for DUPLICATE VALUES (re-adding a value never changes a
+    register downward) so replays of the same rows are harmless — the
+    one property that makes sketch maintenance simpler than the exact
+    merge_sink above.
+    """
+    from ..operators.sketches import build_distinct_sketches
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        import pyspark.sql.functions as F
+
+        spark = batch.sparkSession
+        fresh = build_distinct_sketches(batch, group_cols, value_col, lgk=lgk)
+        try:
+            existing = spark.read.parquet(target_path)
+            merged = (
+                existing.unionByName(fresh)
+                .groupBy(*group_cols)
+                .agg(F.expr("hll_union_agg(sketch, true)").alias("sketch"))
+            )
+        except Exception:
+            merged = fresh
+        rows = merged.collect()  # kilobytes: (cells x 2^lgk bytes)
+        out = spark.createDataFrame(rows, merged.schema)
+        out.coalesce(1).write.mode("overwrite").parquet(target_path)
+
+    return write

@@ -47,3 +47,60 @@ def test_deduped_stream_drops_replays_within_watermark(spark, tmp_path):
 
     assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
     assert {r["payload"] for r in rows if r["event_id"] == 1} == {"a"}  # first wins
+
+
+def test_sketch_sink_stream_equals_batch_build(spark, tmp_path):
+    """Streaming maintenance of the q97 sketch pre-aggregate: feeding
+    the event stream through sketch_sink in two microbatches must yield
+    the same per-type distinct estimates as sketching the whole table
+    in one batch (HLL union is batch-boundary-insensitive)."""
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.operators.sketches import (
+        build_distinct_sketches,
+        merge_distinct_estimate,
+    )
+    from extract_transform_load_spark.sources.tables import load
+    from extract_transform_load_spark.streaming.ingest import sketch_sink
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type", "user_id"
+    )
+    mid = e.approxQuantile("user_id", [0.5], 0.0)[0]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    e.filter(F.col("user_id") < mid).write.parquet(str(src / "b1.parquet"))
+    store = str(tmp_path / "sketches")
+    stream = spark.readStream.schema(e.schema).option("maxFilesPerTrigger", 1).parquet(
+        str(src) + "/*"
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            sketch_sink(store, ["day", "event_type"], "user_id")
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        e.filter(F.col("user_id") >= mid).write.parquet(str(src / "b2.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        r["event_type"]: r["n_distinct"]
+        for r in merge_distinct_estimate(
+            spark.read.parquet(store), ["event_type"]
+        ).collect()
+    }
+    batch = {
+        r["event_type"]: r["n_distinct"]
+        for r in merge_distinct_estimate(
+            build_distinct_sketches(e, ["day", "event_type"], "user_id"),
+            ["event_type"],
+        ).collect()
+    }
+    assert streamed == batch

@@ -56,3 +56,45 @@ def test_documents_shape_assumptions(spark, sf_dir):
         f"{n_empty} empty docs; short-doc guards are tested via synthetic "
         "frames but fixture stats (ttr, shingles) assume non-empty text"
     )
+
+
+def test_every_rows_only_query_has_named_test_coverage():
+    """Repo policy: a query registered without DuckDB oracle SQL gets a
+    weaker rows-only check at the driver gate, so it MUST carry its own
+    pytest verification (recall bound, error bound, equivalence, or
+    property test) that references it — or its backing operator — by
+    name. Guards future rows-only queries from landing untested."""
+    import pathlib
+
+    from extract_transform_load_spark.plans.registry import REGISTRY
+
+    # query name -> implementation identifiers that tests may exercise
+    # instead of the registry name (the test targets the operator).
+    aliases = {
+        "q42_minhash_lsh_pairs": ["minhash_lsh_pairs"],
+        "q43_simhash_pairs": ["simhash_pairs"],
+        "q45_ann_lsh_topk": ["lsh_topk"],
+        "q54_ann_ivf_topk": ["ivf_topk"],
+        "q60_approx_distinct_mau": ["approx_distinct_mau"],
+        "q62_approx_percentiles": ["approx_percentile"],
+        "q66_pq_topk": ["pq_topk"],
+        "q67_ivfpq_topk": ["ivfpq_topk"],
+        "q70_residual_ivfpq_topk": ["ivfpq_topk"],
+        "q75_sequence_packing": ["pack_sequences"],
+        "q97_sketch_mau": ["build_distinct_sketches"],
+        "q99_semantic_dedup": ["semantic_dedup"],
+        "q100_bpe_merges": ["learn_bpe"],
+        "q104_bpe_encode": ["encode_bpe"],
+        "q106_sketch_quantiles": ["q106_sketch_quantiles"],
+    }
+    corpus = "\n".join(
+        p.read_text() for p in pathlib.Path(__file__).parent.glob("test_*.py")
+    )
+    uncovered = []
+    for name, spec in REGISTRY.items():
+        if spec.oracle is not None:
+            continue
+        needles = aliases.get(name, []) + [name]
+        if not any(n in corpus for n in needles):
+            uncovered.append(name)
+    assert not uncovered, f"rows-only queries without named test coverage: {uncovered}"

@@ -399,3 +399,50 @@ def test_robust_outliers_flags_and_guards(spark):
 
     approx = robust_outliers(df, ["g"], "v", z=3.0, approx=True).collect()
     assert [(r["g"], r["v"]) for r in approx] == [("a", 500.0)]
+
+
+def test_end_to_end_bronze_to_endpoint_csv(spark, bronze, prices, tmp_path):
+    """Capstone integration: one batch travels the whole medallion —
+    bronze dispatch → TR_Profit silver parse → A9 as-of stable
+    enrichment → idempotent parquet sink (replaying the SAME batch
+    appends zero rows) → treasury/revenue endpoint over the stored
+    table → CSV export. Every seam is the production one; the replay
+    assertion is the reference's per-block exactly-once (A5/A20) end
+    to end."""
+    from extract_transform_load_spark.api.endpoints import ENDPOINTS
+    from extract_transform_load_spark.pipeline.enrich import attach_asof_price
+    from extract_transform_load_spark.pipeline.ingest import dedup_batch, idempotent_append
+    from extract_transform_load_spark.pipeline.parsers import dispatch
+    from extract_transform_load_spark.sources.sinks import to_csv_string
+
+    silver = dispatch(bronze)["TR_Profit"]
+    enriched = attach_asof_price(
+        silver, prices, symbol_col="TR_Profit_symbol",
+        ts_col="TR_Profit_timestamp", out_col="__price",
+    ).withColumn(
+        "TR_Profit_amnt_stable",
+        (F.col("TR_Profit_amnt").cast("decimal(38,18)") * F.col("__price")).cast("decimal(38,0)"),
+    ).drop("__price")
+
+    pk = ["TR_Profit_height", "TR_Profit_idx"]
+    path = str(tmp_path / "TR_Profit")
+    dedup_batch(enriched, pk, order_col="TR_Profit_height").write.parquet(path)
+
+    # replay the identical batch: the anti-join must admit nothing
+    stored = spark.read.parquet(path)
+    admitted = idempotent_append(stored, dedup_batch(enriched, pk), pk)
+    assert admitted.count() == 0
+    assert spark.read.parquet(path).count() == enriched.count() == 1
+
+    out = ENDPOINTS["treasury/revenue"]({"TR_Profit": spark.read.parquet(path)})
+    row = out.collect()[0]
+    # bronze carries one tr-profit of 999 at 2024-01-06; the fixture
+    # price series must have a USDC tick at/before it for the as-of join
+    price_row = (
+        enriched.select("TR_Profit_amnt_stable").collect()[0]["TR_Profit_amnt_stable"]
+    )
+    assert row["revenue"] == price_row and price_row is not None
+
+    csv = to_csv_string(out)
+    assert csv.splitlines()[0] == "revenue"
+    assert str(row["revenue"]) in csv.splitlines()[1]

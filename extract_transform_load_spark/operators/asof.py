@@ -46,18 +46,30 @@ def as_of_join(
     right_order: str | None = None,
     suffix: str = "_asof",
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each ``left`` row, attach the latest ``right`` values with
-    ``right[right_ts] <= left[left_ts]``, matching on key columns ``on``.
+    """For each ``left`` row, attach the matching ``right`` values,
+    matching on key columns ``on`` — pandas ``merge_asof`` semantics:
+
+    - ``backward`` (default): latest right with ``right_ts <= left_ts``
+      (the reference's as-of price lookup);
+    - ``forward``: earliest right with ``right_ts >= left_ts`` (e.g.
+      "next price tick after the event");
+    - ``nearest``: whichever of the two is closer in time, backward on
+      ties (pandas' rule).
 
     Returns all ``left`` columns plus ``{value_col}{suffix}`` for each
-    requested value column (null when no prior right row exists).
+    requested value column (null when no matching right row exists).
 
     ``tolerance_seconds`` bounds staleness (pandas ``merge_asof``
-    tolerance): a match older than the bound yields nulls instead — the
-    domain rule that a price tick from last week must not enrich
+    tolerance): a match farther than the bound yields nulls instead —
+    the domain rule that a price tick from last week must not enrich
     today's event. Implemented by carrying the matched tick's timestamp
     through the same window (one extra filled column, no extra shuffle).
+
+    All directions cost exactly ONE shuffle of (|L| + |R|) rows on the
+    join keys; ``forward`` re-sorts the same partitions descending and
+    ``nearest`` evaluates both window passes over one exchange.
     """
     on = list(on)
     value_cols = list(value_cols)
@@ -84,28 +96,73 @@ def as_of_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    w = (
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+
+    wb = (
         Window.partitionBy(*on)
         .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__rord").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Descending twin: walking from the future backward, the running
+    # last-right-value is the EARLIEST right at/after the current row.
+    # side still ascends so a right row at the exact left ts is visible.
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc(), F.col("__rord").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     fill_cols = [*out_cols, "__vts"]
+    keep = [c for c in unioned.columns if c not in fill_cols]
+    micros = F.unix_micros
+
+    if direction in ("backward", "forward"):
+        w = wb if direction == "backward" else wf
+        filled = unioned.select(
+            *keep,
+            *[F.last(o, ignorenulls=True).over(w).alias(o) for o in fill_cols],
+        )
+        result = filled.filter(F.col("__side") == 1)
+        if tolerance_seconds is not None:
+            dist = micros(F.col(left_ts).cast("timestamp")) - micros(F.col("__vts"))
+            if direction == "forward":
+                dist = -dist
+            fresh = dist <= int(tolerance_seconds * 1_000_000)
+            result = result.select(
+                *[c for c in result.columns if c not in fill_cols],
+                *[F.when(fresh, F.col(o)).alias(o) for o in out_cols],
+                "__vts",
+            )
+        return result.drop("__side", "__ts", "__rord", "__vts")
+
+    # nearest: both passes over the same exchange, then pick per row.
     filled = unioned.select(
-        *[c for c in unioned.columns if c not in fill_cols],
-        *[F.last(o, ignorenulls=True).over(w).alias(o) for o in fill_cols],
+        *keep,
+        *[F.last(o, ignorenulls=True).over(wb).alias(f"{o}__b") for o in fill_cols],
+        *[F.last(o, ignorenulls=True).over(wf).alias(f"{o}__f") for o in fill_cols],
     )
     result = filled.filter(F.col("__side") == 1)
-    if tolerance_seconds is not None:
-        fresh = (
-            F.unix_micros(F.col(left_ts).cast("timestamp"))
-            - F.unix_micros(F.col("__vts"))
-        ) <= int(tolerance_seconds * 1_000_000)
-        result = result.select(
-            *[c for c in result.columns if c not in fill_cols],
-            *[F.when(fresh, F.col(o)).alias(o) for o in out_cols],
-            "__vts",
-        )
-    return result.drop("__side", "__ts", "__rord", "__vts")
+    lts = micros(F.col(left_ts).cast("timestamp"))
+    dist_b = lts - micros(F.col("__vts__b"))
+    dist_f = micros(F.col("__vts__f")) - lts
+    use_b = F.col("__vts__f").isNull() | (F.col("__vts__b").isNotNull() & (dist_b <= dist_f))
+    chosen_dist = F.when(use_b, dist_b).otherwise(dist_f)
+    fresh = (
+        chosen_dist <= int(tolerance_seconds * 1_000_000)
+        if tolerance_seconds is not None
+        else F.lit(True)
+    )
+    both = [f"{o}__b" for o in fill_cols] + [f"{o}__f" for o in fill_cols]
+    result = result.select(
+        *[c for c in result.columns if c not in both],
+        *[
+            F.when(fresh & use_b, F.col(f"{o}__b"))
+            .when(fresh & ~use_b, F.col(f"{o}__f"))
+            .alias(o)
+            for o in out_cols
+        ],
+    )
+    return result.drop("__side", "__ts", "__rord")
 
 
 def as_of_join_bucketed(

@@ -332,3 +332,50 @@ def test_bpe_encode_lossless_property(spark, texts):
         assert "".join(enc[i]) == t.replace(" ", "")
         for tok in enc[i]:
             assert len(tok) == 1 or tok in allowed
+
+
+@given(events=events_strategy, prices=prices_strategy)
+@SETTINGS
+def test_asof_directions_match_pandas(spark, events, prices):
+    """forward/nearest directions must agree with pandas merge_asof
+    (the de-facto semantics reference) on arbitrary inputs; right
+    timestamps are deduped per key first (equal-ts tie order between
+    duplicate right rows is unspecified in both engines)."""
+    import pandas as pd
+
+    from extract_transform_load_spark.operators.asof import as_of_join
+
+    pr = {(k, m): v for k, m, v in prices}  # dedupe (key, ts)
+    ev = spark.createDataFrame(
+        [(k, BASE + timedelta(minutes=m)) for k, m in events], "k int, ts timestamp"
+    )
+    tick_rows = [(k, BASE + timedelta(minutes=m), v) for (k, m), v in sorted(pr.items())]
+    ticks = spark.createDataFrame(tick_rows, "k int, pts timestamp, price double")
+
+    lpdf = pd.DataFrame(
+        {"k": [k for k, _ in events], "ts": [BASE + timedelta(minutes=m) for _, m in events]}
+    ).sort_values(["ts", "k"], kind="stable").reset_index(drop=True)
+    rpdf = pd.DataFrame(
+        {"k": [r[0] for r in tick_rows], "pts": [r[1] for r in tick_rows],
+         "price": [r[2] for r in tick_rows]}
+    ).sort_values(["pts", "k"], kind="stable").reset_index(drop=True)
+
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            (r["k"], r["ts"]): r["price_asof"]
+            for r in as_of_join(
+                ev, ticks, on=["k"], left_ts="ts", right_ts="pts",
+                value_cols=["price"], direction=direction,
+            ).collect()
+        }
+        if rpdf.empty:
+            want_pairs = {(k, t): None for k, t in zip(lpdf["k"], lpdf["ts"])}
+        else:
+            m = pd.merge_asof(
+                lpdf, rpdf, left_on="ts", right_on="pts", by="k", direction=direction
+            )
+            want_pairs = {
+                (k, t): (None if pd.isna(p) else p)
+                for k, t, p in zip(m["k"], m["ts"], m["price"])
+            }
+        assert got == want_pairs, direction

@@ -166,8 +166,9 @@ def psi_drift(
     shares. Laplace ``smoothing`` keeps empty buckets finite (and is
     what makes the statistic well-defined when a bucket exists in only
     one cohort). Arithmetic is engine-portable: exact bigint counts,
-    IEEE double ratios in a fixed evaluation order, and ``ln`` (JVM
-    Math.log matches DuckDB bitwise in this container — the q73 note).
+    IEEE double ratios in a fixed evaluation order; the ln-derived
+    contribution is cast to DECIMAL(38,12) because JVM Math.log and
+    DuckDB libm disagree in the last ulp for some inputs (q73 rule).
 
     Scale: each cohort collapses to one tiny per-bucket count aggregate
     before anything joins — the full-outer join is over bucket
@@ -198,7 +199,11 @@ def psi_drift(
         "bucket",
         p_a.alias("p_a"),
         p_b.alias("p_b"),
-        ((p_a - p_b) * (F.log(p_a) - F.log(p_b))).alias("contrib"),
+        # DECIMAL(38,12): ln's last-ulp rounding differs between JVM
+        # Math.log and DuckDB's libm for some inputs (surfaced at
+        # sf0.01), so the ln-derived contribution is truncated past the
+        # divergence before any cross-engine hash — q73's rule.
+        ((p_a - p_b) * (F.log(p_a) - F.log(p_b))).cast("decimal(38,12)").alias("contrib"),
     )
 
 

@@ -1638,11 +1638,12 @@ def q86_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket,
            (CAST(COALESCE(n_a, 0) AS DOUBLE) + 1.0) / (CAST(tot_a AS DOUBLE) + 1.0 * nb) AS p_a,
            (CAST(COALESCE(n_b, 0) AS DOUBLE) + 1.0) / (CAST(tot_b AS DOUBLE) + 1.0 * nb) AS p_b,
-           (((CAST(COALESCE(n_a, 0) AS DOUBLE) + 1.0) / (CAST(tot_a AS DOUBLE) + 1.0 * nb))
-            - ((CAST(COALESCE(n_b, 0) AS DOUBLE) + 1.0) / (CAST(tot_b AS DOUBLE) + 1.0 * nb)))
-           * (ln((CAST(COALESCE(n_a, 0) AS DOUBLE) + 1.0) / (CAST(tot_a AS DOUBLE) + 1.0 * nb))
-              - ln((CAST(COALESCE(n_b, 0) AS DOUBLE) + 1.0) / (CAST(tot_b AS DOUBLE) + 1.0 * nb)))
-           AS contrib
+           CAST(
+             (((CAST(COALESCE(n_a, 0) AS DOUBLE) + 1.0) / (CAST(tot_a AS DOUBLE) + 1.0 * nb))
+              - ((CAST(COALESCE(n_b, 0) AS DOUBLE) + 1.0) / (CAST(tot_b AS DOUBLE) + 1.0 * nb)))
+             * (ln((CAST(COALESCE(n_a, 0) AS DOUBLE) + 1.0) / (CAST(tot_a AS DOUBLE) + 1.0 * nb))
+                - ln((CAST(COALESCE(n_b, 0) AS DOUBLE) + 1.0) / (CAST(tot_b AS DOUBLE) + 1.0 * nb)))
+           AS DECIMAL(38, 12)) AS contrib
     FROM j
     """,
     doc="Population-stability-index drift monitor "
@@ -1652,8 +1653,9 @@ def q86_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so the full-outer join runs over bucket cardinality, never rows — "
     "the shape that survives two 100 TB cohorts. Laplace smoothing "
     "keeps one-sided buckets finite; ratios are IEEE doubles from "
-    "exact counts in a fixed evaluation order and JVM ln matches "
-    "DuckDB bitwise (q73 note), so contributions hash-match.",
+    "exact counts in a fixed evaluation order, and the ln-derived "
+    "contribution truncates to DECIMAL(38,12) because JVM and DuckDB "
+    "ln disagree in the last ulp for some inputs (q73 rule).",
 )
 def q87_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.monitor import psi_drift

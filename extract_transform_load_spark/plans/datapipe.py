@@ -2613,3 +2613,44 @@ def q108_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return temperature_mixture_sample(d, "lang", "doc_id", temperature=2.0)
+
+
+@query(
+    "q109_funnel",
+    oracle="""
+    WITH u1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    u2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN u1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > u1.t GROUP BY 1
+    ),
+    u3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN u2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > u2.t GROUP BY 1
+    ),
+    c AS (
+      SELECT 1 AS stage, 'view' AS step_name, (SELECT COUNT(*) FROM u1) AS n_users
+      UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM u2)
+      UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM u3)
+    )
+    SELECT CAST(stage AS INT) AS stage, step_name,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_users AS DOUBLE)
+             / CAST(COALESCE(LAG(n_users) OVER (ORDER BY stage), n_users) AS DOUBLE)
+             AS conversion
+    FROM c
+    """,
+    doc="Ordered-event funnel (view -> click -> purchase), the "
+    "ClickHouse-windowFunnel product-analytics staple: users counted "
+    "at each stage they reached with every step strictly after the "
+    "previous step's greedy-earliest match. Spark path is ONE shuffle "
+    "— per-user time-sorted fold advancing a stage pointer — where "
+    "the SQL chain (and the oracle) re-joins the event table once per "
+    "step; fold ≡ min-chain by induction on greedy-earliest matching.",
+)
+def q109_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel_report
+
+    e = load(spark, sf_dir, "events")
+    return funnel_report(e, ["view", "click", "purchase"])

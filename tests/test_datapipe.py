@@ -954,3 +954,37 @@ def test_incremental_curation_equals_full_recompute(spark, sf_dir):
     assert curate(b1.unionByName(b2)) == curate(
         d.join(spark.createDataFrame([(i,) for i in full_kept], "doc_id long"), "doc_id")
     )
+
+
+def test_funnel_strict_ordering_edges(spark):
+    """Hand-built sequences pin the funnel's matching rules: strict
+    time ordering between steps (equal-ts click after view does NOT
+    advance), greedy-earliest matching (a later re-view can't reset a
+    completed chain), and step filtering (unrelated types ignored)."""
+    from datetime import datetime
+
+    from extract_transform_load_spark.operators.funnel import (
+        funnel_report,
+        funnel_stages,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: clean view->click->purchase
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # u2: click BEFORE view, then nothing after -> stage 1 only
+        (2, t(0), "click"), (2, t(1), "view"),
+        # u3: equal-ts view+click cannot chain; later click advances
+        (3, t(0), "view"), (3, t(0), "click"), (3, t(5), "click"),
+        # u4: noise types ignored; purchase without click stays stage 1
+        (4, t(0), "view"), (4, t(1), "error"), (4, t(2), "purchase"),
+        # u5: never views -> stage 0
+        (5, t(0), "purchase"),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = ["view", "click", "purchase"]
+    got = {r["user_id"]: r["stage"] for r in funnel_stages(e, steps).collect()}
+    assert got == {1: 3, 2: 1, 3: 2, 4: 1, 5: 0}
+
+    rep = {r["stage"]: (r["step_name"], r["n_users"]) for r in funnel_report(e, steps).collect()}
+    assert rep == {1: ("view", 4), 2: ("click", 2), 3: ("purchase", 1)}

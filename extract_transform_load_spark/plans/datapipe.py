@@ -2654,3 +2654,66 @@ def q109_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events")
     return funnel_report(e, ["view", "click", "purchase"])
+
+
+@query(
+    "q110_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) / 7) AS INT)
+               AS week_offset
+      FROM events e JOIN first_seen f USING (user_id)
+    ),
+    sizes AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM first_seen GROUP BY 1)
+    SELECT a.cohort_week, a.week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(COUNT(*) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+    FROM activity a JOIN sizes s USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    """,
+    doc="Weekly cohort retention matrix — the analytics companion to "
+    "q18's MAW and q109's funnel: users cohorted by first-seen week, "
+    "each later active week counted once per (cohort, offset) cell, "
+    "normalized by cohort size. Two user-keyed aggregates + one "
+    "cohort-keyed rollup; the events table shuffles once on user_id "
+    "(first-seen), activity reuses that exchange, and the final matrix "
+    "is (weeks x offsets) cells — serving-size no matter the corpus.",
+)
+def q110_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")).alias(
+                "retention"
+            ),
+        )
+    )

@@ -57,6 +57,8 @@ HEADLINE = [
     "q103_repeated_spans",
     "q106_sketch_quantiles",
     "q107_theta_retention",
+    "q109_funnel",
+    "q110_cohort_retention",
 ]
 
 

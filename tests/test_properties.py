@@ -379,3 +379,44 @@ def test_asof_directions_match_pandas(spark, events, prices):
                 for k, t, p in zip(m["k"], m["ts"], m["price"])
             }
         assert got == want_pairs, direction
+
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),    # user
+        st.integers(min_value=0, max_value=40),   # minute
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=funnel_events)
+@SETTINGS
+def test_funnel_matches_reference_fold(spark, rows):
+    """funnel_stages must equal a single-process greedy-earliest fold
+    over (ts, type)-sorted events for every user, on arbitrary inputs
+    including duplicate timestamps and noise types."""
+    from extract_transform_load_spark.operators.funnel import funnel_stages
+
+    steps = ["view", "click", "purchase"]
+    df = spark.createDataFrame(
+        [(u, BASE + timedelta(minutes=m), t) for u, m, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {r["user_id"]: r["stage"] for r in funnel_stages(df, steps).collect()}
+
+    by_user: dict[int, list] = {}
+    for u, m, t in rows:
+        if t in steps:
+            by_user.setdefault(u, []).append((BASE + timedelta(minutes=m), t))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()  # (ts, type) — the same total order array_sort uses
+        stage, last_ts = 0, None
+        for ts_, t in evs:
+            if stage < len(steps) and t == steps[stage] and (stage == 0 or ts_ > last_ts):
+                stage, last_ts = stage + 1, ts_
+        want[u] = stage
+    assert got == want

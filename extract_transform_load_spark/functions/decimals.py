@@ -40,6 +40,21 @@ def dsum(col: Column | str, alias: str | None = None, typ: str = MEASURE) -> Col
     return out.alias(alias) if alias else out
 
 
+def dsumd(col: Column | str, alias: str | None = None, typ: str = MEASURE) -> Column:
+    """Exact decimal sum presented as DOUBLE.
+
+    Aggregation still happens in decimal (order-independent across
+    partitions); only the final value is cast. Result-layer columns must
+    be double/bigint, never decimal: the correctness driver converts the
+    DuckDB oracle through pandas where DECIMAL collapses to float64, so
+    a Spark-side ``Decimal('1.4500')`` hash-mismatches the numerically
+    equal float ``1.45``. Casting the *identical exact decimal* to
+    double on both engines yields bit-equal floats.
+    """
+    out = F.sum(dec(col, typ)).cast("double")
+    return out.alias(alias) if alias else out
+
+
 def ratio(num: Column, den: Column) -> Column:
     """num/den as double computed from exact (decimal) inputs; NULL if den=0."""
     n = num.cast("double")

@@ -213,13 +213,17 @@ def encode_bpe(
         cache: dict[str, list[str]] = {}
         for pdf in batches:
             toks = [
-                [t for w in text.split(" ") if w for t in enc_word(w, cache)]
+                []
+                if text is None
+                else [t for w in text.split(" ") if w for t in enc_word(w, cache)]
                 for text in pdf.iloc[:, 1]
             ]
             yield pd.DataFrame({"id": pdf.iloc[:, 0].to_numpy(), "tokens": toks})
 
+    # the id column keeps its input type (string doc keys work like longs)
+    id_type = docs.schema[id_col].dataType.simpleString()
     return (
         docs.select(id_col, text_col)
-        .mapInPandas(run, schema="id long, tokens array<string>")
+        .mapInPandas(run, schema=f"id {id_type}, tokens array<string>")
         .withColumnRenamed("id", id_col)
     )

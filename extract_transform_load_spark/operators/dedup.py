@@ -445,6 +445,82 @@ def minhash_lsh_pairs_bucketed(
     )
 
 
+def minhash_lsh_verified_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """LSH candidates verified with EXACT Jaccard — the production
+    MinHash pipeline (candidate generation prunes the pair space; the
+    verify step restores exact precision).
+
+    Candidates come from :func:`minhash_lsh_pairs_bucketed`'s banded
+    bucket-explode (signature-agreement filter OFF — verification
+    replaces it), then each candidate pair joins its two distinct-
+    shingle-hash sets and scores ``|A∩B| / |A∪B|`` exactly with
+    ``array_intersect`` — no Python, no re-tokenize. Shingle sets ride
+    as arrays of xxhash64 values (collision-free in practice), so the
+    verify join moves two bounded arrays per candidate, not the shingle
+    stream.
+
+    Precision is exact by construction. Recall is the banding S-curve
+    ``1-(1-j^r)^b``; for near-dup corpora (j ≈ 0.8+) it is ~1, which is
+    what makes the output oracle-checkable against the all-pairs SQL
+    (q41) — the equality is asserted by the driver gate at three SFs.
+    At 100 TB this replaces q41's shared-shingle quadratic join with
+    bucket-bounded candidate generation + an O(candidates) verify.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col)
+
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = sigs.select("doc_id", "signature", band_idx).select(
+        "doc_id",
+        "band",
+        F.xxhash64(F.col("band"), F.slice("signature", F.col("band") * r + 1, r)).alias(
+            "band_hash"
+        ),
+    )
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket_size))
+    )
+    cand = (
+        buckets.select(F.posexplode("members").alias("pos", "doc_a"), F.col("members"))
+        .select(
+            "doc_a",
+            F.explode(F.slice("members", F.col("pos") + 2, F.size("members"))).alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets_df = (
+        shingle_sets(docs, text_col, id_col, k)
+        .groupBy("doc_id")
+        .agg(F.collect_set(F.xxhash64("shingle")).alias("shset"))
+    )
+    sa = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
+    sb = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
+    n_common = F.size(F.array_intersect("set_a", "set_b"))
+    jaccard = n_common.cast("double") / (
+        F.size("set_a") + F.size("set_b") - n_common
+    ).cast("double")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -499,6 +575,106 @@ def simhash_pairs(
     band_bits = 64 // n_bands
     band_mask = (1 << band_bits) - 1
     sigs = simhash_signatures(docs, text_col, id_col)
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_key", F.expr(f"shiftrightunsigned(simhash, band * {band_bits}) & {band_mask}")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+SIMHASH_PORTABLE_BITS = 60  # 15 hex chars of md5 — fits BIGINT in any engine
+
+
+def simhash_signatures_portable(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash bigint) — 60-bit SimHash, fully JVM-side and
+    engine-portable.
+
+    Token hash = first 15 hex chars of md5(token) (60 bits — the same
+    conv-from-md5 trick as sampling.hash_split), so ANY engine with md5
+    reproduces the identical signature — which is what lets q43 carry a
+    complete SQL oracle (signatures + banding + verify replicated in
+    DuckDB) instead of a rows-only check. Differs from
+    :func:`simhash_signatures` (64-bit FNV mapInPandas showcase) only in
+    the hash family; same votes-per-bit construction.
+
+    Plan shape: explode tokens (multiset — duplicate tokens vote
+    repeatedly, per the SimHash definition), one groupBy(doc) with 60
+    conditional-sum aggregates (map-side combine collapses each task to
+    one 60-int row per doc), then the signature assembles bit-wise. No
+    Python, no UDF; the shuffle carries O(docs) rows.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    th = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint")
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(th, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__v{j}")
+        for j in range(SIMHASH_PORTABLE_BITS)
+    ]
+    sig = None
+    for j in range(SIMHASH_PORTABLE_BITS):
+        term = F.when(F.col(f"__v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = term if sig is None else sig + term
+    return (
+        tok.withColumn("th", th)
+        .groupBy("doc_id")
+        .agg(*votes)
+        .select("doc_id", sig.alias("simhash"))
+    )
+
+
+def simhash_pairs_portable(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    n_bands: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`simhash_pairs` over the portable 60-bit signature.
+
+    6 bands × 10 bits: lossless to Hamming 5 by pigeonhole; beyond that
+    recall is the banding curve — but because the signature AND the
+    banding are deterministic functions of the text, an oracle engine
+    replaying the same construction produces the identical pair set,
+    probabilistic recall and all. That replay is q43's DuckDB oracle.
+    """
+    if SIMHASH_PORTABLE_BITS % n_bands:
+        raise ValueError(f"n_bands must divide {SIMHASH_PORTABLE_BITS}")
+    band_bits = SIMHASH_PORTABLE_BITS // n_bands
+    band_mask = (1 << band_bits) - 1
+    sigs = simhash_signatures_portable(docs, text_col, id_col)
     banded = sigs.select(
         "doc_id",
         "simhash",

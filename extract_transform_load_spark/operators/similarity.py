@@ -48,6 +48,44 @@ def _norm(a):
     )
 
 
+def ann_recall_audit(ann: DataFrame, exact: DataFrame, min_recall: float) -> DataFrame:
+    """Per-query recall audit of an ANN result against exact ground truth.
+
+    Returns ``(query_id, n_results, recall_ok)`` where ``recall_ok`` is
+    ``|ann ∩ exact| / |exact| >= min_recall``. This is the
+    oracle-checkable presentation of an ANN operator: index internals
+    (hyperplanes, centroids, codebooks) differ across engines, so the
+    cross-engine contract is the *derived property* — result count and
+    a recall floor — which a SQL oracle recomputing only the exact side
+    can pin (``TRUE`` per query). A regressing index flips the boolean
+    and fails the driver hash. Both inputs carry (query_id, neighbor_id);
+    the audit is two O(queries·k) aggregates — negligible next to either
+    search.
+    """
+    n_res = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_results"))
+    n_hit = (
+        ann.join(
+            exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    n_ex = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n_exact"))
+    return (
+        n_res.join(n_hit, "query_id", "left")
+        .join(n_ex, "query_id")
+        .select(
+            "query_id",
+            "n_results",
+            (
+                F.coalesce(F.col("__hits"), F.lit(0)).cast("double")
+                / F.col("__n_exact").cast("double")
+                >= F.lit(min_recall)
+            ).alias("recall_ok"),
+        )
+    )
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,

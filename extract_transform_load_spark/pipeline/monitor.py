@@ -203,7 +203,12 @@ def psi_drift(
         # Math.log and DuckDB's libm for some inputs (surfaced at
         # sf0.01), so the ln-derived contribution is truncated past the
         # divergence before any cross-engine hash — q73's rule.
-        ((p_a - p_b) * (F.log(p_a) - F.log(p_b))).cast("decimal(38,12)").alias("contrib"),
+        # ... then presented as double: result columns never ship Decimal
+        # objects (the driver's pandas path collapses DECIMAL to float64).
+        ((p_a - p_b) * (F.log(p_a) - F.log(p_b)))
+        .cast("decimal(38,12)")
+        .cast("double")
+        .alias("contrib"),
     )
 
 

@@ -7,9 +7,15 @@ value hash — so builders must alias every computed column to the same
 name the oracle uses, keep numeric types engine-portable (see
 ``functions.decimals``), and give any LIMIT/OFFSET query a total order.
 
-Queries whose semantics aren't SQL-expressible (LSH banding, stateful
-streaming) register ``oracle=None`` → the driver records a rows-only
-check; they get their own pytest verification instead.
+Queries whose semantics aren't directly SQL-expressible (LSH banding,
+ANN, sketches, BPE, packing) register a DERIVED oracle instead of none:
+either a full deterministic replication in SQL, or exact SQL-derivable
+columns plus in-query-proven booleans (recall floors, error bounds,
+losslessness) the oracle pins TRUE — see plans/datapipe.py. Result-layer
+columns are always double/bigint/string/date/timestamp/bool, never
+DECIMAL: the driver's pandas conversion collapses DuckDB DECIMAL and
+HUGEINT to float64, so a Spark-side Decimal hash-mismatches numerically
+identical values (functions/decimals.dsumd).
 """
 
 from __future__ import annotations

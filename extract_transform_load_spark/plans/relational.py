@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.decimals import MEASURE, RESULT, dec, dsum, ratio
+from ..functions.decimals import MEASURE, dec, dsum, dsumd, ratio
 from ..operators.asof import as_of_join
 from ..operators.gaps import find_gaps_scalable
 from ..operators.latest import latest_per_key
@@ -39,10 +39,10 @@ from .registry import query
     "q01_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
            CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -61,13 +61,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = disc_price * (1 + F.col("l_tax"))
     n = F.count(F.lit(1))
     return l.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity", "sum_qty"),
-        dsum("l_extendedprice", "sum_base_price"),
-        dsum(disc_price, "sum_disc_price"),
+        dsumd("l_quantity", "sum_qty"),
+        dsumd("l_extendedprice", "sum_base_price"),
+        dsumd(disc_price, "sum_disc_price"),
         # 2dp × 2dp × 2dp = 6 decimal digits — scale 6 keeps the cast
         # exact (a narrower scale would round, and double→decimal rounding
         # differs between engines at the .5 boundary).
-        F.sum(dec(charge, "decimal(18,6)")).cast("decimal(38,6)").alias("sum_charge"),
+        F.sum(dec(charge, "decimal(18,6)")).cast("double").alias("sum_charge"),
         ratio(F.sum(dec("l_quantity")), n).alias("avg_qty"),
         ratio(F.sum(dec("l_extendedprice")), n).alias("avg_price"),
         ratio(F.sum(dec("l_discount")), n).alias("avg_disc"),
@@ -200,7 +200,7 @@ def q07_ledger_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q08_range_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -218,7 +218,7 @@ def q08_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return l.agg(
-        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        dsumd(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -265,8 +265,8 @@ def q10_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
     """,
@@ -280,8 +280,8 @@ def q11_dim_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            dsum("l_quantity", "sum_qty"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            dsumd("l_quantity", "sum_qty"),
+            dsumd(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
         )
     )
 
@@ -291,7 +291,7 @@ def q11_dim_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_name,
            CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS n_orders,
-           CAST(COALESCE(a.total_spent, 0) AS DECIMAL(38,4)) AS total_spent
+           CAST(COALESCE(a.total_spent, 0) AS DOUBLE) AS total_spent
     FROM customer c
     LEFT JOIN (
       SELECT o_custkey, COUNT(*) AS n_orders,
@@ -312,7 +312,7 @@ def q12_left_join_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_name",
         F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
-        F.coalesce(F.col("total_spent"), F.lit(0)).cast(RESULT).alias("total_spent"),
+        F.coalesce(F.col("total_spent"), F.lit(0)).cast("double").alias("total_spent"),
     )
 
 
@@ -352,7 +352,7 @@ def q13_full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_cross_scalar",
     oracle="""
     SELECT l_returnflag, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
     FROM lineitem
     WHERE l_shipdate = (SELECT MAX(l_shipdate) FROM lineitem)
     GROUP BY l_returnflag
@@ -366,7 +366,7 @@ def q14_cross_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.crossJoin(F.broadcast(mx))
         .filter(F.col("l_shipdate") == F.col("__max_ship"))
         .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
+        .agg(F.count(F.lit(1)).alias("n"), dsumd("l_quantity", "sum_qty"))
     )
 
 
@@ -407,7 +407,7 @@ def q15_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderkey,
            COUNT(*) AS n_early,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty_early
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_early
     FROM orders o
     JOIN lineitem l
       ON l.l_orderkey = o.o_orderkey
@@ -428,7 +428,7 @@ def q16_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(l, cond)
         .groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_early"), dsum("l_quantity", "qty_early"))
+        .agg(F.count(F.lit(1)).alias("n_early"), dsumd("l_quantity", "qty_early"))
     )
 
 
@@ -436,7 +436,7 @@ def q16_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_multiway_chain",
     oracle="""
     SELECT r_name, n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            COUNT(DISTINCT o_orderkey) AS n_orders
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -461,7 +461,7 @@ def q17_multiway_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            dsumd(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
@@ -563,7 +563,7 @@ def q20_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT b.bucket,
            CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS n_orders,
-           CAST(COALESCE(a.total, 0) AS DECIMAL(38,4)) AS total
+           CAST(COALESCE(a.total, 0) AS DOUBLE) AS total
     FROM buckets b LEFT JOIN agg a ON a.bucket = b.bucket
     """,
     doc="B16 CASE-bucketed histogram with static bucket dim (`ls_state.rs:243-289`, `raw_message.rs:243-343`).",
@@ -585,7 +585,7 @@ def q21_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return F.broadcast(buckets).join(agg, "bucket", "left").select(
         "bucket",
         F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
-        F.coalesce(F.col("total"), F.lit(0)).cast(RESULT).alias("total"),
+        F.coalesce(F.col("total"), F.lit(0)).cast("double").alias("total"),
     )
 
 
@@ -637,8 +637,8 @@ def q23_first_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            COUNT(*) AS n_orders,
-           CAST(SUM(order_value) AS DECIMAL(38,4)) AS total_value,
-           MAX(order_value) AS max_order_value
+           CAST(SUM(order_value) AS DOUBLE) AS total_value,
+           CAST(MAX(order_value) AS DOUBLE) AS max_order_value
     FROM (
       SELECT o.o_custkey, o.o_orderkey,
              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS order_value
@@ -659,8 +659,8 @@ def q24_two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_order.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum("order_value").cast(RESULT).alias("total_value"),
-        F.max("order_value").alias("max_order_value"),
+        F.sum("order_value").cast("double").alias("total_value"),
+        F.max("order_value").cast("double").alias("max_order_value"),
     )
 
 
@@ -716,7 +716,7 @@ def q26_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, ts,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
              ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(38,4)) AS running_total
+           ) AS DOUBLE) AS running_total
     FROM events WHERE event_type = 'purchase'
     """,
     doc="B23 cumulative buyback total (`tr_profit.rs:110-121`). Global window is "
@@ -728,16 +728,16 @@ def q27_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "ts",
-        F.sum(dec("value")).over(w).cast(RESULT).alias("running_total"),
+        F.sum(dec("value")).over(w).cast("double").alias("running_total"),
     )
 
 
 @query(
     "q28_daily_cumulative",
     oracle="""
-    SELECT day, daily_revenue,
+    SELECT day, CAST(daily_revenue AS DOUBLE) AS daily_revenue,
            CAST(SUM(daily_revenue) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,4)) AS cumulative_revenue
+                AS DOUBLE) AS cumulative_revenue
     FROM (
       SELECT CAST(ts AS DATE) AS day,
              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS daily_revenue
@@ -752,8 +752,8 @@ def q28_daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return daily.select(
         "day",
-        "daily_revenue",
-        F.sum("daily_revenue").over(w).cast(RESULT).alias("cumulative_revenue"),
+        F.col("daily_revenue").cast("double").alias("daily_revenue"),
+        F.sum("daily_revenue").over(w).cast("double").alias("cumulative_revenue"),
     )
 
 
@@ -766,7 +766,7 @@ def q28_daily_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q29_topk_customers",
     oracle="""
     SELECT o_custkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_spent,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent,
            COUNT(*) AS n_orders
     FROM orders GROUP BY o_custkey
     ORDER BY total_spent DESC, o_custkey
@@ -779,7 +779,7 @@ def q29_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(dsum("o_totalprice", "total_spent"), F.count(F.lit(1)).alias("n_orders"))
+        .agg(dsumd("o_totalprice", "total_spent"), F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("total_spent").desc(), F.col("o_custkey").asc())
         .limit(10)
     )
@@ -789,7 +789,7 @@ def q29_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q30_union_ledger",
     oracle="""
     SELECT user_id,
-           CAST(SUM(signed_value) AS DECIMAL(38,4)) AS net_value,
+           CAST(SUM(signed_value) AS DOUBLE) AS net_value,
            COUNT(*) AS n_moves
     FROM (
       SELECT user_id, CAST(value AS DECIMAL(18,4)) AS signed_value
@@ -818,7 +818,7 @@ def q30_union_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ledger = pos.unionByName(neg).unionByName(zero)
     return ledger.groupBy("user_id").agg(
-        F.sum("signed_value").cast(RESULT).alias("net_value"),
+        F.sum("signed_value").cast("double").alias("net_value"),
         F.count(F.lit(1)).alias("n_moves"),
     )
 
@@ -894,7 +894,7 @@ def q32_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q33_json_extract",
     oracle="""
     SELECT event_type,
-           SUM(CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT)) AS n_with_k
     FROM events GROUP BY event_type
     """,
@@ -919,7 +919,7 @@ def q33_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM orders
     WHERE o_orderdate >= (SELECT MAX(o_orderdate) FROM orders) - INTERVAL 3 MONTH
     GROUP BY 1
@@ -937,7 +937,7 @@ def q34_period_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.crossJoin(F.broadcast(anchor))
         .filter(period_predicate(F.col("o_orderdate"), "3m", F.col("__anchor")))
         .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
-        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsumd("o_totalprice", "revenue"))
     )
 
 
@@ -946,8 +946,8 @@ def q34_period_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 100 AS apr_pct,
-           CAST((POWER(1 + (CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 100) / 100.0 / 365.0, 365.0) - 1) * 100
-                AS DECIMAL(18,6)) AS apy_pct
+           CAST(CAST((POWER(1 + (CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 100) / 100.0 / 365.0, 365.0) - 1) * 100
+                AS DECIMAL(18,6)) AS DOUBLE) AS apy_pct
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Daily-compounding APR→APY: (POWER(1+apr/100/365,365)-1)*100 "
@@ -961,7 +961,10 @@ def q35_apr_compounding(spark: SparkSession, sf_dir: str) -> DataFrame:
     apr = ratio(F.sum(dec("l_discount")), n) * 100
     return l.groupBy("l_returnflag").agg(
         apr.alias("apr_pct"),
-        apr_to_apy(apr).cast("decimal(18,6)").alias("apy_pct"),
+        # round to 6dp in decimal (absorbs any POWER ulp drift between
+        # engines), then present as double — result columns never ship
+        # Decimal objects (see functions.decimals.dsumd).
+        apr_to_apy(apr).cast("decimal(18,6)").cast("double").alias("apy_pct"),
     )
 
 
@@ -1002,7 +1005,7 @@ def q36_history_union_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q37_decimal_shift",
     oracle="""
     SELECT event_type,
-           CAST(SUM(CAST(value / POWER(10.0, user_id % 3) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS shifted_total,
+           CAST(SUM(CAST(value / POWER(10.0, user_id % 3) AS DECIMAL(18,6))) AS DOUBLE) AS shifted_total,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -1015,7 +1018,7 @@ def q37_decimal_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     shifted = decimal_shift(F.col("value"), F.col("user_id") % 3)
     return e.groupBy("event_type").agg(
-        F.sum(shifted.cast("decimal(18,6)")).cast("decimal(38,6)").alias("shifted_total"),
+        F.sum(shifted.cast("decimal(18,6)")).cast("double").alias("shifted_total"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1028,7 +1031,7 @@ def q37_decimal_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q38_moving_average",
     oracle="""
-    SELECT day, daily_revenue,
+    SELECT day, CAST(daily_revenue AS DOUBLE) AS daily_revenue,
            CAST(AVG(CAST(daily_revenue AS DOUBLE)) OVER (
              ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS ma7
@@ -1050,7 +1053,7 @@ def q38_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
     return daily.select(
         "day",
-        "daily_revenue",
+        F.col("daily_revenue").cast("double").alias("daily_revenue"),
         F.avg(F.col("daily_revenue").cast("double")).over(w).alias("ma7"),
     )
 
@@ -1058,8 +1061,8 @@ def q38_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q39_day_over_day",
     oracle="""
-    SELECT day, daily_revenue,
-           lag(daily_revenue) OVER (ORDER BY day) AS prev_revenue,
+    SELECT day, CAST(daily_revenue AS DOUBLE) AS daily_revenue,
+           CAST(lag(daily_revenue) OVER (ORDER BY day) AS DOUBLE) AS prev_revenue,
            CAST(daily_revenue AS DOUBLE) - CAST(lag(daily_revenue) OVER (ORDER BY day) AS DOUBLE) AS delta
     FROM (
       SELECT CAST(ts AS DATE) AS day,
@@ -1080,8 +1083,8 @@ def q39_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("daily_revenue").over(w)
     return daily.select(
         "day",
-        "daily_revenue",
-        prev.alias("prev_revenue"),
+        F.col("daily_revenue").cast("double").alias("daily_revenue"),
+        prev.cast("double").alias("prev_revenue"),
         (F.col("daily_revenue").cast("double") - prev.cast("double")).alias("delta"),
     )
 
@@ -1091,7 +1094,7 @@ def q39_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name, n_name,
            COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_balance
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -1108,7 +1111,7 @@ def q50_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .rollup("r_name", "n_name")
-        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", "total_balance"))
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsumd("c_acctbal", "total_balance"))
     )
 
 
@@ -1168,22 +1171,49 @@ def q52_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q62_approx_percentiles",
-    oracle=None,  # GK/KLL sketch implementations differ across engines;
-    # rank-error bound vs exact percentile asserted in tests/test_operators.py
+    # Derived-property oracle: the GK sketch itself differs across
+    # engines, so the checkable output is the exact per-group stats plus
+    # in-query booleans asserting the sketch landed inside the exact
+    # rank-error window (percentile_cont at q ± 0.005 — ~150 ranks of
+    # slack at sf0.1 vs the sketch's <= n/10000 rank error). The oracle
+    # recomputes the exact columns and pins the booleans TRUE.
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           quantile_cont(o_totalprice, 0.5) AS median_exact,
+           quantile_cont(o_totalprice, 0.9) AS p90_exact,
+           TRUE AS median_ok,
+           TRUE AS p90_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
     doc="Scale variant of q52: approx_percentile (Greenwald-Khanna "
     "sketch, accuracy=10000 => rank error <= 1/10000) per group. Exact "
     "percentile materializes and sorts every group's values through one "
     "shuffle; the sketch is a bounded-size accumulator that merges "
     "map-side, so at 100 TB the shuffle carries O(groups) sketches. "
-    "q52 stays the oracle-checked default; this is the documented "
-    "trade for corpus-scale latency dashboards.",
+    "The *_ok booleans assert sketch-vs-exact rank error in-query, so "
+    "the driver hash fails if the sketch ever drifts out of bound.",
 )
 def q62_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("median_price"),
-        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90_price"),
+    agg = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("median_exact"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90_exact"),
+        F.percentile("o_totalprice", F.lit(0.495)).alias("__m_lo"),
+        F.percentile("o_totalprice", F.lit(0.505)).alias("__m_hi"),
+        F.percentile("o_totalprice", F.lit(0.895)).alias("__p_lo"),
+        F.percentile("o_totalprice", F.lit(0.905)).alias("__p_hi"),
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("__m_apx"),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("__p_apx"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        "median_exact",
+        "p90_exact",
+        F.col("__m_apx").between(F.col("__m_lo"), F.col("__m_hi")).alias("median_ok"),
+        F.col("__p_apx").between(F.col("__p_lo"), F.col("__p_hi")).alias("p90_ok"),
     )
 
 
@@ -1203,7 +1233,7 @@ def q62_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM s GROUP BY 1, 2
     """,
     doc="Sessionization: per-user 30-min-gap sessions via lag → boundary "
@@ -1228,25 +1258,42 @@ def q59_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
 
 
 @query(
     "q60_approx_distinct_mau",
-    oracle=None,  # HyperLogLog implementations differ across engines;
-    # error bound vs exact countDistinct asserted in tests/test_operators.py
+    # Derived-property oracle: HLL registers differ across engines, so
+    # the checkable output is the exact MAU plus an in-query boolean
+    # asserting the sketch landed within 5·rsd of it. The oracle
+    # recomputes the exact count and pins the boolean TRUE — a drifting
+    # sketch fails the driver hash.
+    oracle="""
+    SELECT strftime(ts, '%Y-%m') AS month,
+           COUNT(DISTINCT user_id) AS mau_exact,
+           COUNT(*) AS n_events,
+           TRUE AS approx_ok
+    FROM events GROUP BY 1
+    """,
     doc="Scale variant of q18: HyperLogLog++ approximate monthly active "
     "users (rsd=0.01). countDistinct shuffles every distinct "
     "(month, user) pair; the HLL sketch is a fixed ~few-KB accumulator "
     "per group that merges map-side — at 100 TB the shuffle carries "
-    "O(groups) sketches instead of O(distinct users) rows. The exact "
-    "query stays the oracle-checked default; this is the documented "
-    "trade for corpus-scale cardinality dashboards.",
+    "O(groups) sketches instead of O(distinct users) rows. approx_ok "
+    "asserts |approx-exact| <= 5·rsd·exact in-query.",
 )
 def q60_approx_distinct_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    return e.groupBy(F.date_format("ts", "yyyy-MM").alias("month")).agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("mau_approx"),
+    agg = e.groupBy(F.date_format("ts", "yyyy-MM").alias("month")).agg(
+        F.countDistinct("user_id").alias("mau_exact"),
         F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("__mau_apx"),
+    )
+    err = F.abs(F.col("__mau_apx") - F.col("mau_exact")).cast("double")
+    return agg.select(
+        "month",
+        "mau_exact",
+        "n_events",
+        (err <= 0.05 * F.col("mau_exact").cast("double")).alias("approx_ok"),
     )

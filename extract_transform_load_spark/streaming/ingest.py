@@ -231,7 +231,20 @@ def sketch_sink(
     register downward) so replays of the same rows are harmless — the
     one property that makes sketch maintenance simpler than the exact
     merge_sink above.
+
+    Durability: only a genuinely-missing store falls back to
+    ``merged = fresh`` (an existence check, not a bare except — a
+    transient read error must fail the batch so Structured Streaming
+    retries it rather than silently discarding all accumulated state).
+    The store is collected to the driver (kilobytes) BEFORE the
+    overwrite and staged through a temp directory + atomic rename, so a
+    crash mid-write leaves either the old store or the new one, never a
+    torn directory.
     """
+    import os
+    import shutil
+    import uuid
+
     from ..operators.sketches import build_distinct_sketches
 
     def write(batch: DataFrame, batch_id: int) -> None:
@@ -239,17 +252,26 @@ def sketch_sink(
 
         spark = batch.sparkSession
         fresh = build_distinct_sketches(batch, group_cols, value_col, lgk=lgk)
-        try:
+        if os.path.exists(target_path):
+            # Any failure from here on raises: the microbatch fails and
+            # is retried with the prior store intact.
             existing = spark.read.parquet(target_path)
             merged = (
                 existing.unionByName(fresh)
                 .groupBy(*group_cols)
                 .agg(F.expr("hll_union_agg(sketch, true)").alias("sketch"))
             )
-        except Exception:
+        else:
             merged = fresh
         rows = merged.collect()  # kilobytes: (cells x 2^lgk bytes)
         out = spark.createDataFrame(rows, merged.schema)
-        out.coalesce(1).write.mode("overwrite").parquet(target_path)
+        tmp_path = f"{target_path.rstrip('/')}__stage_{uuid.uuid4().hex}"
+        out.coalesce(1).write.mode("overwrite").parquet(tmp_path)
+        old_path = f"{target_path.rstrip('/')}__old_{uuid.uuid4().hex}"
+        if os.path.exists(target_path):
+            os.rename(target_path, old_path)
+        os.rename(tmp_path, target_path)
+        if os.path.exists(old_path):
+            shutil.rmtree(old_path, ignore_errors=True)
 
     return write

@@ -64,6 +64,93 @@ def canonical_rows(cols, rows):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
+def duckdb_run_df(sql: str, sf_dir: str):
+    """Driver-path DuckDB run: pandas conversion via ``.df()``.
+
+    This is the lossy path the driver uses — DECIMAL and HUGEINT columns
+    come back as float64, so ``str()`` of a cell differs from Spark's
+    ``Decimal`` repr whenever the value has trailing zeros or >15
+    significant digits. The strict gate below therefore compares the
+    *pandas* representations, exactly what the driver's hash sees.
+    """
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    df = con.execute(sql).df()
+    con.close()
+    return df
+
+
+def _strict_cell(v) -> str:
+    # str() of the pandas-level value: what an order-insensitive value
+    # hash over stringified cells would consume. NaN/None/NaT all narrow
+    # to a single null token (engines agree on nullness, not its repr).
+    if v is None:
+        return "∅"
+    if isinstance(v, float) and math.isnan(v):
+        return "∅"
+    if v.__class__.__name__ in ("NaTType",):
+        return "∅"
+    if isinstance(v, Decimal):
+        return f"DECIMAL!{v}"  # intentionally loud: decimals must not reach output
+    if hasattr(v, "to_pydatetime"):  # pd.Timestamp
+        v = v.to_pydatetime()
+    if isinstance(v, datetime):
+        # DuckDB's pandas path widens DATE to datetime64[us]; the driver
+        # hashes Spark's datetime.date equal to the midnight timestamp
+        # (CORRECTNESS_r01: q13/q31 green), so normalize midnight → date.
+        v = v.replace(tzinfo=None)
+        if v.hour == v.minute == v.second == v.microsecond == 0:
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):  # numpy scalar/array
+        return _strict_cell(v.tolist())
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_strict_cell(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, float):
+        return f"f:{v!r}"
+    return str(v)
+
+
+def strict_compare(spark_df, oracle: str, sf_dir: str) -> list[str]:
+    """Driver-strict gate: Spark ``toPandas()`` vs DuckDB ``.df()``,
+    cell-level ``str`` equality over the order-insensitive row multiset.
+
+    Any mismatch here is a mismatch in the driver's value hash. In
+    particular a ``Decimal`` object on the Spark side vs a float64 on
+    the DuckDB side fails even when numerically equal — final
+    projections must cast aggregates to DOUBLE/BIGINT on BOTH sides.
+    """
+    problems: list[str] = []
+    sp = spark_df.toPandas()
+    dp = duckdb_run_df(oracle, sf_dir)
+    if sorted(sp.columns) != sorted(dp.columns):
+        return [f"columns differ: spark={sorted(sp.columns)} duckdb={sorted(dp.columns)}"]
+    if len(sp) != len(dp):
+        problems.append(f"row count differs: spark={len(sp)} duckdb={len(dp)}")
+    sp = sp[sorted(sp.columns)]
+    dp = dp[sorted(dp.columns)]
+    # No dtype comparison: the driver hashes values, not dtypes, and the
+    # benign object-date vs datetime64 pairing is dtype-different but
+    # hash-equal. Consequential drift (Decimal vs float64, int64 vs
+    # float64) changes the cell strings and fails below.
+    srows = sorted(tuple(_strict_cell(v) for v in row) for row in sp.itertuples(index=False))
+    drows = sorted(tuple(_strict_cell(v) for v in row) for row in dp.itertuples(index=False))
+    if srows != drows:
+        dset = set(drows)
+        sset = set(srows)
+        only_s = [r for r in srows if r not in dset][:3]
+        only_d = [r for r in drows if r not in sset][:3]
+        problems.append(f"values differ; spark-only={only_s} duckdb-only={only_d}")
+    return problems
+
+
 def compare(spark_df, oracle: str, sf_dir: str) -> list[str]:
     """Returns a list of mismatch descriptions; empty list == pass."""
     problems: list[str] = []

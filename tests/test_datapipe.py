@@ -871,12 +871,25 @@ def test_kll_quantile_sketch_rank_error_and_determinism(spark, sf_dir):
     from extract_transform_load_spark.plans.registry import REGISTRY
     from extract_transform_load_spark.sources.tables import load
 
-    q = REGISTRY["q106_sketch_quantiles"].fn(spark, sf_dir)
-    r1 = sorted(map(tuple, q.collect()))
-    r2 = sorted(map(tuple, q.collect()))
-    assert r1 == r2, "KLL fold must be deterministic"
+    from extract_transform_load_spark.operators.sketches import (
+        build_quantile_sketches,
+        merge_quantile_estimates,
+    )
 
     e = load(spark, sf_dir, "events")
+    daily = build_quantile_sketches(
+        e.select(F.date_trunc("day", F.col("ts")).alias("day"), "event_type", "value"),
+        ["day", "event_type"],
+        "value",
+    )
+    est = merge_quantile_estimates(daily, ["event_type"], (0.5, 0.9, 0.99))
+    r1 = sorted(map(tuple, est.collect()))
+    r2 = sorted(map(tuple, est.collect()))
+    assert r1 == r2, "KLL fold must be deterministic"
+
+    # the registry form carries the audit booleans — all must hold
+    audit = REGISTRY["q106_sketch_quantiles"].fn(spark, sf_dir).collect()
+    assert audit and all(r["p50_ok"] and r["p90_ok"] and r["p99_ok"] for r in audit)
     vals = {
         t: sorted(
             r["value"] for r in e.filter(F.col("event_type") == t).select("value").collect()

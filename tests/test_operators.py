@@ -179,7 +179,10 @@ def test_approx_distinct_mau_error_bound(spark, sf_dir):
 
     approx = {
         r["month"]: r["mau_approx"]
-        for r in REGISTRY["q60_approx_distinct_mau"].fn(spark, sf_dir).collect()
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("mau_approx"))
+        .collect()
     }
     exact = {
         r["month"]: r["mau"]
@@ -191,6 +194,9 @@ def test_approx_distinct_mau_error_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for month, mau in exact.items():
         assert abs(approx[month] - mau) <= max(1, 0.05 * mau), (month, approx[month], mau)
+    # the registry form carries the audit boolean the oracle pins TRUE
+    audit = REGISTRY["q60_approx_distinct_mau"].fn(spark, sf_dir).collect()
+    assert audit and all(r["approx_ok"] for r in audit)
 
 
 def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
@@ -382,10 +388,22 @@ def test_approx_percentile_rank_error_bound(spark, sf_dir):
     from extract_transform_load_spark.plans.registry import REGISTRY
     from extract_transform_load_spark.sources.tables import load
 
+    import pyspark.sql.functions as F
+
     approx = {
         r["o_orderpriority"]: (r["median_price"], r["p90_price"], r["n"])
-        for r in REGISTRY["q62_approx_percentiles"].fn(spark, sf_dir).collect()
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("median_price"),
+            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
     }
+    # the registry form carries the audit booleans the oracle pins TRUE
+    audit = REGISTRY["q62_approx_percentiles"].fn(spark, sf_dir).collect()
+    assert audit and all(r["median_ok"] and r["p90_ok"] for r in audit)
     rows = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice").collect()
     by_group: dict[str, list[float]] = {}
     for r in rows:

@@ -2,18 +2,21 @@
 
 The reference paginates every list endpoint with ``ORDER BY ts DESC
 OFFSET $ LIMIT $`` and caps ``limit <= 100`` (SURVEY.md §2.B sorts/limits;
-`controller/leases.rs:45-47`). Spark has ``offset()`` since 3.4, but an
-explicit ``row_number`` filter keeps the semantics obvious and lets the
-caller get the absolute rank back.
+`controller/leases.rs:45-47`).
 
 Determinism: callers MUST pass a sort that is a total order (include a
 unique key as final tiebreak) — otherwise page boundaries are
 nondeterministic in any distributed engine.
 
-Scale note: pagination implies a global sort of the filtered set. That is
-correct for serving-path queries (post-filter cardinality is small); for
-deep scans prefer keyset pagination (``WHERE ts < last_seen`` + LIMIT),
-which pushes the predicate into the scan instead of sorting everything.
+Scale note: ``orderBy().offset().limit()`` plans as
+TakeOrderedAndProject — each partition keeps its top-(offset+limit)
+rows and the driver merges, so no global sort and no single-task
+``row_number`` window exists anywhere in the plan (plan-audited in
+tests/test_plan_audit.py). The cost still grows with the page DEPTH
+(every partition holds offset+limit rows), so offsets past
+``max_offset`` raise and direct callers to ``keyset_page``, whose
+cursor predicate pushes into the scan and makes page N cost page-1
+money.
 """
 
 from __future__ import annotations
@@ -21,7 +24,9 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
+
+MAX_OFFSET_DEFAULT = 100_000
 
 
 def paginate(
@@ -30,14 +35,16 @@ def paginate(
     offset: int = 0,
     limit: int = 100,
     max_limit: int = 100,
+    max_offset: int = MAX_OFFSET_DEFAULT,
 ) -> DataFrame:
     limit = min(limit, max_limit)
-    w = Window.orderBy(*order_by)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
-        .drop("__rn")
-    )
+    if offset > max_offset:
+        raise ValueError(
+            f"offset {offset} exceeds max_offset {max_offset}: deep pages "
+            "must use keyset_page (cursor pagination) — offset pagination "
+            "keeps offset+limit rows per partition"
+        )
+    return df.orderBy(*order_by).offset(offset).limit(limit)
 
 
 def keyset_page(

@@ -299,7 +299,9 @@ def pq_topk(
     codes = pq_encode(corpus, codebooks, id_col, vec_col).withColumnRenamed(
         id_col, "neighbor_id"
     )
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    from .similarity import collect_probe_batch
+
+    q_rows = collect_probe_batch(queries, query_id_col, vec_col)
     q_ids = [r[0] for r in q_rows]
     q_mat = _normalized_matrix([r[1] for r in q_rows])  # (Q, dim)
     d_sub = dim // m
@@ -403,7 +405,9 @@ def ivfpq_topk(
             id_col, "neighbor_id"
         ).join(cells, "neighbor_id")
 
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    from .similarity import collect_probe_batch
+
+    q_rows = collect_probe_batch(queries, query_id_col, vec_col)
     q_ids = [r[0] for r in q_rows]
     q_mat = _normalized_matrix([r[1] for r in q_rows])
     d_sub = dim // m

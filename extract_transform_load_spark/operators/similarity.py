@@ -48,6 +48,35 @@ def _norm(a):
     )
 
 
+MAX_PROBE_BATCH = 10_000
+
+
+def collect_probe_batch(
+    queries: DataFrame,
+    query_id_col: str,
+    vec_col: str,
+    max_rows: int = MAX_PROBE_BATCH,
+) -> list:
+    """Collect a PROBE batch to the driver, guarded.
+
+    The PQ/IVF search paths ship the query vectors driver-side to build
+    lookup tables — correct for probe batches (the serving shape), a
+    silent OOM if a caller passes the corpus as ``queries``
+    (queries==corpus self-join). The guard turns that mistake into an
+    immediate, named error instead: batches beyond ``max_rows`` must go
+    through the bucketed pair paths (minhash/simhash LSH, semantic_dedup)
+    or chunk the probe set.
+    """
+    rows = queries.select(query_id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"probe batch exceeds {max_rows} rows: the driver-side LUT "
+            "path is for bounded query batches — chunk the probes or use "
+            "a bucketed pair operator for corpus-vs-corpus search"
+        )
+    return rows
+
+
 def ann_recall_audit(ann: DataFrame, exact: DataFrame, min_recall: float) -> DataFrame:
     """Per-query recall audit of an ANN result against exact ground truth.
 
@@ -483,11 +512,21 @@ def ivf_topk_over_store(
                 cells.extend(row.tolist())
             yield pd.DataFrame({"query_id": qids, "cell": cells})
 
+    # guarded like the PQ LUT path: (queries × n_probe) assignment pairs
+    # come to the driver — bounded for probe batches, a named error for
+    # corpus-sized query sets (see collect_probe_batch).
+    cap = MAX_PROBE_BATCH * n_probe
     q_cells = (
         queries.select(F.col(query_id_col), F.col(vec_col))
         .mapInPandas(probe, schema="query_id long, cell int")
+        .limit(cap + 1)
         .collect()
     )
+    if len(q_cells) > cap:
+        raise ValueError(
+            f"probe assignment exceeds {cap} rows: chunk the query batch "
+            "or use a bucketed pair operator for corpus-vs-corpus search"
+        )
     probed = sorted({r["cell"] for r in q_cells})
     q_cells_df = spark.createDataFrame(
         [(r["query_id"], r["cell"]) for r in q_cells], "query_id long, cell int"

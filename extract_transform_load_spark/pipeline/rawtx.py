@@ -1,0 +1,268 @@
+"""A8: raw tx protobuf decode → per-message bronze rows.
+
+The reference parses each block's transactions with ``Tx::from_bytes``
+and emits one ``Raw_Message`` row per message — (index, from, to, type,
+value, tx_hash, block, fee_amount, fee_denom, memo, timestamp)
+(`crates/etl-ingest/src/event_dispatch.rs:246-279`,
+`crates/etl-core/src/model/raw_message.rs:27-41`). Round 1 consumed
+``raw_message`` as a given bronze table; this module closes the letter
+of §2.A A8 by decoding the tx payload itself.
+
+No protobuf runtime ships in this environment, so the decoder is a
+minimal reader of the *protobuf wire format* (a public, stable binary
+encoding: tag = field_no << 3 | wire_type; varints; length-delimited
+fields) covering the Cosmos ``Tx`` envelope actually needed:
+
+    Tx(1: body TxBody, 2: auth_info AuthInfo)
+    TxBody(1: repeated Any messages, 2: memo)
+    Any(1: type_url, 2: value)
+    AuthInfo(2: fee Fee) / Fee(1: repeated Coin) / Coin(1: denom, 2: amount)
+    MsgSend(1: from_address, 2: to_address, 3: repeated Coin)
+    MsgExecuteContract(1: sender, 2: contract, 3: msg)
+
+Execution shape: Arrow-batched ``mapInPandas`` — decode is per-row CPU
+over opaque bytes with no cross-row state, the one pattern where Python
+in the plan is correct (same stance as SimHash's 64-bit variant); the
+result is scan-local, no shuffle at any scale. Unknown message types
+degrade to (from='', to='') with the type_url preserved, mirroring the
+reference's skip-on-unknown (`CosmosTypes::from_str` error path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+MSG_SEND = "/cosmos.bank.v1beta1.MsgSend"
+MSG_EXECUTE_CONTRACT = "/cosmwasm.wasm.v1.MsgExecuteContract"
+
+RAW_MESSAGE_SCHEMA = (
+    "index int, `from` string, to string, type string, value string, "
+    "tx_hash string, block long, fee_amount decimal(38,0), "
+    "fee_denom string, memo string"
+)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long")
+
+
+def _fields(buf: bytes) -> Iterator[tuple[int, int, Any]]:
+    """Yield (field_number, wire_type, value) triples of one message."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 0x7
+        if wire == 0:  # varint
+            val, pos = _read_varint(buf, pos)
+        elif wire == 2:  # length-delimited
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]
+            pos += ln
+        elif wire == 5:  # fixed32
+            val = buf[pos : pos + 4]
+            pos += 4
+        elif wire == 1:  # fixed64
+            val = buf[pos : pos + 8]
+            pos += 8
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, val
+
+
+def _coin(buf: bytes) -> tuple[str, int]:
+    denom, amount = "", 0
+    for field, _, val in _fields(buf):
+        if field == 1:
+            denom = val.decode("utf-8")
+        elif field == 2:
+            amount = int(val.decode("utf-8") or "0")
+    return denom, amount
+
+
+def decode_tx(tx_bytes: bytes) -> list[dict[str, Any]]:
+    """Decode one serialized Tx into per-message dicts (index, from, to,
+    type, value, fee_amount, fee_denom, memo) — ``Tx::from_bytes`` +
+    the per-message ``Raw_Message::from_any`` loop, minus DB I/O."""
+    messages: list[tuple[str, bytes]] = []
+    memo = ""
+    fee_amount, fee_denom = 0, None
+    for field, _, val in _fields(tx_bytes):
+        if field == 1:  # body
+            for bf, _, bv in _fields(val):
+                if bf == 1:  # Any message
+                    type_url, payload = "", b""
+                    for af, _, av in _fields(bv):
+                        if af == 1:
+                            type_url = av.decode("utf-8")
+                        elif af == 2:
+                            payload = av
+                    messages.append((type_url, payload))
+                elif bf == 2:
+                    memo = bv.decode("utf-8")
+        elif field == 2:  # auth_info
+            for af, _, av in _fields(val):
+                if af == 2:  # fee
+                    for ff, _, fv in _fields(av):
+                        if ff == 1:  # first coin wins (reference: amount.first())
+                            if fee_denom is None:
+                                fee_denom, fee_amount = (
+                                    _coin(fv)[0],
+                                    _coin(fv)[1],
+                                )
+    out = []
+    for index, (type_url, payload) in enumerate(messages):
+        frm, to, value = "", "", ""
+        if type_url == MSG_SEND:
+            amounts = []
+            for mf, _, mv in _fields(payload):
+                if mf == 1:
+                    frm = mv.decode("utf-8")
+                elif mf == 2:
+                    to = mv.decode("utf-8")
+                elif mf == 3:
+                    amounts.append("%s%s" % (_coin(mv)[1], _coin(mv)[0]))
+            value = ",".join(amounts)
+        elif type_url == MSG_EXECUTE_CONTRACT:
+            for mf, _, mv in _fields(payload):
+                if mf == 1:
+                    frm = mv.decode("utf-8")
+                elif mf == 2:
+                    to = mv.decode("utf-8")
+                elif mf == 3:
+                    value = mv.decode("utf-8", errors="replace")
+        out.append(
+            {
+                "index": index,
+                "from": frm,
+                "to": to,
+                "type": type_url,
+                "value": value,
+                "fee_amount": fee_amount,
+                "fee_denom": fee_denom,
+                "memo": memo,
+            }
+        )
+    return out
+
+
+def bronze_raw_messages(
+    txs: DataFrame,
+    tx_data_col: str = "tx_data",
+    tx_hash_col: str = "tx_hash",
+    block_col: str = "block",
+) -> DataFrame:
+    """(tx_hash, block, tx_data binary) → one row per decoded message,
+    the ``raw_message`` bronze builder (A8). Pair with
+    ``idempotent_append`` for the reference's insert-if-not-exists
+    semantics (`event_dispatch.rs:272-276`)."""
+    import decimal
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "index",
+            "from",
+            "to",
+            "type",
+            "value",
+            "tx_hash",
+            "block",
+            "fee_amount",
+            "fee_denom",
+            "memo",
+        ]
+        for pdf in batches:
+            rows = []
+            for tx_hash, block, data in zip(
+                pdf[tx_hash_col], pdf[block_col], pdf[tx_data_col]
+            ):
+                if data is None:
+                    continue
+                try:
+                    msgs = decode_tx(bytes(data))
+                except (ValueError, IndexError, UnicodeDecodeError):
+                    continue  # malformed tx: reference's Err(_) skip path
+                for m in msgs:
+                    m["tx_hash"] = tx_hash
+                    m["block"] = block
+                    m["fee_amount"] = decimal.Decimal(m["fee_amount"])
+                    rows.append(m)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return txs.select(tx_hash_col, block_col, tx_data_col).mapInPandas(
+        run, schema=RAW_MESSAGE_SCHEMA
+    )
+
+
+def encode_test_tx(
+    messages: list[tuple[str, bytes]],
+    memo: str = "",
+    fee: tuple[str, int] | None = None,
+) -> bytes:
+    """Hand-encode a Tx for tests (the crafted-payload side of the A8
+    contract). Only the wire features the decoder reads."""
+
+    def varint(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    def ld(field: int, payload: bytes) -> bytes:
+        return varint(field << 3 | 2) + varint(len(payload)) + payload
+
+    body = b"".join(
+        ld(1, ld(1, url.encode()) + ld(2, payload)) for url, payload in messages
+    )
+    if memo:
+        body += ld(2, memo.encode())
+    tx = ld(1, body)
+    if fee is not None:
+        denom, amount = fee
+        coin = ld(1, denom.encode()) + ld(2, str(amount).encode())
+        tx += ld(2, ld(2, ld(1, coin)))
+    return tx
+
+
+def encode_msg_send(frm: str, to: str, coins: list[tuple[str, int]]) -> bytes:
+    """MsgSend payload for tests."""
+
+    def varint(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    def ld(field: int, payload: bytes) -> bytes:
+        return varint(field << 3 | 2) + varint(len(payload)) + payload
+
+    out = ld(1, frm.encode()) + ld(2, to.encode())
+    for denom, amount in coins:
+        out += ld(3, ld(1, denom.encode()) + ld(2, str(amount).encode()))
+    return out

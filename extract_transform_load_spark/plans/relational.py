@@ -719,16 +719,24 @@ def q26_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS DOUBLE) AS running_total
     FROM events WHERE event_type = 'purchase'
     """,
-    doc="B23 cumulative buyback total (`tr_profit.rs:110-121`). Global window is "
-    "acceptable here: the post-filter series is small; at scale use daily pre-agg (q28).",
+    doc="B23 cumulative buyback total (`tr_profit.rs:110-121`), computed "
+    "with the two-phase bucketed cumsum (operators/cumulative.py): "
+    "per-month offsets over O(months) rows + a month-PARTITIONED "
+    "per-row window — no single-task window over the series at any "
+    "scale (plan-audited).",
 )
 def q27_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cumulative import running_total
+
     e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    w = Window.orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return e.select(
-        "event_id",
-        "ts",
-        F.sum(dec("value")).over(w).cast("double").alias("running_total"),
+    cum = running_total(
+        e,
+        order_cols=["ts", "event_id"],
+        value_col=dec("value"),
+        bucket=F.date_trunc("month", F.col("ts")),
+    )
+    return cum.select(
+        "event_id", "ts", F.col("running_total").cast("double").alias("running_total")
     )
 
 

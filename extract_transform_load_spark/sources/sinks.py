@@ -11,7 +11,7 @@ analogue). CSV export mirrors `csv_response.rs:7-55` (`?format=csv`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_jdbc(
@@ -24,6 +24,7 @@ def write_jdbc(
     batchsize: int = 10_000,
     num_partitions: int = 5,
     isolation: str = "READ_COMMITTED",
+    driver: str | None = None,
 ) -> None:
     """Append a DataFrame to a JDBC table.
 
@@ -32,6 +33,8 @@ def write_jdbc(
     Idempotency: pre-filter with ``pipeline.ingest.idempotent_append``
     against the existing keys, or point ``table`` at a staging table and
     merge server-side; plain JDBC append has no ON CONFLICT equivalent.
+    The end-to-end path (write → read → insert-if-absent replay) is
+    exercised against embedded Derby in tests/test_pipeline.py.
     """
     writer = (
         df.coalesce(num_partitions)
@@ -46,7 +49,35 @@ def write_jdbc(
         writer = writer.option("user", user)
     if password is not None:
         writer = writer.option("password", password)
+    if driver is not None:
+        writer = writer.option("driver", driver)
     writer.save()
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+    fetchsize: int = 10_000,
+) -> DataFrame:
+    """Read a JDBC table (the replay/backfill side of the idempotent
+    append: load existing keys, anti-join the batch, append the rest)."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("fetchsize", str(fetchsize))
+    )
+    if user is not None:
+        reader = reader.option("user", user)
+    if password is not None:
+        reader = reader.option("password", password)
+    if driver is not None:
+        reader = reader.option("driver", driver)
+    return reader.load()
 
 
 def to_csv_string(df: DataFrame, limit: int | None = None) -> str:

@@ -446,3 +446,82 @@ def test_end_to_end_bronze_to_endpoint_csv(spark, bronze, prices, tmp_path):
     csv = to_csv_string(out)
     assert csv.splitlines()[0] == "revenue"
     assert str(row["revenue"]) in csv.splitlines()[1]
+
+
+def test_jdbc_sink_roundtrip_idempotent_append(spark, tmp_path):
+    """A5/A20/A21 end-to-end against a REAL JDBC database (embedded
+    Derby, which ships with Spark): write a batch through write_jdbc,
+    read it back through read_jdbc, then replay an overlapping batch via
+    idempotent_append — only the genuinely new keys may land, mirroring
+    the reference's ON CONFLICT DO NOTHING loader
+    (`dao/postgre/ls_opening.rs:69-192`, pool discipline
+    `configuration.rs:893-906`)."""
+    from extract_transform_load_spark.pipeline.ingest import idempotent_append
+    from extract_transform_load_spark.sources.sinks import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/servingdb;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    table = "ls_opening"
+
+    batch1 = spark.createDataFrame(
+        [(1, "addr-a", 100.0), (2, "addr-b", 250.5), (3, "addr-c", 17.25)],
+        "height bigint, contract string, amount double",
+    )
+    write_jdbc(batch1, url, table, mode="overwrite", driver=driver, num_partitions=2)
+
+    stored = read_jdbc(spark, url, table, driver=driver)
+    assert stored.count() == 3
+    assert {r["contract"] for r in stored.collect()} == {"addr-a", "addr-b", "addr-c"}
+
+    # replay: heights 2,3 already present; only height 4 may be admitted
+    batch2 = spark.createDataFrame(
+        [(2, "addr-b", 250.5), (3, "addr-c", 17.25), (4, "addr-d", 3.5)],
+        "height bigint, contract string, amount double",
+    )
+    admitted = idempotent_append(read_jdbc(spark, url, table, driver=driver), batch2, ["height"])
+    assert admitted.count() == 1
+    write_jdbc(admitted, url, table, mode="append", driver=driver)
+
+    final = read_jdbc(spark, url, table, driver=driver)
+    assert final.count() == 4
+    assert final.groupBy("height").count().filter("count > 1").count() == 0
+
+    # replaying the full union admits nothing — the loader is idempotent
+    again = idempotent_append(final, batch1.unionByName(batch2), ["height"])
+    assert again.count() == 0
+
+
+def test_a8_raw_tx_decode_bronze_builder(spark):
+    """A8: protobuf-wire Tx decode into per-message raw_message rows
+    (`event_dispatch.rs:246-279`, `model/raw_message.rs:27-41`) — a
+    crafted two-message Tx with fee and memo must yield two rows with
+    from/to/type/value/fee/memo populated; a malformed payload is
+    skipped like the reference's Err(_) path."""
+    from extract_transform_load_spark.pipeline.rawtx import (
+        MSG_SEND,
+        bronze_raw_messages,
+        encode_msg_send,
+        encode_test_tx,
+    )
+
+    send1 = encode_msg_send("nolus1from", "nolus1to", [("unls", 1500)])
+    send2 = encode_msg_send("nolus1other", "nolus1dest", [("usdc", 42), ("unls", 7)])
+    tx = encode_test_tx(
+        [(MSG_SEND, send1), (MSG_SEND, send2)], memo="hello", fee=("unls", 250)
+    )
+    txs = spark.createDataFrame(
+        [("HASH1", 100, bytearray(tx)), ("HASHBAD", 101, bytearray(b"\xff\xff\xff"))],
+        "tx_hash string, block long, tx_data binary",
+    )
+    rows = {
+        (r["tx_hash"], r["index"]): r
+        for r in bronze_raw_messages(txs).collect()
+    }
+    assert set(rows) == {("HASH1", 0), ("HASH1", 1)}  # malformed tx skipped
+    r0 = rows[("HASH1", 0)]
+    assert r0["from"] == "nolus1from" and r0["to"] == "nolus1to"
+    assert r0["type"] == MSG_SEND and r0["value"] == "1500unls"
+    assert r0["memo"] == "hello" and r0["fee_denom"] == "unls"
+    assert int(r0["fee_amount"]) == 250 and r0["block"] == 100
+    r1 = rows[("HASH1", 1)]
+    assert r1["value"] == "42usdc,7unls" and r1["from"] == "nolus1other"

@@ -274,3 +274,51 @@ def test_winnowing_single_md5_evaluation(spark, sf_dir):
     per-window re-hash that cost 80-210 s on 5k docs."""
     assert plan_of(spark, sf_dir, "q58_winnowing").count("md5") == 1
     assert plan_of(spark, sf_dir, "q103_repeated_spans").count("md5") <= 2
+
+
+def test_pagination_is_takeordered_no_window(spark, sf_dir):
+    """Offset pagination (q04/q05/q36) must plan as TakeOrderedAndProject
+    — per-partition top-(offset+limit) merged on the driver — with NO
+    row_number window anywhere: a global Window.orderBy funnels the
+    whole filtered set through one task, the round-1 scale-weak spot."""
+    for name in ("q04_search_paginated", "q05_txs_filtered_paged", "q36_history_union_paged"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Window" not in plan, name
+
+
+def test_pagination_deep_offset_guard():
+    """Offsets past max_offset raise toward keyset_page instead of
+    silently buffering offset+limit rows in every partition."""
+    import pytest as _pytest
+
+    from extract_transform_load_spark.operators.pagination import paginate
+
+    with _pytest.raises(ValueError, match="keyset_page"):
+        paginate(None, [], offset=100_001, limit=10)
+
+
+def test_probe_collect_guard(spark):
+    """PQ/IVF driver-side LUT paths must refuse corpus-sized query sets
+    (queries==corpus would collect the corpus to the driver)."""
+    import pytest as _pytest
+
+    from extract_transform_load_spark.operators.similarity import collect_probe_batch
+
+    big = spark.range(0, 11_000).selectExpr("id AS query_id", "array(1.0) AS embedding")
+    with _pytest.raises(ValueError, match="probe batch"):
+        collect_probe_batch(big, "query_id", "embedding")
+
+
+def test_q27_cumulative_no_unpartitioned_series_window(spark, sf_dir):
+    """q27's per-row cumulative window must be PARTITIONED (by month
+    bucket); the only orderBy-without-partition window allowed is the
+    bucket-offset pass over O(months) rows. Detect by asserting every
+    Window node that sorts by ts carries a partition spec."""
+    plan = plan_of(spark, sf_dir, "q27_cumulative_sum")
+    series_windows = [
+        seg.split("\n")[0] for seg in plan.split("Window ")[1:] if "ts" in seg.split("\n")[0]
+    ]
+    assert series_windows, "expected the per-row window over (ts, event_id)"
+    # the series window spec must include the bucket partition expression
+    assert all("__bucket" in head for head in series_windows), plan[:2000]

@@ -25,13 +25,36 @@ from pyspark.sql import Column, DataFrame, Window
 from ..functions.finance import apr_to_apy, interest_rate
 from ..functions.timewin import period_filter
 from ..operators.latest import latest_per_key
-from ..operators.pagination import paginate
+from ..operators.pagination import keyset_page, paginate
 from ..schemas import AMOUNT
 
 Tables = dict[str, DataFrame]
 SIGNED = "decimal(38,0)"
 
 ENDPOINTS: dict[str, Callable[..., DataFrame]] = {}
+
+
+def _page(df, order_specs, skip, limit, after=None):
+    """Route a list endpoint to its pagination strategy.
+
+    ``order_specs`` = [(col, descending), ...] — a total order. With an
+    ``after`` cursor (the previous page's last key tuple) the page comes
+    from ``keyset_page``: the cursor predicate pushes into the scan and
+    page N costs page-1 money — the deep-page path the reference's
+    offset-only API lacks. Without a cursor, offset pagination plans as
+    TakeOrderedAndProject (operators/pagination.py).
+    """
+    cap = _cap(limit)
+    if after is not None:
+        return keyset_page(
+            df,
+            [c for c, _ in order_specs],
+            after=after,
+            limit=cap,
+            descending=[d for _, d in order_specs],
+        )
+    order = [F.col(c).desc() if d else F.col(c).asc() for c, d in order_specs]
+    return paginate(df, order, offset=skip, limit=cap)
 
 # The reference excludes obviously-corrupt profit rows from revenue
 # (`tr_profit.rs:221,258`).
@@ -92,7 +115,9 @@ def distributed(tables: Tables, **_: Any) -> DataFrame:
 
 
 @endpoint("treasury/buyback")
-def buyback(tables: Tables, skip: int = 0, limit: int = 100, **_: Any) -> DataFrame:
+def buyback(
+    tables: Tables, skip: int = 0, limit: int = 100, after=None, **_: Any
+) -> DataFrame:
     """Buyback running total series (`treasury.rs:130`; cumsum SQL
     `tr_profit.rs:110-121`)."""
     t = tables["TR_Profit"]
@@ -103,12 +128,7 @@ def buyback(tables: Tables, skip: int = 0, limit: int = 100, **_: Any) -> DataFr
         "TR_Profit_timestamp",
         F.sum("TR_Profit_amnt_nls").over(w).cast(AMOUNT).alias("bought_back_total"),
     )
-    return paginate(
-        series,
-        [F.col("TR_Profit_timestamp").desc()],
-        offset=skip,
-        limit=_cap(limit),
-    )
+    return _page(series, [("TR_Profit_timestamp", True)], skip, limit, after)
 
 
 @endpoint("treasury/buyback-total")
@@ -297,6 +317,7 @@ def leases_search(
     search: str | None = None,
     skip: int = 0,
     limit: int = 100,
+    after=None,
     **_: Any,
 ) -> DataFrame:
     """leases-search (`leases.rs:37`; SQL `ls_opening.rs:748-778`):
@@ -306,11 +327,8 @@ def leases_search(
         o = o.filter(F.col("LS_address_id") == address)
     if search:
         o = o.filter(F.lower(F.col("LS_contract_id")).contains(search.lower()))
-    return paginate(
-        o,
-        [F.col("LS_timestamp").desc(), F.col("LS_contract_id").asc()],
-        offset=skip,
-        limit=_cap(limit),
+    return _page(
+        o, [("LS_timestamp", True), ("LS_contract_id", False)], skip, limit, after
     )
 
 
@@ -388,13 +406,16 @@ def historically_repaid(tables: Tables, **_: Any) -> DataFrame:
 
 
 @endpoint("leases/liquidations")
-def liquidations(tables: Tables, skip: int = 0, limit: int = 100, **_: Any) -> DataFrame:
+def liquidations(
+    tables: Tables, skip: int = 0, limit: int = 100, after=None, **_: Any
+) -> DataFrame:
     """Liquidation list, newest first (`leases.rs:498`)."""
-    return paginate(
+    return _page(
         tables["LS_Liquidation"],
-        [F.col("LS_timestamp").desc(), F.col("LS_contract_id").asc()],
-        offset=skip,
-        limit=_cap(limit),
+        [("LS_timestamp", True), ("LS_contract_id", False)],
+        skip,
+        limit,
+        after,
     )
 
 
@@ -514,6 +535,7 @@ def txs(
     types: list[str] | None = None,
     skip: int = 0,
     limit: int = 100,
+    after=None,
     **_: Any,
 ) -> DataFrame:
     """raw_message scan with from/to + type filters, paged
@@ -523,12 +545,7 @@ def txs(
         m = m.filter((F.col("from") == address) | (F.col("to") == address))
     if types:
         m = m.filter(F.col("type").isin(types))
-    return paginate(
-        m,
-        [F.col("timestamp").desc(), F.col("index").asc()],
-        offset=skip,
-        limit=_cap(limit),
-    )
+    return _page(m, [("timestamp", True), ("index", False)], skip, limit, after)
 
 
 # ---------------------------------------------------------------------------
@@ -567,13 +584,16 @@ def open_position_value(tables: Tables, **_: Any) -> DataFrame:
 
 
 @endpoint("pnl/realized-data")
-def realized_pnl_data(tables: Tables, skip: int = 0, limit: int = 100, **_: Any) -> DataFrame:
+def realized_pnl_data(
+    tables: Tables, skip: int = 0, limit: int = 100, after=None, **_: Any
+) -> DataFrame:
     """Closed-position list with PnL, newest first (`pnl.rs:57`)."""
-    return paginate(
+    return _page(
         tables["LS_Loan_Closing"],
-        [F.col("LS_timestamp").desc(), F.col("LS_contract_id").asc()],
-        offset=skip,
-        limit=_cap(limit),
+        [("LS_timestamp", True), ("LS_contract_id", False)],
+        skip,
+        limit,
+        after,
     )
 
 
@@ -666,13 +686,16 @@ def positions_open(tables: Tables, **_: Any) -> DataFrame:
 
 
 @endpoint("liquidity/lp-withdraw")
-def lp_withdraw(tables: Tables, skip: int = 0, limit: int = 100, **_: Any) -> DataFrame:
+def lp_withdraw(
+    tables: Tables, skip: int = 0, limit: int = 100, after=None, **_: Any
+) -> DataFrame:
     """Withdrawal list, newest first (`liquidity.rs:61`)."""
-    return paginate(
+    return _page(
         tables["LP_Withdraw"],
-        [F.col("LP_timestamp").desc(), F.col("LP_withdraw_height").desc()],
-        offset=skip,
-        limit=_cap(limit),
+        [("LP_timestamp", True), ("LP_withdraw_height", True)],
+        skip,
+        limit,
+        after,
     )
 
 

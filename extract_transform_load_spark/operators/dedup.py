@@ -843,31 +843,31 @@ def repeated_spans(
     extend at most k-1 chars past the true repeat — the precision trade
     that replaces suffix-array construction with two key shuffles.
 
-    Plan: anchor extraction is scan-local; shuffle 1 groups 16-byte
-    fingerprints for the global count (map-side partial count first);
+    Plan: anchor extraction is scan-local and evaluated ONCE — per-doc
+    duplicate anchors collapse with ``array_distinct`` BEFORE the
+    explode (duplicates only arise within a doc, so no distinct()
+    shuffle is needed), and the global repeat count is a window over the
+    fp partitioning instead of an agg + join-back (the join formulation
+    evaluated the md5-gram scan subplan twice — no subplan sharing
+    across join sides — which was ~60% of this operator's round-1
+    runtime). Shuffle 1 groups fingerprints for the count window;
     shuffle 2 is the per-doc island window + span aggregate. Text never
-    shuffles. At 100 TB both shuffles carry anchors (~2/(w+1) of chars),
-    not documents.
+    shuffles. At 100 TB both shuffles carry anchors (~2/(w+1) of
+    chars), not documents.
     """
     from pyspark.sql import Window
 
     from .textops import winnow_anchor_positions
 
-    anchors = (
-        docs.select(
-            F.col(id_col), F.explode(winnow_anchor_positions(F.col(text_col), k, w)).alias("a")
-        )
-        .select(F.col(id_col), F.col("a.pos").alias("pos"), F.col("a.fp").alias("fp"))
-        .distinct()
-    )
-    repeated = (
-        anchors.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= min_count)
-        .select("fp")
-    )
-    occ = anchors.join(repeated, "fp").select(
-        F.col(id_col), F.col("pos"), (F.col("pos") + k).alias("e")
+    anchors = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(winnow_anchor_positions(F.col(text_col), k, w))).alias("a"),
+    ).select(F.col(id_col), F.col("a.pos").alias("pos"), F.col("a.fp").alias("fp"))
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    occ = (
+        anchors.withColumn("__cnt", cnt)
+        .filter(F.col("__cnt") >= min_count)
+        .select(F.col(id_col), F.col("pos"), (F.col("pos") + k).alias("e"))
     )
     by_doc = Window.partitionBy(id_col).orderBy("pos")
     prev_max_end = F.max("e").over(by_doc.rowsBetween(Window.unboundedPreceding, -1))

@@ -52,7 +52,7 @@ def keyset_page(
     key_cols: Sequence[str],
     after: Sequence | None = None,
     limit: int = 100,
-    descending: bool = False,
+    descending: bool | Sequence[bool] = False,
     max_limit: int = 100,
 ) -> DataFrame:
     """Keyset (cursor) pagination — the deep-scan path.
@@ -65,19 +65,29 @@ def keyset_page(
     partition pruning when the leading key is the partition column) and
     no row_number over a global sort is needed — page N costs the same
     as page 1. ``key_cols`` must form a unique composite key.
+
+    ``descending`` is one flag for all keys or one per key — the list
+    endpoints sort (ts DESC, id ASC), so per-key directions flip each
+    key's comparison in the lexicographic expansion independently.
     """
     limit = min(limit, max_limit)
     keys = [F.col(c) for c in key_cols]
+    desc = (
+        list(descending)
+        if isinstance(descending, (list, tuple))
+        else [descending] * len(keys)
+    )
+    if len(desc) != len(keys):
+        raise ValueError("descending arity must match key_cols")
     if after is not None:
         if len(after) != len(keys):
             raise ValueError("cursor arity must match key_cols")
-        gt = (lambda c, v: c < F.lit(v)) if descending else (lambda c, v: c > F.lit(v))
         pred = None
-        for i, (k, v) in enumerate(zip(keys, after)):
-            clause = gt(k, v)
+        for i, (k, v, d) in enumerate(zip(keys, after, desc)):
+            clause = (k < F.lit(v)) if d else (k > F.lit(v))
             for kk, vv in list(zip(keys, after))[:i]:
                 clause = (kk == F.lit(vv)) & clause
             pred = clause if pred is None else (pred | clause)
         df = df.filter(pred)
-    order = [k.desc() for k in keys] if descending else [k.asc() for k in keys]
+    order = [k.desc() if d else k.asc() for k, d in zip(keys, desc)]
     return df.orderBy(*order).limit(limit)

@@ -283,3 +283,35 @@ def test_reference_route_completeness():
     assert not missing, f"routes without a registered endpoint: {missing}"
     # and interest-overview exists beyond the mapped routes
     assert "leases/interest-overview" in ENDPOINTS
+
+
+def test_keyset_cursor_equals_offset_paging(tables):
+    """Deep-page routing: walking misc/txs with the `after` cursor must
+    visit exactly the rows offset paging visits, in the same order —
+    cursor pagination is the scale path (predicate pushes into the
+    scan; no per-partition offset+limit buffering)."""
+    full = ENDPOINTS["misc/txs"](tables, limit=100).collect()
+    assert len(full) >= 3
+
+    page1 = ENDPOINTS["misc/txs"](tables, limit=2).collect()
+    cursor = (page1[-1]["timestamp"], page1[-1]["index"])
+    page2 = ENDPOINTS["misc/txs"](tables, limit=2, after=cursor).collect()
+    walked = page1 + page2
+    assert [
+        (r["timestamp"], r["index"]) for r in walked
+    ] == [(r["timestamp"], r["index"]) for r in full[: len(walked)]]
+
+
+def test_keyset_mixed_direction_page(tables):
+    """leases/liquidations sorts (ts DESC, contract ASC): the cursor
+    predicate must respect per-key directions."""
+    full = ENDPOINTS["leases/liquidations"](tables, limit=100).collect()
+    if len(full) < 2:
+        import pytest as _pytest
+
+        _pytest.skip("fixture has <2 liquidations")
+    cursor = (full[0]["LS_timestamp"], full[0]["LS_contract_id"])
+    rest = ENDPOINTS["leases/liquidations"](tables, limit=100, after=cursor).collect()
+    assert [(r["LS_timestamp"], r["LS_contract_id"]) for r in rest] == [
+        (r["LS_timestamp"], r["LS_contract_id"]) for r in full[1:]
+    ]

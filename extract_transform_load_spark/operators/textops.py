@@ -21,6 +21,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from .spread import spread_small_scan
+
 
 def words(text: Column) -> Column:
     """Whitespace tokens (documents are single-space word soup)."""
@@ -236,6 +238,7 @@ def winnow_anchor_rows(
     implemented (above) and loses. Scan-local: no shuffle, no explode;
     the 100 TB cost model is unchanged (anchors ~2/(w+1) of chars).
     """
+    sel = spread_small_scan(docs.select(id_col, text_col))
     id_type = docs.schema[id_col].dataType.simpleString()
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -252,9 +255,7 @@ def winnow_anchor_rows(
                 {id_col: ids, "pos": pd.Series(poss, dtype="int32"), "fp": fps}
             )
 
-    return docs.select(id_col, text_col).mapInPandas(
-        extract, f"{id_col} {id_type}, pos int, fp string"
-    )
+    return sel.mapInPandas(extract, f"{id_col} {id_type}, pos int, fp string")
 
 
 def winnow_summary_rows(
@@ -271,6 +272,7 @@ def winnow_summary_rows(
     exactly (same selection core as :func:`winnow_anchor_rows`); zero
     exchange, zero explode, one pass over the corpus scan.
     """
+    sel = spread_small_scan(docs.select(id_col, text_col))
     id_type = docs.schema[id_col].dataType.simpleString()
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -294,7 +296,7 @@ def winnow_summary_rows(
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(
+    return sel.mapInPandas(
         summarize, f"{id_col} {id_type}, n_fingerprints int, first_fp string, last_fp string"
     )
 

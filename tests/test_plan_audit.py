@@ -280,7 +280,9 @@ def test_winnowing_arrow_scan_local(spark, sf_dir):
 
     q58 = plan_of(spark, sf_dir, "q58_winnowing")
     assert "MapInPandas" in q58, q58
-    assert "Exchange" not in q58, q58
+    # no KEY shuffle ever; a RoundRobin spread may appear only for
+    # under-parallelized small fixtures (operators.spread.spread_small_scan)
+    assert "Exchange hashpartitioning" not in q58, q58
 
     q103 = plan_of(spark, sf_dir, "q103_repeated_spans")
     assert q103.count("MapInPandas") == 1, q103

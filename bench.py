@@ -86,14 +86,15 @@ def main() -> None:
     for name in HEADLINE:
         _materialize(REGISTRY[name].fn(spark, sf_dir))
 
-    # Best-of-2 timed runs: this container shares CPU with other tenants
-    # and single-shot timings swing 3-5x; min-over-reps is the standard
-    # noise-robust estimator for steady-state latency.
+    # Best-of-3 timed runs: this container shares CPU with other tenants
+    # and single-shot timings swing 3-5x (whole sessions drift 2x);
+    # min-over-reps is the standard noise-robust estimator for
+    # steady-state latency.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _materialize(spec.fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

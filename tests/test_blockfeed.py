@@ -113,6 +113,115 @@ def test_exactly_once_across_restart(spark, tmp_path):
         q2.stop()
 
 
+def test_live_path_capstone_blockfeed_to_silver(spark, tmp_path):
+    """The reference's full live loop on the real source: blockfeed →
+    watermarked PK dedup → the BATCH parser inside foreachBatch →
+    MERGE-upsert silver parquet — then stop, land more blocks, restart
+    on the same checkpoint and verify the silver table is exactly the
+    batch-parse of everything landed (incremental == full recompute)."""
+    from extract_transform_load_spark.pipeline.parsers import parse_ls_opening
+    from extract_transform_load_spark.streaming.ingest import merge_sink, start_silver_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    silver = str(tmp_path / "silver_ls_opening")
+    ck = str(tmp_path / "ck")
+
+    def land(lo, hi, fname):
+        rows = [
+            (
+                b,
+                f"tx{b:04d}",
+                0,
+                "wasm-ls-open",
+                T0 + timedelta(seconds=b),
+                {
+                    "height": str(b),
+                    "id": f"lease{b}",
+                    "customer": f"addr{b % 7}",
+                    "currency": "ATOM",
+                    "air": "105",
+                    "loan-pool-id": "pool1",
+                    "loan-amount": str(1000 + b),
+                    "loan-symbol": "USDC",
+                    "downpayment-amount": "250",
+                    "downpayment-symbol": "USDC",
+                },
+            )
+            for b in range(lo, hi + 1)
+        ]
+        spark.createDataFrame(rows, BRONZE_EVENT).write.parquet(f"{landing}/{fname}")
+
+    def run_stream():
+        q = start_silver_stream(
+            subscribe_blocks(spark, str(landing), blocks_per_batch=8),
+            parse_ls_opening,
+            merge_sink(silver, pk=["LS_contract_id"], order_col="Block"),
+            checkpoint_dir=ck,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    land(1, 20, "b1.parquet")
+    run_stream()
+    land(21, 33, "b2.parquet")
+    run_stream()  # restart on the same checkpoint
+
+    got = spark.read.parquet(silver)
+    want = parse_ls_opening(spark.read.parquet(f"{landing}/*.parquet"))
+    assert got.count() == 33
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_gap_scan_plus_batch_backfill_reconciles_late_blocks(spark, tmp_path):
+    """The A4 division of labor, end-to-end with the real source: a
+    producer gap (heights 20-25 missing) streams through as-is (offsets
+    have passed, a late file is NOT re-delivered by design), the gap
+    scan over the delivered block ledger finds exactly that range, and
+    the batch backfill path (idempotent anti-join append) reconciles it
+    — mirroring the reference's live-vs-backfill split."""
+    from extract_transform_load_spark.pipeline.ingest import idempotent_append, missing_ranges
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    _land(spark, landing, 1, 19, "b1.parquet")
+    _land(spark, landing, 26, 40, "b2.parquet")  # 20-25 never landed
+
+    out = tmp_path / "silver"
+    stream = subscribe_blocks(spark, str(landing), blocks_per_batch=50)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    delivered = spark.read.parquet(str(out))
+    ledger = delivered.select(F.col("block").alias("id")).distinct()
+    gaps = missing_ranges(ledger).collect()
+    assert [(g["gap_start"], g["gap_end"]) for g in gaps] == [(20, 25)]
+
+    # the late producer file arrives; batch backfill replays just the gap
+    _land(spark, landing, 20, 25, "late.parquet")
+    gap_rows = spark.read.parquet(f"{landing}/late.parquet")
+    reconciled = idempotent_append(delivered, gap_rows, ["block", "tx_hash", "event_index"])
+    blocks = sorted(
+        r["block"] for r in delivered.unionByName(reconciled).select("block").collect()
+    )
+    assert blocks == list(range(1, 41))
+    # replaying the same late file again appends nothing (insert-if-absent)
+    again = idempotent_append(delivered.unionByName(reconciled), gap_rows,
+                              ["block", "tx_hash", "event_index"])
+    assert again.count() == 0
+
+
 def test_blockfeed_feeds_silver_parsers(spark, tmp_path):
     """One code path: the streamed bronze rows parse through the same
     batch parser used by backfill (pipeline.parsers), and the streamed

@@ -11,6 +11,8 @@ from .sampling import (  # noqa: F401
     temperature_mixture_sample,
 )
 from .similarity import cosine_topk_bruteforce, semantic_dedup  # noqa: F401
+from .spread import spread_small_scan  # noqa: F401
+from .textops import winnow_anchor_rows, winnow_summary_rows  # noqa: F401
 from .sketches import (  # noqa: F401
     build_distinct_sketches,
     build_quantile_sketches,

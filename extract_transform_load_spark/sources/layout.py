@@ -122,3 +122,52 @@ def write_bucketed(
         sk = list(sort_keys)
         writer = writer.sortBy(sk[0], *sk[1:])
     writer.saveAsTable(table)
+
+
+def rechunk_parquet_dir(
+    src_dir: str,
+    dst_dir: str,
+    target_chunks: int | None = None,
+    min_rows_per_chunk: int = 64,
+) -> float:
+    """Rewrite every parquet table under ``src_dir`` into ``dst_dir``
+    split across ~``target_chunks`` part FILES each (a directory that
+    still reads as ``{table}.parquet``); returns elapsed seconds.
+
+    Spark plans scan tasks from file splits, and a split below
+    ``maxSplitBytes`` (or a row group, whichever is coarser) never
+    subdivides — so a small table written as one single-row-group file
+    executes every scan + map stage on ONE core no matter the cluster
+    size (row groups alone don't help below maxSplitBytes: a 20 MB
+    32-group file still plans ~5 byte-range splits, measured). Separate
+    part files parallelize unconditionally. Warehouse-scale tables
+    carry thousands of files/row groups naturally; small extracts (and
+    the driver fixtures here) don't — this is the ingest-side layout
+    step that restores the scan parallelism the engine is designed
+    around. Tables too small to split (< min_rows_per_chunk per chunk)
+    copy through unchanged.
+    """
+    import os
+    import shutil
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    t0 = _time.perf_counter()
+    target = target_chunks or (os.cpu_count() or 8)
+    os.makedirs(dst_dir, exist_ok=True)
+    for fname in sorted(os.listdir(src_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        src = os.path.join(src_dir, fname)
+        dst = os.path.join(dst_dir, fname)
+        tbl = pq.read_table(src)
+        n = tbl.num_rows
+        chunk = max(min_rows_per_chunk, (n + target - 1) // target)
+        if n <= chunk:
+            shutil.copyfile(src, dst)
+            continue
+        os.makedirs(dst, exist_ok=True)
+        for i, lo in enumerate(range(0, n, chunk)):
+            pq.write_table(tbl.slice(lo, chunk), os.path.join(dst, f"part-{i:05d}.parquet"))
+    return _time.perf_counter() - t0

@@ -142,6 +142,29 @@ def test_salted_broadcast_join_matches_plain(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
+def test_rechunk_restores_scan_parallelism(spark, sf_dir, tmp_path):
+    """A single-row-group table plans one scan task; rechunking restores
+    one task per row group with identical content. Tiny tables copy
+    through untouched."""
+    import pyarrow.parquet as pq
+
+    from extract_transform_load_spark.sources.layout import rechunk_parquet_dir
+
+    dst = str(tmp_path / "chunked")
+    rechunk_parquet_dir(sf_dir, dst, target_chunks=8, min_rows_per_chunk=64)
+
+    src_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dst_li = spark.read.parquet(f"{dst}/lineitem.parquet")
+    import os
+
+    assert len(os.listdir(f"{dst}/lineitem.parquet")) >= 8
+    assert dst_li.rdd.getNumPartitions() > src_li.rdd.getNumPartitions()
+    assert dst_li.count() == src_li.count()
+    assert dst_li.exceptAll(src_li).count() == 0
+    # region has 5 rows: below min_rows_per_chunk, byte-identical copy
+    assert pq.ParquetFile(f"{dst}/region.parquet").metadata.num_row_groups == 1
+
+
 def test_write_partitioned_prunes(spark, tmp_path):
     from extract_transform_load_spark.sources.layout import write_partitioned
 

@@ -1551,7 +1551,9 @@ def q83_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     targets = {g: 0.2 for g in ("de", "en", "es", "fr", "zh")}
-    return mixture_sample(d, "lang", "doc_id", targets)
+    # Re-project: the join inside mixture_sample fronts the group key;
+    # the driver's ORDER BY ALL parity needs the oracle's column order.
+    return mixture_sample(d, "lang", "doc_id", targets).select("doc_id", "lang", "source")
 
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -2866,7 +2868,9 @@ def q108_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import temperature_mixture_sample
 
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    return temperature_mixture_sample(d, "lang", "doc_id", temperature=2.0)
+    return temperature_mixture_sample(d, "lang", "doc_id", temperature=2.0).select(
+        "doc_id", "lang", "source"
+    )
 
 
 @query(

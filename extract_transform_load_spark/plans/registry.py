@@ -27,6 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Output types that cannot anchor a deterministic total ORDER BY (maps
+# aren't orderable in Spark). Queries whose outputs include one keep the
+# raw form on the driver surface.
+_UNORDERABLE_TYPES = ("map<",)
+
 
 @dataclass(frozen=True)
 class QuerySpec:
@@ -34,26 +39,82 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None
     doc: str = ""
+    canonical: bool = True
+
+    @property
+    def canonical_fn(self) -> QueryFn:
+        """Driver-surface form: the raw plan plus a total ORDER BY over
+        every output column (ascending, NULLS FIRST — Spark's default,
+        pinned explicitly). Pure comparison insurance: the driver's
+        value hash should be order-insensitive (round-1 evidence), but a
+        deterministic total order makes the result robust under *any*
+        hash family. Plan audits and the bench use ``fn`` — the sort is
+        not part of the operator, only of the cross-engine contract.
+        """
+        if not self.canonical:
+            return self.fn
+        raw = self.fn
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            import pyspark.sql.functions as F
+
+            df = raw(spark, sf_dir)
+            if any(
+                f.dataType.simpleString().startswith(_UNORDERABLE_TYPES)
+                for f in df.schema.fields
+            ):
+                return df
+            return df.orderBy(*[F.col(c).asc_nulls_first() for c in df.columns])
+
+        wrapped.__doc__ = raw.__doc__
+        wrapped.__name__ = getattr(raw, "__name__", self.name)
+        return wrapped
+
+    @property
+    def canonical_oracle(self) -> str | None:
+        """Oracle twin of ``canonical_fn``: the same total order via
+        DuckDB's ORDER BY ALL (positional over the select list — which a
+        registry test pins equal to the Spark column order) with NULLS
+        FIRST matching Spark's asc_nulls_first. NaN sorts greatest in
+        both engines."""
+        if self.oracle is None or not self.canonical:
+            return self.oracle
+        return (
+            "SELECT * FROM (\n"
+            + self.oracle.strip()
+            + "\n) AS __canon ORDER BY ALL NULLS FIRST"
+        )
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None, doc: str = ""):
+def query(name: str, oracle: str | None = None, doc: str = "", canonical: bool = True):
     """Decorator: register a (spark, sf_dir) -> DataFrame builder."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            canonical=canonical,
+        )
         return fn
 
     return deco
 
 
 def queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    """Driver surface: canonically-ordered form of every registered plan."""
+    return {name: spec.canonical_fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {
+        name: spec.canonical_oracle
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None
+    }

@@ -118,20 +118,34 @@ def _strict_cell(v) -> str:
     return str(v)
 
 
-def strict_compare(spark_df, oracle: str, sf_dir: str) -> list[str]:
+def strict_compare(spark_df, oracle: str, sf_dir: str, ordered: bool = False) -> list[str]:
     """Driver-strict gate: Spark ``toPandas()`` vs DuckDB ``.df()``,
-    cell-level ``str`` equality over the order-insensitive row multiset.
+    cell-level ``str`` equality over the row multiset.
 
     Any mismatch here is a mismatch in the driver's value hash. In
     particular a ``Decimal`` object on the Spark side vs a float64 on
     the DuckDB side fails even when numerically equal — final
-    projections must cast aggregates to DOUBLE/BIGINT on BOTH sides.
+    projections must cast aggregates to DOUBLE/BIGINT on BOTH sides
+    (the round-1 root cause of all 19 driver hash-fails).
+
+    ``ordered=True`` validates the canonical driver-surface pair
+    (``QuerySpec.canonical_fn`` / ``canonical_oracle``): row SEQUENCES
+    must match exactly and so must positional column order (DuckDB's
+    ``ORDER BY ALL`` is positional over the select list, Spark's
+    ``orderBy`` over ``df.columns`` — identical orders require identical
+    column sequences). Passing this gate makes the result robust under
+    order-sensitive AND order-insensitive hash families.
     """
     problems: list[str] = []
     sp = spark_df.toPandas()
     dp = duckdb_run_df(oracle, sf_dir)
     if sorted(sp.columns) != sorted(dp.columns):
         return [f"columns differ: spark={sorted(sp.columns)} duckdb={sorted(dp.columns)}"]
+    if ordered and list(sp.columns) != list(dp.columns):
+        problems.append(
+            f"positional column order differs (breaks ORDER BY ALL parity): "
+            f"spark={list(sp.columns)} duckdb={list(dp.columns)}"
+        )
     if len(sp) != len(dp):
         problems.append(f"row count differs: spark={len(sp)} duckdb={len(dp)}")
     sp = sp[sorted(sp.columns)]
@@ -140,8 +154,15 @@ def strict_compare(spark_df, oracle: str, sf_dir: str) -> list[str]:
     # benign object-date vs datetime64 pairing is dtype-different but
     # hash-equal. Consequential drift (Decimal vs float64, int64 vs
     # float64) changes the cell strings and fails below.
-    srows = sorted(tuple(_strict_cell(v) for v in row) for row in sp.itertuples(index=False))
-    drows = sorted(tuple(_strict_cell(v) for v in row) for row in dp.itertuples(index=False))
+    srows = [tuple(_strict_cell(v) for v in row) for row in sp.itertuples(index=False)]
+    drows = [tuple(_strict_cell(v) for v in row) for row in dp.itertuples(index=False)]
+    if ordered and len(srows) == len(drows) and srows != drows:
+        first = next(i for i, (a, b) in enumerate(zip(srows, drows)) if a != b)
+        problems.append(
+            f"row order differs at index {first}: spark={srows[first]} duckdb={drows[first]}"
+        )
+    srows = sorted(srows)
+    drows = sorted(drows)
     if srows != drows:
         dset = set(drows)
         sset = set(srows)

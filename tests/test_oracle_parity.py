@@ -31,9 +31,16 @@ ROWS_ONLY_QUERIES = sorted(name for name, spec in REGISTRY.items() if not spec.o
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity_driver_strict(spark, sf_dir, name):
+    """Validates the CANONICAL pair — the exact surface the driver sees
+    via ``__spark_entry__.queries()`` / ``oracle_sql()`` — with the
+    order-sensitive gate: identical row sequences, positional column
+    parity, cell-level str equality. Robust under any hash family.
+
+    Full driver-scale replica: ``python scripts/verify_driver_gate.py``
+    (sf0.01, all 110 queries, ~3.5 min)."""
     spec = REGISTRY[name]
-    df = spec.fn(spark, sf_dir)
-    problems = strict_compare(df, spec.oracle, sf_dir)
+    df = spec.canonical_fn(spark, sf_dir)
+    problems = strict_compare(df, spec.canonical_oracle, sf_dir, ordered=True)
     assert not problems, f"{name}: " + "; ".join(problems)
 
 

@@ -10,11 +10,14 @@ from . import datapipe  # noqa: F401,E402
 # window driver-unverified (VERDICT r01 "what's missing" #1/#4). The
 # priority block below guarantees that, if such a cap recurs, the first
 # 50 entries cover every §2.B operator class that has a unique in-window
-# representative PLUS one representative of each LLM-pipeline operator
-# family (dedup exact/minhash/simhash/jaccard, cosine & ANN search,
-# text quality, multimodal, splits, monitors, sketches, BPE). Queries
-# listed later are equally oracle-checked by the local strict gate
-# (tests/test_oracle_parity.py) at the driver's SF.
+# representative (31) PLUS one representative of EVERY LLM-pipeline
+# operator family from the VERDICT r01 coverage table (19): dedup
+# exact/jaccard/minhash/simhash/paragraph/semantic, dedup clusters,
+# cosine & ANN search, winnowing, text quality, multimodal, splits,
+# sampling, monitors, SCD2, sketches, BPE, funnel. Queries listed later
+# are equally oracle-checked by the local strict gate
+# (tests/test_oracle_parity.py, scripts/verify_driver_gate.py) at the
+# driver's SF.
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
@@ -48,16 +51,15 @@ _PRIORITY = [
     "q28_daily_cumulative",     # B24
     "q29_topk_customers",       # sorts/top-k
     "q30_union_ledger",         # set ops
-    "q31_date_spine",           # generate_series spine
     "q32_scalar_functions",     # scalar-function surface
     "q33_json_extract",         # semi-structured extraction
-    "q34_period_window",        # ?period= anchored window
-    "q35_apr_compounding",      # financial APR→APY
-    "q37_decimal_shift",        # currency decimal shift
-    "q50_rollup_totals",        # grouping sets / ROLLUP
-    "q52_percentiles",          # exact percentiles
-    "q59_sessionization",       # sessionization
-    # LLM-pipeline family representatives (12)
+    # LLM-pipeline family representatives (19). One per family from the
+    # VERDICT r01 coverage table, so every family carries a driver
+    # CORRECTNESS row if the 50-entry cap recurs. Displaced to make room
+    # (all remain strict-gate green at sf0.01 past the window):
+    # q31/q34/q35/q37 scalar-function variants (q32/q33 stay as the
+    # family's in-window reps) and the q50/q52/q59 beyond-the-floor
+    # extras.
     "q40_dedup_exact",          # exact dedup
     "q41_ngram_jaccard_pairs",  # n-gram Jaccard
     "q42_minhash_lsh_pairs",    # MinHash LSH (verified)
@@ -66,10 +68,17 @@ _PRIORITY = [
     "q45_ann_lsh_topk",         # ANN family (LSH/IVF/PQ audit shape)
     "q46_text_quality",         # text analysis
     "q56_media_metadata",       # multimodal columns
-    "q64_hash_split",           # splits/sampling
+    "q58_winnowing",            # winnowing fingerprints
+    "q61_dedup_clusters",       # connected components
+    "q64_hash_split",           # splits/packing
+    "q83_mixture_resample",     # sampling/mixture rebalance
     "q87_psi_drift",            # monitors
+    "q95_scd2_dimension",       # SCD2 / CDC
     "q97_sketch_mau",           # mergeable sketches
+    "q99_semantic_dedup",       # SemDeDup
     "q100_bpe_merges",          # tokenization/BPE
+    "q101_paragraph_dedup",     # paragraph/span dedup
+    "q109_funnel",              # funnel / cohort analysis
 ]
 
 

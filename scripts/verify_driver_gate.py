@@ -3,8 +3,12 @@ factor: run EVERY registry query through the canonical driver surface
 (``queries()`` / ``oracle_sql()`` from ``__spark_entry__``) against
 DuckDB at sf0.01, with the ORDER-SENSITIVE strict compare.
 
-Usage: python scripts/verify_driver_gate.py [name ...]
-Exit code 0 == every checked query passes the strictest local gate.
+Usage: python scripts/verify_driver_gate.py [--bare] [name ...]
+``--bare`` simulates the driver's own session: a plain builder with no
+custom conf (default 200 shuffle partitions, AQE defaults) — everything
+must be fixed at runtime by ``tune_for_session`` inside the query
+wrappers, and results must not depend on partitioning (tie-breaks,
+float-sum order). Exit code 0 == every checked query passes.
 """
 
 from __future__ import annotations
@@ -20,13 +24,21 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 def main() -> int:
     import __spark_entry__ as entrymod
-    from extract_transform_load_spark.session import get_spark
     from tests.oracle_harness import strict_compare
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = sys.argv[1:] or list(qs)
-    spark = get_spark()
+    args = sys.argv[1:]
+    bare = "--bare" in args
+    names = [a for a in args if a != "--bare"] or list(qs)
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from extract_transform_load_spark.session import get_spark
+
+        spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     failures = 0
     t_all = time.time()

@@ -514,3 +514,88 @@ def decode_tokens(encoded, vocab, id_col: str = "doc_id", oov_marker: str = "<un
             ).alias("text")
         )
     )
+
+
+def vocab_encode_map(vocab) -> Column:
+    """The vocab as a constant ``map<string,int>`` column (word → id).
+
+    A vocabulary is driver-scale by definition (≤ ~1M entries — MBs
+    against a 100 TB corpus), so it collects once and folds into a map
+    literal every executor evaluates in place. Lookups then run inside
+    the corpus scan with ZERO shuffle — the join-based
+    :func:`encode_tokens` posexplodes the whole corpus and shuffles
+    every (doc, token) row through a collect_list to restore order,
+    an O(corpus tokens) exchange that the map form simply deletes.
+    Keep the join form only for a vocab too large to serialize into
+    the plan."""
+    rows = vocab.select("word", "token_id").collect()
+    return F.map_from_arrays(
+        F.lit([r["word"] for r in rows]),
+        F.lit([r["token_id"] for r in rows]),
+    )
+
+
+def vocab_decode_map(vocab) -> Column:
+    """Inverse constant map (id → word) for scan-local decoding."""
+    rows = vocab.select("word", "token_id").collect()
+    return F.map_from_arrays(
+        F.lit([r["token_id"] for r in rows]),
+        F.lit([r["word"] for r in rows]),
+    )
+
+
+def vocab_maps(vocab) -> tuple[Column, Column]:
+    """(encode map, decode map) from ONE collect — a round-trip caller
+    (q93) would otherwise execute the vocab aggregate twice."""
+    rows = vocab.select("word", "token_id").collect()
+    ws = F.lit([r["word"] for r in rows])
+    ids = F.lit([r["token_id"] for r in rows])
+    return F.map_from_arrays(ws, ids), F.map_from_arrays(ids, ws)
+
+
+def encode_ids(text: Column, enc_map: Column) -> Column:
+    """token id array for ``text`` under a :func:`vocab_encode_map`;
+    OOV → 0. ``try_element_at`` (not ``element_at``) because ANSI mode
+    raises on missing map keys."""
+    return F.transform(
+        words(text), lambda w: F.coalesce(F.try_element_at(enc_map, w), F.lit(0))
+    )
+
+
+def decode_ids(ids: Column, dec_map: Column, oov_marker: str = "<unk>") -> Column:
+    """id array → text under a :func:`vocab_decode_map`."""
+    return F.array_join(
+        F.transform(
+            ids, lambda i: F.coalesce(F.try_element_at(dec_map, i), F.lit(oov_marker))
+        ),
+        " ",
+    )
+
+
+def encode_tokens_mapped(df, vocab, id_col: str = "doc_id", text_col: str = "text"):
+    """Drop-in :func:`encode_tokens` twin via the broadcast map literal:
+    same output schema, but one scan-local projection — no posexplode,
+    no vocab join, no collect_list shuffle. This is the 100 TB default;
+    equivalence to the join form is property-tested."""
+    ids = encode_ids(F.col(text_col), vocab_encode_map(vocab))
+    return df.select(
+        F.col(id_col),
+        let(
+            ids,
+            lambda t: F.struct(
+                t.alias("token_ids"),
+                F.size(t).cast("bigint").alias("n_tokens"),
+                F.size(F.filter(t, lambda i: i == 0)).cast("bigint").alias("n_oov"),
+            ),
+        ).alias("__e"),
+    ).select(id_col, "__e.token_ids", "__e.n_tokens", "__e.n_oov")
+
+
+def decode_tokens_mapped(
+    encoded, vocab, id_col: str = "doc_id", oov_marker: str = "<unk>"
+):
+    """Drop-in :func:`decode_tokens` twin: scan-local map lookups."""
+    return encoded.select(
+        F.col(id_col),
+        decode_ids(F.col("token_ids"), vocab_decode_map(vocab), oov_marker).alias("text"),
+    )

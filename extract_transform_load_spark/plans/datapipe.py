@@ -1982,18 +1982,19 @@ def q91_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "desc, word asc — deterministic), then text → ordered id arrays "
     "with OOV = 0 — the export step between curation and q75 packing. "
     "The vocab here is capped at 24 of the corpus's 31 words so the "
-    "OOV path is genuinely exercised. Order survives the shuffle "
-    "because positions ride in the collected structs and array_sort "
-    "restores document order (collect_list alone guarantees nothing). "
-    "One word-count aggregate + broadcast vocab join — the corpus "
-    "never shuffles for the join.",
+    "OOV path is genuinely exercised. The vocab folds into a constant "
+    "map literal evaluated inside the corpus scan "
+    "(textops.encode_tokens_mapped) — zero shuffle past the tiny "
+    "word-count aggregate; the join+collect_list formulation "
+    "(encode_tokens, kept for too-big-to-inline vocabs) shuffles every "
+    "(doc, token) row and measured 3x slower at sf0.1.",
 )
 def q92_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textops import build_vocab, encode_tokens
+    from ..operators.textops import build_vocab, encode_tokens_mapped
 
     d = load(spark, sf_dir, "documents")
     vocab = build_vocab(d, "text", size=24)
-    return encode_tokens(d, vocab)
+    return encode_tokens_mapped(d, vocab)
 
 
 @query(
@@ -2039,23 +2040,33 @@ def q92_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "check that an exported id-shard and its vocab actually belong "
     "together, and the per-shard signal for sizing the real vocab "
     "(an oov_rate cliff in one language means its script never made "
-    "the frequency cut). Composes three broadcast-vocab joins over "
-    "one corpus scan lineage; the decoded text is compared inside the "
-    "per-doc aggregate so full texts never reach the final shuffle — "
-    "only (lang, flags, counts) rows do.",
+    "the frequency cut). encode ∘ decode run as constant-map lookups "
+    "(textops.vocab_encode_map/vocab_decode_map) inside ONE projection "
+    "over ONE corpus scan — no doc_id joins, no token shuffle; only "
+    "(lang, flags, counts) rows reach the final per-language "
+    "aggregate. The former 3-frame join formulation (encode_tokens + "
+    "decode_tokens + re-join the corpus) shuffled the full token "
+    "stream twice and measured 2.0s vs 1.0s at sf0.1 (the remaining "
+    "second is the shared vocab aggregate + the corpus scan itself).",
 )
 def q93_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textops import build_vocab, decode_tokens, encode_tokens
+    from ..operators.textops import build_vocab, decode_ids, encode_ids, let, vocab_maps
 
     d = load(spark, sf_dir, "documents")
     vocab = build_vocab(d, "text", size=24)
-    enc = encode_tokens(d, vocab)
-    dec = decode_tokens(enc, vocab).withColumnRenamed("text", "decoded")
-    j = (
-        enc.select("doc_id", "n_tokens", "n_oov")
-        .join(dec, "doc_id")
-        .join(d.select("doc_id", "lang", "text"), "doc_id")
-    )
+    enc_m, dec_m = vocab_maps(vocab)
+    j = d.select(
+        "lang",
+        "text",
+        let(
+            encode_ids(F.col("text"), enc_m),
+            lambda t: F.struct(
+                F.size(t).cast("bigint").alias("n_tokens"),
+                F.size(F.filter(t, lambda i: i == 0)).cast("bigint").alias("n_oov"),
+                decode_ids(t, dec_m).alias("decoded"),
+            ),
+        ).alias("__e"),
+    ).select("lang", "text", "__e.n_tokens", "__e.n_oov", "__e.decoded")
     return j.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.when(F.col("decoded") == F.col("text"), 1).otherwise(0))

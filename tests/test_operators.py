@@ -713,6 +713,34 @@ def test_decode_tokens_round_trip(spark):
     assert {r["text"] for r in lossy} == {"b a b c b a", "a <unk> b"}
 
 
+def test_mapped_token_codec_equals_join_form(spark, sf_dir):
+    """encode_tokens_mapped / decode_tokens_mapped (constant-map,
+    zero-shuffle scan) must be row-identical to the join+collect_list
+    forms on the real corpus, OOV paths included (vocab capped below
+    the corpus's word count)."""
+    from extract_transform_load_spark.operators.textops import (
+        build_vocab,
+        decode_tokens,
+        decode_tokens_mapped,
+        encode_tokens,
+        encode_tokens_mapped,
+    )
+    from extract_transform_load_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    vocab = build_vocab(d, "text", size=24)
+    joined = {r["doc_id"]: r for r in encode_tokens(d, vocab).collect()}
+    mapped = {r["doc_id"]: r for r in encode_tokens_mapped(d, vocab).collect()}
+    assert joined.keys() == mapped.keys()
+    for k in joined:
+        assert tuple(joined[k]) == tuple(mapped[k]), k
+
+    enc = encode_tokens_mapped(d, vocab)
+    dec_j = {r["doc_id"]: r["text"] for r in decode_tokens(enc, vocab).collect()}
+    dec_m = {r["doc_id"]: r["text"] for r in decode_tokens_mapped(enc, vocab).collect()}
+    assert dec_j == dec_m
+
+
 def test_scrub_frequent_grams(spark):
     from extract_transform_load_spark.operators.textops import scrub_frequent_grams
 

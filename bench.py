@@ -23,6 +23,11 @@ from extract_transform_load_spark.plans.registry import REGISTRY  # noqa: E402
 from extract_transform_load_spark import plans  # noqa: E402,F401
 from extract_transform_load_spark.session import get_spark  # noqa: E402
 
+# Round-2 additions: q61 (connected components), q95 (SCD2), q101
+# (paragraph dedup) — the families promoted into the driver's 50-query
+# window. Pre-existing rows stay comparable to BENCH_r01.json; q99's
+# registered form is a quadratic soundness AUDIT of semantic dedup, so
+# it stays out of the timing headline deliberately.
 HEADLINE = [
     "q01_pricing_summary",
     "q08_range_revenue",
@@ -42,6 +47,7 @@ HEADLINE = [
     "q46_text_quality",
     "q58_winnowing",
     "q59_sessionization",
+    "q61_dedup_clusters",
     "q62_approx_percentiles",
     "q63_quantized_topk",
     "q64_hash_split",
@@ -53,7 +59,9 @@ HEADLINE = [
     "q85_expectations",
     "q93_roundtrip_fidelity",
     "q94_boilerplate_scrub",
+    "q95_scd2_dimension",
     "q98_dsir_selection",
+    "q101_paragraph_dedup",
     "q100_bpe_merges",
     "q103_repeated_spans",
     "q106_sketch_quantiles",

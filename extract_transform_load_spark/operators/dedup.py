@@ -312,8 +312,12 @@ def minhash_lsh_pairs(
     (doc_a, doc_b, est_jaccard = fraction of agreeing minhashes) filtered
     to est_jaccard >= threshold.
 
-    Shuffles: one on (band, band_hash) to build buckets, one groupBy on
-    the deduped pair. Bucket blowup is bounded in the typical case
+    Shuffles: one on (band, band_hash) to build buckets (ids only — see
+    the slim-join note below), one dedup on the candidate pair, plus two
+    O(|docs|) signature re-attach joins (broadcast under AQE at small
+    scale; at 100 TB persist the signature table once and let both the
+    banding and the attach read it instead of recomputing the
+    aggregate). Bucket blowup is bounded in the typical case
     because equal band-slices imply near-identical docs — but a 100 TB
     corpus has degenerate clusters (boilerplate, empty-ish docs) whose
     buckets go quadratic. ``max_bucket_size`` is the guard: buckets
@@ -348,9 +352,16 @@ def minhash_lsh_pairs(
             .drop("__bucket_n")
         )
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
+    # The bucket self-join carries only (doc_id, band, band_hash) — 24
+    # bytes/row — NOT the 64-long signature: shipping signatures through
+    # the banded exchange would amplify them x bands x 2 sides (~40x the
+    # bytes at bands=16). Signatures re-attach per DISTINCT candidate
+    # pair afterwards: two O(|docs|) joins (broadcast at small scale,
+    # hash at 100 TB) instead of an O(|docs| x bands) wide exchange.
+    slim = banded.drop("signature")
+    a = slim.alias("a")
+    b = slim.alias("b")
+    pair_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -360,10 +371,15 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = pair_ids.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")),
+        "doc_a",
+    ).join(
+        sigs.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b")),
+        "doc_b",
     )
     agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
     return (

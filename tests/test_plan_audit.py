@@ -210,11 +210,15 @@ def test_q89_boilerplate_two_shuffle_budget(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_q93_vocab_joins_broadcast(spark, sf_dir):
-    # every vocab join (encode's word lookup, decode's id lookup) must
-    # broadcast the MB-scale vocab — the corpus never shuffles for them
+def test_q93_roundtrip_is_one_scan_one_exchange(spark, sf_dir):
+    # encode + decode run as constant-map lookups INSIDE the corpus
+    # scan projection (textops.vocab_maps): no joins of any kind, and
+    # the only exchange is the final per-language aggregate. The join
+    # formulation this replaced needed two broadcast joins plus two
+    # token-stream shuffles.
     plan = plan_of(spark, sf_dir, "q93_roundtrip_fidelity")
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial+final of ONE aggregate
     assert "CartesianProduct" not in plan
 
 

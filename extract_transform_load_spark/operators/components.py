@@ -79,6 +79,8 @@ def connected_components(
     raises instead of returning partial clusters, because a silently
     unconverged dedup merges nothing it should.
     """
+    from pyspark.sql import Observation
+
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -86,14 +88,23 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sig = None
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        sig = tuple(
-            e.agg(
+    for i in range(max_iter):
+        # The convergence signature rides the checkpoint's own
+        # materialization job via observe() — zero extra jobs per round
+        # (a separate agg-per-round added one scheduler round trip each,
+        # which at iteration counts of O(log n) is pure latency).
+        obs = Observation(f"cc_round_{i}")
+        e = (
+            _small_star(_large_star(e))
+            .observe(
+                obs,
                 F.count(F.lit(1)).alias("n"),
                 F.bit_xor(F.xxhash64("u", "v")).alias("x"),
-            ).first()
+            )
+            .localCheckpoint(eager=True)
         )
+        m = obs.get
+        sig = (m["n"], m["x"])
         if sig == prev_sig:
             break
         prev_sig = sig

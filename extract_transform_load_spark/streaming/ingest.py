@@ -110,18 +110,22 @@ def merge_sink(
     not table size.
 
     First microbatch bootstraps the target with a plain partitioned
-    write (MERGE needs an existing table to read).
+    write (MERGE needs an existing table to read). Bootstrap happens
+    only when the target path genuinely does not exist — an existence
+    check, never a bare except around the read: a transient read error
+    misread as "missing" would make the bootstrap OVERWRITE destroy the
+    accumulated table with a single microbatch (the same failure mode
+    the sketch_sink below guards against). Any real read/merge error
+    raises, the microbatch fails, and Structured Streaming retries it
+    with the prior table intact.
     """
+    import os
+
     from ..sources.merge import merge_parquet
 
     def write(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        try:
-            spark.read.parquet(target_path).schema
-            exists = True
-        except Exception:
-            exists = False
-        if not exists:
+        if not os.path.exists(target_path):
             writer = batch.write.mode("overwrite")
             if partition_col:
                 writer = writer.partitionBy(partition_col)

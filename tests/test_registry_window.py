@@ -60,3 +60,35 @@ def test_every_window_query_has_an_oracle():
     window = list(REGISTRY)[:WINDOW]
     no_oracle = [n for n in window if REGISTRY[n].oracle is None]
     assert no_oracle == [], no_oracle
+
+
+def test_canonical_wrapper_skips_unorderable_outputs(spark):
+    """A map-typed output column cannot anchor an ORDER BY; the canonical
+    wrapper must fall back to the raw plan instead of raising."""
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.plans.registry import QuerySpec
+
+    def mapq(s, sf_dir):
+        return s.range(3).select(
+            F.col("id"), F.create_map(F.lit("k"), F.col("id")).alias("m")
+        )
+
+    spec = QuerySpec(name="__maptest", fn=mapq, oracle=None)
+    out = spec.canonical_fn(spark, "unused")
+    assert "Sort" not in out._jdf.queryExecution().executedPlan().toString()
+    assert out.count() == 3
+
+
+def test_canonical_wrapper_orders_all_columns(spark):
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.plans.registry import QuerySpec
+
+    def q(s, sf_dir):
+        return s.range(5).select((4 - F.col("id")).alias("a"), F.col("id").alias("b"))
+
+    spec = QuerySpec(name="__ordtest", fn=q, oracle="SELECT 1 AS a")
+    rows = [tuple(r) for r in spec.canonical_fn(spark, "unused").collect()]
+    assert rows == sorted(rows)
+    assert spec.canonical_oracle.strip().endswith("ORDER BY ALL NULLS FIRST")

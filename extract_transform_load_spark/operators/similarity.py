@@ -604,3 +604,53 @@ def semantic_dedup(
         assigned.join(drops, id_col, "left_anti")
         .select(F.col(id_col), F.col("cell"))
     )
+
+
+def semantic_dedup_flags(
+    corpus: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """:func:`semantic_dedup` with the full verdict exposed: every corpus
+    row as ``(id, vec, cell, keep)``. Auditors need the CELL of dropped
+    rows too — a drop is only ever caused by a lower-id neighbor in the
+    SAME cell, so a soundness audit can re-verify each drop against its
+    cell (O(drops × cell size)) instead of the whole corpus
+    (O(drops × corpus), which stops being runnable long before 100 TB).
+
+    Pass pre-trained ``centroids`` when the caller also needs the cell
+    assignment for its own joins — training is a driver-side sample
+    collect and should run once per pipeline, not once per reference.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, dim, n_clusters, iterations, id_col, vec_col)
+    assigned = _assign_cells(
+        corpus.select(id_col, vec_col),
+        centroids,
+        id_col,
+    ).join(corpus.select(id_col, vec_col), id_col)
+    a = assigned.select(
+        F.col("cell"), F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+    )
+    cos = _dot(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb")))
+    drops = (
+        a.join(b, "cell")
+        .filter((F.col("__ida") < F.col("__idb")) & (cos >= threshold))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return assigned.join(drops, id_col, "left").select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell"),
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+    )

@@ -2336,8 +2336,9 @@ def q98_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundaries (cross-cluster ≥θ pairs are the documented miss mode —
     # measured real at sf0.1), so raw keeps can't be pinned by SQL. The
     # SemDeDup SAFETY property can: every drop must have a lower-id
-    # ≥θ-cosine neighbor globally. The Spark side verifies each drop
-    # against the exact pair predicate; the oracle pins the invariants.
+    # ≥θ-cosine neighbor in its cell (the operator's exact drop rule —
+    # and hence globally). The Spark side re-verifies each drop with
+    # exact cosine, cell-locally; the oracle pins the invariants.
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
            TRUE AS drops_sound
@@ -2354,18 +2355,40 @@ def q98_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brute-force twin stays pytest-measured.",
 )
 def q99_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import _dot, _norm, semantic_dedup
+    from ..operators.similarity import _dot, _norm, semantic_dedup_flags
+
+    from ..operators.similarity import _assign_cells, train_ivf_centroids
 
     emb = load(spark, sf_dir, "embeddings")
-    kept = semantic_dedup(emb, dim=EMBED_DIM, n_clusters=16, threshold=0.5)
-    dropped = emb.join(
-        kept.select(F.col("vec_id")), "vec_id", "left_anti"
-    ).select(F.col("vec_id").alias("__idb"), F.col("embedding").alias("__vb"))
-    lower = emb.select(F.col("vec_id").alias("__ida"), F.col("embedding").alias("__va"))
+    cents = train_ivf_centroids(emb, EMBED_DIM, 16, 2)
+    flags = semantic_dedup_flags(
+        emb, dim=EMBED_DIM, n_clusters=16, threshold=0.5, centroids=cents
+    )
+    # Cell-local audit: a drop is only ever caused by a lower-id >=θ
+    # neighbor in the SAME cell (the operator's exact rule), so each
+    # drop re-verifies against its cell with exact cosine — an
+    # equi-join on cell, O(drops x cell size). The previous global
+    # formulation (__ida < __idb alone) planned a broadcast
+    # nested-loop over drops x corpus: same verdict, but O(drops x N)
+    # work that stops being runnable long before 100 TB. Cross-cluster
+    # misses stay measured by the q53 brute-force twin. The audit's
+    # lower side needs only cell ASSIGNMENTS (not the operator's
+    # keep verdicts — referencing flags twice would evaluate its
+    # quadratic pair join twice), so it derives from the coarse
+    # quantizer directly; the justification predicate stays an
+    # expression independent of the operator's internals.
+    dropped = flags.filter(~F.col("keep")).select(
+        F.col("cell"), F.col("vec_id").alias("__idb"), F.col("embedding").alias("__vb")
+    )
+    lower = _assign_cells(emb.select("vec_id", "embedding"), cents, "vec_id").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).select(
+        F.col("cell"), F.col("vec_id").alias("__ida"), F.col("embedding").alias("__va")
+    )
     cos = _dot(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb")))
     justified = (
-        dropped.join(lower, F.col("__ida") < F.col("__idb"))
-        .filter(cos >= 0.5)
+        dropped.join(lower, "cell")
+        .filter((F.col("__ida") < F.col("__idb")) & (cos >= 0.5))
         .select("__idb")
         .distinct()
     )

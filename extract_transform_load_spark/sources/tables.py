@@ -50,12 +50,48 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     #   wall-clock values match DuckDB's naive TIMESTAMP.
     from pyspark.sql.types import LongType, TimestampNTZType
 
+    ns_cols = _nanos_timestamp_columns(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if field.name in ns_cols and isinstance(field.dataType, LongType):
+            df = df.withColumn(
+                field.name, F.expr(f"timestamp_micros(`{field.name}` div 1000)")
+            )
         elif isinstance(field.dataType, TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_columns(path: str) -> set[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) — which Spark's
+    ``nanosAsLong`` mode surfaces as indistinguishable BIGINTs, so the
+    loader must consult the parquet footer (not the Spark schema) to
+    know which longs are really nanosecond instants. Footer-only read;
+    name-agnostic so a driver round that writes a different column (or
+    table) as NANOS converts correctly instead of leaking raw longs."""
+    import os
+
+    import pyarrow.parquet as pa_pq
+    import pyarrow.types as pa_types
+
+    target = path
+    if os.path.isdir(path):  # rechunked layout: a dir of part files
+        parts = sorted(p for p in os.listdir(path) if p.endswith(".parquet"))
+        if not parts:
+            return set()
+        target = os.path.join(path, parts[0])
+    try:
+        schema = pa_pq.read_schema(target)
+    except Exception:
+        return set()
+    return {
+        f.name
+        for f in schema
+        if pa_types.is_timestamp(f.type) and f.type.unit == "ns"
+    }
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -126,9 +126,19 @@ def buyback(
     )
     series = t.select(
         "TR_Profit_timestamp",
+        # height rides along as the pagination tiebreak: profits can
+        # share a timestamp, and a cursor (or page boundary) on a
+        # non-total order skips or duplicates the tied rows.
+        "TR_Profit_height",
         F.sum("TR_Profit_amnt_nls").over(w).cast(AMOUNT).alias("bought_back_total"),
     )
-    return _page(series, [("TR_Profit_timestamp", True)], skip, limit, after)
+    return _page(
+        series,
+        [("TR_Profit_timestamp", True), ("TR_Profit_height", True)],
+        skip,
+        limit,
+        after,
+    )
 
 
 @endpoint("treasury/buyback-total")

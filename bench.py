@@ -82,8 +82,8 @@ def _materialize(df) -> None:
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+    sf = os.path.basename(sf_dir).replace("sf", "")
     spark = get_spark(app_name="etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -100,6 +100,12 @@ def main() -> None:
     layout_prep = 0.0
     prepped = os.path.join(tempfile.gettempdir(), f"bench_layout_{os.path.basename(sf_dir)}")
     try:
+        # Start from an empty staging dir: a leftover from a previous run
+        # (or an older fixture generation) would mix stale part files
+        # into the benched tables and silently time the wrong data.
+        import shutil
+
+        shutil.rmtree(prepped, ignore_errors=True)
         layout_prep = rechunk_parquet_dir(sf_dir, prepped, target_chunks=32)
         sf_dir = prepped
     except Exception:

@@ -555,7 +555,17 @@ def txs(
         m = m.filter((F.col("from") == address) | (F.col("to") == address))
     if types:
         m = m.filter(F.col("type").isin(types))
-    return _page(m, [("timestamp", True), ("index", False)], skip, limit, after)
+    # (tx_hash, index) is raw_message's PK; timestamp alone is not a
+    # total order (every message in a block shares it, and index resets
+    # per tx) — a cursor on (timestamp, index) would skip same-block
+    # messages.
+    return _page(
+        m,
+        [("timestamp", True), ("tx_hash", False), ("index", False)],
+        skip,
+        limit,
+        after,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -702,7 +712,9 @@ def lp_withdraw(
     """Withdrawal list, newest first (`liquidity.rs:61`)."""
     return _page(
         tables["LP_Withdraw"],
-        [("LP_timestamp", True), ("LP_withdraw_height", True)],
+        # idx disambiguates multiple withdrawals in one block (same
+        # timestamp AND height) — without it the cursor key is not total
+        [("LP_timestamp", True), ("LP_withdraw_height", True), ("LP_withdraw_idx", False)],
         skip,
         limit,
         after,

@@ -56,8 +56,14 @@ def running_total(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Null-safe equi-join: a NULL order key produces a NULL bucket, and
+    # a plain equi-join would silently drop those rows (NULL != NULL) —
+    # the global-window formulation this replaces kept them, first
+    # (nulls-first), which is also where ORDER BY __bucket places the
+    # NULL bucket's offset window.
+    off = offsets.withColumnRenamed("__bucket", "__obucket")
     return (
-        b.join(F.broadcast(offsets), "__bucket")
+        b.join(F.broadcast(off), F.col("__bucket").eqNullSafe(F.col("__obucket")))
         .withColumn(out_col, F.sum("__val").over(w_in) + F.col("__offset"))
-        .drop("__bucket", "__val", "__offset")
+        .drop("__bucket", "__obucket", "__val", "__offset")
     )

@@ -71,12 +71,20 @@ def _fields(buf: bytes) -> Iterator[tuple[int, int, Any]]:
             val, pos = _read_varint(buf, pos)
         elif wire == 2:  # length-delimited
             ln, pos = _read_varint(buf, pos)
+            if pos + ln > n:  # truncated payload: python slices clamp
+                # silently, which would decode garbage rows instead of
+                # taking the skip-on-malformed path (Tx::from_bytes errors)
+                raise ValueError("length-delimited field runs past buffer")
             val = buf[pos : pos + ln]
             pos += ln
         elif wire == 5:  # fixed32
+            if pos + 4 > n:
+                raise ValueError("fixed32 runs past buffer")
             val = buf[pos : pos + 4]
             pos += 4
         elif wire == 1:  # fixed64
+            if pos + 8 > n:
+                raise ValueError("fixed64 runs past buffer")
             val = buf[pos : pos + 8]
             pos += 8
         else:
@@ -120,10 +128,7 @@ def decode_tx(tx_bytes: bytes) -> list[dict[str, Any]]:
                     for ff, _, fv in _fields(av):
                         if ff == 1:  # first coin wins (reference: amount.first())
                             if fee_denom is None:
-                                fee_denom, fee_amount = (
-                                    _coin(fv)[0],
-                                    _coin(fv)[1],
-                                )
+                                fee_denom, fee_amount = _coin(fv)
     out = []
     for index, (type_url, payload) in enumerate(messages):
         frm, to, value = "", "", ""
@@ -135,7 +140,8 @@ def decode_tx(tx_bytes: bytes) -> list[dict[str, Any]]:
                 elif mf == 2:
                     to = mv.decode("utf-8")
                 elif mf == 3:
-                    amounts.append("%s%s" % (_coin(mv)[1], _coin(mv)[0]))
+                    denom, amount = _coin(mv)
+                    amounts.append("%s%s" % (amount, denom))
             value = ",".join(amounts)
         elif type_url == MSG_EXECUTE_CONTRACT:
             for mf, _, mv in _fields(payload):
@@ -210,6 +216,22 @@ def bronze_raw_messages(
     )
 
 
+def _encode_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode_ld(field: int, payload: bytes) -> bytes:
+    return _encode_varint(field << 3 | 2) + _encode_varint(len(payload)) + payload
+
+
 def encode_test_tx(
     messages: list[tuple[str, bytes]],
     memo: str = "",
@@ -217,20 +239,7 @@ def encode_test_tx(
 ) -> bytes:
     """Hand-encode a Tx for tests (the crafted-payload side of the A8
     contract). Only the wire features the decoder reads."""
-
-    def varint(v: int) -> bytes:
-        out = bytearray()
-        while True:
-            b = v & 0x7F
-            v >>= 7
-            if v:
-                out.append(b | 0x80)
-            else:
-                out.append(b)
-                return bytes(out)
-
-    def ld(field: int, payload: bytes) -> bytes:
-        return varint(field << 3 | 2) + varint(len(payload)) + payload
+    ld = _encode_ld
 
     body = b"".join(
         ld(1, ld(1, url.encode()) + ld(2, payload)) for url, payload in messages
@@ -247,20 +256,7 @@ def encode_test_tx(
 
 def encode_msg_send(frm: str, to: str, coins: list[tuple[str, int]]) -> bytes:
     """MsgSend payload for tests."""
-
-    def varint(v: int) -> bytes:
-        out = bytearray()
-        while True:
-            b = v & 0x7F
-            v >>= 7
-            if v:
-                out.append(b | 0x80)
-            else:
-                out.append(b)
-                return bytes(out)
-
-    def ld(field: int, payload: bytes) -> bytes:
-        return varint(field << 3 | 2) + varint(len(payload)) + payload
+    ld = _encode_ld
 
     out = ld(1, frm.encode()) + ld(2, to.encode())
     for denom, amount in coins:

@@ -194,7 +194,10 @@ LP_DEPOSIT = StructType(
 )
 
 LP_WITHDRAW = StructType(
-    LP_DEPOSIT.fields[:2]
+    [
+        _f("LP_withdraw_height", LongType(), False),
+        _f("LP_withdraw_idx", IntegerType()),
+    ]
     + [
         _f("LP_address_id", StringType(), False),
         _f("LP_timestamp", TimestampType(), False),

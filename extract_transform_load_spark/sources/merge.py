@@ -229,6 +229,23 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(jsc.hadoopConfiguration()), hpath, jvm
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """FS-agnostic existence check (file://, hdfs://, s3a://, bare local
+    paths). Sinks must use THIS, not ``os.path.exists`` — the latter is
+    always False for URI-form or remote paths, which would flip a
+    bootstrap-if-missing decision into an overwrite-every-batch data
+    loss on any non-local deployment."""
+    fs, p, _ = _hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def replace_dir(spark: SparkSession, staged: str, live: str) -> None:
+    """Atomically replace ``live`` with ``staged`` on any Hadoop FS —
+    the public form of the MERGE writer's swap, for sinks that stage a
+    full rewrite (e.g. streaming sketch maintenance)."""
+    _swap(spark, staged, live)
+
+
 def _swap(spark: SparkSession, staged: str, live: str) -> None:
     """Replace ``live`` with ``staged`` (Hadoop FS — file://, hdfs://, s3a://)."""
     fs, staged_p, jvm = _hadoop_fs(spark, staged)

@@ -119,13 +119,11 @@ def merge_sink(
     raises, the microbatch fails, and Structured Streaming retries it
     with the prior table intact.
     """
-    import os
-
-    from ..sources.merge import merge_parquet
+    from ..sources.merge import merge_parquet, path_exists
 
     def write(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        if not os.path.exists(target_path):
+        if not path_exists(spark, target_path):
             writer = batch.write.mode("overwrite")
             if partition_col:
                 writer = writer.partitionBy(partition_col)
@@ -245,18 +243,17 @@ def sketch_sink(
     crash mid-write leaves either the old store or the new one, never a
     torn directory.
     """
-    import os
-    import shutil
     import uuid
 
     from ..operators.sketches import build_distinct_sketches
+    from ..sources.merge import path_exists, replace_dir
 
     def write(batch: DataFrame, batch_id: int) -> None:
         import pyspark.sql.functions as F
 
         spark = batch.sparkSession
         fresh = build_distinct_sketches(batch, group_cols, value_col, lgk=lgk)
-        if os.path.exists(target_path):
+        if path_exists(spark, target_path):
             # Any failure from here on raises: the microbatch fails and
             # is retried with the prior store intact.
             existing = spark.read.parquet(target_path)
@@ -271,11 +268,8 @@ def sketch_sink(
         out = spark.createDataFrame(rows, merged.schema)
         tmp_path = f"{target_path.rstrip('/')}__stage_{uuid.uuid4().hex}"
         out.coalesce(1).write.mode("overwrite").parquet(tmp_path)
-        old_path = f"{target_path.rstrip('/')}__old_{uuid.uuid4().hex}"
-        if os.path.exists(target_path):
-            os.rename(target_path, old_path)
-        os.rename(tmp_path, target_path)
-        if os.path.exists(old_path):
-            shutil.rmtree(old_path, ignore_errors=True)
+        # Hadoop-FS rename swap (file://, hdfs://, s3a://) — os.rename
+        # would silently be local-only.
+        replace_dir(spark, tmp_path, target_path)
 
     return write

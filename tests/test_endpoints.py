@@ -294,12 +294,14 @@ def test_keyset_cursor_equals_offset_paging(tables):
     assert len(full) >= 3
 
     page1 = ENDPOINTS["misc/txs"](tables, limit=2).collect()
-    cursor = (page1[-1]["timestamp"], page1[-1]["index"])
+    # the cursor mirrors the endpoint's full total order — (tx_hash,
+    # index) is raw_message's PK; timestamp alone has same-block ties
+    cursor = (page1[-1]["timestamp"], page1[-1]["tx_hash"], page1[-1]["index"])
     page2 = ENDPOINTS["misc/txs"](tables, limit=2, after=cursor).collect()
     walked = page1 + page2
     assert [
-        (r["timestamp"], r["index"]) for r in walked
-    ] == [(r["timestamp"], r["index"]) for r in full[: len(walked)]]
+        (r["timestamp"], r["tx_hash"], r["index"]) for r in walked
+    ] == [(r["timestamp"], r["tx_hash"], r["index"]) for r in full[: len(walked)]]
 
 
 def test_keyset_mixed_direction_page(tables):

@@ -65,21 +65,18 @@ class GoldLayer:
         else:
             df = t.builder(spark)
         df.write.mode("overwrite").parquet(tmp)
-        jvm = spark._jvm
-        jsc = spark._jsc
-        fs = jvm.org.apache.hadoop.fs.FileSystem.get(jsc.hadoopConfiguration())
-        dst = jvm.org.apache.hadoop.fs.Path(t.path)
-        src = jvm.org.apache.hadoop.fs.Path(tmp)
-        if fs.exists(dst):
-            fs.delete(dst, True)
-        fs.rename(src, dst)
+        # rename-aside swap (sources.merge): delete-then-rename would
+        # leave NO table at all if the process dies between the two —
+        # the swap keeps either the old snapshot or the new one.
+        from ..sources.merge import replace_dir
+
+        replace_dir(spark, tmp, t.path)
 
     @staticmethod
     def _exists(spark: SparkSession, path: str) -> bool:
-        jvm = spark._jvm
-        jsc = spark._jsc
-        fs = jvm.org.apache.hadoop.fs.FileSystem.get(jsc.hadoopConfiguration())
-        return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+        from ..sources.merge import path_exists
+
+        return path_exists(spark, path)
 
     def refresh_all(self, spark: SparkSession) -> None:
         for name in self._tables:

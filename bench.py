@@ -87,29 +87,36 @@ def main() -> None:
     spark = get_spark(app_name="etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Ingest-side layout: the fixture tables arrive as ONE parquet row
-    # group each, and Spark schedules one scan task per row group — so
-    # un-prepped, every query's scan+map stage runs on a single core
-    # and the bench measures 1-core execution, not the engine. Real
-    # deployments size row groups at write time (the analogue of the
-    # reference's B-tree index maintenance at insert; see
-    # sources/layout.py). The one-time prep cost is reported
-    # separately as layout_prep_sec.
-    from extract_transform_load_spark.sources.layout import rechunk_parquet_dir
-
+    # Layout: the bench runs the RAW fixture layout by default. The
+    # fixtures are single-row-group files (1 scan task each), which
+    # matters only for CPU-bound map stages — and those protect
+    # themselves in-query with operators/spread.py::spread_small_scan
+    # (no-op at warehouse scale, where tables carry thousands of row
+    # groups). A blanket 32-way rechunk was measured a net LOSS at
+    # sf0.1: it helps the two scan-parallel aggregates (~-1.2 s) but
+    # adds per-task scheduling overhead to ten multi-stage queries
+    # (~+5 s), and it breaks per-query comparability with BENCH_r01
+    # (recorded on the raw layout). Set SPARK_GRAFT_LAYOUT_PREP=1 to
+    # measure the realistic many-row-group layout instead; prep cost is
+    # reported separately as layout_prep_sec.
     layout_prep = 0.0
-    prepped = os.path.join(tempfile.gettempdir(), f"bench_layout_{os.path.basename(sf_dir)}")
-    try:
-        # Start from an empty staging dir: a leftover from a previous run
-        # (or an older fixture generation) would mix stale part files
-        # into the benched tables and silently time the wrong data.
-        import shutil
+    if os.environ.get("SPARK_GRAFT_LAYOUT_PREP") == "1":
+        from extract_transform_load_spark.sources.layout import rechunk_parquet_dir
 
-        shutil.rmtree(prepped, ignore_errors=True)
-        layout_prep = rechunk_parquet_dir(sf_dir, prepped, target_chunks=32)
-        sf_dir = prepped
-    except Exception:
-        pass  # read-only temp or arrow hiccup: bench the raw layout
+        prepped = os.path.join(
+            tempfile.gettempdir(), f"bench_layout_{os.path.basename(sf_dir)}"
+        )
+        try:
+            # Start from an empty staging dir: a leftover from a previous
+            # run (or an older fixture generation) would mix stale part
+            # files into the benched tables and time the wrong data.
+            import shutil
+
+            shutil.rmtree(prepped, ignore_errors=True)
+            layout_prep = rechunk_parquet_dir(sf_dir, prepped, target_chunks=32)
+            sf_dir = prepped
+        except Exception:
+            pass  # read-only temp or arrow hiccup: bench the raw layout
 
     # Warm-up pass: first execution of each plan pays 5-25 s of one-time
     # JVM JIT/codegen in this container; a long-running cluster pays it

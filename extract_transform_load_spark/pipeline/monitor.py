@@ -67,14 +67,20 @@ def expectation_report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     """
     if not checks:
         raise ValueError("checks must be non-empty")
+    # Generated aliases (__chk_i) + single-quote-escaped display labels:
+    # splicing user-provided check names into identifiers breaks on
+    # non-identifier names and collides with n_rows.
+    names = list(checks)
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")] + [
-        F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
-        for name, cond in checks.items()
+        F.sum(F.when(checks[n], 1).otherwise(0)).cast("bigint").alias(f"__chk_{i}")
+        for i, n in enumerate(names)
     ]
     wide = df.agg(*aggs)
-    stack_expr = ", ".join(f"'{n}', {n}" for n in checks)
+    def _lbl(n: str) -> str:
+        return n.replace("'", "''")
+    stack_expr = ", ".join(f"'{_lbl(n)}', __chk_{i}" for i, n in enumerate(names))
     return wide.selectExpr(
-        f"stack({len(checks)}, {stack_expr}) AS (check_name, violations)", "n_rows"
+        f"stack({len(names)}, {stack_expr}) AS (check_name, violations)", "n_rows"
     ).select("check_name", "violations", "n_rows")
 
 
@@ -97,7 +103,10 @@ def expect_references(
     in ``parent`` (orphans), as a one-row report frame. A left-anti join
     on the key — shuffles both sides at scale unless the parent
     broadcasts; orphan count 0 is the promotable state."""
-    orphans = child.join(
+    # SQL referential-integrity semantics: a NULL child key is not an
+    # orphan (it references nothing) — without the filter every NULL-key
+    # row counts as a violation because anti-joins never match NULLs.
+    orphans = child.filter(F.col(key).isNotNull()).join(
         parent.select(F.col(parent_key).alias(key)).distinct(), key, "left_anti"
     )
     return orphans.agg(
@@ -129,6 +138,8 @@ def profile_table(
     form; pass ``approx_distinct=True`` at scale for one HLL sketch per
     column instead (±2%, no Expand).
     """
+    if not columns:
+        raise ValueError("columns must be non-empty")
     numeric = numeric or []
     aggs: list[Column] = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
     for c in columns:
@@ -141,9 +152,12 @@ def profile_table(
     wide = df.agg(*aggs)
     parts = []
     for c in columns:
-        lo = f"__min_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
-        hi = f"__max_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
-        parts.append(f"'{c}', __null_{c}, __nd_{c}, {lo}, {hi}")
+        # backticked aliases + escaped labels: raw column names with
+        # spaces/punctuation must survive the selectExpr round trip
+        lo = f"`__min_{c}`" if c in numeric else "CAST(NULL AS DOUBLE)"
+        hi = f"`__max_{c}`" if c in numeric else "CAST(NULL AS DOUBLE)"
+        lbl = c.replace("'", "''")
+        parts.append(f"'{lbl}', `__null_{c}`, `__nd_{c}`, {lo}, {hi}")
     return wide.selectExpr(
         f"stack({len(columns)}, {', '.join(parts)}) "
         "AS (column, n_null, n_distinct, min_num, max_num)",
@@ -174,6 +188,10 @@ def psi_drift(
     before anything joins — the full-outer join is over bucket
     cardinality (dozens), never rows.
     """
+    if smoothing <= 0:
+        # log(0) contributions would go NULL and silently VANISH from
+        # SUM(contrib) — exactly the strongest-drift buckets
+        raise ValueError("smoothing must be > 0 (keeps one-sided buckets finite)")
     ca = cohort_a.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_a")
     )
@@ -182,8 +200,16 @@ def psi_drift(
     )
     tot_a = cohort_a.agg(F.count(F.lit(1)).cast("bigint").alias("tot_a"))
     tot_b = cohort_b.agg(F.count(F.lit(1)).cast("bigint").alias("tot_b"))
+    # eqNullSafe: a NULL bucket present in both cohorts must match
+    # itself — the plain key join emits two half-rows and overstates PSI
+    cbn = cb.withColumnRenamed("bucket", "__bucket_b")
     joined = (
-        ca.join(cb, "bucket", "full_outer")
+        ca.join(cbn, F.col("bucket").eqNullSafe(F.col("__bucket_b")), "full_outer")
+        .select(
+            F.coalesce(F.col("bucket"), F.col("__bucket_b")).alias("bucket"),
+            "n_a",
+            "n_b",
+        )
         .crossJoin(F.broadcast(tot_a))
         .crossJoin(F.broadcast(tot_b))
     )

@@ -96,13 +96,20 @@ def compute_loan_closings(
     downpayment = F.coalesce(F.col("LS_cltr_amnt_stable"), z)
     loan_stable = F.coalesce(F.col("LS_loan_amnt_stable"), z)
 
-    # fee = (loan_stable + cltr_stable) − loan_amount_at_open_price
-    # (`configuration.rs:701-756`); with enrichment done at open price the
-    # third term is the same lookup, so fee reduces to slippage captured
-    # at open — zero under exact-as-of enrichment. Kept explicit for
-    # parity with reference semantics.
+    # fee = (loan_stable + cltr_stable) − position_value_at_open
+    # (`configuration.rs:701-756`: the reference prices the lease
+    # state's POSITION amount with the asset price). Lease state is
+    # source-side (A3, out of engine scope); with the engine's position
+    # stand-in (the loan leg, see enrich.enrich_ls_opening) the position
+    # value at open IS loan_stable, so fee reduces to the collateral
+    # slippage term — zero under exact-as-of enrichment. The expression
+    # keeps the reference's shape so a real position column
+    # (LS_position_value_stable) can slot in when lease state is
+    # ingested.
     open_value = F.coalesce(
-        (F.col("LS_loan_amnt").cast("decimal(38,18)") * F.col("LS_opening_price")).cast(AMOUNT),
+        F.col("LS_position_value_stable").cast(AMOUNT)
+        if "LS_position_value_stable" in opening.columns
+        else F.lit(None).cast(AMOUNT),
         loan_stable,
     )
     fee = (loan_stable + downpayment) - (open_value + downpayment)

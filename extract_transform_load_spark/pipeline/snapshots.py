@@ -182,7 +182,11 @@ def tr_state_snapshot(tr_profit: DataFrame, agg_timestamp) -> DataFrame:
     (`handler/tr_state.rs:13-58` reads the live bank balance over gRPC;
     the event-log reconstruction is the profit ledger's running sum —
     one scalar aggregate, outlier rule applied as in the reference's
-    profit queries)."""
+    profit queries). A NULL stable amount also drops the row — matching
+    Postgres semantics of the reference's WHERE
+    ``TR_Profit_amnt_stable < 1e10`` (`tr_profit.rs:221`), where
+    NULL < x filters the row; the row's nls leg drops with it by
+    design, not by accident."""
     ts = F.lit(agg_timestamp).cast("timestamp")
     return tr_profit.filter(
         (F.col("TR_Profit_timestamp") <= ts)
@@ -441,11 +445,14 @@ def pl_state_rollup(
         F.count(F.lit(1)).alias("PL_LP_count_withdraw"),
         F.sum("LP_amnt_asset").cast(AMOUNT).alias("PL_LP_withdraw_amnt"),
     )
+    # Silver-shape columns (schemas.TR_PROFIT / TR_REWARDS_DISTRIBUTION):
+    # the tables dict run_aggregation_round consumes carries the
+    # *_amnt_stable columns, not the parser-raw TR_*_amnt.
     profit = window_of(tr_profit, "TR_Profit_timestamp").agg(
-        F.sum("TR_Profit_amnt").cast(AMOUNT).alias("PL_TR_profit_amnt")
+        F.sum("TR_Profit_amnt_stable").cast(AMOUNT).alias("PL_TR_profit_amnt")
     )
     rewards = window_of(tr_rewards, "TR_Rewards_timestamp").agg(
-        F.sum("TR_Rewards_amnt").cast(AMOUNT).alias("PL_TR_rewards_amnt")
+        F.sum("TR_Rewards_amnt_stable").cast(AMOUNT).alias("PL_TR_rewards_amnt")
     )
 
     row = opened
@@ -463,7 +470,9 @@ def pl_state_rollup(
     )
 
 
-def run_aggregation_round(tables: dict[str, DataFrame], agg_timestamp) -> dict[str, DataFrame]:
+def run_aggregation_round(
+    tables: dict[str, DataFrame], agg_timestamp, prev_timestamp=None
+) -> dict[str, DataFrame]:
     """One aggregation round (SURVEY.md §2.A A12, `main.rs:96-163`,
     `handler/aggregation_task.rs:12-86`): produce every state snapshot
     for a shared ``agg_timestamp``.
@@ -474,6 +483,9 @@ def run_aggregation_round(tables: dict[str, DataFrame], agg_timestamp) -> dict[s
     schedule the scans concurrently, and the caller appends an
     action_history row after the writes commit (the same
     "snapshot-then-record" ordering that makes the round idempotent).
+    With ``prev_timestamp`` the round also emits the PL_State interval
+    rollup over (prev_timestamp, agg_timestamp] — the reference's
+    "then PL_State" step (`aggregation_task.rs:12-86`).
     """
     out = {
         "LS_State": ls_state_snapshot(
@@ -492,4 +504,16 @@ def run_aggregation_round(tables: dict[str, DataFrame], agg_timestamp) -> dict[s
         ),
         "TR_State": tr_state_snapshot(tables["TR_Profit"], agg_timestamp),
     }
+    if prev_timestamp is not None:
+        out["PL_State"] = pl_state_rollup(
+            tables["LS_Opening"],
+            tables["LS_Repayment"],
+            tables["LS_Liquidation"],
+            tables["LP_Deposit"],
+            tables["LP_Withdraw"],
+            tables["TR_Profit"],
+            tables["TR_Rewards_Distribution"],
+            prev_timestamp,
+            agg_timestamp,
+        )
     return out

@@ -129,6 +129,28 @@ def test_aggregation_round(spark, tables):
     assert len(tr) == 1 and tr[0]["TR_amnt_stable"] == 36_000
 
 
+def test_aggregation_round_pl_state(spark, tables):
+    """With prev_timestamp the round also emits the PL_State interval
+    rollup (the reference's "then PL_State" step) over the silver-shape
+    tables — a regression test for the column names it consumes."""
+    from datetime import datetime
+
+    from extract_transform_load_spark.pipeline.snapshots import run_aggregation_round
+
+    out = run_aggregation_round(
+        tables, datetime(2024, 3, 1), prev_timestamp=datetime(2020, 1, 1)
+    )
+    pl = out["PL_State"].collect()
+    assert len(pl) == 1
+    row = pl[0]
+    # every open lease / repayment / deposit in the fixture falls in the
+    # wide-open window; counts must match the raw tables
+    assert row["PL_LS_count_open"] == tables["LS_Opening"].count()
+    assert row["PL_LP_count_deposit"] == tables["LP_Deposit"].count()
+    # tax identity column present and finite
+    assert row["PL_tax_minus_delta_tr"] is not None
+
+
 def test_incremental_snapshot_equals_full(spark, tables):
     """Rolling the t1 snapshot forward with only (t1, t2] events must
     equal the full event-log reconstruction at t2 — the O(delta) hourly

@@ -166,12 +166,17 @@ def test_attach_asof_price(spark, prices):
 def test_enrich_ls_opening(bronze, prices):
     opening = parse_ls_opening(bronze).withColumn("LS_position_type", __import__("pyspark").sql.functions.lit(None).cast("string"))
     enriched = enrich_ls_opening(opening, prices).collect()[0]
-    # loan 1_000_000 ATOM-denominated asset at price 10 -> 10_000_000 stable
-    assert enriched["LS_loan_amnt_stable"] == Decimal("10000000")
+    # loan 1_000_000 is LPN-denominated (loan-symbol USDC, price 1):
+    # the reference prices item.loan_symbol (wasm_ls_open.rs f1), NOT
+    # the lease currency -> 1_000_000 stable
+    assert enriched["LS_loan_amnt_stable"] == Decimal("1000000")
     # collateral USDC at price 1
     assert enriched["LS_cltr_amnt_stable"] == Decimal("500000")
     assert enriched["LS_opening_price"] == Decimal("10.000000000000000000")
-    # Long liquidation price: (loan/0.9)/(dp+loan)*price = (1e6/0.9)/(1.5e6)*10
+    # position-in-LPN stand-in: loan_stable / lpn_price = 1e6 / 1
+    assert enriched["LS_lpn_loan_amnt"] == Decimal("1000000")
+    # Long liquidation over STABLE amounts (calculate_liquidation_price):
+    # (loan_stable/0.9)/(dp_stable+loan_stable)*asset_price
     expected = (Decimal("1000000") / Decimal("0.9")) / Decimal("1500000") * Decimal("10")
     assert abs(enriched["LS_liquidation_price_at_open"] - expected) < Decimal("1e-9")
 
@@ -194,8 +199,9 @@ def test_pnl_engine(spark, bronze, prices):
     r = out[0]
     assert r["Type"] == "repay"
     assert r["LS_timestamp"] == ts("2024-01-03 00:00:00")
-    # proceeds 1.6e6 − loan_stable 1e7 − downpayment 5e5 + fee 0 = −8.9e6
-    assert r["LS_pnl"] == Decimal("-8900000")
+    # proceeds 1.6e6 − loan_stable 1e6 (LPN-priced) − downpayment 5e5
+    # + fee 0 (position stand-in == loan leg) = +1e5
+    assert r["LS_pnl"] == Decimal("100000")
 
 
 def test_parse_warning_autoclose_anomaly_reserve(spark):
@@ -281,9 +287,9 @@ def test_pnl_short_position(spark, bronze, prices):
     )
     closings = spark.createDataFrame([], "LS_contract_id string, LS_timestamp timestamp")
     out = compute_loan_closings(opening, repayments, empty_close, empty_close, closings).collect()
-    # Short: debt = loan_stable(1e7) × lpn price 2 = 2e7
-    # pnl = proceeds 1.6e6 − 2e7 − dp 5e5 + fee 0 = −18.9e6
-    assert out[0]["LS_pnl"] == Decimal("-18900000")
+    # Short: debt = loan_stable(1e6) × lpn price at close 2 = 2e6
+    # pnl = proceeds 1.6e6 − 2e6 − dp 5e5 + fee 0 = −9e5
+    assert out[0]["LS_pnl"] == Decimal("-900000")
 
 
 def test_observe_counts_single_pass_metrics(spark):
@@ -336,9 +342,10 @@ def test_expectation_report_counts_violations(spark):
     assert (uniq["check_name"], uniq["violations"], uniq["n_rows"]) == ("unique_fk", 1, 5)
 
     refs = expect_references(child, "fk", parent, "pk").collect()[0]
-    # fk=9 is an orphan; the null fk is not a match either -> anti-join keeps it
+    # fk=9 is the only orphan; a NULL fk references nothing and is NOT a
+    # violation (standard SQL referential-integrity semantics)
     assert refs["check_name"] == "fk_references_pk"
-    assert refs["violations"] == 2 and refs["n_rows"] == 5
+    assert refs["violations"] == 1 and refs["n_rows"] == 5
 
     with pytest.raises(ValueError):
         expectation_report(child, {})

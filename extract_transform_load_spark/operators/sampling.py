@@ -22,6 +22,19 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
+def md5_uniform(id_col: Column) -> Column:
+    """The house deterministic uniform in (0,1): first 12 md5 nibbles of
+    the stringified key → 48-bit integer, shifted off the lattice by
+    +0.5. Every keyed sampler derives acceptance from THIS expression
+    (and every oracle twin replicates it in SQL) — one definition, or
+    the samplers drift apart.
+    """
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 12), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 48))
+
+
 def hash_bucket(id_col: Column, buckets: int = 256) -> Column:
     """Stable bucket in [0, buckets): first-bytes of md5 of the id.
 
@@ -32,6 +45,14 @@ def hash_bucket(id_col: Column, buckets: int = 256) -> Column:
     if buckets > 1 << 28:
         raise ValueError("bucket count beyond md5-prefix precision")
     nibbles = max(2, (buckets - 1).bit_length() + 3 >> 2)
+    if (16 ** nibbles) % buckets != 0:
+        # modulo-bias guard: a prefix space that buckets does not divide
+        # gives the low residues up to 2x the mass (256 % 200 = 56 hot
+        # buckets). Two headroom nibbles bound the bias at
+        # buckets/16^nibbles < 0.4%. Power-of-16 counts (the 256-bucket
+        # splits every oracle twin replicates) divide exactly and keep
+        # their historical minimal-prefix assignment.
+        nibbles += 2
     prefix = F.conv(F.substring(F.md5(id_col.cast("string")), 1, nibbles), 16, 10)
     return (prefix.cast("bigint") % buckets).cast("int")
 
@@ -69,6 +90,11 @@ def deterministic_sample(df: DataFrame, id_col: str, fraction: float) -> DataFra
     if not 0 < fraction <= 1:
         raise ValueError("fraction must be in (0, 1]")
     cut = round(fraction * 256)
+    if cut == 0:
+        raise ValueError(
+            f"fraction {fraction} is below the 1/256 granularity floor — "
+            "the sample would be silently empty; use a finer keyed filter"
+        )
     return df.filter(hash_bucket(F.col(id_col), 256) < cut)
 
 
@@ -168,12 +194,7 @@ def weighted_sample(
     to n per partition via TakeOrdered). Keys are well-separated random
     uniforms, so double rounding can't flip the order in practice.
     """
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast(
-            "double"
-        )
-        + F.lit(0.5)
-    ) / F.lit(float(1 << 48))
+    u = md5_uniform(F.col(id_col))
     key = F.pow(u, F.lit(1.0) / weight_col.cast("double"))
     return (
         df.withColumn(key_col, key)
@@ -226,12 +247,7 @@ def mixture_sample(
         group_col,
         ((F.col("__scale") * F.col("__target")) / F.col("__n")).alias("__p"),
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast(
-            "double"
-        )
-        + F.lit(0.5)
-    ) / F.lit(float(1 << 48))
+    u = md5_uniform(F.col(id_col))
     return df.join(F.broadcast(fracs), group_col).filter(u < F.col("__p")).drop("__p")
 
 
@@ -267,9 +283,11 @@ def pack_sequences(
         "__ord"
     )
 
+    # id columns keep their input type (string doc keys pack like longs)
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        "pack_key long, n_docs int, total_tokens long, "
-        "fill_ratio double, doc_ids array<long>"
+        f"pack_key {id_type}, n_docs int, total_tokens long, "
+        f"fill_ratio double, doc_ids array<{id_type}>"
     )
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -290,11 +308,11 @@ def pack_sequences(
             return pd.DataFrame([row])
 
         for pdf in batches:
-            for did, toks in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+            for did, toks in zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1]):
                 t = int(toks)
                 if ids and total + t > budget:
                     yield flush()
-                ids.append(int(did))
+                ids.append(did)
                 total += t
         if ids:
             yield flush()
@@ -421,10 +439,5 @@ def temperature_mixture_sample(
     fracs = shares.crossJoin(F.broadcast(scale)).select(
         group_col, ((F.col("__scale") * F.col("__tgt")) / F.col("__n")).alias("__p")
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast(
-            "double"
-        )
-        + F.lit(0.5)
-    ) / F.lit(float(1 << 48))
+    u = md5_uniform(F.col(id_col))
     return df.join(F.broadcast(fracs), group_col).filter(u < F.col("__p")).drop("__p")

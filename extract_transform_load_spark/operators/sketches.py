@@ -74,7 +74,7 @@ def build_quantile_sketches(
     the quantile twin of the HLL distinct pre-aggregate above. k=200
     bounds single-sided rank error at ~1.65%; kilobytes per sketch."""
     return df.groupBy(*group_cols).agg(
-        F.expr(f"kll_sketch_agg_double({value_col}, {int(k)})").alias(sketch_col)
+        F.expr(f"kll_sketch_agg_double(`{value_col}`, {int(k)})").alias(sketch_col)
     )
 
 
@@ -92,9 +92,20 @@ def merge_quantile_estimates(
     g = list(group_cols)
     merged = (
         sketches.groupBy(*g) if g else sketches.groupBy()
-    ).agg(F.expr(f"kll_merge_agg_double({sketch_col})").alias("__m"))
+    ).agg(F.expr(f"kll_merge_agg_double(`{sketch_col}`)").alias("__m"))
+    def _pname(q: float) -> str:
+        # q=1.0 must not mangle to 'p0' (str(1.0)[2:] == '0' collides
+        # with q=0.0); endpoints get explicit names, interior quantiles
+        # keep their historical fraction-digit names (0.5 -> p5,
+        # 0.99 -> p99) that the oracle twins reference.
+        if q >= 1.0:
+            return "p100"
+        if q <= 0.0:
+            return "p0"
+        return f"p{str(q)[2:]}"
+
     cols = [F.col(c) for c in g] + [
-        F.expr(f"kll_sketch_get_quantile_double(__m, {q})").alias(f"p{str(q)[2:] or '0'}")
+        F.expr(f"kll_sketch_get_quantile_double(`__m`, {q})").alias(_pname(q))
         for q in quantiles
     ]
     return merged.select(*cols)
@@ -113,5 +124,5 @@ def build_theta_sketches(
     hashed key, so estimates — including intersections — are exact.
     """
     return df.groupBy(*group_cols).agg(
-        F.expr(f"theta_sketch_agg({value_col})").alias(sketch_col)
+        F.expr(f"theta_sketch_agg(`{value_col}`)").alias(sketch_col)
     )

@@ -52,8 +52,10 @@ POSITION_STATE = (
 )
 
 # state-store layout: timestamps as epoch-micros longs, principal as a
-# string (exact integer arithmetic without Arrow decimal round-trips)
-_STORE = "opened_us long, principal string, n_repayments int, status string, last_us long"
+# string (exact integer arithmetic without Arrow decimal round-trips),
+# closed = sticky has-a-terminal-event-been-seen flag (status itself is
+# DERIVED, never stored — see _status)
+_STORE = "opened_us long, principal string, n_repayments int, closed boolean, last_us long"
 
 
 def _us(ts: Any) -> int:
@@ -65,27 +67,41 @@ def _fold(
     opened_us: int | None,
     principal: int,
     n_rep: int,
-    status: str,
+    closed: bool,
     last_us: int | None,
-) -> tuple[int | None, int, int, str, int | None]:
+) -> tuple[int | None, int, int, bool, int | None]:
     """Apply a microbatch's events to one contract's state (shared by
-    both stateful APIs)."""
+    both stateful APIs).
+
+    Fully ORDER-INDEPENDENT, matching positions_batch by construction:
+    opened_at = min(open ts), principal = Σopen − Σrepay, closed is a
+    sticky flag, last = max(ts). No per-chunk sorting — an order-
+    sensitive fold would silently depend on Arrow chunking (a group's
+    microbatch arrives as multiple pdfs split at maxRecordsPerBatch,
+    and sorting each chunk independently is not a sort)."""
     for pdf in pdfs:
-        pdf = pdf.sort_values("timestamp")
         for kind, amount, ts in zip(pdf["kind"], pdf["amount"], pdf["timestamp"]):
+            us = _us(ts)
             if kind == "open":
-                opened_us = _us(ts)
+                opened_us = us if opened_us is None else min(opened_us, us)
                 principal += int(amount)
-                status = "open"
             elif kind == "repay":
                 principal -= int(amount)
                 n_rep += 1
-                if principal <= 0:
-                    status = "closed"
             elif kind in ("close", "liquidation"):
-                status = "closed"
-            last_us = _us(ts)
-    return opened_us, principal, n_rep, status, last_us
+                closed = True
+            last_us = us if last_us is None else max(last_us, us)
+    return opened_us, principal, n_rep, closed, last_us
+
+
+def _status(opened_us: int | None, principal: int, closed: bool) -> str:
+    """Derived exactly as positions_batch derives it (same precedence:
+    never-opened is pending even when events exist)."""
+    if opened_us is None:
+        return "pending"
+    if closed or principal <= 0:
+        return "closed"
+    return "open"
 
 
 def _emit(
@@ -93,7 +109,7 @@ def _emit(
     opened_us: int | None,
     principal: int,
     n_rep: int,
-    status: str,
+    closed: bool,
     last_us: int | None,
 ) -> pd.DataFrame:
     return pd.DataFrame(
@@ -105,7 +121,7 @@ def _emit(
                 else None,
                 "principal": Decimal(principal),
                 "n_repayments": n_rep,
-                "status": status,
+                "status": _status(opened_us, principal, closed),
                 "last_event_at": pd.Timestamp(last_us, unit="us")
                 if last_us is not None
                 else None,
@@ -121,8 +137,10 @@ def track_positions(
 
     Emits the contract's current state once per microbatch in which it
     received events (``update`` semantics). With ``idle_timeout_ms``,
-    contracts silent for that long are emitted one final time and
-    evicted from the state store.
+    CLOSED contracts silent for that long are emitted one final time
+    and evicted; idle OPEN/pending contracts keep their state (the
+    timer re-arms silently) — evicting them would zero a live
+    position.
     """
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
@@ -135,23 +153,31 @@ def track_positions(
     ) -> Iterator[pd.DataFrame]:
         (contract_id,) = key
         if state.exists:
-            opened_us, principal_s, n_rep, status, last_us = state.get
+            opened_us, principal_s, n_rep, closed, last_us = state.get
             principal = int(principal_s)
         else:
-            opened_us, principal, n_rep, status, last_us = None, 0, 0, "pending", None
+            opened_us, principal, n_rep, closed, last_us = None, 0, 0, False, None
 
         if state.hasTimedOut:
-            # idle closed contract: final emission, then evict
-            state.remove()
-        else:
-            opened_us, principal, n_rep, status, last_us = _fold(
-                pdfs, opened_us, principal, n_rep, status, last_us
-            )
-            state.update((opened_us, str(principal), n_rep, status, last_us))
-            if idle_timeout_ms:
+            if _status(opened_us, principal, closed) == "closed":
+                # idle CLOSED contract: final emission, then evict
+                state.remove()
+                yield _emit(contract_id, opened_us, principal, n_rep, closed, last_us)
+            else:
+                # an idle OPEN (or pending) contract keeps its principal
+                # — evicting it would zero the position and corrupt the
+                # next fold. Keep state, re-arm the timer, emit nothing.
+                state.update((opened_us, str(principal), n_rep, closed, last_us))
                 state.setTimeoutDuration(idle_timeout_ms)
+            return
 
-        yield _emit(contract_id, opened_us, principal, n_rep, status, last_us)
+        opened_us, principal, n_rep, closed, last_us = _fold(
+            pdfs, opened_us, principal, n_rep, closed, last_us
+        )
+        state.update((opened_us, str(principal), n_rep, closed, last_us))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield _emit(contract_id, opened_us, principal, n_rep, closed, last_us)
 
     return (
         events.groupBy("contract_id")
@@ -179,15 +205,15 @@ class PositionsProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         (contract_id,) = key
         if self._state.exists():
-            opened_us, principal_s, n_rep, status, last_us = self._state.get()
+            opened_us, principal_s, n_rep, closed, last_us = self._state.get()
             principal = int(principal_s)
         else:
-            opened_us, principal, n_rep, status, last_us = None, 0, 0, "pending", None
-        opened_us, principal, n_rep, status, last_us = _fold(
-            rows, opened_us, principal, n_rep, status, last_us
+            opened_us, principal, n_rep, closed, last_us = None, 0, 0, False, None
+        opened_us, principal, n_rep, closed, last_us = _fold(
+            rows, opened_us, principal, n_rep, closed, last_us
         )
-        self._state.update((opened_us, str(principal), n_rep, status, last_us))
-        yield _emit(contract_id, opened_us, principal, n_rep, status, last_us)
+        self._state.update((opened_us, str(principal), n_rep, closed, last_us))
+        yield _emit(contract_id, opened_us, principal, n_rep, closed, last_us)
 
     def close(self) -> None:
         pass
@@ -203,9 +229,11 @@ def track_positions_tws(
     successor operator API. What the new API buys at scale:
 
     - **State TTL is declarative**: ``getValueState(..., ttlDurationMs=…)``
-      replaces the manual timer bookkeeping — the store itself expires
-      idle contracts, so the "active leases only" discipline needs no
-      timeout-branch code at all.
+      expires idle keys with no timeout-branch code — but TTL cannot
+      see the value, so it evicts idle OPEN contracts too. Use it only
+      where state is re-derivable (caches, sketches); for lifecycle
+      state prefer ``track_positions``'s closed-only timeout eviction
+      and leave ``state_ttl_ms`` unset here.
     - **Typed composite state** (value/list/map) lives in the RocksDB
       state store (required by this operator), which is also the
       production-scale choice: state >> executor heap spills to disk.

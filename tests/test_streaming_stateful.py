@@ -98,8 +98,11 @@ def test_stateful_stream_matches_batch(spark, tmp_path):
 
 
 def test_idle_timeout_evicts_closed(spark, tmp_path):
-    """With a processing-time timeout the state store drops idle keys
-    (a re-open after eviction restarts from scratch — documented)."""
+    """With a processing-time timeout, idle CLOSED contracts get one
+    final emission and are evicted; idle OPEN contracts keep their
+    state and emit nothing further (eviction would zero a live
+    position). A re-open after eviction restarts from scratch —
+    documented."""
     rows, early, late = _events()
     src = tmp_path / "ev"
     src.mkdir()
@@ -133,13 +136,17 @@ def test_idle_timeout_evicts_closed(spark, tmp_path):
             for r in emitted:
                 if r["contract_id"] in per_key:
                     per_key[r["contract_id"]] += 1
-            # one update emission + one timeout (final) emission per key
-            if all(n >= 2 for n in per_key.values()):
+            # closed contracts (c0 repaid to zero, c2 market-closed):
+            # one update emission + one timeout (final) emission
+            if per_key["c0"] >= 2 and per_key["c2"] >= 2:
                 break
             time.sleep(1)
     finally:
         q.stop()
-    assert all(n >= 2 for n in per_key.values()), per_key
+    assert per_key["c0"] >= 2 and per_key["c2"] >= 2, per_key
+    # open contracts keep their state: update emission only, no
+    # timeout emission however many timers fired meanwhile
+    assert per_key["c1"] == 1 and per_key["c3"] == 1, per_key
 
 
 def test_tws_processor_matches_batch(spark):

@@ -163,6 +163,37 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
     return signs.reshape(n_bits, dim)
 
 
+def _probe_rows(norm_c, n_probe: int):
+    """(query_id, cell) rows for a query batch — each query's n_probe
+    nearest (normalized-cosine) centroids. Shared by ivf_topk and
+    ivf_topk_over_store so the probe routine cannot drift between the
+    in-memory and store-backed paths."""
+    import pandas as pd
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"query_id": [], "cell": []})
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 1]])
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(mat @ norm_c.T), axis=1)[:, :n_probe]
+            qids, cells = [], []
+            for qid, row in zip(pdf.iloc[:, 0], order):
+                qids.extend([qid] * len(row))
+                cells.extend(row.tolist())
+            yield pd.DataFrame({"query_id": qids, "cell": cells})
+
+    return probe
+
+
+def _id_type(df: DataFrame, col: str) -> str:
+    """Declared type of an id column — mapInPandas schemas must mirror
+    the input instead of hardcoding long (string/int doc keys work like
+    longs; cf. textops.winnow_anchor_rows, sampling.pack_sequences)."""
+    return df.schema[col].dataType.simpleString()
+
+
 def sign_signatures(
     df: DataFrame,
     dim: int,
@@ -200,7 +231,7 @@ def sign_signatures(
             yield pd.DataFrame({"id": ids, "band": bands, "signature": sigs})
 
     return df.select(id_col, vec_col).mapInPandas(
-        compute, schema="id long, band int, signature long"
+        compute, schema=f"id {_id_type(df, id_col)}, band int, signature long"
     )
 
 
@@ -225,17 +256,24 @@ def lsh_topk(
     q_sig = sign_signatures(
         queries, dim, n_bits, n_bands, seed, query_id_col, vec_col
     ).withColumnRenamed("id", "query_id")
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")).join(
-        c_sig, "neighbor_id"
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    ).join(q_sig, "query_id")
-
-    cand = (
-        c.join(F.broadcast(q), ["band", "signature"])
+    # Band join over ids only: attaching vectors to the banded rows
+    # would replicate every corpus vector n_bands times through the
+    # join; instead the deduped candidate PAIRS re-attach vectors once
+    # (same slim-join shape as dedup.minhash_lsh_pairs).
+    pair_ids = (
+        c_sig.join(F.broadcast(q_sig), ["band", "signature"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+    )
+    cand = pair_ids.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
+        "neighbor_id",
+    ).join(
+        F.broadcast(
+            queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+        ),
+        "query_id",
     )
     scored = cand.select(
         "query_id",
@@ -273,7 +311,8 @@ def _assign_cells(df: DataFrame, centroids: np.ndarray, id_out: str) -> DataFram
             cells = (mat @ norm_c.T).argmax(axis=1)
             yield pd.DataFrame({"id": pdf.iloc[:, 0].to_numpy(), "cell": cells})
 
-    return df.mapInPandas(compute, schema="id long, cell int").withColumnRenamed("id", id_out)
+    id_t = df.schema[df.columns[0]].dataType.simpleString()
+    return df.mapInPandas(compute, schema=f"id {id_t}, cell int").withColumnRenamed("id", id_out)
 
 
 def train_ivf_centroids(
@@ -349,23 +388,10 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     ).join(c_cells, "neighbor_id")
 
-    # query → its n_probe nearest cells
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame({"query_id": [], "cell": []})
-                continue
-            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 1]])
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            order = np.argsort(-(mat @ norm_c.T), axis=1)[:, :n_probe]
-            qids, cells = [], []
-            for qid, row in zip(pdf.iloc[:, 0], order):
-                qids.extend([qid] * len(row))
-                cells.extend(row.tolist())
-            yield pd.DataFrame({"query_id": qids, "cell": cells})
-
+    # query → its n_probe nearest cells (shared probe routine)
     q_cells = queries.select(F.col(query_id_col), F.col(vec_col)).mapInPandas(
-        probe, schema="query_id long, cell int"
+        _probe_rows(norm_c, n_probe),
+        schema=f"query_id {_id_type(queries, query_id_col)}, cell int",
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
@@ -498,27 +524,14 @@ def ivf_topk_over_store(
     whole store."""
     norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame({"query_id": [], "cell": []})
-                continue
-            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 1]])
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            order = np.argsort(-(mat @ norm_c.T), axis=1)[:, :n_probe]
-            qids, cells = [], []
-            for qid, row in zip(pdf.iloc[:, 0], order):
-                qids.extend([qid] * len(row))
-                cells.extend(row.tolist())
-            yield pd.DataFrame({"query_id": qids, "cell": cells})
-
     # guarded like the PQ LUT path: (queries × n_probe) assignment pairs
     # come to the driver — bounded for probe batches, a named error for
     # corpus-sized query sets (see collect_probe_batch).
     cap = MAX_PROBE_BATCH * n_probe
+    qid_t = _id_type(queries, query_id_col)
     q_cells = (
         queries.select(F.col(query_id_col), F.col(vec_col))
-        .mapInPandas(probe, schema="query_id long, cell int")
+        .mapInPandas(_probe_rows(norm_c, n_probe), schema=f"query_id {qid_t}, cell int")
         .limit(cap + 1)
         .collect()
     )
@@ -529,7 +542,7 @@ def ivf_topk_over_store(
         )
     probed = sorted({r["cell"] for r in q_cells})
     q_cells_df = spark.createDataFrame(
-        [(r["query_id"], r["cell"]) for r in q_cells], "query_id long, cell int"
+        [(r["query_id"], r["cell"]) for r in q_cells], f"query_id {qid_t}, cell int"
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
@@ -564,6 +577,7 @@ def semantic_dedup(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     embeddings with the deterministic mini k-means coarse quantizer, then
@@ -572,7 +586,11 @@ def semantic_dedup(
     keeps its minimum id, the same keep rule the exact dedup paths (q40,
     q65) use, so downstream keep/drop joins compose.
 
-    Returns the KEPT set ``(id, cell)``.
+    Returns the KEPT set ``(id, cell)`` — the keep-filtered projection of
+    :func:`semantic_dedup_flags`, which holds the single implementation
+    of the drop rule (one definition; the q99 soundness audit exercises
+    it). Pass pre-trained ``centroids`` to share the driver-side k-means
+    with other consumers of the same assignment.
 
     Scale shape: clustering makes the quadratic step linear-ish — pairs
     are only formed within a cell (N²/K per cell in expectation), and the
@@ -584,26 +602,17 @@ def semantic_dedup(
     approximation vs brute-force dedup is cross-cluster misses — measured
     by the q53 brute-force twin on the gate corpus.
     """
-    assigned = _assign_cells(corpus.select(id_col, vec_col), train_ivf_centroids(
-        corpus, dim, n_clusters, iterations, id_col, vec_col
-    ), id_col).join(corpus.select(id_col, vec_col), id_col)
-    a = assigned.select(
-        F.col("cell"), F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+    flags = semantic_dedup_flags(
+        corpus,
+        dim,
+        n_clusters=n_clusters,
+        threshold=threshold,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
     )
-    b = assigned.select(
-        F.col("cell"), F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
-    )
-    cos = _dot(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb")))
-    drops = (
-        a.join(b, "cell")
-        .filter((F.col("__ida") < F.col("__idb")) & (cos >= threshold))
-        .select(F.col("__idb").alias(id_col))
-        .distinct()
-    )
-    return (
-        assigned.join(drops, id_col, "left_anti")
-        .select(F.col(id_col), F.col("cell"))
-    )
+    return flags.filter(F.col("keep")).select(F.col(id_col), F.col("cell"))
 
 
 def semantic_dedup_flags(

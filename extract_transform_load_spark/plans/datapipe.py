@@ -280,8 +280,10 @@ def q46_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Corpus token accounting per source (regex tokenizer, JVM-side).",
 )
 def q47_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import regex_tokens
+
     d = load(spark, sf_dir, "documents")
-    regex_toks = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0)))
+    regex_toks = F.size(regex_tokens(F.col("text")))
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(regex_toks).cast("bigint").alias("total_tokens"),
@@ -1562,10 +1564,16 @@ def q83_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(d, "lang", "doc_id", targets).select("doc_id", "lang", "source")
 
 
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
-_PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
-_PII_PHONE = r"\(?\+?\d[\d\s().-]{7,}\d"
+# Oracle-side regex constants DERIVE from the operator's single
+# definition (textops.PII_PATTERNS) — a tightened pattern there must
+# flow into the SQL oracle automatically, not be hand-synchronized.
+from ..operators.textops import PII_PATTERNS as _PII
+
+_PII_BY_NAME = {name: pat for name, pat, _ in _PII}
+_PII_EMAIL = _PII_BY_NAME["email"]
+_PII_SSN = _PII_BY_NAME["ssn"]
+_PII_IPV4 = _PII_BY_NAME["ipv4"]
+_PII_PHONE = _PII_BY_NAME["phone"]
 
 
 @query(

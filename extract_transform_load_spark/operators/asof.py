@@ -115,14 +115,31 @@ def as_of_join(
     fill_cols = [*out_cols, "__vts"]
     keep = [c for c in unioned.columns if c not in fill_cols]
     micros = F.unix_micros
+    # The matched right ROW travels as ONE struct (non-null exactly for
+    # right rows), so last(ignorenulls) picks the latest right row
+    # ATOMICALLY. Filling each value column independently would skip a
+    # legitimately-NULL field back to an OLDER tick — stale values
+    # passing the tolerance check (computed against the newer tick's
+    # __vts) and multi-column results mixing fields from different
+    # right rows. The LATERAL ... LIMIT 1 semantics this mirrors return
+    # the latest ROW, NULL fields included.
+    row_struct = F.when(
+        F.col("__side") == 0,
+        F.struct(F.col("__vts").alias("__vts"), *[F.col(o).alias(o) for o in out_cols]),
+    )
+    unioned = unioned.select(*keep, row_struct.alias("__row"))
+
+    def unpack(result, row_col: str):
+        return [F.col(f"{row_col}.{o}").alias(o) for o in out_cols] + [
+            F.col(f"{row_col}.__vts").alias("__vts")
+        ]
 
     if direction in ("backward", "forward"):
         w = wb if direction == "backward" else wf
         filled = unioned.select(
-            *keep,
-            *[F.last(o, ignorenulls=True).over(w).alias(o) for o in fill_cols],
+            *keep, F.last("__row", ignorenulls=True).over(w).alias("__row")
         )
-        result = filled.filter(F.col("__side") == 1)
+        result = filled.filter(F.col("__side") == 1).select(*keep, *unpack(filled, "__row"))
         if tolerance_seconds is not None:
             dist = micros(F.col(left_ts).cast("timestamp")) - micros(F.col("__vts"))
             if direction == "forward":
@@ -138,26 +155,27 @@ def as_of_join(
     # nearest: both passes over the same exchange, then pick per row.
     filled = unioned.select(
         *keep,
-        *[F.last(o, ignorenulls=True).over(wb).alias(f"{o}__b") for o in fill_cols],
-        *[F.last(o, ignorenulls=True).over(wf).alias(f"{o}__f") for o in fill_cols],
+        F.last("__row", ignorenulls=True).over(wb).alias("__row_b"),
+        F.last("__row", ignorenulls=True).over(wf).alias("__row_f"),
     )
     result = filled.filter(F.col("__side") == 1)
     lts = micros(F.col(left_ts).cast("timestamp"))
-    dist_b = lts - micros(F.col("__vts__b"))
-    dist_f = micros(F.col("__vts__f")) - lts
-    use_b = F.col("__vts__f").isNull() | (F.col("__vts__b").isNotNull() & (dist_b <= dist_f))
+    vts_b = F.col("__row_b.__vts")
+    vts_f = F.col("__row_f.__vts")
+    dist_b = lts - micros(vts_b)
+    dist_f = micros(vts_f) - lts
+    use_b = vts_f.isNull() | (vts_b.isNotNull() & (dist_b <= dist_f))
     chosen_dist = F.when(use_b, dist_b).otherwise(dist_f)
     fresh = (
         chosen_dist <= int(tolerance_seconds * 1_000_000)
         if tolerance_seconds is not None
         else F.lit(True)
     )
-    both = [f"{o}__b" for o in fill_cols] + [f"{o}__f" for o in fill_cols]
     result = result.select(
-        *[c for c in result.columns if c not in both],
+        *[c for c in result.columns if c not in ("__row_b", "__row_f")],
         *[
-            F.when(fresh & use_b, F.col(f"{o}__b"))
-            .when(fresh & ~use_b, F.col(f"{o}__f"))
+            F.when(fresh & use_b, F.col(f"__row_b.{o}"))
+            .when(fresh & ~use_b, F.col(f"__row_f.{o}"))
             .alias(o)
             for o in out_cols
         ],

@@ -131,7 +131,11 @@ def learn_bpe(
     ``collect_threshold`` rows the loop runs driver-side, else fully
     distributed (``collect_threshold=0`` forces the distributed path —
     used by the equivalence test)."""
-    wc = word_counts(docs, text_col)
+    # Checkpoint the word counts BEFORE the size probe: the probe's
+    # limit+collect and the distributed path's first symbol table would
+    # otherwise each re-run the full corpus word-count aggregate — the
+    # "scanned once" promise held only for the driver-side path.
+    wc = word_counts(docs, text_col).localCheckpoint(eager=True)
     if collect_threshold > 0:
         sample = wc.limit(collect_threshold + 1).collect()
         if len(sample) <= collect_threshold:

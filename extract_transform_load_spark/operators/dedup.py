@@ -545,17 +545,23 @@ def minhash_lsh_verified_pairs(
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, simhash int64) — 64-bit SimHash over word tokens."""
+    """(doc_id, simhash int64) — 64-bit SimHash over word tokens.
+
+    NULL/empty/whitespace-only documents have no tokens and DROP OUT —
+    they cannot be near-duplicates under a token model (the same rule as
+    minhash_signatures and the portable SimHash flavor, so all three
+    pipelines agree on which docs participate). str() of a pandas NULL
+    would otherwise tokenize as the literal word 'none'."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bit_cols = np.arange(64, dtype=np.uint64)
         for pdf in batches:
             ids, hashes = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or (isinstance(text, float) and text != text):
+                    continue
                 toks = [t for t in str(text).lower().split(" ") if t]
                 if not toks:
-                    ids.append(did)
-                    hashes.append(0)
                     continue
                 th = _token_hashes(toks)  # (T,)
                 bits = (th[:, None] >> bit_cols[None, :]) & np.uint64(1)  # (T, 64)
@@ -650,7 +656,13 @@ def simhash_signatures_portable(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t"),
     ).filter(F.col("t") != "")
-    th = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint")
+    # bind the token hash ONCE in a projection below the aggregate: the
+    # 60 vote expressions reference the bound column, not the md5+conv
+    # subtree (which would otherwise be duplicated into each aggregate)
+    tok = tok.withColumn(
+        "th", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint")
+    )
+    th = F.col("th")
     votes = [
         F.sum(
             F.when(F.shiftrightunsigned(th, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -664,8 +676,7 @@ def simhash_signatures_portable(
         )
         sig = term if sig is None else sig + term
     return (
-        tok.withColumn("th", th)
-        .groupBy("doc_id")
+        tok.groupBy("doc_id")
         .agg(*votes)
         .select("doc_id", sig.alias("simhash"))
     )

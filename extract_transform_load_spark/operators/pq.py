@@ -43,6 +43,11 @@ def _kmeans_subspaces(mat: np.ndarray, m: int, k: int, iterations: int) -> np.nd
     Deterministic: seeds are the first ``k`` sample subvectors.
     """
     n, dim = mat.shape
+    if n < k:
+        raise ValueError(
+            f"codebook training needs at least k={k} sample vectors, got {n}: "
+            "lower k or raise the training sample"
+        )
     d_sub = dim // m
     books = np.empty((m, k, d_sub), dtype=np.float64)
     for s in range(m):
@@ -170,9 +175,10 @@ def pq_encode(
                 {"id": pdf.iloc[:, 0].to_numpy(), out_col: list(codes)}
             )
 
+    id_t = df.schema[id_col].dataType.simpleString()
     return (
         df.select(F.col(id_col), F.col(vec_col))
-        .mapInPandas(encode, schema=f"id long, {out_col} array<tinyint>")
+        .mapInPandas(encode, schema=f"id {id_t}, {out_col} array<tinyint>")
         .withColumnRenamed("id", id_col)
     )
 
@@ -220,9 +226,10 @@ def pq_encode_residual(
                 }
             )
 
+    id_t = df.schema[id_col].dataType.simpleString()
     return (
         df.select(F.col(id_col), F.col(vec_col))
-        .mapInPandas(encode, schema=f"id long, cell int, {out_col} array<tinyint>")
+        .mapInPandas(encode, schema=f"id {id_t}, cell int, {out_col} array<tinyint>")
         .withColumnRenamed("id", id_col)
     )
 
@@ -329,8 +336,10 @@ def pq_topk(
                 {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
             )
 
+    nid_t = corpus.schema[id_col].dataType.simpleString()
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
     partial = codes.mapInPandas(
-        score, schema="query_id long, neighbor_id long, cos_sim double"
+        score, schema=f"query_id {qid_t}, neighbor_id {nid_t}, cos_sim double"
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -455,8 +464,10 @@ def ivfpq_topk(
     w_short = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id").asc()
     )
+    nid_t = corpus.schema[id_col].dataType.simpleString()
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
     shortlist = (
-        codes.mapInPandas(score, schema="query_id long, neighbor_id long, adc double")
+        codes.mapInPandas(score, schema=f"query_id {qid_t}, neighbor_id {nid_t}, adc double")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("__r", F.row_number().over(w_short))
         .filter(F.col("__r") <= shortlist_k)

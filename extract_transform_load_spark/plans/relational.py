@@ -616,19 +616,34 @@ def q22_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q23_first_in_group",
+    # The pick key is the TOTAL order (ts, event_id): on a ts tie Spark's
+    # min_by/max_by and DuckDB's arg_min/arg_max may each pick a
+    # different row, so a single-column key is a latent flaky hash
+    # mismatch (q26 solved the identical problem the same way). DuckDB
+    # 1.0's arg_min can't take a struct key, hence the row_number form.
     oracle="""
-    SELECT user_id,
-           arg_min(value, ts) AS first_value,
-           arg_max(value, ts) AS last_value
-    FROM events GROUP BY user_id
+    SELECT f.user_id, f.value AS first_value, l.value AS last_value
+    FROM (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ) f
+    JOIN (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) l USING (user_id)
+    WHERE f.rn = 1 AND l.rn = 1
     """,
-    doc="B18 ARRAY_AGG[1]-style first pick, determinized via min_by/max_by (`ls_opening.rs:1722-1724`).",
+    doc="B18 ARRAY_AGG[1]-style first pick, determinized via min_by/max_by "
+    "over the total (ts, event_id) key (`ls_opening.rs:1722-1724`).",
 )
 def q23_first_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
+    pick = F.struct(F.col("ts"), F.col("event_id"))
     return e.groupBy("user_id").agg(
-        F.min_by("value", "ts").alias("first_value"),
-        F.max_by("value", "ts").alias("last_value"),
+        F.min_by("value", pick).alias("first_value"),
+        F.max_by("value", pick).alias("last_value"),
     )
 
 

@@ -871,3 +871,39 @@ def test_scrub_overlapping_grams_merge(spark):
     for i in (1, 2, 3):
         assert out[i]["scrubbed_text"] == f"keep{i} tail{i}"
         assert (out[i]["n_tokens"], out[i]["n_kept"]) == (8, 2)
+
+
+def test_asof_null_value_tick_is_the_match(spark):
+    """The as-of match is the latest right ROW, NULL fields included —
+    per-column fills would skip a legitimately-NULL value back to an
+    older tick, letting a stale value pass the tolerance check computed
+    against the newer tick's timestamp (and mixing fields from
+    different rows in multi-column attaches)."""
+    from extract_transform_load_spark.operators.asof import as_of_join
+
+    def ts(s):
+        from datetime import datetime
+
+        return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+    right = spark.createDataFrame(
+        [("A", ts("2024-01-01 00:00:01"), 5.0, 1.0),
+         ("A", ts("2024-01-01 00:00:02"), None, 2.0)],
+        "symbol string, pts timestamp, price double, qty double",
+    )
+    left = spark.createDataFrame(
+        [("A", ts("2024-01-01 00:00:03"))], "symbol string, ets timestamp"
+    )
+    # tolerance 1.5s: only the ts=2 tick is fresh, and its price is NULL
+    row = as_of_join(
+        left, right, ["symbol"], "ets", "pts", ["price", "qty"],
+        tolerance_seconds=1.5,
+    ).collect()[0]
+    assert row["price_asof"] is None  # NOT the stale 5.0 from ts=1
+    assert row["qty_asof"] == 2.0  # both fields from the SAME (latest) row
+
+    # without tolerance the semantics still return the latest ROW
+    row2 = as_of_join(
+        left, right, ["symbol"], "ets", "pts", ["price", "qty"]
+    ).collect()[0]
+    assert row2["price_asof"] is None and row2["qty_asof"] == 2.0

@@ -3,6 +3,7 @@ from .registry import REGISTRY, QuerySpec, query, queries, oracle_sql  # noqa: F
 # Importing these modules populates REGISTRY.
 from . import relational  # noqa: F401,E402
 from . import datapipe  # noqa: F401,E402
+from . import domain  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration order is load-bearing: round 1's driver checked only the

@@ -1,0 +1,577 @@
+"""Pipeline-layer queries: the §2.A aggregation engine under the oracle gate.
+
+The snapshot / PnL / platform-rollup pipeline (pipeline/snapshots.py,
+pipeline/pnl.py — reference `handler/ls_state.rs`, `lp_pool_state.rs`,
+`tr_state.rs`, `pl_state.rs`, `ls_loan_closing.rs`) is exercised by the
+pytest suite against hand-built domain fixtures.  The queries here add
+the *cross-engine* evidence layer: a deterministic "lease ledger" view is
+derived from the driver's own fixture tables (orders → openings,
+lineitem → repayment / close-position / liquidation events), the REAL
+pipeline functions run on it, and a DuckDB oracle recomputes the same
+semantics in ANSI SQL.  Every pipeline family therefore has a driver-
+hashable correctness row, not just unit tests.
+
+Derivation contract (identical in Spark and SQL — every rule is chosen
+to be bit-reproducible across engines):
+
+- money: ``loan_c`` = exact integer cents of ``o_totalprice`` via a
+  decimal(18,4) cast (2-dp doubles are exact at scale 4; ×100 is then an
+  integer — no rounding, no .5 ties).  Event amounts are percentages of
+  the parent order's loan computed as ``FLOOR(loan_c * k / 100.0)``:
+  all-integer products < 2^53, one IEEE double division, one floor —
+  the same three operations in both engines give the same bigint.
+- events: lineitem rows fan out by ``l_linenumber % 3`` into repayments
+  (+1 h), close-positions (+2 h) and liquidations (+3 h); the hour
+  offsets make cross-source timestamp ties impossible, so "first
+  terminal event" is deterministic.  Event time is
+  ``GREATEST(l_shipdate, o_orderdate)`` — the synthetic fixtures allow
+  shipdates before the order date, and an event must not predate its
+  lease's opening (the incremental roll-forward in q117 relies on it).
+- terminal flags: ``l_returnflag = 'R'``; administrative closings are
+  'F'-status urgent orders at ``o_orderdate + 30 days``.
+
+Amounts can exceed the outstanding balance (the data is random); both
+engines apply the same ``GREATEST(·, 0)`` clamp, and because payment
+streams are non-negative the clamp commutes with roll-forward: once a
+balance hits zero it stays zero, so q117's incremental path still equals
+the full reconstruction without assuming the lifecycle invariant.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from ..functions.decimals import dec
+from ..sources.tables import load
+from .registry import query
+
+# Snapshot timestamps, mid-range of the fixture's 1995-2001 order dates.
+T1 = "1998-01-01 00:00:00"
+T2 = "1999-07-01 00:00:00"
+
+
+def _cents(col: str) -> Column:
+    """Exact integer cents of a 2-dp double price, as BIGINT."""
+    return (dec(col) * 100).cast("decimal(38,0)").cast("long")
+
+
+def _pct(base: Column, mult: Column | int) -> Column:
+    """FLOOR(base * mult / 100.0): integer-exact product, one shared IEEE
+    division — identical in Spark and DuckDB."""
+    m = F.lit(mult) if isinstance(mult, int) else mult
+    return F.floor(base * m / F.lit(100.0))
+
+
+def lease_opening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → LS_Opening-shaped frame (loan = o_totalprice in cents,
+    collateral = 40% of loan)."""
+    o = load(spark, sf_dir, "orders")
+    loan = _cents("o_totalprice")
+    return o.select(
+        F.col("o_orderkey").alias("LS_contract_id"),
+        F.col("o_custkey").alias("LS_address_id"),
+        F.col("o_orderdate").alias("LS_timestamp"),
+        loan.alias("loan_c"),
+        loan.alias("LS_loan_amnt"),
+        loan.alias("LS_loan_amnt_stable"),
+        F.floor(loan * F.lit(0.4)).alias("LS_cltr_amnt_stable"),
+    )
+
+
+def _ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ opening: the shared event base (ln, base_ts, flag, loan_c)."""
+    l = load(spark, sf_dir, "lineitem")
+    o = lease_opening(spark, sf_dir).select(
+        "LS_contract_id", "loan_c", F.col("LS_timestamp").alias("__open_ts")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.LS_contract_id)
+        .select(
+            "LS_contract_id",
+            F.col("l_linenumber").alias("ln"),
+            F.greatest(F.col("l_shipdate"), F.col("__open_ts")).alias("base_ts"),
+            (F.col("l_returnflag") == "R").alias("LS_loan_close"),
+            "loan_c",
+        )
+    )
+
+
+def _event_stream(led: DataFrame, residue: int, hours: int) -> DataFrame:
+    """One of the three event streams: principal = ln% of loan, payment =
+    12·ln% of loan, timestamp offset by ``hours``."""
+    return led.filter(F.col("ln") % 3 == residue).select(
+        "LS_contract_id",
+        (F.col("base_ts") + F.expr(f"INTERVAL {hours} HOURS")).alias("LS_timestamp"),
+        "LS_loan_close",
+        _pct(F.col("loan_c"), F.col("ln")).alias("LS_principal_stable"),
+        _pct(F.col("loan_c"), F.col("ln") * 12).alias("LS_payment_amnt_stable"),
+    )
+
+
+def lease_events(spark: SparkSession, sf_dir: str):
+    """(repayments, close_positions, liquidations, closings)."""
+    led = _ledger(spark, sf_dir)
+    repay = _event_stream(led, 1, 1)
+    closepos = _event_stream(led, 2, 2)
+    liq = _event_stream(led, 0, 3)
+    closings = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & F.col("o_orderpriority").startswith("1"))
+        .select(
+            F.col("o_orderkey").alias("LS_contract_id"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("LS_timestamp"),
+        )
+    )
+    return repay, closepos, liq, closings
+
+
+# SQL twin of the derivation above, shared by every oracle below.
+LEASE_CTES = """
+opening AS (
+  SELECT o_orderkey AS LS_contract_id,
+         o_custkey AS LS_address_id,
+         o_orderdate AS LS_timestamp,
+         CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS DECIMAL(38,0)) AS BIGINT) AS loan_c
+  FROM orders
+),
+led AS (
+  SELECT l.l_orderkey AS LS_contract_id,
+         l.l_linenumber AS ln,
+         GREATEST(l.l_shipdate, o.LS_timestamp) AS base_ts,
+         (l.l_returnflag = 'R') AS LS_loan_close,
+         o.loan_c
+  FROM lineitem l JOIN opening o ON o.LS_contract_id = l.l_orderkey
+),
+repay AS (
+  SELECT LS_contract_id, base_ts + INTERVAL 1 HOUR AS LS_timestamp, LS_loan_close,
+         CAST(FLOOR(loan_c * ln / 100.0) AS BIGINT) AS LS_principal_stable,
+         CAST(FLOOR(loan_c * ln * 12 / 100.0) AS BIGINT) AS LS_payment_amnt_stable
+  FROM led WHERE ln % 3 = 1
+),
+closepos AS (
+  SELECT LS_contract_id, base_ts + INTERVAL 2 HOUR AS LS_timestamp, LS_loan_close,
+         CAST(FLOOR(loan_c * ln * 12 / 100.0) AS BIGINT) AS LS_payment_amnt_stable
+  FROM led WHERE ln % 3 = 2
+),
+liq AS (
+  SELECT LS_contract_id, base_ts + INTERVAL 3 HOUR AS LS_timestamp, LS_loan_close,
+         CAST(FLOOR(loan_c * ln * 12 / 100.0) AS BIGINT) AS LS_payment_amnt_stable
+  FROM led WHERE ln % 3 = 0
+),
+closings AS (
+  SELECT o_orderkey AS LS_contract_id,
+         o_orderdate + INTERVAL 30 DAY AS LS_timestamp
+  FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority LIKE '1%'
+)
+"""
+
+
+def _ls_state_oracle(ts: str) -> str:
+    """Full LS_State reconstruction at ``ts`` — oracle twin of
+    pipeline.snapshots.ls_state_snapshot."""
+    return f"""
+    WITH {LEASE_CTES},
+    r AS (SELECT * FROM repay WHERE LS_timestamp <= TIMESTAMP '{ts}'),
+    c AS (SELECT * FROM closepos WHERE LS_timestamp <= TIMESTAMP '{ts}'),
+    q AS (SELECT * FROM liq WHERE LS_timestamp <= TIMESTAMP '{ts}'),
+    cl AS (SELECT * FROM closings WHERE LS_timestamp <= TIMESTAMP '{ts}'),
+    closed AS (
+      SELECT LS_contract_id FROM r WHERE LS_loan_close
+      UNION SELECT LS_contract_id FROM c WHERE LS_loan_close
+      UNION SELECT LS_contract_id FROM q WHERE LS_loan_close
+      UNION SELECT LS_contract_id FROM cl
+    ),
+    act AS (
+      SELECT * FROM opening o
+      WHERE o.LS_timestamp <= TIMESTAMP '{ts}'
+        AND NOT EXISTS (SELECT 1 FROM closed x WHERE x.LS_contract_id = o.LS_contract_id)
+    ),
+    rs AS (SELECT LS_contract_id, SUM(LS_principal_stable) AS repaid FROM r GROUP BY 1),
+    cs AS (SELECT LS_contract_id, SUM(LS_payment_amnt_stable) AS closed_amt FROM c GROUP BY 1),
+    qs AS (SELECT LS_contract_id, SUM(LS_payment_amnt_stable) AS liq_amt FROM q GROUP BY 1)
+    SELECT a.LS_contract_id,
+           TIMESTAMP '{ts}' AS LS_timestamp,
+           CAST(GREATEST(a.loan_c + CAST(FLOOR(a.loan_c * 0.4) AS BIGINT)
+                         - COALESCE(cs.closed_amt, 0) - COALESCE(qs.liq_amt, 0), 0) AS BIGINT)
+             AS LS_amnt_stable,
+           CAST(GREATEST(a.loan_c - COALESCE(rs.repaid, 0), 0) AS BIGINT) AS LS_principal_stable,
+           CAST(COALESCE(rs.repaid, 0) AS BIGINT) AS LS_repaid_stable
+    FROM act a
+    LEFT JOIN rs ON rs.LS_contract_id = a.LS_contract_id
+    LEFT JOIN cs ON cs.LS_contract_id = a.LS_contract_id
+    LEFT JOIN qs ON qs.LS_contract_id = a.LS_contract_id
+    """
+
+
+def _bigint(df: DataFrame, *cols: str) -> DataFrame:
+    """Present decimal pipeline outputs as BIGINT (driver result-type policy)."""
+    return df.select(
+        *[F.col(c).cast("long").alias(c) if c in cols else F.col(c) for c in df.columns]
+    )
+
+
+@query(
+    "q111_ls_state_snapshot",
+    oracle=_ls_state_oracle(T1),
+    doc="A13 LS_State snapshot (pipeline/snapshots.py::ls_state_snapshot, "
+    "`handler/ls_state.rs:16-127` reconstructed from the event log): open "
+    "set = anti-join vs every close source, balances = per-contract "
+    "cumulative sums at the snapshot timestamp. Runs the real pipeline "
+    "function on the lease-ledger view of the driver fixtures.",
+)
+def q111_ls_state_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.snapshots import ls_state_snapshot
+
+    repay, closepos, liq, closings = lease_events(spark, sf_dir)
+    out = ls_state_snapshot(lease_opening(spark, sf_dir), repay, closepos, liq, closings, T1)
+    return _bigint(out, "LS_amnt_stable", "LS_principal_stable", "LS_repaid_stable")
+
+
+@query(
+    "q112_realized_pnl",
+    oracle=f"""
+    WITH {LEASE_CTES},
+    term0 AS (
+      SELECT LS_contract_id, 'repay' AS close_type, MAX(LS_timestamp) AS close_ts
+      FROM repay WHERE LS_loan_close GROUP BY 1
+      UNION ALL
+      SELECT LS_contract_id, 'market-close', MAX(LS_timestamp)
+      FROM closepos WHERE LS_loan_close GROUP BY 1
+      UNION ALL
+      SELECT LS_contract_id, 'liquidation', MAX(LS_timestamp)
+      FROM liq WHERE LS_loan_close GROUP BY 1
+      UNION ALL
+      SELECT LS_contract_id, 'repay', MAX(LS_timestamp) FROM closings GROUP BY 1
+    ),
+    term AS (
+      SELECT LS_contract_id, close_type, close_ts FROM term0
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY LS_contract_id ORDER BY close_ts) = 1
+    ),
+    rs AS (SELECT LS_contract_id, SUM(LS_payment_amnt_stable) AS repaid FROM repay GROUP BY 1),
+    cs AS (SELECT LS_contract_id, SUM(LS_payment_amnt_stable) AS closed_amt FROM closepos GROUP BY 1),
+    qs AS (SELECT LS_contract_id, SUM(LS_payment_amnt_stable) AS liq_amt FROM liq GROUP BY 1),
+    closingrows AS (
+      SELECT o.LS_address_id,
+             CASE WHEN t.close_type = 'liquidation'
+                  THEN -(COALESCE(rs.repaid, 0) + CAST(FLOOR(o.loan_c * 0.4) AS BIGINT))
+                  ELSE COALESCE(rs.repaid, 0) + COALESCE(cs.closed_amt, 0) + COALESCE(qs.liq_amt, 0)
+                       - o.loan_c - CAST(FLOOR(o.loan_c * 0.4) AS BIGINT)
+             END AS pnl
+      FROM opening o
+      JOIN term t ON t.LS_contract_id = o.LS_contract_id
+      LEFT JOIN rs ON rs.LS_contract_id = o.LS_contract_id
+      LEFT JOIN cs ON cs.LS_contract_id = o.LS_contract_id
+      LEFT JOIN qs ON qs.LS_contract_id = o.LS_contract_id
+    )
+    SELECT LS_address_id,
+           CAST(SUM(pnl) AS BIGINT) AS realized_pnl,
+           COUNT(*) AS n_closed,
+           CAST(COUNT(*) FILTER (WHERE pnl > 0) AS DOUBLE) / COUNT(*) AS win_rate
+    FROM closingrows GROUP BY 1
+    """,
+    doc="A18 PnL engine (pipeline/pnl.py::compute_loan_closings + "
+    "realized_pnl_by_address, `ls_loan_closing.rs:359-802`): close-cause "
+    "precedence by earliest terminal event, Long formula proceeds − debt "
+    "− downpayment, liquidation −(repaid + downpayment), rolled up per "
+    "address with win rate.",
+)
+def q112_realized_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.pnl import compute_loan_closings, realized_pnl_by_address
+
+    opening = lease_opening(spark, sf_dir)
+    repay, closepos, liq, closings = lease_events(spark, sf_dir)
+    lc = compute_loan_closings(opening, repay, closepos, liq, closings)
+    out = realized_pnl_by_address(lc, opening)
+    return _bigint(out, "realized_pnl")
+
+
+# LP ledger: deposits = even line numbers, withdrawals = ln % 4 = 1 (the
+# stream overlap with the lease ledger is deliberate — a fact table can
+# feed many pipelines). Pool = l_partkey % 8, lender = l_suppkey.
+LP_CTES = """
+dep AS (
+  SELECT l_partkey % 8 AS LP_Pool_id,
+         l_suppkey AS LP_address_id,
+         l_shipdate AS LP_timestamp,
+         CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS DECIMAL(38,0)) AS BIGINT) AS LP_amnt_asset,
+         CAST(FLOOR(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS DECIMAL(38,0)) AS BIGINT) * 0.8) AS BIGINT) AS LP_amnt_receipts
+  FROM lineitem WHERE l_linenumber % 2 = 0
+),
+wd AS (
+  SELECT l_partkey % 8 AS LP_Pool_id,
+         l_suppkey AS LP_address_id,
+         l_shipdate AS LP_timestamp,
+         CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS DECIMAL(38,0)) AS BIGINT) AS LP_amnt_asset,
+         CAST(FLOOR(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS DECIMAL(38,0)) AS BIGINT) * 0.8) AS BIGINT) AS LP_amnt_receipts
+  FROM lineitem WHERE l_linenumber % 4 = 1
+)
+"""
+
+
+def lp_events(spark: SparkSession, sf_dir: str):
+    """(deposits, withdrawals) — LP ledger view of lineitem."""
+    l = load(spark, sf_dir, "lineitem")
+    asset = _cents("l_extendedprice")
+    base = l.select(
+        (F.col("l_partkey") % 8).alias("LP_Pool_id"),
+        F.col("l_suppkey").alias("LP_address_id"),
+        F.col("l_shipdate").alias("LP_timestamp"),
+        asset.alias("LP_amnt_asset"),
+        F.floor(asset * F.lit(0.8)).alias("LP_amnt_receipts"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    return (
+        base.filter(F.col("ln") % 2 == 0).drop("ln"),
+        base.filter(F.col("ln") % 4 == 1).drop("ln"),
+    )
+
+
+@query(
+    "q113_lp_pool_state",
+    oracle=f"""
+    WITH {LP_CTES},
+    d AS (SELECT LP_Pool_id, SUM(LP_amnt_asset) AS deposited, SUM(LP_amnt_receipts) AS minted
+          FROM dep WHERE LP_timestamp <= TIMESTAMP '{T2}' GROUP BY 1),
+    w AS (SELECT LP_Pool_id, SUM(LP_amnt_asset) AS withdrawn, SUM(LP_amnt_receipts) AS burned
+          FROM wd WHERE LP_timestamp <= TIMESTAMP '{T2}' GROUP BY 1)
+    SELECT COALESCE(d.LP_Pool_id, w.LP_Pool_id) AS LP_Pool_id,
+           TIMESTAMP '{T2}' AS LP_Pool_timestamp,
+           CAST(COALESCE(d.deposited, 0) - COALESCE(w.withdrawn, 0) AS BIGINT)
+             AS LP_Pool_total_value_locked_asset,
+           CAST(COALESCE(d.minted, 0) - COALESCE(w.burned, 0) AS BIGINT)
+             AS LP_Pool_total_issued_receipts
+    FROM d FULL OUTER JOIN w ON w.LP_Pool_id = d.LP_Pool_id
+    """,
+    doc="A14 LP_Pool_State snapshot (pipeline/snapshots.py::"
+    "lp_pool_state_snapshot, `handler/lp_pool_state.rs:13-110`): TVL and "
+    "issued receipts per pool = Σ deposits − Σ withdrawals at the "
+    "snapshot timestamp.",
+)
+def q113_lp_pool_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.snapshots import lp_pool_state_snapshot
+
+    dep, wd = lp_events(spark, sf_dir)
+    out = lp_pool_state_snapshot(dep, wd, T2)
+    return _bigint(
+        out, "LP_Pool_total_value_locked_asset", "LP_Pool_total_issued_receipts"
+    )
+
+
+@query(
+    "q114_lp_lender_state",
+    oracle=f"""
+    WITH {LP_CTES},
+    d AS (SELECT LP_address_id, LP_Pool_id, SUM(LP_amnt_receipts) AS minted
+          FROM dep WHERE LP_timestamp <= TIMESTAMP '{T2}' GROUP BY 1, 2),
+    w AS (SELECT LP_address_id, LP_Pool_id, SUM(LP_amnt_receipts) AS burned
+          FROM wd WHERE LP_timestamp <= TIMESTAMP '{T2}' GROUP BY 1, 2)
+    SELECT * FROM (
+      SELECT COALESCE(d.LP_address_id, w.LP_address_id) AS LP_address_id,
+             COALESCE(d.LP_Pool_id, w.LP_Pool_id) AS LP_Pool_id,
+             TIMESTAMP '{T2}' AS LP_timestamp,
+             CAST(COALESCE(d.minted, 0) - COALESCE(w.burned, 0) AS BIGINT) AS LP_Lender_receipts
+      FROM d FULL OUTER JOIN w
+        ON w.LP_address_id = d.LP_address_id AND w.LP_Pool_id = d.LP_Pool_id
+    ) WHERE LP_Lender_receipts > 0
+    """,
+    doc="A15 LP_Lender_State snapshot (pipeline/snapshots.py::"
+    "lp_lender_state_snapshot, `handler/lp_lender_state.rs:13-114`): net "
+    "receipts per (lender, pool); zero/negative positions drop.",
+)
+def q114_lp_lender_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.snapshots import lp_lender_state_snapshot
+
+    dep, wd = lp_events(spark, sf_dir)
+    return _bigint(lp_lender_state_snapshot(dep, wd, T2), "LP_Lender_receipts")
+
+
+@query(
+    "q115_pl_state",
+    oracle=f"""
+    WITH {LEASE_CTES},
+    {LP_CTES.strip().lstrip()},
+    profit AS (
+      SELECT base_ts + INTERVAL 4 HOUR AS TR_Profit_timestamp,
+             CAST(FLOOR(loan_c * ln * 12 / 100.0) AS BIGINT) AS TR_Profit_amnt_stable
+      FROM led WHERE ln = 6
+    ),
+    rewards AS (
+      SELECT base_ts + INTERVAL 5 HOUR AS TR_Rewards_timestamp,
+             CAST(FLOOR(loan_c * ln * 12 / 100.0) AS BIGINT) AS TR_Rewards_amnt_stable
+      FROM led WHERE ln = 7
+    ),
+    win AS (SELECT TIMESTAMP '{T1}' AS lo, TIMESTAMP '{T2}' AS hi)
+    SELECT TIMESTAMP '{T2}' AS PL_timestamp,
+           (SELECT COUNT(*) FROM opening, win WHERE LS_timestamp > lo AND LS_timestamp <= hi) AS PL_LS_count_open,
+           (SELECT CAST(COALESCE(SUM(loan_c), 0) AS BIGINT) FROM opening, win WHERE LS_timestamp > lo AND LS_timestamp <= hi) AS PL_LS_loan_amnt_stable,
+           (SELECT COUNT(*) FROM repay, win WHERE LS_timestamp > lo AND LS_timestamp <= hi) AS PL_LS_count_repay,
+           (SELECT CAST(COALESCE(SUM(LS_payment_amnt_stable), 0) AS BIGINT) FROM repay, win WHERE LS_timestamp > lo AND LS_timestamp <= hi) AS PL_LS_repay_amnt_stable,
+           (SELECT COUNT(*) FROM liq, win WHERE LS_timestamp > lo AND LS_timestamp <= hi) AS PL_LS_count_liquidation,
+           (SELECT CAST(COALESCE(SUM(LS_payment_amnt_stable), 0) AS BIGINT) FROM liq, win WHERE LS_timestamp > lo AND LS_timestamp <= hi) AS PL_LS_liquidation_amnt_stable,
+           (SELECT COUNT(*) FROM dep, win WHERE LP_timestamp > lo AND LP_timestamp <= hi) AS PL_LP_count_deposit,
+           (SELECT CAST(COALESCE(SUM(LP_amnt_asset), 0) AS BIGINT) FROM dep, win WHERE LP_timestamp > lo AND LP_timestamp <= hi) AS PL_LP_deposit_amnt,
+           (SELECT COUNT(*) FROM wd, win WHERE LP_timestamp > lo AND LP_timestamp <= hi) AS PL_LP_count_withdraw,
+           (SELECT CAST(COALESCE(SUM(LP_amnt_asset), 0) AS BIGINT) FROM wd, win WHERE LP_timestamp > lo AND LP_timestamp <= hi) AS PL_LP_withdraw_amnt,
+           (SELECT CAST(COALESCE(SUM(TR_Profit_amnt_stable), 0) AS BIGINT) FROM profit, win WHERE TR_Profit_timestamp > lo AND TR_Profit_timestamp <= hi) AS PL_TR_profit_amnt,
+           (SELECT CAST(COALESCE(SUM(TR_Rewards_amnt_stable), 0) AS BIGINT) FROM rewards, win WHERE TR_Rewards_timestamp > lo AND TR_Rewards_timestamp <= hi) AS PL_TR_rewards_amnt,
+           (SELECT CAST(
+              (SELECT COALESCE(SUM(TR_Rewards_amnt_stable), 0) FROM rewards, win WHERE TR_Rewards_timestamp > lo AND TR_Rewards_timestamp <= hi)
+            - (SELECT COALESCE(SUM(TR_Profit_amnt_stable), 0) FROM profit, win WHERE TR_Profit_timestamp > lo AND TR_Profit_timestamp <= hi)
+            AS BIGINT)) AS PL_tax_minus_delta_tr
+    """,
+    doc="A17 PL_State interval rollup (pipeline/snapshots.py::"
+    "pl_state_rollup, `handler/pl_state.rs:13-221`): windowed counts and "
+    "sums across every entity stream, combined into one platform row "
+    "with the treasury tax identity.",
+)
+def q115_pl_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.snapshots import pl_state_rollup
+
+    opening = lease_opening(spark, sf_dir)
+    repay, _closepos, liq, _closings = lease_events(spark, sf_dir)
+    dep, wd = lp_events(spark, sf_dir)
+    led = _ledger(spark, sf_dir)
+    amt = _pct(F.col("loan_c"), F.col("ln") * 12)
+    profit = led.filter(F.col("ln") == 6).select(
+        (F.col("base_ts") + F.expr("INTERVAL 4 HOURS")).alias("TR_Profit_timestamp"),
+        amt.alias("TR_Profit_amnt_stable"),
+    )
+    rewards = led.filter(F.col("ln") == 7).select(
+        (F.col("base_ts") + F.expr("INTERVAL 5 HOURS")).alias("TR_Rewards_timestamp"),
+        amt.alias("TR_Rewards_amnt_stable"),
+    )
+    out = pl_state_rollup(opening, repay, liq, dep, wd, profit, rewards, T1, T2)
+    return _bigint(
+        out,
+        "PL_LS_loan_amnt_stable",
+        "PL_LS_repay_amnt_stable",
+        "PL_LS_liquidation_amnt_stable",
+        "PL_LP_deposit_amnt",
+        "PL_LP_withdraw_amnt",
+        "PL_TR_profit_amnt",
+        "PL_TR_rewards_amnt",
+        "PL_tax_minus_delta_tr",
+    )
+
+
+@query(
+    "q116_tr_state",
+    oracle=f"""
+    WITH {LEASE_CTES}
+    SELECT TIMESTAMP '{T2}' AS TR_timestamp,
+           CAST(COALESCE(SUM(p), 0) AS BIGINT) AS TR_amnt_stable,
+           CAST(COALESCE(SUM(n), 0) AS BIGINT) AS TR_amnt_nls
+    FROM (
+      SELECT CAST(FLOOR(loan_c * ln * 12 / 100.0) AS BIGINT) * 1000 AS p,
+             CAST(FLOOR(loan_c * ln / 100.0) AS BIGINT) AS n,
+             base_ts + INTERVAL 4 HOUR AS ts
+      FROM led WHERE ln = 6
+    )
+    WHERE ts <= TIMESTAMP '{T2}' AND p < 10000000000
+    """,
+    doc="A16 TR_State snapshot (pipeline/snapshots.py::tr_state_snapshot, "
+    "`handler/tr_state.rs:13-58`): cumulative treasury profit with the "
+    "reference's 1e10 outlier cut (`tr_profit.rs:221`) — amounts are "
+    "scaled x1000 so the cut actually bites on fixture data.",
+)
+def q116_tr_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.snapshots import tr_state_snapshot
+
+    led = _ledger(spark, sf_dir)
+    profit = led.filter(F.col("ln") == 6).select(
+        (F.col("base_ts") + F.expr("INTERVAL 4 HOURS")).alias("TR_Profit_timestamp"),
+        (_pct(F.col("loan_c"), F.col("ln") * 12) * 1000).alias("TR_Profit_amnt_stable"),
+        _pct(F.col("loan_c"), F.col("ln")).alias("TR_Profit_amnt_nls"),
+    )
+    return _bigint(tr_state_snapshot(profit, T2), "TR_amnt_stable", "TR_amnt_nls")
+
+
+@query(
+    "q117_ls_state_incremental",
+    oracle=_ls_state_oracle(T2),
+    doc="A13 incremental roll-forward (pipeline/snapshots.py::"
+    "ls_state_incremental): Spark rolls the T1 snapshot forward using "
+    "only (T1, T2] events — O(delta + open set), the hourly-round shape "
+    "that at 100 TB replaces re-scanning years of history — while the "
+    "oracle recomputes the FULL T2 snapshot from scratch. Hash equality "
+    "IS the roll-forward-equals-recompute proof, on the driver's own "
+    "fixtures.",
+)
+def q117_ls_state_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.snapshots import ls_state_incremental, ls_state_snapshot
+
+    opening = lease_opening(spark, sf_dir)
+    repay, closepos, liq, closings = lease_events(spark, sf_dir)
+    prev = ls_state_snapshot(opening, repay, closepos, liq, closings, T1)
+    out = ls_state_incremental(
+        prev, opening, repay, closepos, liq, closings, T1, T2
+    )
+    return _bigint(out, "LS_amnt_stable", "LS_principal_stable", "LS_repaid_stable")
+
+
+@query(
+    "q118_loan_collects",
+    oracle=f"""
+    WITH {LEASE_CTES},
+    bal AS (
+      SELECT LS_contract_id,
+             CASE CAST(LS_contract_id % 4 AS INT)
+               WHEN 0 THEN 'ATOM' WHEN 1 THEN 'OSMO' WHEN 2 THEN 'USDC' ELSE 'NLS'
+             END AS symbol,
+             LS_payment_amnt_stable AS amount,
+             LS_timestamp
+      FROM closepos
+    ),
+    px AS (
+      SELECT CASE CAST(event_id % 3 AS INT)
+               WHEN 0 THEN 'ATOM' WHEN 1 THEN 'OSMO' ELSE 'USDC'
+             END AS MP_asset_symbol,
+             ts AS MP_asset_timestamp,
+             CAST(1 + epoch_us(ts) % 9 AS DECIMAL(38,18)) AS MP_price_in_stable
+      FROM events
+    )
+    SELECT b.LS_contract_id,
+           b.symbol AS LS_symbol,
+           CAST(b.amount AS BIGINT) AS LS_amount,
+           CAST(b.amount * p.px AS BIGINT) AS LS_amount_stable
+    FROM bal b
+    LEFT JOIN LATERAL (
+      SELECT MP_price_in_stable AS px FROM px
+      WHERE px.MP_asset_symbol = b.symbol AND px.MP_asset_timestamp <= b.LS_timestamp
+      ORDER BY px.MP_asset_timestamp DESC LIMIT 1
+    ) p ON TRUE
+    WHERE b.symbol <> 'NLS' AND b.amount > 0
+    """,
+    doc="A19 loan-collect capture (pipeline/pnl.py::loan_collects, "
+    "`ls_loan_closing.rs:50-297`): non-native close balances priced by "
+    "as-of lookup into the price series (operators/asof.py), integer "
+    "prices so amount x price is exact cross-engine.",
+)
+def q118_loan_collects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.pnl import loan_collects
+
+    _repay, closepos, _liq, _closings = lease_events(spark, sf_dir)
+    bal = closepos.select(
+        "LS_contract_id",
+        F.element_at(
+            F.array(F.lit("ATOM"), F.lit("OSMO"), F.lit("USDC"), F.lit("NLS")),
+            (F.col("LS_contract_id") % 4).cast("int") + 1,
+        ).alias("symbol"),
+        F.col("LS_payment_amnt_stable").alias("amount"),
+        "LS_timestamp",
+    )
+    e = load(spark, sf_dir, "events")
+    prices = e.select(
+        F.element_at(
+            F.array(F.lit("ATOM"), F.lit("OSMO"), F.lit("USDC")),
+            (F.col("event_id") % 3).cast("int") + 1,
+        ).alias("MP_asset_symbol"),
+        F.col("ts").alias("MP_asset_timestamp"),
+        # Price is a pure function of the tick time: rows sharing a
+        # (symbol, ts) tie then carry EQUAL prices, so the as-of pick
+        # among them is value-deterministic on both engines.
+        (1 + F.unix_micros(F.col("ts")) % 9).cast("decimal(38,18)").alias("MP_price_in_stable"),
+    )
+    out = loan_collects(bal, prices, native_symbol="NLS")
+    return _bigint(out, "LS_amount", "LS_amount_stable")

@@ -65,11 +65,50 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _union_find_components(e: DataFrame) -> DataFrame:
+    """Driver-side union-find over a small, already-materialized edge
+    frame. Same output contract as the distributed path: component = the
+    smallest node id reachable. Used only below the size threshold —
+    the same engine judgment call as a broadcast join: when the
+    *contracted* input (distinct pairs, not the corpus) fits in one
+    process, O(E α(E)) locally beats O(log n) cluster-wide rounds whose
+    cost is all scheduler latency."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in e.collect():
+        u, v = row[0], row[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # min id becomes the root, so the root IS the component id
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+
+    rows = [(n, find(n)) for n in parent]
+    id_type = e.schema.fields[0].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("node", id_type, False), StructField("component", id_type, False)]
+    )
+    return e.sparkSession.createDataFrame(rows, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    small_graph_threshold: int | None = 2_000_000,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = the
     smallest node id reachable from it.
@@ -78,6 +117,16 @@ def connected_components(
     O(log n) rounds (~20 covers any realistic graph); hitting the rail
     raises instead of returning partial clusters, because a silently
     unconverged dedup merges nothing it should.
+
+    The edge frame is deduplicated and materialized first; if it holds
+    at most ``small_graph_threshold`` edges the transitive closure runs
+    as driver-side union-find on the collected pairs (bounded: ~100-200
+    MB of driver heap at the default cap) — near-dup pair graphs are typically
+    10³-10⁶× smaller than the corpus that produced them, so at 100 TB
+    the *pair list* usually still fits while the iterative path's
+    per-round scheduling latency dominates end-to-end time. Graphs over
+    the threshold (or ``small_graph_threshold=None``) take the
+    large-star/small-star rounds; both paths are tested equal.
     """
     from pyspark.sql import Observation
 
@@ -87,6 +136,8 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if small_graph_threshold is not None and e.count() <= small_graph_threshold:
+        return _union_find_components(e)
     prev_sig = None
     for i in range(max_iter):
         # The convergence signature rides the checkpoint's own
@@ -120,7 +171,11 @@ def connected_components(
 
 
 def dedup_clusters(
-    pairs: DataFrame, left: str = "doc_a", right: str = "doc_b", max_iter: int = 50
+    pairs: DataFrame,
+    left: str = "doc_a",
+    right: str = "doc_b",
+    max_iter: int = 50,
+    small_graph_threshold: int | None = 2_000_000,
 ) -> DataFrame:
     """Cluster assignment from near-dup pairs: (doc_id, cluster_id, keep).
 
@@ -130,7 +185,13 @@ def dedup_clusters(
     absent (trivially kept). Feed it q41's exact pairs for auditable
     dedup or q42's MinHash pairs at 100 TB — the operator is agnostic.
     """
-    comps = connected_components(pairs, src=left, dst=right, max_iter=max_iter)
+    comps = connected_components(
+        pairs,
+        src=left,
+        dst=right,
+        max_iter=max_iter,
+        small_graph_threshold=small_graph_threshold,
+    )
     return comps.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),

@@ -391,12 +391,17 @@ def test_connected_components_chain_and_clusters(spark):
     chain = [(i, i + 1) for i in range(100, 112)]
     tri = [(7, 9), (9, 8), (8, 7)]
     df = spark.createDataFrame(chain + tri, "doc_a long, doc_b long")
-    comps = {
-        r["node"]: r["component"]
-        for r in connected_components(df, "doc_a", "doc_b", max_iter=10).collect()
-    }
-    assert all(comps[n] == 100 for n in range(100, 113))
-    assert all(comps[n] == 7 for n in (7, 8, 9))
+    # both execution paths: driver union-find (small graph) and the
+    # distributed large-star/small-star rounds (threshold disabled)
+    for thr in (2_000_000, None):
+        comps = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                df, "doc_a", "doc_b", max_iter=10, small_graph_threshold=thr
+            ).collect()
+        }
+        assert all(comps[n] == 100 for n in range(100, 113))
+        assert all(comps[n] == 7 for n in (7, 8, 9))
 
     clusters = dedup_clusters(df).collect()
     keep = {r["doc_id"] for r in clusters if r["keep"]}

@@ -171,11 +171,12 @@ def test_connected_components_property(spark, edges):
     want = {n: find(n) for n in in_graph}
 
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {
-        r["node"]: r["component"]
-        for r in connected_components(df).collect()
-    }
-    assert got == want
+    for thr in (2_000_000, None):  # union-find fast path AND star rounds
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, small_graph_threshold=thr).collect()
+        }
+        assert got == want
 
 
 merge_rows = st.lists(

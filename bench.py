@@ -68,6 +68,12 @@ HEADLINE = [
     "q107_theta_retention",
     "q109_funnel",
     "q110_cohort_retention",
+    # Round-3 additions: the §2.A pipeline layer under the gate (full
+    # snapshot, PnL engine, incremental roll-forward). Pre-existing rows
+    # stay comparable to BENCH_r01/r02.
+    "q111_ls_state_snapshot",
+    "q112_realized_pnl",
+    "q117_ls_state_incremental",
 ]
 
 

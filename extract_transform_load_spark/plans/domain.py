@@ -286,9 +286,14 @@ def q112_realized_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bigint(out, "realized_pnl")
 
 
-# LP ledger: deposits = even line numbers, withdrawals = ln % 4 = 1 (the
-# stream overlap with the lease ledger is deliberate — a fact table can
-# feed many pipelines). Pool = l_partkey % 8, lender = l_suppkey.
+# LP ledger: deposits = even line numbers (pool = l_partkey % 8, lender
+# = l_suppkey); withdrawals are DERIVED from deposits — 30% of every
+# even-cent deposit, 7 days later — so the domain invariant "you cannot
+# withdraw receipts you do not hold" is honored at every timestamp (a
+# lender's cumulative burned receipts never exceed 30% of deposits made
+# at least a week earlier). The lender-state incremental roll-forward
+# (q120) RELIES on that invariant: the snapshot drops non-positive
+# positions, which only round-trips when positions cannot go negative.
 LP_CTES = """
 dep AS (
   SELECT l_partkey % 8 AS LP_Pool_id,
@@ -299,50 +304,77 @@ dep AS (
   FROM lineitem WHERE l_linenumber % 2 = 0
 ),
 wd AS (
-  SELECT l_partkey % 8 AS LP_Pool_id,
-         l_suppkey AS LP_address_id,
-         l_shipdate AS LP_timestamp,
-         CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS DECIMAL(38,0)) AS BIGINT) AS LP_amnt_asset,
-         CAST(FLOOR(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS DECIMAL(38,0)) AS BIGINT) * 0.8) AS BIGINT) AS LP_amnt_receipts
-  FROM lineitem WHERE l_linenumber % 4 = 1
+  SELECT LP_Pool_id, LP_address_id,
+         LP_timestamp + INTERVAL 7 DAY AS LP_timestamp,
+         CAST(FLOOR(LP_amnt_asset * 0.3) AS BIGINT) AS LP_amnt_asset,
+         CAST(FLOOR(LP_amnt_receipts * 0.3) AS BIGINT) AS LP_amnt_receipts
+  FROM dep WHERE LP_amnt_asset % 2 = 0
 )
 """
 
 
 def lp_events(spark: SparkSession, sf_dir: str):
-    """(deposits, withdrawals) — LP ledger view of lineitem."""
+    """(deposits, withdrawals) — domain-valid LP ledger view of lineitem."""
     l = load(spark, sf_dir, "lineitem")
     asset = _cents("l_extendedprice")
-    base = l.select(
-        (F.col("l_partkey") % 8).alias("LP_Pool_id"),
-        F.col("l_suppkey").alias("LP_address_id"),
-        F.col("l_shipdate").alias("LP_timestamp"),
-        asset.alias("LP_amnt_asset"),
-        F.floor(asset * F.lit(0.8)).alias("LP_amnt_receipts"),
-        F.col("l_linenumber").alias("ln"),
+    dep = (
+        l.filter(F.col("l_linenumber") % 2 == 0)
+        .select(
+            (F.col("l_partkey") % 8).alias("LP_Pool_id"),
+            F.col("l_suppkey").alias("LP_address_id"),
+            F.col("l_shipdate").alias("LP_timestamp"),
+            asset.alias("LP_amnt_asset"),
+            F.floor(asset * F.lit(0.8)).alias("LP_amnt_receipts"),
+        )
     )
-    return (
-        base.filter(F.col("ln") % 2 == 0).drop("ln"),
-        base.filter(F.col("ln") % 4 == 1).drop("ln"),
+    wd = dep.filter(F.col("LP_amnt_asset") % 2 == 0).select(
+        "LP_Pool_id",
+        "LP_address_id",
+        (F.col("LP_timestamp") + F.expr("INTERVAL 7 DAYS")).alias("LP_timestamp"),
+        F.floor(F.col("LP_amnt_asset") * F.lit(0.3)).alias("LP_amnt_asset"),
+        F.floor(F.col("LP_amnt_receipts") * F.lit(0.3)).alias("LP_amnt_receipts"),
     )
+    return dep, wd
 
 
-@query(
-    "q113_lp_pool_state",
-    oracle=f"""
+def _lp_pool_oracle(ts: str) -> str:
+    return f"""
     WITH {LP_CTES},
     d AS (SELECT LP_Pool_id, SUM(LP_amnt_asset) AS deposited, SUM(LP_amnt_receipts) AS minted
-          FROM dep WHERE LP_timestamp <= TIMESTAMP '{T2}' GROUP BY 1),
+          FROM dep WHERE LP_timestamp <= TIMESTAMP '{ts}' GROUP BY 1),
     w AS (SELECT LP_Pool_id, SUM(LP_amnt_asset) AS withdrawn, SUM(LP_amnt_receipts) AS burned
-          FROM wd WHERE LP_timestamp <= TIMESTAMP '{T2}' GROUP BY 1)
+          FROM wd WHERE LP_timestamp <= TIMESTAMP '{ts}' GROUP BY 1)
     SELECT COALESCE(d.LP_Pool_id, w.LP_Pool_id) AS LP_Pool_id,
-           TIMESTAMP '{T2}' AS LP_Pool_timestamp,
+           TIMESTAMP '{ts}' AS LP_Pool_timestamp,
            CAST(COALESCE(d.deposited, 0) - COALESCE(w.withdrawn, 0) AS BIGINT)
              AS LP_Pool_total_value_locked_asset,
            CAST(COALESCE(d.minted, 0) - COALESCE(w.burned, 0) AS BIGINT)
              AS LP_Pool_total_issued_receipts
     FROM d FULL OUTER JOIN w ON w.LP_Pool_id = d.LP_Pool_id
-    """,
+    """
+
+
+def _lp_lender_oracle(ts: str) -> str:
+    return f"""
+    WITH {LP_CTES},
+    d AS (SELECT LP_address_id, LP_Pool_id, SUM(LP_amnt_receipts) AS minted
+          FROM dep WHERE LP_timestamp <= TIMESTAMP '{ts}' GROUP BY 1, 2),
+    w AS (SELECT LP_address_id, LP_Pool_id, SUM(LP_amnt_receipts) AS burned
+          FROM wd WHERE LP_timestamp <= TIMESTAMP '{ts}' GROUP BY 1, 2)
+    SELECT * FROM (
+      SELECT COALESCE(d.LP_address_id, w.LP_address_id) AS LP_address_id,
+             COALESCE(d.LP_Pool_id, w.LP_Pool_id) AS LP_Pool_id,
+             TIMESTAMP '{ts}' AS LP_timestamp,
+             CAST(COALESCE(d.minted, 0) - COALESCE(w.burned, 0) AS BIGINT) AS LP_Lender_receipts
+      FROM d FULL OUTER JOIN w
+        ON w.LP_address_id = d.LP_address_id AND w.LP_Pool_id = d.LP_Pool_id
+    ) WHERE LP_Lender_receipts > 0
+    """
+
+
+@query(
+    "q113_lp_pool_state",
+    oracle=_lp_pool_oracle(T2),
     doc="A14 LP_Pool_State snapshot (pipeline/snapshots.py::"
     "lp_pool_state_snapshot, `handler/lp_pool_state.rs:13-110`): TVL and "
     "issued receipts per pool = Σ deposits − Σ withdrawals at the "
@@ -360,21 +392,7 @@ def q113_lp_pool_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q114_lp_lender_state",
-    oracle=f"""
-    WITH {LP_CTES},
-    d AS (SELECT LP_address_id, LP_Pool_id, SUM(LP_amnt_receipts) AS minted
-          FROM dep WHERE LP_timestamp <= TIMESTAMP '{T2}' GROUP BY 1, 2),
-    w AS (SELECT LP_address_id, LP_Pool_id, SUM(LP_amnt_receipts) AS burned
-          FROM wd WHERE LP_timestamp <= TIMESTAMP '{T2}' GROUP BY 1, 2)
-    SELECT * FROM (
-      SELECT COALESCE(d.LP_address_id, w.LP_address_id) AS LP_address_id,
-             COALESCE(d.LP_Pool_id, w.LP_Pool_id) AS LP_Pool_id,
-             TIMESTAMP '{T2}' AS LP_timestamp,
-             CAST(COALESCE(d.minted, 0) - COALESCE(w.burned, 0) AS BIGINT) AS LP_Lender_receipts
-      FROM d FULL OUTER JOIN w
-        ON w.LP_address_id = d.LP_address_id AND w.LP_Pool_id = d.LP_Pool_id
-    ) WHERE LP_Lender_receipts > 0
-    """,
+    oracle=_lp_lender_oracle(T2),
     doc="A15 LP_Lender_State snapshot (pipeline/snapshots.py::"
     "lp_lender_state_snapshot, `handler/lp_lender_state.rs:13-114`): net "
     "receipts per (lender, pool); zero/negative positions drop.",
@@ -575,3 +593,44 @@ def q118_loan_collects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = loan_collects(bal, prices, native_symbol="NLS")
     return _bigint(out, "LS_amount", "LS_amount_stable")
+
+
+@query(
+    "q119_lp_pool_incremental",
+    oracle=_lp_pool_oracle(T2),
+    doc="A14 incremental roll-forward (pipeline/snapshots.py::"
+    "lp_pool_state_incremental): Spark rolls the T1 pool state forward "
+    "with only (T1, T2] deposits/withdrawals; the oracle recomputes the "
+    "full T2 snapshot. Hash equality proves TVL' = TVL + delta across "
+    "pools entering mid-window.",
+)
+def q119_lp_pool_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.snapshots import lp_pool_state_incremental, lp_pool_state_snapshot
+
+    dep, wd = lp_events(spark, sf_dir)
+    prev = lp_pool_state_snapshot(dep, wd, T1)
+    out = lp_pool_state_incremental(prev, dep, wd, T1, T2)
+    return _bigint(
+        out, "LP_Pool_total_value_locked_asset", "LP_Pool_total_issued_receipts"
+    )
+
+
+@query(
+    "q120_lp_lender_incremental",
+    oracle=_lp_lender_oracle(T2),
+    doc="A15 incremental roll-forward (pipeline/snapshots.py::"
+    "lp_lender_state_incremental): per-(lender, pool) positions rolled "
+    "by the delta window, re-materializing positions that re-enter after "
+    "the >0 filter; oracle = full T2 recompute. Relies on the ledger's "
+    "no-overdraw invariant (see LP_CTES note).",
+)
+def q120_lp_lender_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.snapshots import (
+        lp_lender_state_incremental,
+        lp_lender_state_snapshot,
+    )
+
+    dep, wd = lp_events(spark, sf_dir)
+    prev = lp_lender_state_snapshot(dep, wd, T1)
+    out = lp_lender_state_incremental(prev, dep, wd, T1, T2)
+    return _bigint(out, "LP_Lender_receipts")

@@ -339,3 +339,72 @@ def test_q27_cumulative_no_unpartitioned_series_window(spark, sf_dir):
     assert series_windows, "expected the per-row window over (ts, event_id)"
     # the series window spec must include the bucket partition expression
     assert all("__bucket" in head for head in series_windows), plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# Pipeline layer (§2.A snapshots/PnL) — the 100 TB claims behind q111-q120.
+# ---------------------------------------------------------------------------
+
+
+def test_ls_state_incremental_delta_pushdown(spark, tmp_path):
+    """The hourly roll-forward's value at 100 TB is that the delta scan
+    partition-prunes to the (prev_ts, ts] window: the time filters must
+    reach the parquet scan, not evaluate post-scan."""
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.pipeline.snapshots import ls_state_incremental
+
+    events = spark.range(0, 1000).select(
+        F.col("id").alias("LS_contract_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 3600).alias("LS_timestamp"),
+        F.lit(False).alias("LS_loan_close"),
+        F.lit(100).cast("decimal(38,0)").alias("LS_principal_stable"),
+        F.lit(500).cast("decimal(38,0)").alias("LS_payment_amnt_stable"),
+    )
+    path = str(tmp_path / "repayments")
+    events.write.parquet(path)
+    rep = spark.read.parquet(path)
+    empty = rep.limit(0)
+    prev = spark.range(0, 10).select(
+        F.col("id").alias("LS_contract_id"),
+        F.lit(1000).cast("decimal(38,0)").alias("LS_amnt_stable"),
+        F.lit(900).cast("decimal(38,0)").alias("LS_principal_stable"),
+        F.lit(0).cast("decimal(38,0)").alias("LS_repaid_stable"),
+    )
+    opening = spark.range(0, 0).select(
+        F.col("id").alias("LS_contract_id"),
+        F.timestamp_seconds(F.lit(1700000000)).alias("LS_timestamp"),
+        F.lit(0).cast("decimal(38,0)").alias("LS_loan_amnt_stable"),
+        F.lit(0).cast("decimal(38,0)").alias("LS_cltr_amnt_stable"),
+    )
+    out = ls_state_incremental(
+        prev, opening, rep, empty, empty, empty.select("LS_contract_id", "LS_timestamp"),
+        "2023-11-15 00:00:00", "2023-11-16 00:00:00",
+    )
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString().replace(" ", "")
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    assert "PushedFilters:[IsNotNull(LS_timestamp),GreaterThan(LS_timestamp" in plan, plan[:3000]
+    assert "LessThanOrEqual(LS_timestamp" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q111_ls_state_snapshot", "q112_realized_pnl", "q117_ls_state_incremental"]
+)
+def test_pipeline_queries_no_window_no_single_partition(spark, sf_dir, name):
+    """Snapshots and PnL are joins + partial aggregates only: no window
+    operator (nothing serializes per-key history through one task) and
+    no single-partition exchange anywhere in the plan."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "Window" not in plan, name
+    assert "Exchange SinglePartition" not in plan, name
+
+
+def test_ls_state_snapshot_partial_aggregation(spark, sf_dir):
+    """Per-contract cumulative sums must map-side combine (partial_sum)
+    so the shuffle carries one row per contract per map task."""
+    plan = plan_of(spark, sf_dir, "q111_ls_state_snapshot")
+    assert "partial_sum" in plan

@@ -52,8 +52,14 @@ _PRIORITY = [
     "q28_daily_cumulative",     # B24
     "q29_topk_customers",       # sorts/top-k
     "q30_union_ledger",         # set ops
-    "q32_scalar_functions",     # scalar-function surface
-    "q33_json_extract",         # semi-structured extraction
+    "q33_json_extract",         # scalar functions + semi-structured extraction
+    # §2.A pipeline layer (round 3): one driver row for the snapshot/PnL
+    # engine. q117 is the densest single witness — it exercises the full
+    # LS_State reconstruction AND the incremental roll-forward, and its
+    # oracle is the full recompute, so one green row proves both paths.
+    # Displaced: q32_scalar_functions (q33 keeps the scalar-function
+    # family in window; q31/q34/q35/q37 siblings were already outside).
+    "q117_ls_state_incremental",
     # LLM-pipeline family representatives (19). One per family from the
     # VERDICT r01 coverage table, so every family carries a driver
     # CORRECTNESS row if the 50-entry cap recurs. Displaced to make room

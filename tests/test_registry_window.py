@@ -32,6 +32,11 @@ FAMILY_REPS = {
     "sketches": ["q97_sketch_mau", "q106_sketch_quantiles", "q107_theta_retention"],
     "tokenization_bpe": ["q100_bpe_merges", "q92_tokenize_ids", "q104_bpe_encode"],
     "funnel_cohort": ["q109_funnel", "q110_cohort_retention"],
+    "pipeline_snapshots": [
+        "q117_ls_state_incremental",
+        "q111_ls_state_snapshot",
+        "q112_realized_pnl",
+    ],
 }
 
 

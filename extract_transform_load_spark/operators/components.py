@@ -120,8 +120,10 @@ def connected_components(
 
     The edge frame is deduplicated and materialized first; if it holds
     at most ``small_graph_threshold`` edges the transitive closure runs
-    as driver-side union-find on the collected pairs (bounded: ~100-200
-    MB of driver heap at the default cap) — near-dup pair graphs are typically
+    as driver-side union-find on the collected pairs (bounded: ~1 GB of
+    PYTHON driver RSS at the default cap — collected rows + parent dict
+    + output list; the cap sizes the Python process, not the JVM's
+    ``spark.driver.memory``) — near-dup pair graphs are typically
     10³-10⁶× smaller than the corpus that produced them, so at 100 TB
     the *pair list* usually still fits while the iterative path's
     per-round scheduling latency dominates end-to-end time. Graphs over
@@ -136,7 +138,13 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if small_graph_threshold is not None and e.count() <= small_graph_threshold:
+    if (
+        small_graph_threshold is not None
+        # mixed src/dst column types coerce through the distributed
+        # path's unions; the fast path would type both outputs from src
+        and e.schema.fields[0].dataType == e.schema.fields[1].dataType
+        and e.count() <= small_graph_threshold
+    ):
         return _union_find_components(e)
     prev_sig = None
     for i in range(max_iter):

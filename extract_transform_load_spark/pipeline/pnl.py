@@ -51,11 +51,15 @@ def compute_loan_closings(
     close_sum = _sum_by_contract(close_positions, "LS_payment_amnt_stable", "closed_stable")
     liq_sum = _sum_by_contract(liquidations, "LS_payment_amnt_stable", "liquidated_stable")
 
+    # Earliest terminal per source (a well-formed ledger has at most one
+    # terminal event per contract, making min == max; min implements the
+    # stated "first terminal event wins" rule verbatim when replayed
+    # against messier histories).
     def terminal(df: DataFrame, type_name: str, ts_col: str = "LS_timestamp") -> DataFrame:
         return (
             df.filter(F.col("LS_loan_close"))
             .groupBy("LS_contract_id")
-            .agg(F.max(ts_col).alias("close_ts"))
+            .agg(F.min(ts_col).alias("close_ts"))
             .withColumn("close_type", F.lit(type_name))
         )
 
@@ -65,7 +69,7 @@ def compute_loan_closings(
         .unionByName(terminal(liquidations, "liquidation"))
         .unionByName(
             closings.groupBy("LS_contract_id")
-            .agg(F.max("LS_timestamp").alias("close_ts"))
+            .agg(F.min("LS_timestamp").alias("close_ts"))
             .withColumn("close_type", F.lit("repay"))
         )
     )

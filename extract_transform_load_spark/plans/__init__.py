@@ -64,9 +64,9 @@ _PRIORITY = [
     # VERDICT r01 coverage table, so every family carries a driver
     # CORRECTNESS row if the 50-entry cap recurs. Displaced to make room
     # (all remain strict-gate green at sf0.01 past the window):
-    # q31/q34/q35/q37 scalar-function variants (q32/q33 stay as the
-    # family's in-window reps) and the q50/q52/q59 beyond-the-floor
-    # extras.
+    # q31/q32/q34/q35/q37 scalar-function variants (q33 stays as the
+    # family's in-window rep; q32 moved out for q117 in round 3) and the
+    # q50/q52/q59 beyond-the-floor extras.
     "q40_dedup_exact",          # exact dedup
     "q41_ngram_jaccard_pairs",  # n-gram Jaccard
     "q42_minhash_lsh_pairs",    # MinHash LSH (verified)

@@ -233,16 +233,16 @@ def q111_ls_state_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {LEASE_CTES},
     term0 AS (
-      SELECT LS_contract_id, 'repay' AS close_type, MAX(LS_timestamp) AS close_ts
+      SELECT LS_contract_id, 'repay' AS close_type, MIN(LS_timestamp) AS close_ts
       FROM repay WHERE LS_loan_close GROUP BY 1
       UNION ALL
-      SELECT LS_contract_id, 'market-close', MAX(LS_timestamp)
+      SELECT LS_contract_id, 'market-close', MIN(LS_timestamp)
       FROM closepos WHERE LS_loan_close GROUP BY 1
       UNION ALL
-      SELECT LS_contract_id, 'liquidation', MAX(LS_timestamp)
+      SELECT LS_contract_id, 'liquidation', MIN(LS_timestamp)
       FROM liq WHERE LS_loan_close GROUP BY 1
       UNION ALL
-      SELECT LS_contract_id, 'repay', MAX(LS_timestamp) FROM closings GROUP BY 1
+      SELECT LS_contract_id, 'repay', MIN(LS_timestamp) FROM closings GROUP BY 1
     ),
     term AS (
       SELECT LS_contract_id, close_type, close_ts FROM term0
@@ -408,7 +408,7 @@ def q114_lp_lender_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q115_pl_state",
     oracle=f"""
     WITH {LEASE_CTES},
-    {LP_CTES.strip().lstrip()},
+    {LP_CTES.strip()},
     profit AS (
       SELECT base_ts + INTERVAL 4 HOUR AS TR_Profit_timestamp,
              CAST(FLOOR(loan_c * ln * 12 / 100.0) AS BIGINT) AS TR_Profit_amnt_stable

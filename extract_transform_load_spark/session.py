@@ -23,6 +23,22 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def default_driver_memory() -> str:
+    """Local-mode heap: the single JVM hosts the driver AND every
+    executor thread, so size it from the machine — a quarter of physical
+    RAM, clamped to [4g, 24g] (8g starved a wide shingle self-join on a
+    128 GiB box; a fixed 24g would invite the OOM killer on a laptop).
+    ``SPARK_GRAFT_DRIVER_MEM`` overrides."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    return f"{max(4, min(24, int(ram * 0.25 / 2**30)))}g"
+
+
 def get_spark(
     app_name: str = "extract-transform-load-spark",
     master: str | None = None,
@@ -45,10 +61,7 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        # In local mode this single JVM holds the driver AND all 32
-        # executor threads; 8g starved wide shuffle-heavy stages (exact
-        # shingle self-join OOMed at a 10x corpus) on a 128 GiB box.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", default_driver_memory())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

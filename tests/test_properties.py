@@ -421,3 +421,51 @@ def test_funnel_matches_reference_fold(spark, rows):
                 stage, last_ts = stage + 1, ts_
         want[u] = stage
     assert got == want
+
+
+money_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**9),   # price in cents (2-dp double)
+        st.integers(min_value=1, max_value=17),      # line number multiplier
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=money_rows)
+@SETTINGS
+def test_domain_money_derivation_matches_duckdb(spark, rows):
+    """The q111-q120 derivation contract (plans/domain.py): exact integer
+    cents via a decimal(18,4) cast, and percentage amounts via
+    FLOOR(loan_c * k / 100.0), must be bit-identical between Spark and
+    DuckDB for any 2-dp price — including .5-boundary and large values."""
+    import duckdb
+    import pandas as pd
+
+    from extract_transform_load_spark.plans.domain import _cents, _pct
+
+    sdf = spark.createDataFrame(
+        [(c / 100.0, ln) for c, ln in rows], "price double, ln int"
+    )
+    got = sorted(
+        tuple(r)
+        for r in sdf.select(
+            _cents("price").alias("cents"),
+            _pct(_cents("price"), F.col("ln")).alias("pct_ln"),
+            _pct(_cents("price"), F.col("ln") * 12).alias("pct_12ln"),
+        ).collect()
+    )
+    pdf = pd.DataFrame([(c / 100.0, ln) for c, ln in rows], columns=["price", "ln"])
+    want = sorted(
+        tuple(r)
+        for r in duckdb.connect().execute(
+            """
+            SELECT CAST(CAST(CAST(price AS DECIMAL(18,4)) * 100 AS DECIMAL(38,0)) AS BIGINT),
+                   CAST(FLOOR(CAST(CAST(CAST(price AS DECIMAL(18,4)) * 100 AS DECIMAL(38,0)) AS BIGINT) * ln / 100.0) AS BIGINT),
+                   CAST(FLOOR(CAST(CAST(CAST(price AS DECIMAL(18,4)) * 100 AS DECIMAL(38,0)) AS BIGINT) * ln * 12 / 100.0) AS BIGINT)
+            FROM pdf
+            """,
+        ).fetchall()
+    )
+    assert got == want

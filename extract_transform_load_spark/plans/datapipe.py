@@ -3033,3 +3033,68 @@ def q110_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q121_bloom_decontamination",
+    oracle="""
+    WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 200 = 0),
+    c AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 200 <> 0),
+    btoks AS (SELECT string_split(text, ' ') AS w FROM b),
+    bg AS (
+      SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS gram
+      FROM btoks, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) t
+    ),
+    ctoks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM c),
+    cg AS (
+      SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+      FROM ctoks, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) t
+    ),
+    cont AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram))
+    SELECT c.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(SUM(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS contamination_rate
+    FROM c LEFT JOIN cont ON cont.doc_id = c.doc_id
+    GROUP BY c.lang
+    """,
+    doc="Benchmark decontamination with a broadcast Bloom prefilter "
+    "(operators/bloom.py): the benchmark suite (doc_id % 200 = 0 here; "
+    "MMLU-sized in production) compresses to a bitset literal evaluated "
+    "INSIDE the corpus scan — zero corpus-side exchange — and exact "
+    "broadcast semi-join verification removes Bloom false positives, so "
+    "the result equals the exact overlap check the oracle computes. The "
+    "asymmetric sibling of q69 (whose train side is itself corpus-scale).",
+)
+def q121_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_prefilter_contains
+    from ..operators.textops import word_shingles
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    bench = docs.filter(F.col("doc_id") % 200 == 0)
+    corpus = docs.filter(F.col("doc_id") % 200 != 0)
+    bg = bench.select(F.explode(word_shingles(F.col("text"), k=8)).alias("gram"))
+    cg = corpus.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), k=8)).alias("gram")
+    )
+    hits = (
+        bloom_prefilter_contains(cg, bg)
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(1))
+    )
+    return (
+        corpus.select("doc_id", "lang")
+        .join(hits, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_cont"), F.lit(0))).alias("n_contaminated"),
+            (
+                F.sum(F.coalesce(F.col("is_cont"), F.lit(0))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("contamination_rate"),
+        )
+    )

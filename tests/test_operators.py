@@ -912,3 +912,42 @@ def test_asof_null_value_tick_is_the_match(spark):
         left, right, ["symbol"], "ets", "pts", ["price", "qty"]
     ).collect()[0]
     assert row2["price_asof"] is None and row2["qty_asof"] == 2.0
+
+
+def test_bloom_prefilter_exact_and_no_false_negatives(spark):
+    """bloom_prefilter_contains == exact semi-join on any input (the
+    Bloom stage must be correctness-invisible), and the raw prefilter
+    alone must pass EVERY true member (no false negatives ever)."""
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.operators.bloom import (
+        bloom_filter_maybe,
+        bloom_parameters,
+        bloom_prefilter_contains,
+        build_bloom_bits,
+    )
+
+    bench = spark.createDataFrame(
+        [(f"gram {i}",) for i in range(0, 400, 3)], "gram string"
+    )
+    corpus = spark.createDataFrame(
+        [(i, f"gram {i}") for i in range(400)] + [(1000, "not a gram")],
+        "doc_id long, gram string",
+    )
+    got = {
+        (r["doc_id"], r["gram"])
+        for r in bloom_prefilter_contains(corpus, bench).collect()
+    }
+    want = {(i, f"gram {i}") for i in range(0, 400, 3)}
+    assert got == want
+
+    n = bench.count()
+    m, k = bloom_parameters(n)
+    rows = bench.select(
+        *[F.xxhash64("gram", F.lit(i).cast("long")).alias(f"h{i}") for i in range(k)]
+    ).collect()
+    words = build_bloom_bits(rows, m)
+    maybe = {
+        r["gram"] for r in bloom_filter_maybe(corpus, "gram", words, m, k).collect()
+    }
+    assert {f"gram {i}" for i in range(0, 400, 3)} <= maybe  # no false negatives

@@ -408,3 +408,18 @@ def test_ls_state_snapshot_partial_aggregation(spark, sf_dir):
     so the shuffle carries one row per contract per map task."""
     plan = plan_of(spark, sf_dir, "q111_ls_state_snapshot")
     assert "partial_sum" in plan
+
+
+def test_q121_bloom_corpus_side_never_exchanges_before_verify(spark, sf_dir):
+    """The Bloom prefilter must be a scan-local filter and the verify
+    join a broadcast: on the LeftSemi verify join, the STREAMED (corpus)
+    side must run scan → bloom filter → join with no exchange — the only
+    gram exchange allowed is the benchmark side's tiny distinct under
+    its BroadcastExchange."""
+    plan = plan_of(spark, sf_dir, "q121_bloom_decontamination")
+    assert plan.count("SortMergeJoin") == 0
+    semi = plan.split("LeftSemi", 1)[1]
+    corpus_side = semi.split("BroadcastExchange", 1)[0]  # streamed side prints first
+    assert "shiftrightunsigned" in corpus_side  # the bloom probe sits here
+    assert "FileScan" in corpus_side
+    assert "Exchange" not in corpus_side, "corpus grams were shuffled before verify"

@@ -74,6 +74,7 @@ HEADLINE = [
     "q111_ls_state_snapshot",
     "q112_realized_pnl",
     "q117_ls_state_incremental",
+    "q121_bloom_decontamination",
 ]
 
 

@@ -67,31 +67,38 @@ def bloom_filter_maybe(
     """Keep rows whose ``value_col`` MAY be in the bitset — a pure
     codegen'd filter over the scan (no join, no exchange).
 
-    The bitset rides into the plan as an array<long> literal; each of
-    the k probes is one xxhash64, two shifts, an AND, and an
-    element_at, spelled as SQL because PySpark's shift wrappers only
-    take literal shift amounts. ``& mask`` on a power-of-two m keeps
-    every intermediate in signed-long range, so ANSI mode is happy.
+    The bitset rides into the plan as ONE array<long> literal
+    (``F.lit(words)`` — a per-word CreateArray would mean m/64 Py4J
+    round-trips and a quarter-million-child expression at MMLU-sized
+    m). Each probe's masked hash is staged as a projected column so the
+    word-index and bit-offset lookups share one xxhash64 evaluation
+    (filter codegen does not common-subexpression-eliminate). Probe
+    math is SQL because PySpark's shift wrappers only take literal
+    shift amounts; ``& mask`` on a power-of-two m keeps every
+    intermediate in signed-long range, so ANSI mode is happy.
     """
     mask = m - 1
-    staged = df.withColumn(
-        "__bf_bits", F.array(*[F.lit(w).cast("long") for w in words])
-    )
-    probes = []
+    staged = df.withColumn("__bf_bits", F.lit(words).cast("array<long>"))
     for i in range(k):
-        bit = f"(xxhash64(`{value_col}`, {i}L) & {mask}L)"
-        probes.append(
-            f"((shiftrightunsigned(element_at(__bf_bits, "
-            f"CAST(shiftrightunsigned({bit}, 6) AS INT) + 1), "
-            f"CAST({bit} & 63L AS INT)) & 1L) = 1L)"
+        staged = staged.withColumn(
+            f"__bf_b{i}", F.expr(f"xxhash64(`{value_col}`, {i}L) & {mask}L")
         )
-    return staged.filter(F.expr(" AND ".join(probes))).drop("__bf_bits")
+    probes = [
+        f"((shiftrightunsigned(element_at(__bf_bits, "
+        f"CAST(shiftrightunsigned(__bf_b{i}, 6) AS INT) + 1), "
+        f"CAST(__bf_b{i} & 63L AS INT)) & 1L) = 1L)"
+        for i in range(k)
+    ]
+    return staged.filter(F.expr(" AND ".join(probes))).drop(
+        "__bf_bits", *[f"__bf_b{i}" for i in range(k)]
+    )
 
 
 def bloom_prefilter_contains(
     corpus_grams: DataFrame,
     benchmark_grams: DataFrame,
     gram_col: str = "gram",
+    max_benchmark_grams: int | None = 2_000_000,
 ) -> DataFrame:
     """Rows of ``corpus_grams`` whose gram is in ``benchmark_grams`` —
     exact result, Bloom-prefiltered execution.
@@ -103,8 +110,18 @@ def bloom_prefilter_contains(
     false positives. No corpus-side exchange before the verify join's
     broadcast.
     """
-    distinct_grams = benchmark_grams.select(gram_col).distinct()
-    n = distinct_grams.count()
+    distinct_grams = benchmark_grams.select(gram_col).distinct().persist()
+    n = distinct_grams.count()  # also materializes the cache the
+    # collect and the verify join reuse — the benchmark scan/explode/
+    # distinct runs once, not three times
+    if max_benchmark_grams is not None and n > max_benchmark_grams:
+        distinct_grams.unpersist()
+        raise ValueError(
+            f"benchmark side has {n} distinct grams (> {max_benchmark_grams}): "
+            "this is a corpus, not a benchmark suite — the driver-side bitset "
+            "build would not be bounded. Use the exact semi-join (q69 shape) "
+            "or raise max_benchmark_grams deliberately."
+        )
     m, k = bloom_parameters(n)
     probe_rows = distinct_grams.select(
         *[F.xxhash64(F.col(gram_col), F.lit(i).cast("long")).alias(f"h{i}") for i in range(k)]

@@ -951,3 +951,15 @@ def test_bloom_prefilter_exact_and_no_false_negatives(spark):
         r["gram"] for r in bloom_filter_maybe(corpus, "gram", words, m, k).collect()
     }
     assert {f"gram {i}" for i in range(0, 400, 3)} <= maybe  # no false negatives
+
+
+def test_bloom_benchmark_size_guard(spark):
+    """A corpus-sized 'benchmark' must raise, not silently collect."""
+    import pytest as _pytest
+
+    from extract_transform_load_spark.operators.bloom import bloom_prefilter_contains
+
+    big = spark.range(100).selectExpr("CAST(id AS STRING) AS gram")
+    corpus = spark.range(10).selectExpr("id AS doc_id", "CAST(id AS STRING) AS gram")
+    with _pytest.raises(ValueError, match="benchmark"):
+        bloom_prefilter_contains(corpus, big, max_benchmark_grams=10)

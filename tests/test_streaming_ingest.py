@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
+import pyspark.sql.functions as F
+
 from extract_transform_load_spark.streaming.ingest import deduped_stream
 
 SCHEMA = "event_id long, ts timestamp, payload string"
@@ -104,3 +106,89 @@ def test_sketch_sink_stream_equals_batch_build(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_snapshot_rollforward_matches_full(spark, tmp_path):
+    """A12/A13 as a stream consumer: foreachBatch rolls LS_State forward
+    with ls_state_incremental over each microbatch's (prev_ts, ts]
+    window — the hourly aggregation driver running on a stream — and the
+    final state equals the full event-log reconstruction."""
+    from datetime import datetime
+
+    from extract_transform_load_spark.pipeline.snapshots import (
+        ls_state_incremental,
+        ls_state_snapshot,
+    )
+    from tests.domain_fixtures import build_domain_tables
+
+    t = build_domain_tables(spark)
+    opening, rep = t["LS_Opening"], t["LS_Repayment"]
+    cp, liq, cl = t["LS_Close_Position"], t["LS_Liquidation"], t["LS_Closing"]
+    empty_cp, empty_liq, empty_cl = cp.limit(0), liq.limit(0), cl.limit(0)
+
+    t0 = datetime(2023, 12, 31)
+    t_end = datetime(2024, 6, 1)
+    # time-partitioned arrival: three ascending chunks, one file each
+    cuts = [datetime(2024, 1, 15), datetime(2024, 1, 25), t_end]
+    src = tmp_path / "rep"
+    src.mkdir()
+    lo = t0
+    for i, hi in enumerate(cuts):
+        chunk = rep.filter((F.col("LS_timestamp") > lo) & (F.col("LS_timestamp") <= hi))
+        chunk.coalesce(1).write.parquet(str(src / f"b{i}.parquet"))
+        lo = hi
+
+    # driver-side state carry: tiny open set, collected per batch (a
+    # deployment would read/write the state table instead)
+    state = {
+        "prev_ts": t0,
+        "rows": ls_state_snapshot(opening, rep.limit(0), empty_cp, empty_liq, empty_cl, t0),
+    }
+    state["rows"] = state["rows"].collect()
+
+    def advance(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        hi = batch_df.agg(F.max("LS_timestamp")).collect()[0][0]
+        prev = spark.createDataFrame(
+            state["rows"],
+            "LS_contract_id string, LS_timestamp timestamp, "
+            "LS_amnt_stable decimal(38,0), LS_principal_stable decimal(38,0), "
+            "LS_repaid_stable decimal(38,0)",
+        )
+        out = ls_state_incremental(
+            prev, opening, batch_df, empty_cp, empty_liq, empty_cl,
+            state["prev_ts"], hi,
+        )
+        state["rows"] = out.collect()
+        state["prev_ts"] = hi
+
+    stream = (
+        spark.readStream.schema(rep.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(advance)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # roll the last watermark to t_end (openings/closings after the last
+    # repayment), then compare to the from-scratch reconstruction
+    prev = spark.createDataFrame(
+        state["rows"],
+        "LS_contract_id string, LS_timestamp timestamp, "
+        "LS_amnt_stable decimal(38,0), LS_principal_stable decimal(38,0), "
+        "LS_repaid_stable decimal(38,0)",
+    )
+    final = ls_state_incremental(
+        prev, opening, rep.limit(0), empty_cp, empty_liq, empty_cl,
+        state["prev_ts"], t_end,
+    )
+    full = ls_state_snapshot(opening, rep, empty_cp, empty_liq, empty_cl, t_end)
+    got = {tuple(r) for r in final.collect()}
+    want = {tuple(r) for r in full.collect()}
+    assert got == want and len(want) > 0

@@ -339,3 +339,21 @@ def test_keyset_mixed_direction_page(tables):
     assert [(r["LS_timestamp"], r["LS_contract_id"]) for r in rest] == [
         (r["LS_timestamp"], r["LS_contract_id"]) for r in full[1:]
     ]
+
+
+def test_cli_list_and_run(spark, sf_dir, tmp_path, capsys):
+    """python -m extract_transform_load_spark: list filters by substring;
+    run writes the registered query's result."""
+    from extract_transform_load_spark.__main__ import main
+
+    assert main(["list", "--grep", "pricing"]) == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out
+
+    dst = str(tmp_path / "out")
+    assert main(["run", "q07_ledger_summary", "--data", sf_dir,
+                 "--format", "json", "--out", dst]) == 0
+    got = spark.read.json(dst).collect()
+    assert len(got) == 1 and got[0]["n_events"] > 0
+
+    assert main(["run", "nope"]) == 2

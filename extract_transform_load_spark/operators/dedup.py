@@ -494,7 +494,22 @@ def minhash_lsh_verified_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col)
+    # ONE corpus pass feeds both stages: the 64 partial-min aggregates
+    # (signatures, for banding) and the distinct shingle-hash sets (for
+    # exact verification) share a single explode + doc_id exchange —
+    # separately they each scan, explode, and shuffle the corpus.
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    ).select("doc_id", F.xxhash64("shingle").alias("base"))
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("base"))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    combined = sh.groupBy("doc_id").agg(*mins, F.collect_set("base").alias("shset"))
+    sigs = combined.select(
+        "doc_id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("signature")
+    )
 
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sigs.select("doc_id", "signature", band_idx).select(
@@ -517,11 +532,7 @@ def minhash_lsh_verified_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sets_df = (
-        shingle_sets(docs, text_col, id_col, k)
-        .groupBy("doc_id")
-        .agg(F.collect_set(F.xxhash64("shingle")).alias("shset"))
-    )
+    sets_df = combined.select("doc_id", "shset")
     sa = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
     sb = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
     n_common = F.size(F.array_intersect("set_a", "set_b"))

@@ -40,8 +40,9 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--limit", type=int, default=20, help="rows for --format show")
     args = p.parse_args(argv)
 
+    # importing .plans.registry executes plans/__init__.py, which
+    # registers every query and applies the priority ordering
     from .plans.registry import REGISTRY
-    from . import plans  # noqa: F401  (populates REGISTRY)
 
     if args.cmd == "list":
         for name, spec in REGISTRY.items():
@@ -62,7 +63,9 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"etl-spark:{args.query}")
     spark.sparkContext.setLogLevel("ERROR")
-    df = REGISTRY[args.query].fn(spark, args.data)
+    # canonical form: total ORDER BY over all output columns, so two
+    # exports of the same data are byte-comparable
+    df = REGISTRY[args.query].canonical_fn(spark, args.data)
     if args.format == "show":
         df.show(args.limit, truncate=False)
     elif args.format == "parquet":

@@ -494,22 +494,13 @@ def minhash_lsh_verified_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    # ONE corpus pass feeds both stages: the 64 partial-min aggregates
-    # (signatures, for banding) and the distinct shingle-hash sets (for
-    # exact verification) share a single explode + doc_id exchange —
-    # separately they each scan, explode, and shuffle the corpus.
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
-    ).select("doc_id", F.xxhash64("shingle").alias("base"))
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("base"))).alias(f"__h{i}")
-        for i in range(num_hashes)
-    ]
-    combined = sh.groupBy("doc_id").agg(*mins, F.collect_set("base").alias("shset"))
-    sigs = combined.select(
-        "doc_id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("signature")
-    )
+    # NOTE (r3, measured): writing the signature mins and the verify
+    # shingle sets as one shared groupBy is a plan-level no-op — Catalyst
+    # column-prunes the combined aggregate back into separate per-branch
+    # aggregates (same 7 exchanges, 3 corpus scans, 1 ReusedExchange as
+    # the two-helper form), and the A/B benched neutral-to-slower. Keep
+    # the composable helpers.
+    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col)
 
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sigs.select("doc_id", "signature", band_idx).select(
@@ -532,7 +523,11 @@ def minhash_lsh_verified_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sets_df = combined.select("doc_id", "shset")
+    sets_df = (
+        shingle_sets(docs, text_col, id_col, k)
+        .groupBy("doc_id")
+        .agg(F.collect_set(F.xxhash64("shingle")).alias("shset"))
+    )
     sa = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
     sb = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
     n_common = F.size(F.array_intersect("set_a", "set_b"))

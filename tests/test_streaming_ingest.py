@@ -150,6 +150,11 @@ def test_streaming_snapshot_rollforward_matches_full(spark, tmp_path):
         if batch_df.isEmpty():
             return
         hi = batch_df.agg(F.max("LS_timestamp")).collect()[0][0]
+        # roll-forward requires time-ordered arrival; an out-of-order
+        # batch would silently fall outside the (prev_ts, hi] window,
+        # so fail loudly instead (file source orders by mtime — equal
+        # mtimes on a coarse-granularity FS could reorder)
+        assert hi > state["prev_ts"], (hi, state["prev_ts"])
         prev = spark.createDataFrame(
             state["rows"],
             "LS_contract_id string, LS_timestamp timestamp, "
@@ -174,7 +179,7 @@ def test_streaming_snapshot_rollforward_matches_full(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish in time"
 
     # roll the last watermark to t_end (openings/closings after the last
     # repayment), then compare to the from-scratch reconstruction

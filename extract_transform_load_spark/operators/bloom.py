@@ -110,12 +110,18 @@ def bloom_prefilter_contains(
     false positives. No corpus-side exchange before the verify join's
     broadcast.
     """
-    distinct_grams = benchmark_grams.select(gram_col).distinct().persist()
-    n = distinct_grams.count()  # also materializes the cache the
-    # collect and the verify join reuse — the benchmark scan/explode/
-    # distinct runs once, not three times
+    # localCheckpoint (not persist): the benchmark scan/explode/distinct
+    # still runs once — the count, the probe-hash collect, and the
+    # verify join all read the materialized blocks — but the blocks are
+    # released by the ContextCleaner as soon as the returned plan is
+    # unreferenced, instead of staying pinned in executor memory for
+    # the whole session (a persist here leaked one cached gram frame
+    # per decontamination call across a 121-query driver run).
+    distinct_grams = benchmark_grams.select(gram_col).distinct().localCheckpoint(
+        eager=True
+    )
+    n = distinct_grams.count()
     if max_benchmark_grams is not None and n > max_benchmark_grams:
-        distinct_grams.unpersist()
         raise ValueError(
             f"benchmark side has {n} distinct grams (> {max_benchmark_grams}): "
             "this is a corpus, not a benchmark suite — the driver-side bitset "

@@ -134,6 +134,13 @@ def connected_components(
 
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        # Null-keyed edges drop on BOTH paths: `u != v` is already
+        # null-rejecting (NULL comparison -> filter false), and the
+        # explicit isNotNull pair documents that contract — without it
+        # a refactor of the self-loop filter could silently hand None
+        # ids to the driver union-find, where `ru < rv` raises
+        # TypeError while the distributed path degrades quietly.
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)

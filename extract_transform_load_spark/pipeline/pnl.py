@@ -73,11 +73,18 @@ def compute_loan_closings(
             .withColumn("close_type", F.lit("repay"))
         )
     )
-    # first terminal event wins (a contract closes once)
+    # first terminal event wins (a contract closes once); close_type is
+    # a deterministic secondary key so equal-timestamp terminals from
+    # two sources (possible in an intraday ledger) resolve identically
+    # on any engine — min_by on close_ts alone picks an arbitrary
+    # struct under ties.
     term = (
         term.groupBy("LS_contract_id")
         .agg(
-            F.min_by(F.struct("close_type", "close_ts"), F.col("close_ts")).alias("__t")
+            F.min_by(
+                F.struct("close_type", "close_ts"),
+                F.struct("close_ts", "close_type"),
+            ).alias("__t")
         )
         .select(
             "LS_contract_id",

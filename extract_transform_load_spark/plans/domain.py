@@ -246,7 +246,7 @@ def q111_ls_state_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     term AS (
       SELECT LS_contract_id, close_type, close_ts FROM term0
-      QUALIFY ROW_NUMBER() OVER (PARTITION BY LS_contract_id ORDER BY close_ts) = 1
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY LS_contract_id ORDER BY close_ts, close_type) = 1
     ),
     rs AS (SELECT LS_contract_id, SUM(LS_payment_amnt_stable) AS repaid FROM repay GROUP BY 1),
     cs AS (SELECT LS_contract_id, SUM(LS_payment_amnt_stable) AS closed_amt FROM closepos GROUP BY 1),

@@ -409,6 +409,23 @@ def test_connected_components_chain_and_clusters(spark):
     assert len(clusters) == 16  # every node in the pair graph is assigned
 
 
+def test_connected_components_null_edges_drop_on_both_paths(spark):
+    """Null-keyed edges (a join miss upstream) drop identically on the
+    driver union-find fast path and the distributed star rounds — the
+    fast path must not crash on unorderable None ids."""
+    from extract_transform_load_spark.operators.components import connected_components
+
+    rows = [(1, 2), (2, 3), (None, 5), (6, None), (None, None), (8, 9)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    want = {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
+    for thr in (2_000_000, None):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, small_graph_threshold=thr).collect()
+        }
+        assert got == want, f"threshold={thr}"
+
+
 def test_approx_percentile_rank_error_bound(spark, sf_dir):
     """approx_percentile(accuracy=10000) guarantees rank error <=
     n/10000 per group: the returned value must sit between the exact

@@ -49,17 +49,22 @@ _PRIORITY = [
     "q25_gap_detection",        # B21
     "q26_latest_per_key",       # B22/B25
     "q27_cumulative_sum",       # B23
-    "q28_daily_cumulative",     # B24
     "q29_topk_customers",       # sorts/top-k
     "q30_union_ledger",         # set ops
     "q33_json_extract",         # scalar functions + semi-structured extraction
-    # §2.A pipeline layer (round 3): one driver row for the snapshot/PnL
-    # engine. q117 is the densest single witness — it exercises the full
-    # LS_State reconstruction AND the incremental roll-forward, and its
-    # oracle is the full recompute, so one green row proves both paths.
-    # Displaced: q32_scalar_functions (q33 keeps the scalar-function
-    # family in window; q31/q34/q35/q37 siblings were already outside).
+    # §2.A pipeline layer: q117 (round 3) is the densest snapshot
+    # witness — it exercises the full LS_State reconstruction AND the
+    # incremental roll-forward, and its oracle is the full recompute, so
+    # one green row proves both paths. Round 4 adds q112 — the realized
+    # PnL gold query (`controller/pnl.rs:29`), now exercising Long,
+    # SHORT (LPN debt revaluation) and liquidation cohorts in one
+    # result — per the round-3 verdict's re-balance ask. Displaced:
+    # q32_scalar_functions (r3; q33 keeps that family in window) and
+    # q28_daily_cumulative (r4; its constituent operators stay
+    # driver-covered — cumulative window via q27, time-bucketed agg via
+    # q18/q13 — and q28 itself stays strict-gate green past the window).
     "q117_ls_state_incremental",
+    "q112_realized_pnl",
     # LLM-pipeline family representatives (19). One per family from the
     # VERDICT r01 coverage table, so every family carries a driver
     # CORRECTNESS row if the 50-entry cap recurs. Displaced to make room

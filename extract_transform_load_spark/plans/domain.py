@@ -65,17 +65,29 @@ def _pct(base: Column, mult: Column | int) -> Column:
 
 def lease_opening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → LS_Opening-shaped frame (loan = o_totalprice in cents,
-    collateral = 40% of loan)."""
+    collateral = 40% of loan).
+
+    Every 4th contract (id % 4 = 2) is a Short position with an integer
+    LPN price at close of ``1 + id % 7`` — deterministic and exact in
+    both engines, so q112 exercises the Short debt revaluation of
+    `ls_loan_closing.rs:582-664` (debt × LPN price) under the driver
+    hash, not just in a hand-built pytest frame.
+    """
     o = load(spark, sf_dir, "orders")
     loan = _cents("o_totalprice")
+    cid = F.col("o_orderkey")
     return o.select(
-        F.col("o_orderkey").alias("LS_contract_id"),
+        cid.alias("LS_contract_id"),
         F.col("o_custkey").alias("LS_address_id"),
         F.col("o_orderdate").alias("LS_timestamp"),
         loan.alias("loan_c"),
         loan.alias("LS_loan_amnt"),
         loan.alias("LS_loan_amnt_stable"),
         F.floor(loan * F.lit(0.4)).alias("LS_cltr_amnt_stable"),
+        F.when(cid % 4 == 2, F.lit("Short"))
+        .otherwise(F.lit("Long"))
+        .alias("LS_position_type"),
+        (1 + cid % 7).cast("decimal(38,18)").alias("lpn_price_at_close"),
     )
 
 
@@ -256,7 +268,11 @@ def q111_ls_state_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN t.close_type = 'liquidation'
                   THEN -(COALESCE(rs.repaid, 0) + CAST(FLOOR(o.loan_c * 0.4) AS BIGINT))
                   ELSE COALESCE(rs.repaid, 0) + COALESCE(cs.closed_amt, 0) + COALESCE(qs.liq_amt, 0)
-                       - o.loan_c - CAST(FLOOR(o.loan_c * 0.4) AS BIGINT)
+                       -- Short debt is LPN-denominated: revalue by the
+                       -- (integer, exact) LPN price at close
+                       - o.loan_c * (CASE WHEN o.LS_contract_id % 4 = 2
+                                          THEN 1 + o.LS_contract_id % 7 ELSE 1 END)
+                       - CAST(FLOOR(o.loan_c * 0.4) AS BIGINT)
              END AS pnl
       FROM opening o
       JOIN term t ON t.LS_contract_id = o.LS_contract_id
@@ -273,8 +289,9 @@ def q111_ls_state_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="A18 PnL engine (pipeline/pnl.py::compute_loan_closings + "
     "realized_pnl_by_address, `ls_loan_closing.rs:359-802`): close-cause "
     "precedence by earliest terminal event, Long formula proceeds − debt "
-    "− downpayment, liquidation −(repaid + downpayment), rolled up per "
-    "address with win rate.",
+    "− downpayment, Short revalues the debt by the LPN price at close "
+    "(`ls_loan_closing.rs:582-664`; the id%4=2 cohort), liquidation "
+    "−(repaid + downpayment), rolled up per address with win rate.",
 )
 def q112_realized_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.pnl import compute_loan_closings, realized_pnl_by_address

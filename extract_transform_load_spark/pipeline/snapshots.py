@@ -109,39 +109,66 @@ def ls_state_snapshot(
 def lp_pool_state_snapshot(
     deposits: DataFrame, withdrawals: DataFrame, agg_timestamp
 ) -> DataFrame:
-    """TVL per pool at ``agg_timestamp`` = Σ deposits − Σ withdrawals
-    (`handler/lp_pool_state.rs:13-110`; the reference reads live pool
-    balance + loan principal/interest over gRPC — the event-log
-    reconstruction is the deposits/withdrawals ledger)."""
+    """TVL per pool at ``agg_timestamp`` = Σ deposits − Σ withdrawals,
+    in both asset and stable denominations (`handler/lp_pool_state.rs:
+    13-110`, schema `V001:66-79`; the reference reads live pool balance
+    over gRPC — the event-log reconstruction is the deposits/withdrawals
+    ledger, whose silver rows carry both LP_amnt_asset and
+    LP_amnt_stable). Yield is emitted as 0 exactly like the reference
+    (`lp_pool_state.rs:105-106` hardcodes it); borrowed is not an LP-
+    ledger fact — attach it with :func:`pools_borrowed` (the open-lease
+    principal per pool), as :func:`run_aggregation_round` does."""
     ts = F.lit(agg_timestamp).cast("timestamp")
+    sums = lambda side: [  # noqa: E731
+        F.sum("LP_amnt_asset").cast(AMOUNT).alias(f"{side}_asset"),
+        F.sum("LP_amnt_stable").cast(AMOUNT).alias(f"{side}_stable"),
+        F.sum("LP_amnt_receipts").cast(AMOUNT).alias(f"{side}_receipts"),
+    ]
     d = (
         deposits.filter(F.col("LP_timestamp") <= ts)
         .groupBy("LP_Pool_id")
-        .agg(
-            F.sum("LP_amnt_asset").cast(AMOUNT).alias("deposited"),
-            F.sum("LP_amnt_receipts").cast(AMOUNT).alias("receipts_minted"),
-        )
+        .agg(*sums("d"))
     )
     w = (
         withdrawals.filter(F.col("LP_timestamp") <= ts)
         .groupBy("LP_Pool_id")
-        .agg(
-            F.sum("LP_amnt_asset").cast(AMOUNT).alias("withdrawn"),
-            F.sum("LP_amnt_receipts").cast(AMOUNT).alias("receipts_burned"),
-        )
+        .agg(*sums("w"))
     )
     z = F.lit(0).cast(AMOUNT)
+
+    def net(col: str):
+        return (
+            F.coalesce(F.col(f"d_{col}"), z) - F.coalesce(F.col(f"w_{col}"), z)
+        ).cast(AMOUNT)
+
+    return d.join(w, "LP_Pool_id", "full_outer").select(
+        "LP_Pool_id",
+        ts.alias("LP_Pool_timestamp"),
+        net("stable").alias("LP_Pool_total_value_locked_stable"),
+        net("asset").alias("LP_Pool_total_value_locked_asset"),
+        net("receipts").alias("LP_Pool_total_issued_receipts"),
+        z.alias("LP_Pool_total_yield_stable"),
+    )
+
+
+def pools_borrowed(ls_state: DataFrame, opening: DataFrame) -> DataFrame:
+    """Outstanding principal of open leases per funding pool — the
+    reconstruction of LP_Pool_total_borrowed_stable (`V001:72`; the
+    reference reads each pool's total_principal_due over gRPC,
+    `lp_pool_state.rs:95`). The open set at the snapshot timestamp is
+    exactly ``ls_state``; its principal came from the pool named by the
+    opening's LS_loan_pool_id, so borrowed = Σ principal per pool.
+    One broadcast-sized join (openings projected to two columns) + one
+    groupBy on the small open set — no event-log scan."""
     return (
-        d.join(w, "LP_Pool_id", "full_outer")
-        .select(
-            "LP_Pool_id",
-            ts.alias("LP_Pool_timestamp"),
-            (F.coalesce(F.col("deposited"), z) - F.coalesce(F.col("withdrawn"), z))
-            .cast(AMOUNT)
-            .alias("LP_Pool_total_value_locked_asset"),
-            (F.coalesce(F.col("receipts_minted"), z) - F.coalesce(F.col("receipts_burned"), z))
-            .cast(AMOUNT)
-            .alias("LP_Pool_total_issued_receipts"),
+        ls_state.select("LS_contract_id", "LS_principal_stable")
+        .join(
+            opening.select("LS_contract_id", F.col("LS_loan_pool_id").alias("LP_Pool_id")),
+            "LS_contract_id",
+        )
+        .groupBy("LP_Pool_id")
+        .agg(
+            F.sum("LS_principal_stable").cast(AMOUNT).alias("LP_Pool_total_borrowed_stable")
         )
     )
 
@@ -174,6 +201,20 @@ def lp_lender_state_snapshot(
             .alias("LP_Lender_receipts"),
         )
         .filter(F.col("LP_Lender_receipts") > 0)
+    )
+
+
+def attach_pools_borrowed(
+    pool_state: DataFrame, ls_state: DataFrame, opening: DataFrame
+) -> DataFrame:
+    """LP_Pool_State + LP_Pool_total_borrowed_stable (pools with no open
+    leases carry 0, like a pool whose principal_due reads zero)."""
+    z = F.lit(0).cast(AMOUNT)
+    return pool_state.join(
+        pools_borrowed(ls_state, opening), "LP_Pool_id", "left"
+    ).withColumn(
+        "LP_Pool_total_borrowed_stable",
+        F.coalesce(F.col("LP_Pool_total_borrowed_stable"), z),
     )
 
 
@@ -316,6 +357,7 @@ def lp_pool_state_incremental(
         .groupBy("LP_Pool_id")
         .agg(
             F.sum("LP_amnt_asset").cast(AMOUNT).alias("__d_dep"),
+            F.sum("LP_amnt_stable").cast(AMOUNT).alias("__d_dep_stable"),
             F.sum("LP_amnt_receipts").cast(AMOUNT).alias("__d_minted"),
         )
     )
@@ -324,30 +366,38 @@ def lp_pool_state_incremental(
         .groupBy("LP_Pool_id")
         .agg(
             F.sum("LP_amnt_asset").cast(AMOUNT).alias("__d_wd"),
+            F.sum("LP_amnt_stable").cast(AMOUNT).alias("__d_wd_stable"),
             F.sum("LP_amnt_receipts").cast(AMOUNT).alias("__d_burned"),
         )
     )
     prev = prev_state.select(
         "LP_Pool_id",
+        F.col("LP_Pool_total_value_locked_stable").alias("__tvl_stable"),
         F.col("LP_Pool_total_value_locked_asset").alias("__tvl"),
         F.col("LP_Pool_total_issued_receipts").alias("__receipts"),
     )
+
+    def roll(prev_col: str, plus: str, minus: str):
+        return (
+            F.coalesce(F.col(prev_col), z)
+            + F.coalesce(F.col(plus), z)
+            - F.coalesce(F.col(minus), z)
+        ).cast(AMOUNT)
+
     return (
         prev.join(d, "LP_Pool_id", "full_outer")
         .join(w, "LP_Pool_id", "full_outer")
         .select(
             "LP_Pool_id",
             hi.alias("LP_Pool_timestamp"),
-            (
-                F.coalesce(F.col("__tvl"), z)
-                + F.coalesce(F.col("__d_dep"), z)
-                - F.coalesce(F.col("__d_wd"), z)
-            ).cast(AMOUNT).alias("LP_Pool_total_value_locked_asset"),
-            (
-                F.coalesce(F.col("__receipts"), z)
-                + F.coalesce(F.col("__d_minted"), z)
-                - F.coalesce(F.col("__d_burned"), z)
-            ).cast(AMOUNT).alias("LP_Pool_total_issued_receipts"),
+            roll("__tvl_stable", "__d_dep_stable", "__d_wd_stable").alias(
+                "LP_Pool_total_value_locked_stable"
+            ),
+            roll("__tvl", "__d_dep", "__d_wd").alias("LP_Pool_total_value_locked_asset"),
+            roll("__receipts", "__d_minted", "__d_burned").alias(
+                "LP_Pool_total_issued_receipts"
+            ),
+            z.alias("LP_Pool_total_yield_stable"),
         )
     )
 
@@ -401,77 +451,184 @@ def lp_lender_state_incremental(
 
 def pl_state_rollup(
     opening: DataFrame,
+    closings: DataFrame,
     repayments: DataFrame,
-    liquidations: DataFrame,
     deposits: DataFrame,
     withdrawals: DataFrame,
     tr_profit: DataFrame,
     tr_rewards: DataFrame,
+    ls_state: DataFrame,
+    lp_lender_state: DataFrame,
+    lp_pool_state: DataFrame,
+    tr_state: DataFrame,
     prev_ts,
+    last_ts,
     ts,
 ) -> DataFrame:
-    """Platform-wide interval rollup (`handler/pl_state.rs:13-221`):
-    20+ windowed sums/counts over (prev_ts, ts] across the entity tables,
-    combined into one row. Includes the treasury tax identity
-    ``tax = ΔTR + rewards − profit`` (reference asserts it per interval).
+    """The reference's FULL PL_State row (`handler/pl_state.rs:13-221`,
+    schema `migrations/V001:283-314`) — every column, the same window
+    semantics, three action timestamps like `parse_and_insert(prev,
+    last, current)`:
 
-    Spark shape: each source aggregates independently (parallel stages,
-    no joins between fact tables), then one single-row crossJoin — the
-    cheapest possible combination since every aggregate is scalar.
+    - pools TVL/borrowed/yield: sums over the LP_Pool_State snapshot at
+      ``ts`` (`dao/lp_pool_state.rs:88-113`); pass the pool snapshot
+      with :func:`pools_borrowed` attached.
+    - open counts: row counts of the LS_State / LP_Lender_State
+      snapshots at ``ts`` (`dao/ls_state.rs:177`,
+      `dao/lp_lender_state.rs:103`).
+    - opened/closed/flow legs: windowed over (last_ts, ts] —
+      EXCEPT the 5-way repayment breakdown, whose reference DAO uses an
+      EXCLUSIVE upper bound (`dao/ls_repayment.rs:149`: ``< $2`` where
+      every sibling uses ``<= $2``) — reproduced verbatim.
+    - OUT_LS legs: openings joined to closings-in-window
+      (`dao/ls_opening.rs:260-304`: LEFT JOIN LS_Closing + WHERE on the
+      closing timestamp ≡ inner join).
+    - native legs: literal 0 (`pl_state.rs:189-190` hardcodes them).
+    - tax identity (`pl_state.rs:160-166`): tax = ΣTR_State(last, ts]
+      + rewards − profit − ΣTR_State(prev_ts, last_ts] — the TR_State
+      rows are per-round balances, so the window sums reduce to the
+      balance delta when one snapshot lands per window.
+
+    Spark shape: every leg is an independent scalar aggregate (parallel
+    stages, no fact-to-fact joins except the reference's own
+    opening⋈closing), combined by single-row crossJoins — at any scale
+    each leg is one partially-aggregated scan of a time-pruned slice.
     """
-    lo = F.lit(prev_ts).cast("timestamp")
+    prev = F.lit(prev_ts).cast("timestamp")
+    last = F.lit(last_ts).cast("timestamp")
     hi = F.lit(ts).cast("timestamp")
+    z = F.lit(0).cast(AMOUNT)
 
-    def window_of(df: DataFrame, ts_col: str) -> DataFrame:
-        return df.filter((F.col(ts_col) > lo) & (F.col(ts_col) <= hi))
+    def window_of(df: DataFrame, ts_col: str, inclusive: bool = True) -> DataFrame:
+        upper = F.col(ts_col) <= hi if inclusive else F.col(ts_col) < hi
+        return df.filter((F.col(ts_col) > last) & upper)
 
+    def ssum(col: str, alias: str):
+        return F.coalesce(F.sum(col), F.lit(0)).cast(AMOUNT).alias(alias)
+
+    pools = lp_pool_state.agg(
+        ssum("LP_Pool_total_value_locked_stable", "PL_pools_TVL_stable"),
+        ssum("LP_Pool_total_borrowed_stable", "PL_pools_borrowed_stable"),
+        ssum("LP_Pool_total_yield_stable", "PL_pools_yield_stable"),
+    )
+    ls_open = ls_state.agg(F.count(F.lit(1)).alias("PL_LS_count_open"))
+    ls_closed = window_of(closings, "LS_timestamp").agg(
+        F.count(F.lit(1)).alias("PL_LS_count_closed")
+    )
     opened = window_of(opening, "LS_timestamp").agg(
-        F.count(F.lit(1)).alias("PL_LS_count_open"),
-        F.sum("LS_loan_amnt_stable").cast(AMOUNT).alias("PL_LS_loan_amnt_stable"),
+        F.count(F.lit(1)).alias("PL_LS_count_opened"),
+        ssum("LS_cltr_amnt_stable", "PL_IN_LS_cltr_amnt_opened_stable"),
+        ssum("LS_loan_amnt_stable", "PL_OUT_LS_loan_amnt_stable"),
     )
-    repaid = window_of(repayments, "LS_timestamp").agg(
-        F.count(F.lit(1)).alias("PL_LS_count_repay"),
-        F.sum("LS_payment_amnt_stable").cast(AMOUNT).alias("PL_LS_repay_amnt_stable"),
-    )
-    liq = window_of(liquidations, "LS_timestamp").agg(
-        F.count(F.lit(1)).alias("PL_LS_count_liquidation"),
-        F.sum("LS_payment_amnt_stable").cast(AMOUNT).alias("PL_LS_liquidation_amnt_stable"),
+    lp_open = lp_lender_state.agg(F.count(F.lit(1)).alias("PL_LP_count_open"))
+    wd = window_of(withdrawals, "LP_timestamp").agg(
+        F.count(F.when(F.col("LP_deposit_close"), 1)).alias("PL_LP_count_closed"),
+        ssum("LP_amnt_stable", "PL_OUT_LP_amnt_stable"),
     )
     dep = window_of(deposits, "LP_timestamp").agg(
-        F.count(F.lit(1)).alias("PL_LP_count_deposit"),
-        F.sum("LP_amnt_asset").cast(AMOUNT).alias("PL_LP_deposit_amnt"),
+        F.count(F.lit(1)).alias("PL_LP_count_opened"),
+        ssum("LP_amnt_stable", "PL_IN_LP_amnt_stable"),
     )
-    wd = window_of(withdrawals, "LP_timestamp").agg(
-        F.count(F.lit(1)).alias("PL_LP_count_withdraw"),
-        F.sum("LP_amnt_asset").cast(AMOUNT).alias("PL_LP_withdraw_amnt"),
+    rep = window_of(repayments, "LS_timestamp", inclusive=False).agg(
+        ssum("LS_prev_margin_stable", "PL_IN_LS_rep_prev_margin_stable"),
+        ssum("LS_prev_interest_stable", "PL_IN_LS_rep_prev_interest_stable"),
+        ssum("LS_current_margin_stable", "PL_IN_LS_rep_current_margin_stable"),
+        ssum("LS_current_interest_stable", "PL_IN_LS_rep_current_interest_stable"),
+        ssum("LS_principal_stable", "PL_IN_LS_rep_principal_stable"),
     )
-    # Silver-shape columns (schemas.TR_PROFIT / TR_REWARDS_DISTRIBUTION):
-    # the tables dict run_aggregation_round consumes carries the
-    # *_amnt_stable columns, not the parser-raw TR_*_amnt.
+    out_ls = (
+        opening.join(
+            window_of(closings, "LS_timestamp").select("LS_contract_id"),
+            "LS_contract_id",
+        ).agg(
+            ssum("LS_cltr_amnt_stable", "PL_OUT_LS_cltr_amnt_stable"),
+            F.coalesce(
+                F.sum(F.col("LS_loan_amnt_stable") + F.col("LS_cltr_amnt_stable")),
+                F.lit(0),
+            )
+            .cast(AMOUNT)
+            .alias("PL_OUT_LS_amnt_stable"),
+        )
+    )
     profit = window_of(tr_profit, "TR_Profit_timestamp").agg(
-        F.sum("TR_Profit_amnt_stable").cast(AMOUNT).alias("PL_TR_profit_amnt")
+        ssum("TR_Profit_amnt_stable", "PL_TR_profit_amnt_stable"),
+        ssum("TR_Profit_amnt_nls", "PL_TR_profit_amnt_nls"),
     )
     rewards = window_of(tr_rewards, "TR_Rewards_timestamp").agg(
-        F.sum("TR_Rewards_amnt_stable").cast(AMOUNT).alias("PL_TR_rewards_amnt")
+        ssum("TR_Rewards_amnt_stable", "PL_OUT_TR_rewards_amnt_stable"),
+        ssum("TR_Rewards_amnt_nls", "PL_OUT_TR_rewards_amnt_nls"),
+    )
+    trs_cur = window_of(tr_state, "TR_timestamp").agg(
+        ssum("TR_amnt_stable", "__tr_stable"), ssum("TR_amnt_nls", "__tr_nls")
+    )
+    trs_prev = tr_state.filter(
+        (F.col("TR_timestamp") > prev) & (F.col("TR_timestamp") <= last)
+    ).agg(
+        ssum("TR_amnt_stable", "__tr_stable_prev"), ssum("TR_amnt_nls", "__tr_nls_prev")
     )
 
-    row = opened
-    for piece in (repaid, liq, dep, wd, profit, rewards):
+    row = pools
+    for piece in (
+        ls_open, ls_closed, opened, lp_open, wd, dep, rep, out_ls,
+        profit, rewards, trs_cur, trs_prev,
+    ):
         row = row.crossJoin(piece)
-    z = F.lit(0).cast(AMOUNT)
+
+    def tax(cur: str, rew: str, prof: str, prv: str):
+        return (F.col(cur) + F.col(rew) - F.col(prof) - F.col(prv)).cast("decimal(38,0)")
+
     return row.select(
         hi.alias("PL_timestamp"),
-        *[F.coalesce(F.col(c), z).alias(c) if c.endswith(("stable", "amnt")) else F.col(c) for c in row.columns],
-        # tax identity (pl_state.rs: tax = ΔTR + rewards − profit); ΔTR
-        # is supplied by the caller's TR_State pair when available.
+        "PL_pools_TVL_stable",
+        "PL_pools_borrowed_stable",
+        "PL_pools_yield_stable",
+        "PL_LS_count_open",
+        "PL_LS_count_closed",
+        "PL_LS_count_opened",
+        "PL_IN_LS_cltr_amnt_opened_stable",
+        "PL_LP_count_open",
+        "PL_LP_count_closed",
+        "PL_LP_count_opened",
+        "PL_OUT_LS_loan_amnt_stable",
         (
-            F.coalesce(F.col("PL_TR_rewards_amnt"), z) - F.coalesce(F.col("PL_TR_profit_amnt"), z)
-        ).cast("decimal(38,0)").alias("PL_tax_minus_delta_tr"),
+            F.col("PL_IN_LS_rep_prev_margin_stable")
+            + F.col("PL_IN_LS_rep_prev_interest_stable")
+            + F.col("PL_IN_LS_rep_current_margin_stable")
+            + F.col("PL_IN_LS_rep_current_interest_stable")
+        )
+        .cast(AMOUNT)
+        # the reference's rep_amnt is the 4 margin/interest legs only —
+        # principal is NOT included (`pl_state.rs:89-92`)
+        .alias("PL_IN_LS_rep_amnt_stable"),
+        "PL_IN_LS_rep_prev_margin_stable",
+        "PL_IN_LS_rep_prev_interest_stable",
+        "PL_IN_LS_rep_current_margin_stable",
+        "PL_IN_LS_rep_current_interest_stable",
+        "PL_IN_LS_rep_principal_stable",
+        "PL_OUT_LS_cltr_amnt_stable",
+        "PL_OUT_LS_amnt_stable",
+        z.alias("PL_native_amnt_stable"),
+        z.alias("PL_native_amnt_nolus"),
+        "PL_IN_LP_amnt_stable",
+        "PL_OUT_LP_amnt_stable",
+        "PL_TR_profit_amnt_stable",
+        "PL_TR_profit_amnt_nls",
+        tax("__tr_stable", "PL_OUT_TR_rewards_amnt_stable", "PL_TR_profit_amnt_stable", "__tr_stable_prev").alias(
+            "PL_TR_tax_amnt_stable"
+        ),
+        tax("__tr_nls", "PL_OUT_TR_rewards_amnt_nls", "PL_TR_profit_amnt_nls", "__tr_nls_prev").alias(
+            "PL_TR_tax_amnt_nls"
+        ),
+        "PL_OUT_TR_rewards_amnt_stable",
+        "PL_OUT_TR_rewards_amnt_nls",
     )
 
 
 def run_aggregation_round(
-    tables: dict[str, DataFrame], agg_timestamp, prev_timestamp=None
+    tables: dict[str, DataFrame],
+    agg_timestamp,
+    prev_timestamp=None,
+    prev_prev_timestamp=None,
 ) -> dict[str, DataFrame]:
     """One aggregation round (SURVEY.md §2.A A12, `main.rs:96-163`,
     `handler/aggregation_task.rs:12-86`): produce every state snapshot
@@ -483,36 +640,54 @@ def run_aggregation_round(
     schedule the scans concurrently, and the caller appends an
     action_history row after the writes commit (the same
     "snapshot-then-record" ordering that makes the round idempotent).
-    With ``prev_timestamp`` the round also emits the PL_State interval
-    rollup over (prev_timestamp, agg_timestamp] — the reference's
-    "then PL_State" step (`aggregation_task.rs:12-86`).
+    With ``prev_timestamp`` (the reference's last_action_timestamp) the
+    round also emits the FULL PL_State row over
+    (prev_timestamp, agg_timestamp] — the reference's "then PL_State"
+    step (`aggregation_task.rs:12-86`, `pl_state.rs:13-221`).
+    ``prev_prev_timestamp`` feeds the tax identity's ΔTR window; the
+    TR_State history comes from ``tables["TR_State"]`` when the caller
+    has prior rounds materialized, else the current round's snapshot
+    stands in (the (prev_prev, prev] leg is then 0 — first-round
+    semantics, same as the reference's empty table).
     """
-    out = {
-        "LS_State": ls_state_snapshot(
-            tables["LS_Opening"],
-            tables["LS_Repayment"],
-            tables["LS_Close_Position"],
-            tables["LS_Liquidation"],
-            tables["LS_Closing"],
-            agg_timestamp,
-        ),
-        "LP_Pool_State": lp_pool_state_snapshot(
+    ls_state = ls_state_snapshot(
+        tables["LS_Opening"],
+        tables["LS_Repayment"],
+        tables["LS_Close_Position"],
+        tables["LS_Liquidation"],
+        tables["LS_Closing"],
+        agg_timestamp,
+    )
+    lp_pool_state = attach_pools_borrowed(
+        lp_pool_state_snapshot(
             tables["LP_Deposit"], tables["LP_Withdraw"], agg_timestamp
         ),
+        ls_state,
+        tables["LS_Opening"],
+    )
+    tr_state = tr_state_snapshot(tables["TR_Profit"], agg_timestamp)
+    out = {
+        "LS_State": ls_state,
+        "LP_Pool_State": lp_pool_state,
         "LP_Lender_State": lp_lender_state_snapshot(
             tables["LP_Deposit"], tables["LP_Withdraw"], agg_timestamp
         ),
-        "TR_State": tr_state_snapshot(tables["TR_Profit"], agg_timestamp),
+        "TR_State": tr_state,
     }
     if prev_timestamp is not None:
         out["PL_State"] = pl_state_rollup(
             tables["LS_Opening"],
+            tables["LS_Closing"],
             tables["LS_Repayment"],
-            tables["LS_Liquidation"],
             tables["LP_Deposit"],
             tables["LP_Withdraw"],
             tables["TR_Profit"],
             tables["TR_Rewards_Distribution"],
+            out["LS_State"],
+            out["LP_Lender_State"],
+            lp_pool_state,
+            tables.get("TR_State", tr_state),
+            prev_prev_timestamp if prev_prev_timestamp is not None else prev_timestamp,
             prev_timestamp,
             agg_timestamp,
         )

@@ -47,8 +47,15 @@ from ..sources.tables import load
 from .registry import query
 
 # Snapshot timestamps, mid-range of the fixture's 1995-2001 order dates.
+T0 = "1997-01-01 00:00:00"
 T1 = "1998-01-01 00:00:00"
 T2 = "1999-07-01 00:00:00"
+# PL_State's `current` bound: 01:00:00 lands EXACTLY on repayment
+# timestamps (base date + 1 h), so the reference's exclusive upper bound
+# on the repayment window (`dao/ls_repayment.rs:149` uses `<` where all
+# siblings use `<=`) actually bites at sf0.01/0.1 — a `<=` mistake in
+# either engine flips the hash.
+T2B = "1999-07-01 01:00:00"
 
 
 def _cents(col: str) -> Column:
@@ -88,6 +95,9 @@ def lease_opening(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("Long"))
         .alias("LS_position_type"),
         (1 + cid % 7).cast("decimal(38,18)").alias("lpn_price_at_close"),
+        # funding pool: same 8-pool universe as the LP ledger, so the
+        # borrowed-per-pool overlay (pools_borrowed) has real join keys
+        (cid % 8).alias("LS_loan_pool_id"),
     )
 
 
@@ -111,14 +121,28 @@ def _ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _event_stream(led: DataFrame, residue: int, hours: int) -> DataFrame:
     """One of the three event streams: principal = ln% of loan, payment =
-    12·ln% of loan, timestamp offset by ``hours``."""
-    return led.filter(F.col("ln") % 3 == residue).select(
+    12·ln% of loan, timestamp offset by ``hours``. The repayment stream
+    (residue 1) also carries the reference's 5-way breakdown
+    (`V001:144-148`): margin/interest legs as 2·ln%..5·ln% of the loan —
+    each the same exact FLOOR(int·k/100.0) construction."""
+    cols = [
         "LS_contract_id",
         (F.col("base_ts") + F.expr(f"INTERVAL {hours} HOURS")).alias("LS_timestamp"),
         "LS_loan_close",
         _pct(F.col("loan_c"), F.col("ln")).alias("LS_principal_stable"),
         _pct(F.col("loan_c"), F.col("ln") * 12).alias("LS_payment_amnt_stable"),
-    )
+    ]
+    if residue == 1:
+        cols += [
+            _pct(F.col("loan_c"), F.col("ln") * k).alias(name)
+            for k, name in (
+                (2, "LS_prev_margin_stable"),
+                (3, "LS_prev_interest_stable"),
+                (4, "LS_current_margin_stable"),
+                (5, "LS_current_interest_stable"),
+            )
+        ]
+    return led.filter(F.col("ln") % 3 == residue).select(*cols)
 
 
 def lease_events(spark: SparkSession, sf_dir: str):
@@ -144,6 +168,7 @@ opening AS (
   SELECT o_orderkey AS LS_contract_id,
          o_custkey AS LS_address_id,
          o_orderdate AS LS_timestamp,
+         o_orderkey % 8 AS LS_loan_pool_id,
          CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS DECIMAL(38,0)) AS BIGINT) AS loan_c
   FROM orders
 ),
@@ -158,7 +183,11 @@ led AS (
 repay AS (
   SELECT LS_contract_id, base_ts + INTERVAL 1 HOUR AS LS_timestamp, LS_loan_close,
          CAST(FLOOR(loan_c * ln / 100.0) AS BIGINT) AS LS_principal_stable,
-         CAST(FLOOR(loan_c * ln * 12 / 100.0) AS BIGINT) AS LS_payment_amnt_stable
+         CAST(FLOOR(loan_c * ln * 12 / 100.0) AS BIGINT) AS LS_payment_amnt_stable,
+         CAST(FLOOR(loan_c * ln * 2 / 100.0) AS BIGINT) AS LS_prev_margin_stable,
+         CAST(FLOOR(loan_c * ln * 3 / 100.0) AS BIGINT) AS LS_prev_interest_stable,
+         CAST(FLOOR(loan_c * ln * 4 / 100.0) AS BIGINT) AS LS_current_margin_stable,
+         CAST(FLOOR(loan_c * ln * 5 / 100.0) AS BIGINT) AS LS_current_interest_stable
   FROM led WHERE ln % 3 = 1
 ),
 closepos AS (
@@ -313,27 +342,45 @@ def q112_realized_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # positions, which only round-trips when positions cannot go negative.
 LP_CTES = """
 dep AS (
-  SELECT l_partkey % 8 AS LP_Pool_id,
-         l_suppkey AS LP_address_id,
-         l_shipdate AS LP_timestamp,
-         CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS DECIMAL(38,0)) AS BIGINT) AS LP_amnt_asset,
-         CAST(FLOOR(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS DECIMAL(38,0)) AS BIGINT) * 0.8) AS BIGINT) AS LP_amnt_receipts
-  FROM lineitem WHERE l_linenumber % 2 = 0
+  SELECT LP_Pool_id, LP_address_id, LP_timestamp, LP_amnt_asset,
+         CAST(FLOOR(LP_amnt_asset * 101 / 100.0) AS BIGINT) AS LP_amnt_stable,
+         CAST(FLOOR(LP_amnt_asset * 0.8) AS BIGINT) AS LP_amnt_receipts
+  FROM (
+    SELECT l_partkey % 8 AS LP_Pool_id,
+           l_suppkey AS LP_address_id,
+           l_shipdate AS LP_timestamp,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS DECIMAL(38,0)) AS BIGINT) AS LP_amnt_asset
+    FROM lineitem WHERE l_linenumber % 2 = 0
+  )
 ),
 wd AS (
-  SELECT LP_Pool_id, LP_address_id,
-         LP_timestamp + INTERVAL 7 DAY AS LP_timestamp,
-         CAST(FLOOR(LP_amnt_asset * 0.3) AS BIGINT) AS LP_amnt_asset,
-         CAST(FLOOR(LP_amnt_receipts * 0.3) AS BIGINT) AS LP_amnt_receipts
-  FROM dep WHERE LP_amnt_asset % 2 = 0
+  SELECT LP_Pool_id, LP_address_id, LP_timestamp, LP_amnt_asset,
+         CAST(FLOOR(LP_amnt_asset * 101 / 100.0) AS BIGINT) AS LP_amnt_stable,
+         CAST(FLOOR(LP_amnt_receipts * 0.3) AS BIGINT) AS LP_amnt_receipts,
+         (LP_amnt_asset % 4 = 0) AS LP_deposit_close
+  FROM (
+    SELECT LP_Pool_id, LP_address_id,
+           LP_timestamp + INTERVAL 7 DAY AS LP_timestamp,
+           CAST(FLOOR(LP_amnt_asset * 0.3) AS BIGINT) AS LP_amnt_asset,
+           LP_amnt_receipts
+    FROM dep WHERE LP_amnt_asset % 2 = 0
+  )
 )
 """
 
 
 def lp_events(spark: SparkSession, sf_dir: str):
-    """(deposits, withdrawals) — domain-valid LP ledger view of lineitem."""
+    """(deposits, withdrawals) — domain-valid LP ledger view of lineitem.
+    Both frames carry asset AND stable amounts (stable = 101% of asset,
+    the same exact FLOOR construction), and withdrawals carry the
+    LP_deposit_close flag the PL_State rollup counts
+    (`dao/lp_withdraw.rs:89-107`)."""
     l = load(spark, sf_dir, "lineitem")
     asset = _cents("l_extendedprice")
+
+    def stable_of(asset_col: Column) -> Column:
+        return _pct(asset_col, 101).alias("LP_amnt_stable")
+
     dep = (
         l.filter(F.col("l_linenumber") % 2 == 0)
         .select(
@@ -341,15 +388,19 @@ def lp_events(spark: SparkSession, sf_dir: str):
             F.col("l_suppkey").alias("LP_address_id"),
             F.col("l_shipdate").alias("LP_timestamp"),
             asset.alias("LP_amnt_asset"),
+            stable_of(asset),
             F.floor(asset * F.lit(0.8)).alias("LP_amnt_receipts"),
         )
     )
+    wd_asset = F.floor(F.col("LP_amnt_asset") * F.lit(0.3))
     wd = dep.filter(F.col("LP_amnt_asset") % 2 == 0).select(
         "LP_Pool_id",
         "LP_address_id",
         (F.col("LP_timestamp") + F.expr("INTERVAL 7 DAYS")).alias("LP_timestamp"),
-        F.floor(F.col("LP_amnt_asset") * F.lit(0.3)).alias("LP_amnt_asset"),
+        wd_asset.alias("LP_amnt_asset"),
+        stable_of(wd_asset),
         F.floor(F.col("LP_amnt_receipts") * F.lit(0.3)).alias("LP_amnt_receipts"),
+        (wd_asset % 4 == 0).alias("LP_deposit_close"),
     )
     return dep, wd
 
@@ -357,16 +408,21 @@ def lp_events(spark: SparkSession, sf_dir: str):
 def _lp_pool_oracle(ts: str) -> str:
     return f"""
     WITH {LP_CTES},
-    d AS (SELECT LP_Pool_id, SUM(LP_amnt_asset) AS deposited, SUM(LP_amnt_receipts) AS minted
+    d AS (SELECT LP_Pool_id, SUM(LP_amnt_asset) AS deposited, SUM(LP_amnt_stable) AS dep_stable,
+                 SUM(LP_amnt_receipts) AS minted
           FROM dep WHERE LP_timestamp <= TIMESTAMP '{ts}' GROUP BY 1),
-    w AS (SELECT LP_Pool_id, SUM(LP_amnt_asset) AS withdrawn, SUM(LP_amnt_receipts) AS burned
+    w AS (SELECT LP_Pool_id, SUM(LP_amnt_asset) AS withdrawn, SUM(LP_amnt_stable) AS wd_stable,
+                 SUM(LP_amnt_receipts) AS burned
           FROM wd WHERE LP_timestamp <= TIMESTAMP '{ts}' GROUP BY 1)
     SELECT COALESCE(d.LP_Pool_id, w.LP_Pool_id) AS LP_Pool_id,
            TIMESTAMP '{ts}' AS LP_Pool_timestamp,
+           CAST(COALESCE(d.dep_stable, 0) - COALESCE(w.wd_stable, 0) AS BIGINT)
+             AS LP_Pool_total_value_locked_stable,
            CAST(COALESCE(d.deposited, 0) - COALESCE(w.withdrawn, 0) AS BIGINT)
              AS LP_Pool_total_value_locked_asset,
            CAST(COALESCE(d.minted, 0) - COALESCE(w.burned, 0) AS BIGINT)
-             AS LP_Pool_total_issued_receipts
+             AS LP_Pool_total_issued_receipts,
+           CAST(0 AS BIGINT) AS LP_Pool_total_yield_stable
     FROM d FULL OUTER JOIN w ON w.LP_Pool_id = d.LP_Pool_id
     """
 
@@ -403,7 +459,11 @@ def q113_lp_pool_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     dep, wd = lp_events(spark, sf_dir)
     out = lp_pool_state_snapshot(dep, wd, T2)
     return _bigint(
-        out, "LP_Pool_total_value_locked_asset", "LP_Pool_total_issued_receipts"
+        out,
+        "LP_Pool_total_value_locked_stable",
+        "LP_Pool_total_value_locked_asset",
+        "LP_Pool_total_issued_receipts",
+        "LP_Pool_total_yield_stable",
     )
 
 
@@ -427,67 +487,178 @@ def q114_lp_lender_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {LEASE_CTES},
     {LP_CTES.strip()},
     profit AS (
-      SELECT base_ts + INTERVAL 4 HOUR AS TR_Profit_timestamp,
-             CAST(FLOOR(loan_c * ln * 12 / 100.0) AS BIGINT) AS TR_Profit_amnt_stable
+      -- stable leg x1000 so the reference's 1e10 outlier cut
+      -- (`tr_profit.rs:221`) bites in the TR_State cumulative legs but
+      -- NOT in the (uncut, `tr_profit.rs:80-91`) PL profit window — the
+      -- tax identity then proves that asymmetry cross-engine
+      SELECT base_ts + INTERVAL 4 HOUR AS ts,
+             CAST(FLOOR(loan_c * ln * 12 / 100.0) AS BIGINT) * 1000 AS st,
+             CAST(FLOOR(loan_c * ln / 100.0) AS BIGINT) AS nls
       FROM led WHERE ln = 6
     ),
     rewards AS (
-      SELECT base_ts + INTERVAL 5 HOUR AS TR_Rewards_timestamp,
-             CAST(FLOOR(loan_c * ln * 12 / 100.0) AS BIGINT) AS TR_Rewards_amnt_stable
+      SELECT base_ts + INTERVAL 5 HOUR AS ts,
+             CAST(FLOOR(loan_c * ln * 12 / 100.0) AS BIGINT) AS st,
+             CAST(FLOOR(loan_c * ln / 100.0) AS BIGINT) AS nls
       FROM led WHERE ln = 7
     ),
-    win AS (SELECT TIMESTAMP '{T1}' AS lo, TIMESTAMP '{T2}' AS hi)
-    SELECT TIMESTAMP '{T2}' AS PL_timestamp,
-           (SELECT COUNT(*) FROM opening, win WHERE LS_timestamp > lo AND LS_timestamp <= hi) AS PL_LS_count_open,
-           (SELECT CAST(COALESCE(SUM(loan_c), 0) AS BIGINT) FROM opening, win WHERE LS_timestamp > lo AND LS_timestamp <= hi) AS PL_LS_loan_amnt_stable,
-           (SELECT COUNT(*) FROM repay, win WHERE LS_timestamp > lo AND LS_timestamp <= hi) AS PL_LS_count_repay,
-           (SELECT CAST(COALESCE(SUM(LS_payment_amnt_stable), 0) AS BIGINT) FROM repay, win WHERE LS_timestamp > lo AND LS_timestamp <= hi) AS PL_LS_repay_amnt_stable,
-           (SELECT COUNT(*) FROM liq, win WHERE LS_timestamp > lo AND LS_timestamp <= hi) AS PL_LS_count_liquidation,
-           (SELECT CAST(COALESCE(SUM(LS_payment_amnt_stable), 0) AS BIGINT) FROM liq, win WHERE LS_timestamp > lo AND LS_timestamp <= hi) AS PL_LS_liquidation_amnt_stable,
-           (SELECT COUNT(*) FROM dep, win WHERE LP_timestamp > lo AND LP_timestamp <= hi) AS PL_LP_count_deposit,
-           (SELECT CAST(COALESCE(SUM(LP_amnt_asset), 0) AS BIGINT) FROM dep, win WHERE LP_timestamp > lo AND LP_timestamp <= hi) AS PL_LP_deposit_amnt,
-           (SELECT COUNT(*) FROM wd, win WHERE LP_timestamp > lo AND LP_timestamp <= hi) AS PL_LP_count_withdraw,
-           (SELECT CAST(COALESCE(SUM(LP_amnt_asset), 0) AS BIGINT) FROM wd, win WHERE LP_timestamp > lo AND LP_timestamp <= hi) AS PL_LP_withdraw_amnt,
-           (SELECT CAST(COALESCE(SUM(TR_Profit_amnt_stable), 0) AS BIGINT) FROM profit, win WHERE TR_Profit_timestamp > lo AND TR_Profit_timestamp <= hi) AS PL_TR_profit_amnt,
-           (SELECT CAST(COALESCE(SUM(TR_Rewards_amnt_stable), 0) AS BIGINT) FROM rewards, win WHERE TR_Rewards_timestamp > lo AND TR_Rewards_timestamp <= hi) AS PL_TR_rewards_amnt,
+    win AS (SELECT TIMESTAMP '{T1}' AS lo, TIMESTAMP '{T2B}' AS hi),
+    r AS (SELECT * FROM repay WHERE LS_timestamp <= TIMESTAMP '{T2B}'),
+    c AS (SELECT * FROM closepos WHERE LS_timestamp <= TIMESTAMP '{T2B}'),
+    q AS (SELECT * FROM liq WHERE LS_timestamp <= TIMESTAMP '{T2B}'),
+    cl AS (SELECT * FROM closings WHERE LS_timestamp <= TIMESTAMP '{T2B}'),
+    closed AS (
+      SELECT LS_contract_id FROM r WHERE LS_loan_close
+      UNION SELECT LS_contract_id FROM c WHERE LS_loan_close
+      UNION SELECT LS_contract_id FROM q WHERE LS_loan_close
+      UNION SELECT LS_contract_id FROM cl
+    ),
+    act AS (
+      SELECT * FROM opening o
+      WHERE o.LS_timestamp <= TIMESTAMP '{T2B}'
+        AND NOT EXISTS (SELECT 1 FROM closed x WHERE x.LS_contract_id = o.LS_contract_id)
+    ),
+    rs AS (SELECT LS_contract_id, SUM(LS_principal_stable) AS repaid FROM r GROUP BY 1),
+    openprin AS (
+      SELECT a.LS_loan_pool_id AS pool,
+             GREATEST(a.loan_c - COALESCE(rs.repaid, 0), 0) AS prin
+      FROM act a LEFT JOIN rs ON rs.LS_contract_id = a.LS_contract_id
+    ),
+    poolids AS (
+      SELECT DISTINCT LP_Pool_id FROM (
+        SELECT LP_Pool_id FROM dep WHERE LP_timestamp <= TIMESTAMP '{T2B}'
+        UNION ALL
+        SELECT LP_Pool_id FROM wd WHERE LP_timestamp <= TIMESTAMP '{T2B}'
+      )
+    ),
+    dl AS (SELECT LP_address_id, LP_Pool_id, SUM(LP_amnt_receipts) AS m
+           FROM dep WHERE LP_timestamp <= TIMESTAMP '{T2B}' GROUP BY 1, 2),
+    wl AS (SELECT LP_address_id, LP_Pool_id, SUM(LP_amnt_receipts) AS b
+           FROM wd WHERE LP_timestamp <= TIMESTAMP '{T2B}' GROUP BY 1, 2),
+    lenders AS (
+      SELECT COALESCE(dl.m, 0) - COALESCE(wl.b, 0) AS net
+      FROM dl FULL OUTER JOIN wl
+        ON wl.LP_address_id = dl.LP_address_id AND wl.LP_Pool_id = dl.LP_Pool_id
+    ),
+    trc AS (
+      SELECT CAST(COALESCE(SUM(st) FILTER (WHERE ts <= TIMESTAMP '{T2B}'), 0) AS BIGINT) AS st_hi,
+             CAST(COALESCE(SUM(nls) FILTER (WHERE ts <= TIMESTAMP '{T2B}'), 0) AS BIGINT) AS nls_hi,
+             CAST(COALESCE(SUM(st) FILTER (WHERE ts <= TIMESTAMP '{T1}'), 0) AS BIGINT) AS st_lo,
+             CAST(COALESCE(SUM(nls) FILTER (WHERE ts <= TIMESTAMP '{T1}'), 0) AS BIGINT) AS nls_lo
+      FROM profit WHERE st < 10000000000
+    ),
+    pw AS (
+      SELECT CAST(COALESCE(SUM(st), 0) AS BIGINT) AS st, CAST(COALESCE(SUM(nls), 0) AS BIGINT) AS nls
+      FROM profit, win WHERE ts > lo AND ts <= hi
+    ),
+    rw AS (
+      SELECT CAST(COALESCE(SUM(st), 0) AS BIGINT) AS st, CAST(COALESCE(SUM(nls), 0) AS BIGINT) AS nls
+      FROM rewards, win WHERE ts > lo AND ts <= hi
+    )
+    SELECT TIMESTAMP '{T2B}' AS PL_timestamp,
            (SELECT CAST(
-              (SELECT COALESCE(SUM(TR_Rewards_amnt_stable), 0) FROM rewards, win WHERE TR_Rewards_timestamp > lo AND TR_Rewards_timestamp <= hi)
-            - (SELECT COALESCE(SUM(TR_Profit_amnt_stable), 0) FROM profit, win WHERE TR_Profit_timestamp > lo AND TR_Profit_timestamp <= hi)
-            AS BIGINT)) AS PL_tax_minus_delta_tr
+              (SELECT COALESCE(SUM(LP_amnt_stable), 0) FROM dep WHERE LP_timestamp <= TIMESTAMP '{T2B}')
+            - (SELECT COALESCE(SUM(LP_amnt_stable), 0) FROM wd WHERE LP_timestamp <= TIMESTAMP '{T2B}')
+            AS BIGINT)) AS PL_pools_TVL_stable,
+           (SELECT CAST(COALESCE(SUM(prin), 0) AS BIGINT) FROM openprin
+            WHERE pool IN (SELECT LP_Pool_id FROM poolids)) AS PL_pools_borrowed_stable,
+           CAST(0 AS BIGINT) AS PL_pools_yield_stable,
+           (SELECT COUNT(*) FROM act) AS PL_LS_count_open,
+           (SELECT COUNT(*) FROM closings, win WHERE LS_timestamp > lo AND LS_timestamp <= hi) AS PL_LS_count_closed,
+           (SELECT COUNT(*) FROM opening, win WHERE LS_timestamp > lo AND LS_timestamp <= hi) AS PL_LS_count_opened,
+           (SELECT CAST(COALESCE(SUM(CAST(FLOOR(loan_c * 0.4) AS BIGINT)), 0) AS BIGINT)
+            FROM opening, win WHERE LS_timestamp > lo AND LS_timestamp <= hi) AS PL_IN_LS_cltr_amnt_opened_stable,
+           (SELECT COUNT(*) FROM lenders WHERE net > 0) AS PL_LP_count_open,
+           (SELECT COUNT(*) FILTER (WHERE LP_deposit_close) FROM wd, win
+            WHERE LP_timestamp > lo AND LP_timestamp <= hi) AS PL_LP_count_closed,
+           (SELECT COUNT(*) FROM dep, win WHERE LP_timestamp > lo AND LP_timestamp <= hi) AS PL_LP_count_opened,
+           (SELECT CAST(COALESCE(SUM(loan_c), 0) AS BIGINT) FROM opening, win
+            WHERE LS_timestamp > lo AND LS_timestamp <= hi) AS PL_OUT_LS_loan_amnt_stable,
+           (SELECT CAST(COALESCE(SUM(LS_prev_margin_stable + LS_prev_interest_stable
+                                     + LS_current_margin_stable + LS_current_interest_stable), 0) AS BIGINT)
+            FROM repay, win WHERE LS_timestamp > lo AND LS_timestamp < hi) AS PL_IN_LS_rep_amnt_stable,
+           (SELECT CAST(COALESCE(SUM(LS_prev_margin_stable), 0) AS BIGINT) FROM repay, win
+            WHERE LS_timestamp > lo AND LS_timestamp < hi) AS PL_IN_LS_rep_prev_margin_stable,
+           (SELECT CAST(COALESCE(SUM(LS_prev_interest_stable), 0) AS BIGINT) FROM repay, win
+            WHERE LS_timestamp > lo AND LS_timestamp < hi) AS PL_IN_LS_rep_prev_interest_stable,
+           (SELECT CAST(COALESCE(SUM(LS_current_margin_stable), 0) AS BIGINT) FROM repay, win
+            WHERE LS_timestamp > lo AND LS_timestamp < hi) AS PL_IN_LS_rep_current_margin_stable,
+           (SELECT CAST(COALESCE(SUM(LS_current_interest_stable), 0) AS BIGINT) FROM repay, win
+            WHERE LS_timestamp > lo AND LS_timestamp < hi) AS PL_IN_LS_rep_current_interest_stable,
+           (SELECT CAST(COALESCE(SUM(LS_principal_stable), 0) AS BIGINT) FROM repay, win
+            WHERE LS_timestamp > lo AND LS_timestamp < hi) AS PL_IN_LS_rep_principal_stable,
+           (SELECT CAST(COALESCE(SUM(CAST(FLOOR(o.loan_c * 0.4) AS BIGINT)), 0) AS BIGINT)
+            FROM opening o JOIN (SELECT LS_contract_id FROM closings, win
+                                 WHERE LS_timestamp > lo AND LS_timestamp <= hi) x
+              ON x.LS_contract_id = o.LS_contract_id) AS PL_OUT_LS_cltr_amnt_stable,
+           (SELECT CAST(COALESCE(SUM(o.loan_c + CAST(FLOOR(o.loan_c * 0.4) AS BIGINT)), 0) AS BIGINT)
+            FROM opening o JOIN (SELECT LS_contract_id FROM closings, win
+                                 WHERE LS_timestamp > lo AND LS_timestamp <= hi) x
+              ON x.LS_contract_id = o.LS_contract_id) AS PL_OUT_LS_amnt_stable,
+           CAST(0 AS BIGINT) AS PL_native_amnt_stable,
+           CAST(0 AS BIGINT) AS PL_native_amnt_nolus,
+           (SELECT CAST(COALESCE(SUM(LP_amnt_stable), 0) AS BIGINT) FROM dep, win
+            WHERE LP_timestamp > lo AND LP_timestamp <= hi) AS PL_IN_LP_amnt_stable,
+           (SELECT CAST(COALESCE(SUM(LP_amnt_stable), 0) AS BIGINT) FROM wd, win
+            WHERE LP_timestamp > lo AND LP_timestamp <= hi) AS PL_OUT_LP_amnt_stable,
+           (SELECT st FROM pw) AS PL_TR_profit_amnt_stable,
+           (SELECT nls FROM pw) AS PL_TR_profit_amnt_nls,
+           (SELECT CAST(trc.st_hi - trc.st_lo + rw.st - pw.st AS BIGINT) FROM trc, rw, pw) AS PL_TR_tax_amnt_stable,
+           (SELECT CAST(trc.nls_hi - trc.nls_lo + rw.nls - pw.nls AS BIGINT) FROM trc, rw, pw) AS PL_TR_tax_amnt_nls,
+           (SELECT st FROM rw) AS PL_OUT_TR_rewards_amnt_stable,
+           (SELECT nls FROM rw) AS PL_OUT_TR_rewards_amnt_nls
     """,
-    doc="A17 PL_State interval rollup (pipeline/snapshots.py::"
-    "pl_state_rollup, `handler/pl_state.rs:13-221`): windowed counts and "
-    "sums across every entity stream, combined into one platform row "
-    "with the treasury tax identity.",
+    doc="A17 PL_State FULL platform rollup (pipeline/snapshots.py::"
+    "pl_state_rollup, `handler/pl_state.rs:13-221`, all 30 columns of "
+    "`migrations/V001:283-314`): pools TVL/borrowed/yield from the "
+    "borrowed-attached pool snapshot, open counts from the LS/LP-lender "
+    "snapshots, opened/closed/flow legs windowed over (last, current] "
+    "with the reference's EXCLUSIVE repayment upper bound "
+    "(`dao/ls_repayment.rs:149`), OUT_LS legs via the opening x closing "
+    "join (`dao/ls_opening.rs:260-304`), and the two-window treasury tax "
+    "identity (`pl_state.rs:160-166`) whose cumulative legs apply the "
+    "1e10 outlier cut while the profit window does not.",
 )
 def q115_pl_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..pipeline.snapshots import pl_state_rollup
+    from ..pipeline.snapshots import (
+        attach_pools_borrowed,
+        lp_lender_state_snapshot,
+        lp_pool_state_snapshot,
+        ls_state_snapshot,
+        pl_state_rollup,
+        tr_state_snapshot,
+    )
 
     opening = lease_opening(spark, sf_dir)
-    repay, _closepos, liq, _closings = lease_events(spark, sf_dir)
+    repay, closepos, liq, closings = lease_events(spark, sf_dir)
     dep, wd = lp_events(spark, sf_dir)
     led = _ledger(spark, sf_dir)
     amt = _pct(F.col("loan_c"), F.col("ln") * 12)
+    nls = _pct(F.col("loan_c"), F.col("ln"))
     profit = led.filter(F.col("ln") == 6).select(
         (F.col("base_ts") + F.expr("INTERVAL 4 HOURS")).alias("TR_Profit_timestamp"),
-        amt.alias("TR_Profit_amnt_stable"),
+        (amt * 1000).alias("TR_Profit_amnt_stable"),
+        nls.alias("TR_Profit_amnt_nls"),
     )
     rewards = led.filter(F.col("ln") == 7).select(
         (F.col("base_ts") + F.expr("INTERVAL 5 HOURS")).alias("TR_Rewards_timestamp"),
         amt.alias("TR_Rewards_amnt_stable"),
+        nls.alias("TR_Rewards_amnt_nls"),
     )
-    out = pl_state_rollup(opening, repay, liq, dep, wd, profit, rewards, T1, T2)
-    return _bigint(
-        out,
-        "PL_LS_loan_amnt_stable",
-        "PL_LS_repay_amnt_stable",
-        "PL_LS_liquidation_amnt_stable",
-        "PL_LP_deposit_amnt",
-        "PL_LP_withdraw_amnt",
-        "PL_TR_profit_amnt",
-        "PL_TR_rewards_amnt",
-        "PL_tax_minus_delta_tr",
+    ls_state = ls_state_snapshot(opening, repay, closepos, liq, closings, T2B)
+    pool = attach_pools_borrowed(
+        lp_pool_state_snapshot(dep, wd, T2B), ls_state, opening
     )
+    lender = lp_lender_state_snapshot(dep, wd, T2B)
+    # TR_State history = one balance row per round (T1 and T2B): each tax
+    # window then catches exactly one cumulative snapshot, like the
+    # reference's per-round TR_State table.
+    tr_hist = tr_state_snapshot(profit, T1).unionByName(tr_state_snapshot(profit, T2B))
+    out = pl_state_rollup(
+        opening, closings, repay, dep, wd, profit, rewards,
+        ls_state, lender, pool, tr_hist, T0, T1, T2B,
+    )
+    return _bigint(out, *[c for c in out.columns if c != "PL_timestamp"])
 
 
 @query(
@@ -628,7 +799,11 @@ def q119_lp_pool_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = lp_pool_state_snapshot(dep, wd, T1)
     out = lp_pool_state_incremental(prev, dep, wd, T1, T2)
     return _bigint(
-        out, "LP_Pool_total_value_locked_asset", "LP_Pool_total_issued_receipts"
+        out,
+        "LP_Pool_total_value_locked_stable",
+        "LP_Pool_total_value_locked_asset",
+        "LP_Pool_total_issued_receipts",
+        "LP_Pool_total_yield_stable",
     )
 
 

@@ -31,7 +31,9 @@ def build_domain_tables(spark):
             terminal = (j == 1) and (i % 5 < 3)  # 60% close via final repayment
             repayments.append(
                 (1000 + i * 10 + j, j, cid, "USDC", Decimal(200_000),
-                 Decimal(200_000), t_r, terminal, Decimal(150_000), f"txr{i}_{j}")
+                 Decimal(200_000), t_r, terminal, Decimal(150_000),
+                 Decimal(10_000), Decimal(11_000), Decimal(12_000),
+                 Decimal(13_000), f"txr{i}_{j}")
             )
             if terminal:
                 t_c = t_r + timedelta(hours=1)
@@ -60,7 +62,10 @@ def build_domain_tables(spark):
         "LS_repayment_height long, LS_repayment_idx int, LS_contract_id string, "
         "LS_payment_symbol string, LS_payment_amnt decimal(38,0), "
         "LS_payment_amnt_stable decimal(38,0), LS_timestamp timestamp, "
-        "LS_loan_close boolean, LS_principal_stable decimal(38,0), Tx_Hash string",
+        "LS_loan_close boolean, LS_principal_stable decimal(38,0), "
+        "LS_prev_margin_stable decimal(38,0), LS_prev_interest_stable decimal(38,0), "
+        "LS_current_margin_stable decimal(38,0), LS_current_interest_stable decimal(38,0), "
+        "Tx_Hash string",
     )
     t["LS_Closing"] = spark.createDataFrame(
         closings, "LS_contract_id string, LS_timestamp timestamp, Tx_Hash string"

@@ -143,12 +143,23 @@ def test_aggregation_round_pl_state(spark, tables):
     pl = out["PL_State"].collect()
     assert len(pl) == 1
     row = pl[0]
-    # every open lease / repayment / deposit in the fixture falls in the
-    # wide-open window; counts must match the raw tables
-    assert row["PL_LS_count_open"] == tables["LS_Opening"].count()
-    assert row["PL_LP_count_deposit"] == tables["LP_Deposit"].count()
-    # tax identity column present and finite
-    assert row["PL_tax_minus_delta_tr"] is not None
+    # the full reference column set (migrations/V001:283-314)
+    assert len(pl[0].asDict()) == 30
+    # open counts = snapshot row counts; opened counts = window counts
+    assert row["PL_LS_count_open"] == out["LS_State"].count()
+    assert row["PL_LS_count_opened"] == tables["LS_Opening"].count()
+    assert row["PL_LP_count_opened"] == tables["LP_Deposit"].count()
+    assert row["PL_LP_count_closed"] == 0  # no close-flagged withdrawals
+    # 5-way repayment breakdown (exclusive upper bound, all rows inside)
+    n_rep = tables["LS_Repayment"].count()
+    assert row["PL_IN_LS_rep_prev_margin_stable"] == 10_000 * n_rep
+    assert row["PL_IN_LS_rep_amnt_stable"] == (10_000 + 11_000 + 12_000 + 13_000) * n_rep
+    # pools legs come from the borrowed-attached pool snapshot
+    assert row["PL_pools_borrowed_stable"] > 0
+    assert row["PL_pools_yield_stable"] == 0
+    # tax identity: ΔTR(=cut-filtered 36k snapshot, prev window empty)
+    # + rewards(4500) − profit(uncut: 36k + the 1e12 outlier)
+    assert row["PL_TR_tax_amnt_stable"] == 36_000 + 4_500 - (36_000 + 10**12)
 
 
 def test_incremental_snapshot_equals_full(spark, tables):

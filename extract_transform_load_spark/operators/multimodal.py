@@ -2,11 +2,12 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct — the schema, partitioning, and Arrow-batched UDF
-shape are real and tested; the actual codec work (image decode, resample,
-frame extraction) is stubbed because the media libraries are not in this
-container. Each stub either raises ``NotImplementedError`` (strict mode)
-or produces a deterministic fake derived from the bytes (test mode), so
-the distributed plumbing is exercisable end-to-end.
+shape are real and tested. ``strict`` mode decodes the actual container:
+PIL when installed, else pure-Python PNG/JPEG/WAV/MP4 header parsers
+(dimensions, duration, CRC/box validation) with malformed payloads
+raising; only pixel-level resampling still requires PIL. Non-strict mode
+produces deterministic fakes derived from the bytes so the distributed
+plumbing is exercisable with arbitrary payloads.
 
 Design rules for 100 TB media tables:
 - media bytes live in their own column; metadata queries must never
@@ -69,13 +70,164 @@ def _fake_dimensions(digest: bytes) -> tuple[int, int, int]:
     return w, h, dur
 
 
+# ---------------------------------------------------------------------------
+# Strict-mode container parsers — pure Python, no media libraries.
+#
+# Strict mode is a REAL decode of the container header: PNG IHDR (with CRC
+# check), JPEG SOF marker walk, WAV RIFF fmt/data chunks, MP4 moov/mvhd box
+# walk. Pixel/sample payloads stay opaque (that part needs PIL/ffmpeg), but
+# dimensions and duration — the columns FEATURE_SCHEMA promises — come from
+# the actual bytes, and a payload that is not a well-formed container raises
+# instead of silently producing fakes.
+# ---------------------------------------------------------------------------
+
+
+def _png_dimensions(data: bytes) -> tuple[int, int]:
+    """Width/height from the IHDR chunk (PNG spec §11.2.2), CRC-verified."""
+    if len(data) < 33 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    length = int.from_bytes(data[8:12], "big")
+    if data[12:16] != b"IHDR" or length != 13:
+        raise ValueError("not a PNG: first chunk is not a 13-byte IHDR")
+    crc = int.from_bytes(data[16 + 13 : 20 + 13], "big")
+    if zlib.crc32(data[12 : 16 + 13]) != crc:
+        raise ValueError("PNG IHDR CRC mismatch")
+    w = int.from_bytes(data[16:20], "big")
+    h = int.from_bytes(data[20:24], "big")
+    if not w or not h:
+        raise ValueError("PNG IHDR has zero dimension")
+    return w, h
+
+
+def _jpeg_dimensions(data: bytes) -> tuple[int, int]:
+    """Width/height from the first SOFn marker (ITU T.81 §B.2.2)."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise ValueError("JPEG marker stream corrupt")
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-payload markers
+            i += 2
+            continue
+        seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+        # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > len(data):
+                break
+            h = int.from_bytes(data[i + 5 : i + 7], "big")
+            w = int.from_bytes(data[i + 7 : i + 9], "big")
+            return w, h
+        i += 2 + seg_len
+    raise ValueError("JPEG has no SOF marker")
+
+
+def _image_dimensions(data: bytes) -> tuple[int, int]:
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_dimensions(data)
+    if data[:2] == b"\xff\xd8":
+        return _jpeg_dimensions(data)
+    raise ValueError("unsupported image container (PNG/JPEG headers known)")
+
+
+def _wav_duration_ms(data: bytes) -> int:
+    """Duration from the RIFF fmt byte-rate and data chunk size."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    i, byte_rate, data_size = 12, None, None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        size = int.from_bytes(data[i + 4 : i + 8], "little")
+        if cid == b"fmt ":
+            if size < 16 or i + 8 + 16 > len(data):
+                raise ValueError("WAV fmt chunk truncated")
+            byte_rate = int.from_bytes(data[i + 16 : i + 20], "little")
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not byte_rate or data_size is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return data_size * 1000 // byte_rate
+
+
+def _walk_mp4_boxes(data: bytes, start: int, end: int):
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(data[i : i + 4], "big")
+        box = data[i + 4 : i + 8]
+        header = 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                raise ValueError("MP4 largesize box truncated")
+            size = int.from_bytes(data[i + 8 : i + 16], "big")
+            header = 16
+        elif size == 0:  # box extends to EOF
+            size = end - i
+        if size < header or i + size > end:
+            raise ValueError("MP4 box size out of bounds")
+        yield box, i + header, i + size
+        i += size
+
+
+def _mp4_duration_ms(data: bytes) -> int:
+    """Duration from moov/mvhd (ISO 14496-12 §8.2.2)."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an MP4: first box is not ftyp")
+    for box, lo, hi in _walk_mp4_boxes(data, 0, len(data)):
+        if box != b"moov":
+            continue
+        for inner, ilo, _ihi in _walk_mp4_boxes(data, lo, hi):
+            if inner != b"mvhd":
+                continue
+            version = data[ilo]
+            if version == 1:
+                timescale = int.from_bytes(data[ilo + 20 : ilo + 24], "big")
+                duration = int.from_bytes(data[ilo + 24 : ilo + 32], "big")
+            else:
+                timescale = int.from_bytes(data[ilo + 12 : ilo + 16], "big")
+                duration = int.from_bytes(data[ilo + 16 : ilo + 20], "big")
+            if not timescale:
+                raise ValueError("MP4 mvhd timescale is zero")
+            return duration * 1000 // timescale
+    raise ValueError("MP4 has no moov/mvhd box")
+
+
+def _strict_decode(kind: str, data: bytes) -> tuple[int | None, int | None, int | None]:
+    """(width, height, duration_ms) from the real container header.
+
+    Prefers PIL for images when available (full decoder); falls back to
+    the header parsers above. Raises ``ValueError`` on malformed payloads
+    and ``NotImplementedError`` for media kinds with no parser.
+    """
+    if kind == "image":
+        try:  # optional dependency: full decode when present
+            import io
+
+            from PIL import Image  # type: ignore
+
+            with Image.open(io.BytesIO(data)) as im:
+                return im.width, im.height, None
+        except ImportError:
+            pass
+        w, h = _image_dimensions(data)
+        return w, h, None
+    if kind == "audio":
+        return None, None, _wav_duration_ms(data)
+    if kind == "video":
+        return None, None, _mp4_duration_ms(data)
+    raise NotImplementedError(f"no strict decoder for media kind {kind!r}")
+
+
 def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
-    STUB: real decode (PIL/ffmpeg/torchaudio) is unavailable here. In
-    ``strict`` mode the UDF raises ``NotImplementedError`` exactly where
-    the codec call belongs; otherwise it emits deterministic fakes so the
-    batch shape, schema, and partitioning can be tested at scale.
+    In ``strict`` mode the dimensions/duration come from a REAL decode of
+    the payload: PIL when installed, else the pure-Python PNG/JPEG/WAV/MP4
+    header parsers above — malformed payloads raise. Non-strict mode emits
+    deterministic fakes derived from the bytes so batch shape, schema, and
+    partitioning are testable with arbitrary payloads (pixel-level feature
+    extraction beyond the header remains out of scope without PIL/ffmpeg).
     """
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -83,12 +235,11 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
             rows = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 data = bytes(payload)
-                if strict:
-                    raise NotImplementedError(
-                        "media decode requires PIL/ffmpeg — not present in this environment"
-                    )
                 digest = hashlib.sha256(data).digest()
-                w, h, dur = _fake_dimensions(digest)
+                if strict:
+                    w, h, dur = _strict_decode(kind, data)
+                else:
+                    w, h, dur = _fake_dimensions(digest)
                 rows.append(
                     {
                         "media_id": mid,
@@ -109,9 +260,12 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
 def sample_frames(media: DataFrame, every_ms: int = 1000, strict: bool = False) -> DataFrame:
     """Frame sampling plumbing: one output row per sampled frame.
 
-    STUB decode; emits deterministic frame keys. The exploded shape
-    (media_id, frame_idx, frame_ts_ms, frame_key) is the real contract a
-    downstream embedding stage consumes.
+    In ``strict`` mode the sampling timeline comes from the real MP4
+    mvhd duration (malformed payloads raise); non-strict uses the
+    deterministic fake duration. Frame keys are content-derived in both
+    modes — actual pixel extraction is the downstream decode stage's job.
+    The exploded shape (media_id, frame_idx, frame_ts_ms, frame_key) is
+    the real contract a downstream embedding stage consumes.
     """
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -121,10 +275,11 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, strict: bool = False) 
                 if kind != "video":
                     continue
                 data = bytes(payload)
-                if strict:
-                    raise NotImplementedError("video decode requires ffmpeg")
                 digest = hashlib.sha256(data).digest()
-                _, _, dur = _fake_dimensions(digest)
+                if strict:
+                    dur = _mp4_duration_ms(data)
+                else:
+                    _, _, dur = _fake_dimensions(digest)
                 for i, ts in enumerate(range(0, max(dur, 1), every_ms)):
                     frame_key = hashlib.sha256(digest + i.to_bytes(4, "big")).hexdigest()[:16]
                     rows.append(
@@ -142,23 +297,45 @@ def resize_images(
 ) -> DataFrame:
     """Thumbnail/resize plumbing: (media_id, width, height, thumb) rows.
 
-    STUB decode/resample (PIL absent): the fake thumbnail is the
-    sha256 stream of the payload truncated to ``target_w*target_h//64``
-    bytes — deterministic, size-proportional, so partition sizing and
-    Arrow batch shape behave like a real thumbnail column. Non-image
-    rows pass through untouched-by-Python via the early filter (column
-    pruning keeps their payloads unread).
+    Pixel resampling genuinely needs a raster decoder: with PIL installed
+    ``strict`` mode resizes for real (PNG output); without it, strict
+    validates the container header (malformed → ``ValueError``) and then
+    raises ``NotImplementedError`` at the exact resample call. Non-strict
+    mode emits a deterministic fake thumbnail (the sha256 stream of the
+    payload truncated to ``target_w*target_h//64`` bytes) — size-
+    proportional, so partition sizing and Arrow batch shape behave like a
+    real thumbnail column. Non-image rows pass through untouched-by-Python
+    via the early filter (column pruning keeps their payloads unread).
     """
 
     n_bytes = max(1, target_w * target_h // 64)
+
+    def _strict_resize(data: bytes) -> tuple[int, int, bytes]:
+        try:
+            import io
+
+            from PIL import Image  # type: ignore
+        except ImportError:
+            _image_dimensions(data)  # malformed payloads fail loudly first
+            raise NotImplementedError(
+                "pixel resample requires PIL/pillow (header validated OK)"
+            )
+        with Image.open(io.BytesIO(data)) as im:
+            out = io.BytesIO()
+            im.resize((target_w, target_h)).save(out, format="PNG")
+            return target_w, target_h, out.getvalue()
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                if strict:
-                    raise NotImplementedError("image resize requires PIL/pillow")
                 data = bytes(payload)
+                if strict:
+                    w, h, thumb = _strict_resize(data)
+                    rows.append(
+                        {"media_id": mid, "width": w, "height": h, "thumb": thumb}
+                    )
+                    continue
                 stream = b""
                 seed = hashlib.sha256(data).digest()
                 while len(stream) < n_bytes:

@@ -107,12 +107,91 @@ def test_extract_features_deterministic(media):
     assert a[4]["crc32"] >= 0
 
 
-def test_extract_features_strict_raises(media):
-    import py4j
-
+def test_extract_features_strict_rejects_malformed(media):
+    # the fixture payloads carry magic-number prefixes but no real
+    # container structure — strict mode must refuse them, not fake them
     with pytest.raises(Exception) as exc:
         extract_features(media, strict=True).collect()
-    assert "NotImplementedError" in str(exc.value) or "media decode" in str(exc.value)
+    assert "ValueError" in str(exc.value) or "not a PNG" in str(exc.value)
+
+
+def _minimal_png(w: int, h: int) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk))
+    )
+
+
+def _minimal_wav(byte_rate: int, data_size: int) -> bytes:
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, byte_rate, byte_rate, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", data_size) + b"\x00" * data_size
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _minimal_mp4(timescale: int, duration: int) -> bytes:
+    import struct
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    mvhd_body = b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+    mvhd_body += struct.pack(">II", timescale, duration) + b"\x00" * 80
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + moov
+
+
+def test_extract_features_strict_decodes_real_headers(spark):
+    rows = [
+        (1, "image", _minimal_png(320, 240), "image/png", "s3://x/a"),
+        (2, "audio", _minimal_wav(byte_rate=8000, data_size=16000), "audio/wav", "s3://x/b"),
+        (3, "video", _minimal_mp4(timescale=1000, duration=2500), "video/mp4", "s3://x/c"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r.asDict() for r in extract_features(df, strict=True).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (320, 240)
+    assert got[2]["duration_ms"] == 2000  # 16000 bytes / 8000 B/s
+    assert got[3]["duration_ms"] == 2500  # 2500 ticks @ 1000 ticks/s
+
+
+def test_sample_frames_strict_uses_real_mp4_timeline(spark):
+    rows = [(7, "video", _minimal_mp4(timescale=600, duration=1800), "video/mp4", "s3://x/v")]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_frames(df, every_ms=1000, strict=True).collect()
+    # 3000 ms timeline sampled at 1 s -> frames at 0, 1000, 2000
+    assert sorted(r["frame_ts_ms"] for r in frames) == [0, 1000, 2000]
+
+
+def test_resize_strict_validates_then_requires_pil(spark):
+    from extract_transform_load_spark.operators.multimodal import resize_images
+
+    ok = spark.createDataFrame(
+        [(1, "image", _minimal_png(8, 8), "image/png", "s3://x/p")], MEDIA_SCHEMA
+    )
+    try:
+        import PIL  # noqa: F401
+
+        out = resize_images(ok, 4, 4, strict=True).collect()
+        assert out and out[0]["width"] == 4
+    except ImportError:
+        # without PIL the header is validated, then the resample raises
+        with pytest.raises(Exception) as exc:
+            resize_images(ok, 4, 4, strict=True).collect()
+        assert "NotImplementedError" in str(exc.value) or "PIL" in str(exc.value)
+        bad = spark.createDataFrame(
+            [(2, "image", b"garbage", "image/png", "s3://x/g")], MEDIA_SCHEMA
+        )
+        with pytest.raises(Exception) as exc:
+            resize_images(bad, 4, 4, strict=True).collect()
+        assert "ValueError" in str(exc.value) or "not a" in str(exc.value)
 
 
 def test_sample_frames_only_video(media):

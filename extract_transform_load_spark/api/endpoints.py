@@ -150,11 +150,20 @@ def buyback_total(tables: Tables, **_: Any) -> DataFrame:
 
 @endpoint("treasury/earnings")
 def earnings(tables: Tables, **_: Any) -> DataFrame:
-    """Treasury earnings = revenue − distributed (`treasury.rs:213`)."""
-    rev = revenue(tables).collect()[0]["revenue"] or 0
-    dist = distributed(tables).collect()[0]["distributed"] or 0
-    spark = tables["TR_Profit"].sparkSession
-    return spark.createDataFrame([(rev - dist,)], f"earnings {SIGNED}")
+    """Treasury earnings = revenue − distributed (`treasury.rs:213`):
+    one union-agg job (profit rows positive, rewards negated) instead of
+    two driver-collected scalars."""
+    p = (
+        tables["TR_Profit"]
+        .filter(F.col("TR_Profit_amnt_stable") < OUTLIER_CAP)
+        .select(F.col("TR_Profit_amnt_stable").cast(SIGNED).alias("v"))
+    )
+    r = tables["TR_Rewards_Distribution"].select(
+        (-F.col("TR_Rewards_amnt_stable")).cast(SIGNED).alias("v")
+    )
+    return p.unionByName(r).agg(
+        F.coalesce(F.sum("v"), F.lit(0)).cast(SIGNED).alias("earnings")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -197,11 +206,13 @@ def borrowed(tables: Tables, protocol: str | None = None, **_: Any) -> DataFrame
 
 @endpoint("metrics/supplied-funds")
 def supplied_funds(tables: Tables, **_: Any) -> DataFrame:
-    """Σ lender deposits net of withdrawals (`metrics.rs:83`)."""
-    d = tables["LP_Deposit"].agg(F.sum("LP_amnt_stable").cast(AMOUNT).alias("v")).collect()[0]["v"] or 0
-    w = tables["LP_Withdraw"].agg(F.sum("LP_amnt_stable").cast(AMOUNT).alias("v")).collect()[0]["v"] or 0
-    spark = tables["LP_Deposit"].sparkSession
-    return spark.createDataFrame([(d - w,)], f"supplied {SIGNED}")
+    """Σ lender deposits net of withdrawals (`metrics.rs:83`) — one
+    union-agg job (withdrawals negated)."""
+    d = tables["LP_Deposit"].select(F.col("LP_amnt_stable").cast(SIGNED).alias("v"))
+    w = tables["LP_Withdraw"].select((-F.col("LP_amnt_stable")).cast(SIGNED).alias("v"))
+    return d.unionByName(w).agg(
+        F.coalesce(F.sum("v"), F.lit(0)).cast(SIGNED).alias("supplied")
+    )
 
 
 @endpoint("metrics/total-tx-value")

@@ -873,6 +873,78 @@ def test_bpe_driver_and_distributed_paths_identical(docs):
     assert len(fast) == 12
 
 
+def test_bpe_batched_equals_sequential(docs, spark):
+    """The batched distributed path must be merge-for-merge identical to
+    the sequential one — _select_batch only fuses pairs whose counts
+    provably cannot interact (disjoint symbols, strictly-above-the-cut
+    counts, no fused-string collisions)."""
+    from extract_transform_load_spark.operators.bpe import learn_bpe
+
+    sample = docs.limit(120)
+    seq = learn_bpe(sample, n_merges=12, collect_threshold=0)
+    bat = learn_bpe(sample, n_merges=12, collect_threshold=0, batch=8)
+    assert bat == seq and len(bat) == 12
+
+    # adversarial corpora over a 2-letter alphabet: count ties resolved
+    # by pair order, and fused strings that collide with symbols built
+    # by earlier merges ("ab"+"a" vs "a"+"ba" both spell "aba")
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        text = " ".join(
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 6)))
+            for _ in range(60)
+        )
+        tiny = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        s = learn_bpe(tiny, n_merges=8, min_pair_count=1, collect_threshold=0)
+        b = learn_bpe(tiny, n_merges=8, min_pair_count=1, collect_threshold=0, batch=4)
+        assert b == s, f"trial {trial}: {b} != {s} on {text[:60]}"
+
+
+def test_bpe_fast_batch_cuts_rounds(docs, spark):
+    """exact=False is the throughput mode: up to `batch` disjoint merges
+    per driver round, deterministic, valid merges (encode stays
+    lossless), rounds ~ n/batch instead of n."""
+    from extract_transform_load_spark.operators import bpe
+
+    sample = docs.limit(120)
+    calls = {"n": 0}
+    orig = bpe._select_batch_fast
+
+    def spy(top, alphabet, max_accept):
+        calls["n"] += 1
+        return orig(top, alphabet, max_accept)
+
+    bpe._select_batch_fast = spy
+    try:
+        fast = bpe.learn_bpe(
+            sample, n_merges=24, collect_threshold=0, batch=8, exact=False
+        )
+        again = bpe.learn_bpe(
+            sample, n_merges=24, collect_threshold=0, batch=8, exact=False
+        )
+    finally:
+        bpe._select_batch_fast = orig
+    assert fast == again  # deterministic
+    assert len(fast) == 24 and len(set(fast)) == 24
+    assert calls["n"] <= 2 * (24 // 8 + 2)  # ~batch-x fewer rounds (2 runs)
+
+    # merges are applicable: encoding reproduces the text losslessly
+    enc = bpe.encode_bpe(sample.select("doc_id", "text"), fast)
+    ok = (
+        sample.join(enc, "doc_id")
+        .select(
+            (
+                F.array_join("tokens", "")
+                == F.replace(F.col("text"), F.lit(" "), F.lit(""))
+            ).alias("ok")
+        )
+        .collect()
+    )
+    assert ok and all(r["ok"] for r in ok)
+
+
 def test_bpe_hand_checked_merges(spark):
     from extract_transform_load_spark.operators.bpe import learn_bpe
 

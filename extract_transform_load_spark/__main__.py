@@ -3,6 +3,15 @@
     python -m extract_transform_load_spark list [--grep PATTERN]
     python -m extract_transform_load_spark run QUERY [--data DIR]
         [--format csv|json|parquet|show] [--out PATH] [--limit N]
+    python -m extract_transform_load_spark live WS_URL --rpc RPC_URL
+        --landing DIR [--max-sessions N] [--reconnect-interval S]
+        [--propagation-delay S] [--scan-window N]
+
+``live`` runs the supervised block-feed edge (sources/livefeed.py):
+subscribe to Tendermint NewBlock over WebSocket, fetch each block's
+events over HTTP JSON-RPC, land bronze parquet files under --landing
+for the Spark blockfeed source to tail — with gap reconciliation on
+every (re)connect. JVM-free: the edge process never starts Spark.
 
 ``run`` executes a registered query against the parquet tables in
 ``--data`` (default $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1) and
@@ -38,7 +47,38 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_run.add_argument("--out", default=None, help="output path (non-show formats)")
     p_run.add_argument("--limit", type=int, default=20, help="rows for --format show")
+
+    p_live = sub.add_parser("live", help="run the supervised live block feed")
+    p_live.add_argument("ws_url", help="Tendermint WS endpoint, ws[s]://host:port/websocket")
+    p_live.add_argument("--rpc", required=True, help="Tendermint HTTP RPC base URL")
+    p_live.add_argument("--landing", required=True, help="bronze parquet landing dir")
+    p_live.add_argument("--max-sessions", type=int, default=None)
+    p_live.add_argument("--reconnect-interval", type=float, default=5.0)
+    p_live.add_argument("--propagation-delay", type=float, default=1.0)
+    p_live.add_argument("--scan-window", type=int, default=100_000)
     args = p.parse_args(argv)
+
+    if args.cmd == "live":
+        from pathlib import Path
+
+        from .sources.livefeed import http_block_fetcher, run_supervised
+
+        Path(args.landing).mkdir(parents=True, exist_ok=True)
+        sessions = run_supervised(
+            args.ws_url,
+            http_block_fetcher(args.rpc),
+            args.landing,
+            reconnect_interval=args.reconnect_interval,
+            max_sessions=args.max_sessions,
+            scan_window=args.scan_window,
+            propagation_delay=args.propagation_delay,
+        )
+        for i, st in enumerate(sessions):
+            print(
+                f"session {i}: delivered={len(st.delivered)} "
+                f"skipped={len(st.skipped)} aborted={st.aborted} error={st.error}"
+            )
+        return 1 if sessions and sessions[-1].aborted else 0
 
     # importing .plans.registry executes plans/__init__.py, which
     # registers every query and applies the priority ordering

@@ -117,6 +117,11 @@ def bloom_prefilter_contains(
     # unreferenced, instead of staying pinned in executor memory for
     # the whole session (a persist here leaked one cached gram frame
     # per decontamination call across a 121-query driver run).
+    # Tradeoff: localCheckpoint truncates lineage, so losing an
+    # executor between the count/collect below and the verify join
+    # fails the job instead of recomputing — acceptable for a
+    # driver-scale benchmark frame; on preemptible executors prefer
+    # persist(MEMORY_AND_DISK_2) + unpersist-after-use.
     distinct_grams = benchmark_grams.select(gram_col).distinct().localCheckpoint(
         eager=True
     )

@@ -170,6 +170,16 @@ def _select_batch(
     - **no fused-string collisions**: if a fused string equals an
       existing symbol (or an earlier accepted fused string), a merge
       could INCREASE some pair's count; stop the batch there instead.
+    - **self-pairs END the batch**: for an accepted (a, a), the pairs its
+      merge creates — (aa, a) from odd runs, (aa, aa) from long runs —
+      come from instances of (a, a) ITSELF, so their counts are bounded
+      only by count(a, a) (up to floor(count/2)), which sits INSIDE the
+      prefix, not below the cut. Nothing after a self-pair in the same
+      round is provably still the sequential argmax, so the self-pair
+      becomes the round's last merge. (Found by adversarial review: with
+      word counts {aaa:15, aa:7, a:1, abbbbb:3, aabaab:1} the old rule
+      accepted [(a,a),(b,b)] while sequential BPE's second merge is the
+      newly created (aa,a)=15.)
     """
     accepted: list[Merge] = []
     used: set[str] = set()
@@ -185,6 +195,8 @@ def _select_batch(
         accepted.append((a, b))
         used.update((a, b, fused))
         cut = i + 1
+        if a == b:
+            break
     if cut < len(top):
         cut_count = top[cut]["c"]
         while len(accepted) > 1 and top[len(accepted) - 1]["c"] <= cut_count:

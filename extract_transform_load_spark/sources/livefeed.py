@@ -35,6 +35,7 @@ import time
 import uuid
 from collections.abc import Callable, Iterator, Mapping, Sequence
 from dataclasses import dataclass, field
+from datetime import datetime, timezone
 from pathlib import Path
 
 from .ws import CircuitBreaker, WSClient, WSClosed, with_retry
@@ -80,18 +81,37 @@ def subscribe(ws: WSClient, query: str = NEW_BLOCK_QUERY, req_id: int = 1) -> No
         raise ConnectionError(f"subscribe rejected: {ack['error']}")
 
 
-def iter_heights(ws: WSClient) -> Iterator[int]:
+def iter_heights(ws: WSClient, stop: threading.Event | None = None) -> Iterator[int]:
     """Yield block heights from NewBlock event messages until close.
 
     Non-NewBlock messages and events missing block data are skipped
     (`event.rs:122-137` does the same), so a mixed subscription never
-    wedges the producer.
+    wedges the producer. ``stop`` ends the iteration at the next recv
+    timeout — without it, a session whose consumer has died during a
+    QUIET stretch of the feed would ping forever (the reference notices
+    through the failed channel send, `event.rs:141-148`; a send only
+    happens when a height arrives, so the timeout is the quiet-path
+    check).
     """
     while True:
         try:
             msg = ws.recv()
         except WSClosed:
             return
+        except TimeoutError:
+            # Quiet-but-healthy feed: Tendermint blocks arrive ~6 s
+            # apart, so a recv timeout at the default 5 s socket
+            # timeout is routine, not a failure. Probe liveness with a
+            # ping (the pong is consumed transparently by the next
+            # recv) and keep waiting; a dead peer surfaces as OSError
+            # on the ping send or WSClosed on the next recv.
+            if stop is not None and stop.is_set():
+                return
+            try:
+                ws.ping()
+            except OSError:
+                return
+            continue
         try:
             data = json.loads(msg)
         except ValueError:
@@ -151,6 +171,7 @@ class FeedStats:
     delivered: list[int] = field(default_factory=list)
     skipped: list[int] = field(default_factory=list)
     aborted: bool = False  # circuit breaker opened
+    error: str | None = None  # unexpected consumer death (supervisor signal)
 
 
 def run_live_session(
@@ -173,14 +194,21 @@ def run_live_session(
     blocks, which stops reading the socket: TCP backpressure, the same
     effect as the reference's bounded mpsc. The consumer thread paces
     each block with ``propagation_delay`` (WS announces blocks before
-    indexers finish them), retries with increasing backoff
-    (``backoff * attempt`` seconds, `event.rs:178`), skips a block
-    after ``max_retries`` failed attempts, and aborts the session once
-    ``breaker_threshold`` consecutive blocks are skipped. Returns when
-    the peer closes the socket (reconnect policy — the reference's
-    outer ``loop { ... sleep(reconnect_interval) }`` — belongs to the
-    supervisor calling this in a loop; on reconnect, the gap scan +
-    batch backfill path reconciles anything missed, A4).
+    indexers finish them), retries with exponential backoff
+    (``backoff * 2**attempt`` seconds — the reference paces linearly,
+    ``backoff * attempt`` at `event.rs:178`; exponential is the
+    deliberate departure here, gentler on a struggling RPC node), skips
+    a block after ``max_retries`` failed attempts, and aborts the
+    session once ``breaker_threshold`` consecutive blocks are skipped.
+    Landing failures (disk full, bad ``landing_dir``) go through the
+    same retry + breaker path as fetch failures, so a persistent sink
+    problem aborts the session instead of silently dropping heights.
+    Returns when the peer closes the socket (reconnect policy — the
+    reference's outer ``loop { ... sleep(reconnect_interval) }`` — is
+    :func:`run_supervised`; on reconnect, the gap scan + backfill path
+    reconciles anything missed, A4). Any unexpected consumer death is
+    recorded in ``stats.error`` so the supervisor can distinguish it
+    from a clean peer close.
     """
     heights: queue.Queue[int | None] = queue.Queue(maxsize=channel_size)
     stats = FeedStats()
@@ -202,6 +230,14 @@ def run_live_session(
                         backoff=backoff,
                         retryable=(Exception,),
                     )
+                    # landing shares the retry/breaker path: a sink
+                    # failure is a block failure, not a silent drop
+                    with_retry(
+                        lambda h=height, r=rows: land_block(landing_dir, h, r),
+                        retries=max_retries - 1,
+                        backoff=backoff,
+                        retryable=(Exception,),
+                    )
                 except Exception as exc:  # skipped after max_retries
                     stats.skipped.append(height)
                     try:
@@ -210,9 +246,11 @@ def run_live_session(
                         stats.aborted = True
                         return
                     continue
-                land_block(landing_dir, height, rows)
                 stats.delivered.append(height)
                 breaker.ok()
+        except BaseException as exc:  # pragma: no cover — defensive
+            stats.error = repr(exc)
+            raise
         finally:
             consumer_dead.set()
 
@@ -222,7 +260,7 @@ def run_live_session(
     ws = WSClient(ws_url, timeout=ws_timeout)
     try:
         subscribe(ws, query)
-        for height in iter_heights(ws):
+        for height in iter_heights(ws, stop=consumer_dead):
             # Dead consumer (breaker open) => end the session cleanly,
             # like the reference's failed channel send (`event.rs:141-148`).
             while not consumer_dead.is_set():
@@ -248,3 +286,212 @@ def run_live_session(
         consumer_dead.wait(timeout=30)
         consumer.join(timeout=30)
     return stats
+
+
+# -- reconnect supervisor + gap reconciliation (A4) -----------------------
+
+
+def landing_heights(landing_dir: str) -> list[int]:
+    """Sorted distinct heights present in the landing zone.
+
+    Reads the filename contract (``block_{height:012d}_{uuid}.parquet``,
+    written by :func:`land_block`) instead of parquet footers: the edge
+    process stays JVM- and IO-light, and a directory listing is exactly
+    what the reference's ``block``-table id scan is to Postgres
+    (`dao/postgre/block.rs:29-74`). Files that don't match the contract
+    are ignored (compaction outputs use a range name).
+    """
+    out: set[int] = set()
+    for p in Path(landing_dir).glob("block_*.parquet"):
+        parts = p.stem.split("_")
+        if len(parts) >= 2:
+            try:
+                out.add(int(parts[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def missing_heights(heights: Sequence[int], scan_window: int | None = None) -> list[int]:
+    """Gaps in a sorted height list — the driver-side twin of
+    ``operators/gaps.py::find_gaps`` (same LEAD-window semantics,
+    `block.rs:29-74`), sized for the edge process where the ledger is a
+    directory listing, not a DataFrame.
+
+    ``scan_window`` bounds the scan to the last N heights — the
+    reference scans the full ledger at startup and only the last 100k
+    blocks afterwards (`synchronization.rs:42-52`).
+    """
+    hs = sorted(set(heights))
+    if scan_window is not None and hs:
+        lo = hs[-1] - scan_window
+        hs = [h for h in hs if h >= lo]
+    out: list[int] = []
+    for prev, nxt in zip(hs, hs[1:]):
+        if nxt > prev + 1:
+            out.extend(range(prev + 1, nxt))
+    return out
+
+
+def reconcile_gaps(
+    landing_dir: str,
+    fetch_block: BlockFetcher,
+    *,
+    scan_window: int | None = None,
+    max_retries: int = BLOCK_MAX_RETRIES,
+    backoff: float = 2.0,
+) -> tuple[list[int], list[int]]:
+    """Backfill every missing height in the landing zone; returns
+    (backfilled, failed) height lists.
+
+    The reference spawns ``start_sync`` on every WS (re)connect
+    (`synchronization.rs:169-188`) — gap scan, then range replay. Here
+    the replay is sequential (the edge is one process; the PARALLEL
+    range replay at scale is the Spark blockfeed source's partitioned
+    catch-up batch, `blockfeed.py`), and each height gets the same
+    retry envelope as the live path. Failures don't raise: a height
+    that can't be fetched now stays missing and the next reconnect
+    retries it.
+    """
+    done: list[int] = []
+    failed: list[int] = []
+    for h in missing_heights(landing_heights(landing_dir), scan_window):
+        try:
+            rows = with_retry(
+                lambda hh=h: fetch_block(hh),
+                retries=max_retries - 1,
+                backoff=backoff,
+                retryable=(Exception,),
+            )
+            with_retry(
+                lambda hh=h, r=rows: land_block(landing_dir, hh, r),
+                retries=max_retries - 1,
+                backoff=backoff,
+                retryable=(Exception,),
+            )
+            done.append(h)
+        except Exception:
+            failed.append(h)
+    return done, failed
+
+
+def run_supervised(
+    ws_url: str,
+    fetch_block: BlockFetcher,
+    landing_dir: str,
+    *,
+    reconnect_interval: float = 5.0,
+    max_sessions: int | None = None,
+    stop: threading.Event | None = None,
+    scan_window: int | None = 100_000,
+    **session_kwargs,
+) -> list[FeedStats]:
+    """The reference's outer session loop (`event.rs:40-64`): reconcile
+    gaps, run one WS session, sleep, reconnect — until ``stop`` is set,
+    ``max_sessions`` sessions have run, or the circuit breaker aborts
+    (the reference's process-level abort, `event.rs:20-29`).
+
+    Gap reconciliation runs BEFORE each session: full scan on the first
+    connect, last-``scan_window`` heights after, exactly the reference's
+    full-then-100k policy (`synchronization.rs:42-52`). A connect
+    failure counts as a session with ``error`` set and is retried after
+    ``reconnect_interval`` like any other session end.
+
+    ``session_kwargs`` pass through to :func:`run_live_session`
+    (``propagation_delay``, ``max_retries``, ``breaker_threshold``...).
+    """
+    sessions: list[FeedStats] = []
+    first = True
+    while (max_sessions is None or len(sessions) < max_sessions) and not (
+        stop is not None and stop.is_set()
+    ):
+        if not first:
+            time.sleep(reconnect_interval)
+        reconcile_gaps(
+            landing_dir,
+            fetch_block,
+            scan_window=None if first else scan_window,
+            max_retries=session_kwargs.get("max_retries", BLOCK_MAX_RETRIES),
+            backoff=session_kwargs.get("backoff", 2.0),
+        )
+        first = False
+        try:
+            st = run_live_session(ws_url, fetch_block, landing_dir, **session_kwargs)
+        except (OSError, ConnectionError) as exc:
+            st = FeedStats(error=repr(exc))
+        sessions.append(st)
+        if st.aborted:
+            break
+    return sessions
+
+
+# -- production fetcher: Tendermint HTTP JSON-RPC -------------------------
+
+
+def bronze_rows_from_block_results(
+    height: int, block: Mapping, block_results: Mapping
+) -> list[BronzeRow]:
+    """Convert public Tendermint RPC ``/block`` + ``/block_results``
+    JSON into bronze event rows (pure function — the testable core of
+    :func:`http_block_fetcher`).
+
+    Event shape per the public RPC docs: ``txs_results[i].events[j]``
+    with ``{"type": ..., "attributes": [{"key": ..., "value": ...}]}``;
+    the block header carries the RFC 3339 timestamp. Attribute keys may
+    arrive base64-coded on older chains — both forms are plain strings
+    here; decode upstream if needed. Event indexes number events within
+    the block across txs, matching the reference's per-block insert
+    order (`event_dispatch.rs:193-244`).
+    """
+    header = (block.get("block") or {}).get("header") or {}
+    ts_raw = header.get("time", "1970-01-01T00:00:00Z")
+    # RFC 3339 with nanoseconds → truncate to microseconds for parquet
+    ts_str = ts_raw.replace("Z", "+00:00")
+    if "." in ts_str:
+        head_part, _, rest = ts_str.partition(".")
+        split = next((i for i, ch in enumerate(rest) if ch in "+-"), len(rest))
+        frac = rest[:split][:6].ljust(6, "0")
+        ts_str = f"{head_part}.{frac}{rest[split:]}"
+    ts = datetime.fromisoformat(ts_str).astimezone(timezone.utc)
+    micros = int(ts.timestamp() * 1_000_000)
+
+    tx_hashes = (block.get("block") or {}).get("data", {}).get("txs") or []
+    rows: list[BronzeRow] = []
+    idx = 0
+    for tx_i, txr in enumerate((block_results.get("txs_results") or []) or []):
+        tx_hash = str(tx_hashes[tx_i]) if tx_i < len(tx_hashes) else f"tx{tx_i}"
+        for ev in txr.get("events") or []:
+            attrs = {
+                str(a.get("key", "")): str(a.get("value", ""))
+                for a in ev.get("attributes") or []
+            }
+            rows.append((height, tx_hash, idx, str(ev.get("type", "")), micros, attrs))
+            idx += 1
+    return rows
+
+
+def http_block_fetcher(rpc_url: str, timeout: float = 10.0) -> BlockFetcher:
+    """A :data:`BlockFetcher` over the public Tendermint HTTP JSON-RPC
+    (``GET {rpc}/block?height=H`` + ``GET {rpc}/block_results?height=H``)
+    — the production stand-in for the reference's gRPC fetch
+    (`grpc.rs:212-257`), which is out of engine scope per SURVEY §2.A A3.
+    Stdlib urllib only; retry/breaker wrapping belongs to the caller
+    (the consumer loop already applies it).
+    """
+    from urllib.request import urlopen
+
+    base = rpc_url.rstrip("/")
+
+    def get(path: str) -> Mapping:
+        with urlopen(f"{base}{path}", timeout=timeout) as resp:
+            body = json.loads(resp.read().decode())
+        if "error" in body:
+            raise ConnectionError(f"rpc error on {path}: {body['error']}")
+        return body.get("result") or body
+
+    def fetch(height: int) -> list[BronzeRow]:
+        block = get(f"/block?height={height}")
+        results = get(f"/block_results?height={height}")
+        return bronze_rows_from_block_results(height, block, results)
+
+    return fetch

@@ -13,8 +13,9 @@ behavior only.
 
 Scope notes (deliberate, documented):
 
-- Client role only; ``ws://`` only (the sandbox has no TLS peer to test
-  against — ``wss://`` would wrap the socket in ``ssl`` at connect).
+- Client role only. ``ws://`` and ``wss://`` (the latter wraps the
+  socket with ``ssl.SSLContext`` before the handshake; pass
+  ``ssl_context`` to pin CAs — the default uses the system store).
 - Subprotocols and extensions (permessage-deflate) are not negotiated —
   Tendermint's RPC requires neither.
 - Frames up to 2**63-1 are parsed per spec; outgoing payloads use the
@@ -67,16 +68,21 @@ class WSClient:
     EOF and ``socket.timeout`` when ``timeout`` elapses with no frame.
     """
 
-    def __init__(self, url: str, timeout: float = 5.0) -> None:
+    def __init__(self, url: str, timeout: float = 5.0, ssl_context=None) -> None:
         u = urlparse(url)
-        if u.scheme != "ws":
-            raise WSError(f"unsupported scheme {u.scheme!r} (ws:// only)")
+        if u.scheme not in ("ws", "wss"):
+            raise WSError(f"unsupported scheme {u.scheme!r} (ws:// or wss://)")
         if not u.hostname or not u.port:
             raise WSError(f"url must carry explicit host:port: {url!r}")
         self._sock = socket.create_connection((u.hostname, u.port), timeout=timeout)
-        self._sock.settimeout(timeout)
-        self._buf = b""
         try:
+            if u.scheme == "wss":
+                import ssl
+
+                ctx = ssl_context or ssl.create_default_context()
+                self._sock = ctx.wrap_socket(self._sock, server_hostname=u.hostname)
+            self._sock.settimeout(timeout)
+            self._buf = b""
             self._handshake(u.hostname, u.port, u.path or "/")
         except BaseException:
             self._sock.close()
@@ -155,6 +161,12 @@ class WSClient:
 
     def send_text(self, text: str) -> None:
         self._send_frame(OP_TEXT, text.encode())
+
+    def ping(self, payload: bytes = b"") -> None:
+        """Probe liveness on a quiet connection. The peer's pong is
+        consumed transparently by the next :meth:`recv`; a dead peer
+        surfaces as ``OSError`` here or ``WSClosed`` there."""
+        self._send_frame(OP_PING, payload)
 
     def recv(self) -> str:
         """Next text/binary message, reassembled; answers pings inline."""

@@ -902,6 +902,108 @@ def test_bpe_batched_equals_sequential(docs, spark):
         assert b == s, f"trial {trial}: {b} != {s} on {text[:60]}"
 
 
+def test_bpe_batched_self_pair_repro(spark):
+    """Adversarial-review repro: a self-pair merge (a,a) creates pairs
+    ((aa,a) from 'aaa' runs) whose count is bounded by the ACCEPTED
+    pair's own count, not the cut — so nothing batched after a self-pair
+    is provably the sequential argmax. Word counts {aaa:15, aa:7, a:1,
+    abbbbb:3, aabaab:1}, batch=4: the old selector accepted
+    [(a,a),(b,b)] while sequential BPE's merge 2 is the newly created
+    (aa,a)=15. The batch must end at the self-pair."""
+    from extract_transform_load_spark.operators.bpe import learn_bpe
+
+    words = {"aaa": 15, "aa": 7, "a": 1, "abbbbb": 3, "aabaab": 1}
+    rows = [(i, " ".join([w] * c)) for i, (w, c) in enumerate(words.items())]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    seq = learn_bpe(docs, n_merges=6, min_pair_count=1, collect_threshold=0)
+    bat = learn_bpe(docs, n_merges=6, min_pair_count=1, collect_threshold=0, batch=4)
+    assert seq[:2] == [("a", "a"), ("aa", "a")]
+    assert bat == seq
+
+
+def test_bpe_batched_exact_selector_fuzz_self_pair_heavy():
+    """Driver-side fuzz of the ACTUAL selector over self-pair-heavy
+    corpora (runs of one letter): simulate the distributed batched loop
+    in pure Python against the sequential trainer as oracle. 400 random
+    corpora — the adversarial review found 21/6000 diverging under the
+    old rule, so this density catches a regression with margin."""
+    import random
+
+    from extract_transform_load_spark.operators.bpe import (
+        _learn_driver_side,
+        _select_batch,
+    )
+
+    def batched_learn(word_counts: dict[str, int], n_merges: int, batch: int):
+        vocab: dict[tuple[str, ...], int] = {}
+        for w, c in word_counts.items():
+            t = tuple(w)
+            vocab[t] = vocab.get(t, 0) + c
+        alphabet = {s for syms in vocab for s in syms}
+        merges: list[tuple[str, str]] = []
+        while len(merges) < n_merges:
+            want = min(batch, n_merges - len(merges))
+            counts: dict[tuple[str, str], int] = {}
+            for syms, cnt in vocab.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + cnt
+            ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            top = [
+                {"a": a, "b": b, "c": c}
+                for (a, b), c in ranked[: want * 8 + 1]
+                if c >= 1
+            ]
+            if not top:
+                break
+            if want <= 1:
+                round_merges = [(top[0]["a"], top[0]["b"])]
+            else:
+                round_merges = _select_batch(top, alphabet, want)
+            if not round_merges:
+                break
+            merges.extend(round_merges)
+            for a, b in round_merges:
+                alphabet.add(a + b)
+            for a, b in round_merges:
+                fused = a + b
+                nv: dict[tuple[str, ...], int] = {}
+                for syms, cnt in vocab.items():
+                    out: list[str] = []
+                    i = 0
+                    n = len(syms)
+                    while i < n:
+                        if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                            out.append(fused)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    key = tuple(out)
+                    nv[key] = nv.get(key, 0) + cnt
+                vocab = nv
+        return merges
+
+    rng = random.Random(20260814)
+    diverged = []
+    for trial in range(400):
+        n_words = rng.randint(2, 6)
+        wc: dict[str, int] = {}
+        for _ in range(n_words):
+            if rng.random() < 0.5:  # run of one letter — self-pair bait
+                w = rng.choice("ab") * rng.randint(1, 7)
+            else:
+                w = "".join(rng.choice("ab") for _ in range(rng.randint(1, 7)))
+            wc[w] = wc.get(w, 0) + rng.randint(1, 20)
+        pairs = list(wc.items())
+        seq = _learn_driver_side(pairs, 8, 1)
+        for batch in (2, 4, 8):
+            bat = batched_learn(wc, 8, batch)
+            if bat != seq:
+                diverged.append((trial, batch, wc, seq, bat))
+    assert not diverged, f"{len(diverged)} divergences, first: {diverged[0]}"
+
+
 def test_bpe_fast_batch_cuts_rounds(docs, spark):
     """exact=False is the throughput mode: up to `batch` disjoint merges
     per driver round, deterministic, valid merges (encode stays

@@ -1,0 +1,920 @@
+"""Loopback tests for the live block-feed edge (sources/ws.py +
+sources/livefeed.py): a fake Tendermint WebSocket endpoint implemented
+server-side from the same public RFC 6455 spec, driven over 127.0.0.1.
+
+Covers (round-4 verdict task 1): handshake accept/reject, masked-frame
+round-trip, fragmentation reassembly, ping->pong, close handshake,
+16-/64-bit length frames, retry backoff counts, circuit-breaker abort,
+queue backpressure, gap reconciliation, the reconnect supervisor with a
+kill-the-server-mid-stream recovery, the HTTP JSON-RPC fetcher, and an
+e2e run_live_session -> landing parquet -> Spark read. The frame codec
+also gets a hypothesis property test (payload x fragmentation x length
+boundary), per verdict task 7.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import http.server
+import json
+import socket
+import struct
+import threading
+import time
+from pathlib import Path
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from extract_transform_load_spark.sources.livefeed import (
+    bronze_rows_from_block_results,
+    http_block_fetcher,
+    iter_heights,
+    land_block,
+    landing_heights,
+    missing_heights,
+    reconcile_gaps,
+    run_live_session,
+    run_supervised,
+    subscribe,
+)
+from extract_transform_load_spark.sources.ws import (
+    OP_CLOSE,
+    OP_CONT,
+    OP_PING,
+    OP_PONG,
+    OP_TEXT,
+    CircuitBreaker,
+    WSClient,
+    WSClosed,
+    WSError,
+    _mask,
+    with_retry,
+)
+
+_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+# -- server-side RFC 6455, written independently against the spec --------
+
+
+class ServerConn:
+    """One accepted WebSocket connection, server role (frames unmasked
+    out, masked frames unmasked in)."""
+
+    def __init__(self, sock: socket.socket) -> None:
+        self.sock = sock
+        self.sock.settimeout(15)
+        self.buf = b""
+        self.pongs: list[bytes] = []
+        self.pings: list[bytes] = []
+
+    def _read_until(self, delim: bytes) -> bytes:
+        while delim not in self.buf:
+            chunk = self.sock.recv(4096)
+            if not chunk:
+                raise ConnectionError("EOF")
+            self.buf += chunk
+        head, self.buf = self.buf.split(delim, 1)
+        return head
+
+    def _read_exact(self, n: int) -> bytes:
+        while len(self.buf) < n:
+            chunk = self.sock.recv(4096)
+            if not chunk:
+                raise ConnectionError("EOF")
+            self.buf += chunk
+        out, self.buf = self.buf[:n], self.buf[n:]
+        return out
+
+    def handshake(self, mode: str = "accept") -> None:
+        head = self._read_until(b"\r\n\r\n")
+        key = None
+        for line in head.split(b"\r\n"):
+            name, _, val = line.partition(b":")
+            if name.strip().lower() == b"sec-websocket-key":
+                key = val.strip().decode()
+        assert key, "client sent no Sec-WebSocket-Key"
+        if mode == "reject":
+            self.sock.sendall(b"HTTP/1.1 403 Forbidden\r\n\r\n")
+            return
+        accept = base64.b64encode(hashlib.sha1((key + _GUID).encode()).digest()).decode()
+        if mode == "bad-accept":
+            accept = ("B" if accept[0] != "B" else "C") + accept[1:]
+        self.sock.sendall(
+            (
+                "HTTP/1.1 101 Switching Protocols\r\n"
+                "Upgrade: websocket\r\n"
+                "Connection: Upgrade\r\n"
+                f"Sec-WebSocket-Accept: {accept}\r\n\r\n"
+            ).encode()
+        )
+
+    def recv_frame(self) -> tuple[bool, int, bytes]:
+        b0, b1 = self._read_exact(2)
+        fin, opcode = bool(b0 & 0x80), b0 & 0x0F
+        masked, n = bool(b1 & 0x80), b1 & 0x7F
+        if n == 126:
+            (n,) = struct.unpack(">H", self._read_exact(2))
+        elif n == 127:
+            (n,) = struct.unpack(">Q", self._read_exact(8))
+        key = self._read_exact(4) if masked else b""
+        payload = self._read_exact(n)
+        if masked:
+            payload = bytes(c ^ key[i % 4] for i, c in enumerate(payload))
+        return fin, opcode, payload
+
+    def recv_message(self) -> tuple[int, bytes]:
+        """Next data/close message; answers pings, records pongs."""
+        parts: list[bytes] = []
+        first_op = None
+        while True:
+            fin, op, payload = self.recv_frame()
+            if op == OP_PING:
+                self.pings.append(payload)
+                self.send_frame(OP_PONG, payload)
+                continue
+            if op == OP_PONG:
+                self.pongs.append(payload)
+                continue
+            if op == OP_CLOSE:
+                return OP_CLOSE, payload
+            if op != OP_CONT:
+                first_op = op
+            parts.append(payload)
+            if fin:
+                return first_op, b"".join(parts)
+
+    def send_frame(self, opcode: int, payload: bytes, fin: bool = True) -> None:
+        head = bytes([(0x80 if fin else 0) | opcode])
+        n = len(payload)
+        if n < 126:
+            head += bytes([n])
+        elif n < 1 << 16:
+            head += bytes([126]) + struct.pack(">H", n)
+        else:
+            head += bytes([127]) + struct.pack(">Q", n)
+        self.sock.sendall(head + payload)
+
+    def send_text(self, text: str | bytes, fragments: int = 1) -> None:
+        data = text.encode() if isinstance(text, str) else text
+        if fragments <= 1:
+            self.send_frame(OP_TEXT, data)
+            return
+        step = max(1, len(data) // fragments)
+        chunks = [data[i : i + step] for i in range(0, len(data), step)] or [b""]
+        self.send_frame(OP_TEXT, chunks[0], fin=len(chunks) == 1)
+        for i, ch in enumerate(chunks[1:], start=2):
+            self.send_frame(OP_CONT, ch, fin=i == len(chunks))
+
+    def send_close(self, code: int = 1000) -> None:
+        self.send_frame(OP_CLOSE, struct.pack(">H", code))
+
+    def drain_until_close(self) -> None:
+        try:
+            while True:
+                op, _ = self.recv_message()
+                if op == OP_CLOSE:
+                    return
+        except (ConnectionError, OSError):
+            return
+
+
+class FakeServer:
+    """Loopback WS endpoint running one handler per accepted connection."""
+
+    def __init__(self, handlers, handshake: str = "accept") -> None:
+        self.handlers = list(handlers)
+        self.handshake = handshake
+        self.errors: list[BaseException] = []
+        self.conns: list[ServerConn] = []
+        self.lsock = socket.socket()
+        self.lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.lsock.bind(("127.0.0.1", 0))
+        self.lsock.listen(len(self.handlers) + 1)
+        self.lsock.settimeout(30)
+        self.port = self.lsock.getsockname()[1]
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    @property
+    def url(self) -> str:
+        return f"ws://127.0.0.1:{self.port}/websocket"
+
+    def _run(self) -> None:
+        try:
+            for handler in self.handlers:
+                sock, _ = self.lsock.accept()
+                conn = ServerConn(sock)
+                self.conns.append(conn)
+                try:
+                    conn.handshake(self.handshake)
+                    if self.handshake == "accept":
+                        handler(conn)
+                except BaseException as exc:  # surfaced by .finish()
+                    self.errors.append(exc)
+                finally:
+                    sock.close()
+        except BaseException as exc:
+            self.errors.append(exc)
+        finally:
+            self.lsock.close()
+
+    def finish(self) -> None:
+        self.thread.join(timeout=30)
+        assert not self.thread.is_alive(), "fake server wedged"
+        if self.errors:
+            raise AssertionError(f"server-side failures: {self.errors!r}")
+
+
+def new_block_msg(height: int) -> str:
+    return json.dumps(
+        {
+            "jsonrpc": "2.0",
+            "id": 1,
+            "result": {
+                "query": "tm.event='NewBlock'",
+                "data": {
+                    "type": "tendermint/event/NewBlock",
+                    "value": {"block": {"header": {"height": str(height)}}},
+                },
+            },
+        }
+    )
+
+
+def ack_subscribe(conn: ServerConn) -> None:
+    op, payload = conn.recv_message()
+    assert op == OP_TEXT
+    req = json.loads(payload.decode())
+    assert req["method"] == "subscribe"
+    assert req["params"]["query"] == "tm.event='NewBlock'"
+    conn.send_text(json.dumps({"jsonrpc": "2.0", "id": req["id"], "result": {}}))
+
+
+def tendermint_session(heights, close: str = "frame", fragments: int = 1):
+    """Standard scripted session: ack subscribe, stream NewBlock events,
+    then close (clean frame or abrupt socket kill)."""
+
+    def run(conn: ServerConn) -> None:
+        ack_subscribe(conn)
+        for h in heights:
+            conn.send_text(new_block_msg(h), fragments=fragments)
+        if close == "frame":
+            conn.send_close()
+            conn.drain_until_close()
+        # close == "abrupt": just return; FakeServer closes the socket
+
+    return run
+
+
+def fake_rows(height: int) -> list:
+    ts = 1_700_000_000_000_000 + height * 6_000_000
+    return [
+        (height, f"hash{height}", 0, "wasm-ls-open", ts, {"height": str(height)}),
+        (height, f"hash{height}", 1, "wasm-ls-repay", ts, {"k": "v"}),
+    ]
+
+
+# -- ws.py: handshake + frame codec ---------------------------------------
+
+
+def test_handshake_and_boundary_length_echo():
+    """Masked client frames -> server, unmasked server frames -> client,
+    at every length-encoding boundary (125/126/65535/65536)."""
+    sizes = [0, 1, 125, 126, 65535, 65536]
+    received: list[bytes] = []
+
+    def echo(conn: ServerConn) -> None:
+        for _ in sizes:
+            op, payload = conn.recv_message()
+            assert op == OP_TEXT
+            received.append(payload)
+            conn.send_text(payload)
+        op, _ = conn.recv_message()
+        assert op == OP_CLOSE
+
+    srv = FakeServer([echo])
+    ws = WSClient(srv.url, timeout=15)
+    try:
+        for n in sizes:
+            msg = ("x" * n) if n else ""
+            ws.send_text(msg)
+            assert ws.recv() == msg
+    finally:
+        ws.close()
+    srv.finish()
+    assert [len(p) for p in received] == sizes
+
+
+def test_handshake_rejected_status():
+    srv = FakeServer([lambda conn: None], handshake="reject")
+    with pytest.raises(WSError, match="handshake rejected"):
+        WSClient(srv.url, timeout=5)
+    srv.thread.join(timeout=10)
+
+
+def test_handshake_bad_accept_key():
+    srv = FakeServer([lambda conn: None], handshake="bad-accept")
+    with pytest.raises(WSError, match="Accept mismatch"):
+        WSClient(srv.url, timeout=5)
+    srv.thread.join(timeout=10)
+
+
+def test_scheme_validation():
+    with pytest.raises(WSError, match="unsupported scheme"):
+        WSClient("http://127.0.0.1:1/")
+    with pytest.raises(WSError, match="host:port"):
+        WSClient("ws://:0")
+
+
+def test_fragmentation_reassembly():
+    msg = "fragmented-" * 50
+
+    def frag(conn: ServerConn) -> None:
+        ack_subscribe(conn)
+        conn.send_text(msg, fragments=7)
+        conn.send_close()
+        conn.drain_until_close()
+
+    srv = FakeServer([frag])
+    ws = WSClient(srv.url, timeout=10)
+    try:
+        subscribe(ws)
+        assert ws.recv() == msg
+        with pytest.raises(WSClosed):
+            ws.recv()
+    finally:
+        ws.close()
+    srv.finish()
+
+
+def test_ping_pong_transparent():
+    def pinger(conn: ServerConn) -> None:
+        ack_subscribe(conn)
+        conn.send_frame(OP_PING, b"are-you-there")
+        conn.send_text("after-ping")
+        # client's pong must arrive (possibly before the next data read)
+        op, payload = conn.recv_message()
+        assert op == OP_CLOSE
+        assert conn.pongs == [b"are-you-there"]
+
+    srv = FakeServer([pinger])
+    ws = WSClient(srv.url, timeout=10)
+    try:
+        subscribe(ws)
+        assert ws.recv() == "after-ping"
+    finally:
+        ws.close()
+    srv.finish()
+
+
+def test_close_handshake_echoes_code():
+    def closer(conn: ServerConn) -> None:
+        ack_subscribe(conn)
+        conn.send_frame(OP_CLOSE, struct.pack(">H", 1001))
+        fin, op, payload = conn.recv_frame()
+        assert op == OP_CLOSE and payload[:2] == struct.pack(">H", 1001)
+
+    srv = FakeServer([closer])
+    ws = WSClient(srv.url, timeout=10)
+    subscribe(ws)
+    with pytest.raises(WSClosed):
+        ws.recv()
+    ws.close()
+    srv.finish()
+
+
+def test_unexpected_continuation_raises():
+    def bad(conn: ServerConn) -> None:
+        conn.send_frame(OP_CONT, b"orphan")
+        conn.drain_until_close()
+
+    srv = FakeServer([bad])
+    ws = WSClient(srv.url, timeout=10)
+    with pytest.raises(WSError, match="unexpected opcode"):
+        ws.recv()
+    ws.close()
+    srv.thread.join(timeout=10)
+
+
+def test_mask_involution():
+    key = b"\x01\x02\x03\x04"
+    for payload in (b"", b"a", b"abc", b"abcdefghij" * 100):
+        assert _mask(_mask(payload, key), key) == payload
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    payload=st.one_of(
+        st.binary(min_size=0, max_size=200),
+        st.integers(min_value=120, max_value=130).map(lambda n: b"y" * n),
+        st.sampled_from([b"z" * 65534, b"z" * 65535, b"z" * 65536, b"z" * 65540]),
+    ),
+    fragments=st.integers(min_value=1, max_value=5),
+)
+def test_frame_codec_property(payload, fragments):
+    """Property (verdict task 7): arbitrary payloads x fragmentation
+    points x length-encoding boundaries round-trip server->client AND
+    client->server over a real socketpair, no listener needed."""
+    # latin-1 -> utf-8 maps arbitrary bytes to a valid text payload, so
+    # the client's .decode() is exercised on every input
+    data = payload.decode("latin-1").encode()
+    cli_sock, srv_sock = socket.socketpair()
+    try:
+        cli = WSClient.__new__(WSClient)  # skip handshake: codec only
+        cli._sock = cli_sock
+        cli._buf = b""
+        cli_sock.settimeout(10)
+        srv = ServerConn(srv_sock)
+
+        # sends run in a thread: a 64KB+ payload fills the socketpair
+        # buffer and would block until the peer reads
+        t = threading.Thread(target=srv.send_text, args=(data, fragments))
+        t.start()
+        got_cli = cli.recv()
+        t.join(timeout=10)
+        assert got_cli.encode() == data
+        t = threading.Thread(target=cli._send_frame, args=(OP_TEXT, data))
+        t.start()
+        op, got = srv.recv_message()
+        t.join(timeout=10)
+        assert op == OP_TEXT and got == data
+    finally:
+        cli_sock.close()
+        srv_sock.close()
+
+
+# -- ws.py: retry + breaker ------------------------------------------------
+
+
+def test_with_retry_backoff_schedule(monkeypatch):
+    sleeps: list[float] = []
+    monkeypatch.setattr(time, "sleep", sleeps.append)
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] <= 3:
+            raise OSError("boom")
+        return "ok"
+
+    assert with_retry(flaky, retries=3, backoff=0.2) == "ok"
+    assert calls["n"] == 4
+    assert sleeps == [0.2, 0.4, 0.8]  # exponential: backoff * 2**attempt
+
+    calls["n"] = -10  # always failing now
+    sleeps.clear()
+    with pytest.raises(OSError):
+        with_retry(lambda: (_ for _ in ()).throw(OSError("x")), retries=2, backoff=1.0)
+    assert sleeps == [1.0, 2.0]  # retries spent, then re-raise
+
+
+def test_with_retry_non_retryable_propagates():
+    with pytest.raises(ValueError):
+        with_retry(lambda: (_ for _ in ()).throw(ValueError("no")), retries=5)
+
+
+def test_circuit_breaker_threshold_and_reset():
+    br = CircuitBreaker(threshold=3)
+    br.fail(RuntimeError("a"))
+    br.fail(RuntimeError("b"))
+    br.ok()  # streak resets
+    br.fail(RuntimeError("c"))
+    br.fail(RuntimeError("d"))
+    with pytest.raises(WSError, match="circuit breaker open"):
+        br.fail(RuntimeError("e"))
+
+
+# -- livefeed: subscription + height iteration -----------------------------
+
+
+def test_subscribe_rejected():
+    def reject(conn: ServerConn) -> None:
+        op, _ = conn.recv_message()
+        conn.send_text(json.dumps({"jsonrpc": "2.0", "id": 1, "error": {"code": -1}}))
+        conn.drain_until_close()
+
+    srv = FakeServer([reject])
+    ws = WSClient(srv.url, timeout=10)
+    with pytest.raises(ConnectionError, match="subscribe rejected"):
+        subscribe(ws)
+    ws.close()
+    srv.thread.join(timeout=10)
+
+
+def test_iter_heights_skips_noise():
+    def noisy(conn: ServerConn) -> None:
+        ack_subscribe(conn)
+        conn.send_text("not json at all")
+        conn.send_text(json.dumps({"jsonrpc": "2.0", "result": {}}))  # heartbeat
+        conn.send_text(new_block_msg(7))
+        conn.send_text(json.dumps({"result": {"data": {"value": {"other": 1}}}}))
+        conn.send_text(new_block_msg(8), fragments=3)
+        conn.send_close()
+        conn.drain_until_close()
+
+    srv = FakeServer([noisy])
+    ws = WSClient(srv.url, timeout=10)
+    subscribe(ws)
+    assert list(iter_heights(ws)) == [7, 8]
+    ws.close()
+    srv.finish()
+
+
+def test_iter_heights_quiet_feed_pings_not_crashes():
+    """ADVICE (medium): recv timeout on a quiet-but-healthy feed must
+    not crash the session — the client pings and keeps waiting."""
+
+    def quiet(conn: ServerConn) -> None:
+        ack_subscribe(conn)
+        time.sleep(0.9)  # > 2 client timeouts of 0.4s: forces ping path
+        conn.send_text(new_block_msg(42))
+        conn.send_close()
+        conn.drain_until_close()
+        assert conn.pings, "client never pinged during the quiet period"
+
+    srv = FakeServer([quiet])
+    ws = WSClient(srv.url, timeout=0.4)
+    subscribe(ws)
+    assert list(iter_heights(ws)) == [42]
+    ws.close()
+    srv.finish()
+
+
+# -- livefeed: landing + session e2e ---------------------------------------
+
+
+def test_land_block_and_landing_heights(tmp_path):
+    land_block(str(tmp_path), 5, fake_rows(5))
+    land_block(str(tmp_path), 2, fake_rows(2))
+    land_block(str(tmp_path), 5, fake_rows(5))  # replay: second file, same height
+    (tmp_path / "compacted_0_10.parquet").touch()  # ignored: not the contract
+    (tmp_path / "block_bogus_x.parquet").touch()  # ignored: unparsable height
+    assert landing_heights(str(tmp_path)) == [2, 5]
+
+
+def test_missing_heights_windowing():
+    assert missing_heights([1, 2, 5, 7]) == [3, 4, 6]
+    assert missing_heights([]) == []
+    assert missing_heights([3]) == []
+    # scan window bounds the scan to the last N heights, reference's
+    # full-at-startup / last-100k-after policy
+    assert missing_heights([1, 5, 98, 100], scan_window=5) == [99]
+    assert missing_heights([1, 5, 98, 100], scan_window=None) == [2, 3, 4] + list(
+        range(6, 98)
+    ) + [99]
+
+
+def test_run_live_session_e2e_landing(tmp_path, spark):
+    srv = FakeServer([tendermint_session([1, 2, 3, 4, 5])])
+    stats = run_live_session(
+        srv.url, fake_rows, str(tmp_path), propagation_delay=0, ws_timeout=10
+    )
+    srv.finish()
+    assert stats.delivered == [1, 2, 3, 4, 5]
+    assert stats.skipped == [] and not stats.aborted and stats.error is None
+    assert landing_heights(str(tmp_path)) == [1, 2, 3, 4, 5]
+
+    # the landing zone IS the Spark-side contract: plain read + the
+    # bronze schema the blockfeed source expects
+    df = spark.read.parquet(str(tmp_path))
+    assert df.count() == 10  # 2 events per block
+    assert [f.name for f in df.schema.fields] == [
+        "block",
+        "tx_hash",
+        "event_index",
+        "event_type",
+        "timestamp",
+        "attributes",
+    ]
+    got = {r["block"] for r in df.select("block").distinct().collect()}
+    assert got == {1, 2, 3, 4, 5}
+
+
+def test_run_live_session_retry_then_success(tmp_path):
+    attempts: dict[int, int] = {}
+
+    def flaky_fetch(height: int):
+        attempts[height] = attempts.get(height, 0) + 1
+        if attempts[height] <= 2:
+            raise RuntimeError(f"transient {height}")
+        return fake_rows(height)
+
+    srv = FakeServer([tendermint_session([9])])
+    stats = run_live_session(
+        srv.url, flaky_fetch, str(tmp_path), propagation_delay=0, backoff=0, ws_timeout=10
+    )
+    srv.finish()
+    assert attempts[9] == 3  # 2 failures + success, within max_retries=3
+    assert stats.delivered == [9] and stats.skipped == []
+
+
+def test_run_live_session_skip_then_breaker_abort(tmp_path):
+    """Always-failing fetch: every height is skipped after max_retries,
+    and the breaker aborts the session after `breaker_threshold`
+    consecutive skips even though the server keeps streaming."""
+
+    def always_fail(height: int):
+        raise RuntimeError("down")
+
+    def streamer(conn: ServerConn) -> None:
+        ack_subscribe(conn)
+        for h in range(1, 31):
+            try:
+                conn.send_text(new_block_msg(h))
+            except OSError:
+                return  # client hung up after abort — expected
+        conn.drain_until_close()
+
+    srv = FakeServer([streamer])
+    # ws_timeout=0.5 exercises the quiet-abort path: the server streams
+    # all 30 heights at once and then goes quiet, so the producer only
+    # notices the dead consumer at the next recv timeout
+    stats = run_live_session(
+        srv.url,
+        always_fail,
+        str("/tmp/never-used"),
+        propagation_delay=0,
+        backoff=0,
+        breaker_threshold=3,
+        ws_timeout=0.5,
+    )
+    srv.thread.join(timeout=30)
+    assert stats.aborted is True
+    assert stats.skipped == [1, 2, 3]
+    assert stats.delivered == []
+
+
+def test_run_live_session_landing_failure_hits_breaker(tmp_path):
+    """ADVICE (low): a dead sink must go through the retry/breaker path,
+    not kill the consumer silently with aborted=False."""
+    bad_dir = str(tmp_path / "does" / "not" / "exist")
+    srv = FakeServer([tendermint_session(list(range(1, 8)), close="abrupt")])
+    stats = run_live_session(
+        srv.url,
+        fake_rows,
+        bad_dir,
+        propagation_delay=0,
+        backoff=0,
+        breaker_threshold=2,
+        ws_timeout=10,
+    )
+    srv.thread.join(timeout=30)
+    assert stats.aborted is True
+    assert stats.delivered == []
+    assert stats.skipped == [1, 2]
+    assert stats.error is None  # breaker abort is a CLEAN outcome
+
+
+def test_backpressure_no_loss_with_tiny_channel(tmp_path):
+    """channel_size=1 + slow consumer: the bounded queue blocks the
+    producer (TCP backpressure), nothing is dropped."""
+
+    def slow_fetch(height: int):
+        time.sleep(0.02)
+        return fake_rows(height)
+
+    heights = list(range(1, 21))
+    srv = FakeServer([tendermint_session(heights)])
+    stats = run_live_session(
+        srv.url,
+        slow_fetch,
+        str(tmp_path),
+        propagation_delay=0,
+        channel_size=1,
+        ws_timeout=10,
+    )
+    srv.finish()
+    assert stats.delivered == heights
+    assert landing_heights(str(tmp_path)) == heights
+
+
+# -- gap reconciliation + supervisor ----------------------------------------
+
+
+def test_reconcile_gaps_backfills(tmp_path):
+    for h in (1, 2, 5, 7):
+        land_block(str(tmp_path), h, fake_rows(h))
+
+    fetched: list[int] = []
+
+    def fetch(height: int):
+        fetched.append(height)
+        if height == 6:
+            raise RuntimeError("node pruned it")
+        return fake_rows(height)
+
+    done, failed = reconcile_gaps(str(tmp_path), fetch, backoff=0)
+    assert done == [3, 4] and failed == [6]
+    assert fetched == [3, 4, 6, 6, 6]  # 6 retried max_retries times
+    assert landing_heights(str(tmp_path)) == [1, 2, 3, 4, 5, 7]
+    # second pass: only the still-missing height is retried
+    done2, failed2 = reconcile_gaps(
+        str(tmp_path), lambda h: fake_rows(h), backoff=0
+    )
+    assert done2 == [6] and failed2 == []
+    assert landing_heights(str(tmp_path)) == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_run_supervised_server_killed_mid_stream_no_height_lost(tmp_path):
+    """Verdict task 2's done-criterion: kill the server mid-stream; the
+    supervisor reconnects and the A4 gap scan backfills everything the
+    feed missed while disconnected — landing ends up contiguous."""
+    srv = FakeServer(
+        [
+            # session 1 dies abruptly (no close frame) after height 3
+            tendermint_session([1, 2, 3], close="abrupt"),
+            # chain advanced to 6 while we were reconnecting: the feed
+            # only announces the current head now
+            tendermint_session([6], close="abrupt"),
+            # final session announces 7 then closes cleanly; the
+            # reconcile BEFORE this session must have filled 4-5
+            tendermint_session([7]),
+        ]
+    )
+    sessions = run_supervised(
+        srv.url,
+        fake_rows,
+        str(tmp_path),
+        reconnect_interval=0,
+        max_sessions=3,
+        propagation_delay=0,
+        ws_timeout=10,
+    )
+    srv.finish()
+    assert [s.delivered for s in sessions] == [[1, 2, 3], [6], [7]]
+    assert all(not s.aborted and s.error is None for s in sessions)
+    assert landing_heights(str(tmp_path)) == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_run_supervised_connect_failure_counts_as_session(tmp_path):
+    # nothing listens on this port: connect raises, supervisor records
+    # the error and stops at max_sessions instead of crashing
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()  # free the port; nothing listens now
+    sessions = run_supervised(
+        f"ws://127.0.0.1:{port}/websocket",
+        fake_rows,
+        str(tmp_path),
+        reconnect_interval=0,
+        max_sessions=2,
+        ws_timeout=1,
+    )
+    assert len(sessions) == 2
+    assert all(s.error is not None for s in sessions)
+
+
+def test_run_supervised_stops_on_breaker_abort(tmp_path):
+    def always_fail(height: int):
+        raise RuntimeError("down")
+
+    srv = FakeServer([tendermint_session([1, 2, 3, 4], close="abrupt")])
+    sessions = run_supervised(
+        srv.url,
+        always_fail,
+        str(tmp_path),
+        reconnect_interval=0,
+        max_sessions=5,
+        propagation_delay=0,
+        backoff=0,
+        breaker_threshold=2,
+        ws_timeout=10,
+    )
+    srv.thread.join(timeout=30)
+    assert len(sessions) == 1 and sessions[0].aborted  # reference's process abort
+
+
+# -- HTTP JSON-RPC fetcher ---------------------------------------------------
+
+
+BLOCK_JSON = {
+    "block": {
+        "header": {"height": "12", "time": "2024-03-05T10:20:30.123456789Z"},
+        "data": {"txs": ["b64tx0==", "b64tx1=="]},
+    }
+}
+RESULTS_JSON = {
+    "height": "12",
+    "txs_results": [
+        {
+            "events": [
+                {
+                    "type": "wasm-ls-open",
+                    "attributes": [
+                        {"key": "id", "value": "lease1"},
+                        {"key": "amount", "value": "100"},
+                    ],
+                },
+                {"type": "transfer", "attributes": []},
+            ]
+        },
+        {"events": [{"type": "wasm-ls-repay", "attributes": [{"key": "id", "value": "x"}]}]},
+    ],
+}
+
+
+def test_bronze_rows_from_block_results():
+    rows = bronze_rows_from_block_results(12, BLOCK_JSON, RESULTS_JSON)
+    assert [(r[0], r[1], r[2], r[3]) for r in rows] == [
+        (12, "b64tx0==", 0, "wasm-ls-open"),
+        (12, "b64tx0==", 1, "transfer"),
+        (12, "b64tx1==", 2, "wasm-ls-repay"),
+    ]
+    assert rows[0][5] == {"id": "lease1", "amount": "100"}
+    # nanosecond RFC 3339 truncated to micros, UTC
+    from datetime import datetime, timezone
+
+    want = datetime(2024, 3, 5, 10, 20, 30, 123456, tzinfo=timezone.utc)
+    assert rows[0][4] == int(want.timestamp() * 1_000_000)
+    # empty block
+    assert bronze_rows_from_block_results(1, {"block": {"header": {}}}, {}) == []
+
+
+def test_http_block_fetcher_and_cli_live(tmp_path, capsys):
+    """e2e across both public wire surfaces: fake HTTP RPC (stdlib
+    http.server) + fake WS feed, driven through the `live` CLI."""
+
+    class RPC(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.startswith("/block_results"):
+                body = RESULTS_JSON
+            elif self.path.startswith("/block"):
+                body = BLOCK_JSON
+            else:
+                body = {"error": {"code": -32601, "message": "no such method"}}
+            payload = json.dumps({"jsonrpc": "2.0", "id": -1, "result": body}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), RPC)
+    http_thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    http_thread.start()
+    rpc_url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        fetch = http_block_fetcher(rpc_url)
+        rows = fetch(12)
+        assert len(rows) == 3 and rows[0][3] == "wasm-ls-open"
+
+        srv = FakeServer([tendermint_session([12])])
+        from extract_transform_load_spark.__main__ import main
+
+        rc = main(
+            [
+                "live",
+                srv.url,
+                "--rpc",
+                rpc_url,
+                "--landing",
+                str(tmp_path / "landing"),
+                "--max-sessions",
+                "1",
+                "--propagation-delay",
+                "0",
+                "--reconnect-interval",
+                "0",
+            ]
+        )
+        srv.finish()
+        assert rc == 0
+        assert landing_heights(str(tmp_path / "landing")) == [12]
+        out = capsys.readouterr().out
+        assert "delivered=1" in out and "aborted=False" in out
+    finally:
+        httpd.shutdown()
+        http_thread.join(timeout=10)
+
+
+def test_http_block_fetcher_rpc_error_raises():
+    class RPC(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            payload = json.dumps(
+                {"jsonrpc": "2.0", "id": -1, "error": {"code": -32603, "message": "pruned"}}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), RPC)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        fetch = http_block_fetcher(f"http://127.0.0.1:{httpd.server_address[1]}")
+        with pytest.raises(ConnectionError, match="rpc error"):
+            fetch(5)
+    finally:
+        httpd.shutdown()
+        t.join(timeout=10)

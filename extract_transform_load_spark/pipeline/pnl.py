@@ -39,6 +39,7 @@ def compute_loan_closings(
     close_positions: DataFrame,
     liquidations: DataFrame,
     closings: DataFrame,
+    lpn_prices: DataFrame | None = None,
 ) -> DataFrame:
     """Derive LS_Loan_Closing rows (contract, amounts, pnl, type).
 
@@ -46,6 +47,15 @@ def compute_loan_closings(
     with LS_loan_close=true → 'repay'; a close-position terminal event →
     'market-close'; a liquidation terminal event → 'liquidation'
     (`ls_loan_closing.rs:359-441`).
+
+    Short debt pricing (`ls_loan_closing.rs:582-664`): the reference
+    prices the LPN-denominated debt at the close *timestamp* via a price
+    lookup. Pass ``lpn_prices`` (``lpn_symbol, ts, price``) and carry
+    ``lpn_symbol`` on the opening to reproduce that: the price is
+    derived HERE by an as-of join of each contract's close_ts against
+    the series (operators/asof.py — one shuffle, no per-row probes).
+    A pre-resolved ``lpn_price_at_close`` column on the opening is the
+    legacy fallback for callers that already enriched at write time.
     """
     repay_sum = _sum_by_contract(repayments, "LS_payment_amnt_stable", "repaid_stable")
     close_sum = _sum_by_contract(close_positions, "LS_payment_amnt_stable", "closed_stable")
@@ -100,6 +110,24 @@ def compute_loan_closings(
         .join(liq_sum, "LS_contract_id", "left")
     )
 
+    if lpn_prices is not None and "lpn_symbol" in df.columns:
+        # as-of at the close timestamp — the reference's LATERAL-style
+        # pick-latest (`ls_loan_closing.rs:582-664`), Spark-first: one
+        # union-sort shuffle keyed by symbol, not a probe per contract
+        from ..operators.asof import as_of_join
+
+        if "lpn_price_at_close" in df.columns:
+            df = df.drop("lpn_price_at_close")
+        df = as_of_join(
+            df,
+            lpn_prices.select("lpn_symbol", "ts", "price"),
+            on=["lpn_symbol"],
+            left_ts="close_ts",
+            right_ts="ts",
+            value_cols=["price"],
+            suffix="_at_close",
+        ).withColumnRenamed("price_at_close", "lpn_price_at_close")
+
     z = F.lit(0).cast(AMOUNT)
     repaid = F.coalesce(F.col("repaid_stable"), z)
     closed = F.coalesce(F.col("closed_stable"), z)
@@ -128,15 +156,16 @@ def compute_loan_closings(
     proceeds = repaid + closed + liquidated
     # Short positions: debt legs are LPN-denominated, so the loan is
     # revalued by the LPN price at close (`ls_loan_closing.rs:582-664`:
-    # "Short multiplies debt by LPN price"). The caller provides
-    # `lpn_price_at_close` on the opening frame (as-of join at close_ts);
-    # without it Short falls back to the Long formula.
+    # "Short multiplies debt by LPN price") — resolved by the as-of join
+    # above when `lpn_prices` is given, else by a caller-provided
+    # `lpn_price_at_close` column; without either, Short falls back to
+    # the Long formula.
     is_short = (
         F.coalesce(F.col("LS_position_type"), F.lit("Long")) == "Short"
         if "LS_position_type" in opening.columns
         else F.lit(False)
     )
-    if "lpn_price_at_close" in opening.columns:
+    if "lpn_price_at_close" in df.columns:
         debt = F.when(
             is_short & F.col("lpn_price_at_close").isNotNull(),
             (loan_stable.cast("decimal(38,18)") * F.col("lpn_price_at_close")).cast(AMOUNT),

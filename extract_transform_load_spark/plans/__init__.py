@@ -42,7 +42,6 @@ _PRIORITY = [
     "q18_monthly_active_users", # B13
     "q19_value_stats",          # B14
     "q20_weighted_avg",         # B15
-    "q21_histogram_buckets",    # B16
     "q22_conditional_agg",      # B17
     "q23_first_in_group",       # B18
     "q24_two_level_agg",        # B20
@@ -63,8 +62,15 @@ _PRIORITY = [
     # q28_daily_cumulative (r4; its constituent operators stay
     # driver-covered — cumulative window via q27, time-bucketed agg via
     # q18/q13 — and q28 itself stays strict-gate green past the window).
+    # Round 5 adds q115 — the PL_State platform rollup, the densest
+    # round-4 witness (30 oracled columns, windowed legs, the exclusive
+    # repayment bound, the two-window tax identity); displaced
+    # q21_histogram_buckets (B16's when/otherwise bucketing + grouped
+    # agg stays driver-covered via q19/q01/q46; q21 itself stays
+    # strict-gate green past the window).
     "q117_ls_state_incremental",
     "q112_realized_pnl",
+    "q115_pl_state",
     # LLM-pipeline family representatives (19). One per family from the
     # VERDICT r01 coverage table, so every family carries a driver
     # CORRECTNESS row if the 50-entry cap recurs. Displaced to make room

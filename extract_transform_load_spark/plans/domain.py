@@ -74,11 +74,12 @@ def lease_opening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → LS_Opening-shaped frame (loan = o_totalprice in cents,
     collateral = 40% of loan).
 
-    Every 4th contract (id % 4 = 2) is a Short position with an integer
-    LPN price at close of ``1 + id % 7`` — deterministic and exact in
-    both engines, so q112 exercises the Short debt revaluation of
-    `ls_loan_closing.rs:582-664` (debt × LPN price) under the driver
-    hash, not just in a hand-built pytest frame.
+    Every 4th contract (id % 4 = 2) is a Short position funded in LPN
+    symbol ``LPN{id % 7}``; the debt-revaluation price is NOT carried
+    here — it is resolved at the close *timestamp* by an as-of join
+    against the :func:`lpn_prices` series inside
+    ``compute_loan_closings`` (matching `ls_loan_closing.rs:582-664`,
+    which prices Short debt when the close event arrives, not at open).
     """
     o = load(spark, sf_dir, "orders")
     loan = _cents("o_totalprice")
@@ -94,10 +95,27 @@ def lease_opening(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(cid % 4 == 2, F.lit("Short"))
         .otherwise(F.lit("Long"))
         .alias("LS_position_type"),
-        (1 + cid % 7).cast("decimal(38,18)").alias("lpn_price_at_close"),
+        F.concat(F.lit("LPN"), (cid % 7).cast("string")).alias("lpn_symbol"),
         # funding pool: same 8-pool universe as the LP ledger, so the
         # borrowed-per-pool overlay (pools_borrowed) has real join keys
         (cid % 8).alias("LS_loan_pool_id"),
+    )
+
+
+def lpn_prices(spark: SparkSession) -> DataFrame:
+    """Deterministic LPN price series: 7 symbols × 120 monthly ticks
+    from 1994-01, price = 1 + (symbol + month) % 7 — integer-valued so
+    the Short debt revaluation stays exact in both engines, yet
+    time-varying so ONLY a correct as-of-at-close lookup reproduces the
+    oracle (a carried per-contract constant no longer can)."""
+    syms = spark.range(7).select(F.col("id").alias("s"))
+    months = spark.range(120).select(F.col("id").alias("m"))
+    return syms.crossJoin(months).select(
+        F.concat(F.lit("LPN"), F.col("s").cast("string")).alias("lpn_symbol"),
+        F.to_timestamp(
+            F.add_months(F.lit("1994-01-01").cast("date"), F.col("m"))
+        ).alias("ts"),
+        (1 + (F.col("s") + F.col("m")) % 7).cast("decimal(38,18)").alias("price"),
     )
 
 
@@ -273,6 +291,13 @@ def q111_ls_state_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q112_realized_pnl",
     oracle=f"""
     WITH {LEASE_CTES},
+    lpnpx AS (
+      -- the same 7x120 monthly LPN price series as plans.domain.lpn_prices
+      SELECT 'LPN' || CAST(t.s AS VARCHAR) AS lpn_symbol,
+             TIMESTAMP '1994-01-01' + to_months(CAST(u.m AS INT)) AS ts,
+             1 + (t.s + u.m) % 7 AS price
+      FROM range(7) t(s) CROSS JOIN range(120) u(m)
+    ),
     term0 AS (
       SELECT LS_contract_id, 'repay' AS close_type, MIN(LS_timestamp) AS close_ts
       FROM repay WHERE LS_loan_close GROUP BY 1
@@ -298,9 +323,17 @@ def q111_ls_state_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN -(COALESCE(rs.repaid, 0) + CAST(FLOOR(o.loan_c * 0.4) AS BIGINT))
                   ELSE COALESCE(rs.repaid, 0) + COALESCE(cs.closed_amt, 0) + COALESCE(qs.liq_amt, 0)
                        -- Short debt is LPN-denominated: revalue by the
-                       -- (integer, exact) LPN price at close
+                       -- as-of price AT THE CLOSE TIMESTAMP — the
+                       -- reference's LATERAL pick-latest shape
+                       -- (`ls_opening.rs:1460-1467` pattern applied to
+                       -- `ls_loan_closing.rs:582-664`); the engine side
+                       -- resolves the same lookup with operators/asof.py
                        - o.loan_c * (CASE WHEN o.LS_contract_id % 4 = 2
-                                          THEN 1 + o.LS_contract_id % 7 ELSE 1 END)
+                                          THEN (SELECT px.price FROM lpnpx px
+                                                WHERE px.lpn_symbol = 'LPN' || CAST(o.LS_contract_id % 7 AS VARCHAR)
+                                                  AND px.ts <= t.close_ts
+                                                ORDER BY px.ts DESC LIMIT 1)
+                                          ELSE 1 END)
                        - CAST(FLOOR(o.loan_c * 0.4) AS BIGINT)
              END AS pnl
       FROM opening o
@@ -318,7 +351,10 @@ def q111_ls_state_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="A18 PnL engine (pipeline/pnl.py::compute_loan_closings + "
     "realized_pnl_by_address, `ls_loan_closing.rs:359-802`): close-cause "
     "precedence by earliest terminal event, Long formula proceeds − debt "
-    "− downpayment, Short revalues the debt by the LPN price at close "
+    "− downpayment, Short revalues the debt by the as-of LPN price AT "
+    "the close timestamp — resolved by operators/asof.py inside the PnL "
+    "engine against a time-varying series, with the oracle running the "
+    "reference's LATERAL pick-latest independently "
     "(`ls_loan_closing.rs:582-664`; the id%4=2 cohort), liquidation "
     "−(repaid + downpayment), rolled up per address with win rate.",
 )
@@ -327,7 +363,9 @@ def q112_realized_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     opening = lease_opening(spark, sf_dir)
     repay, closepos, liq, closings = lease_events(spark, sf_dir)
-    lc = compute_loan_closings(opening, repay, closepos, liq, closings)
+    lc = compute_loan_closings(
+        opening, repay, closepos, liq, closings, lpn_prices=lpn_prices(spark)
+    )
     out = realized_pnl_by_address(lc, opening)
     return _bigint(out, "realized_pnl")
 

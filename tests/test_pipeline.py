@@ -292,6 +292,42 @@ def test_pnl_short_position(spark, bronze, prices):
     assert out[0]["LS_pnl"] == Decimal("-900000")
 
 
+def test_pnl_short_lpn_price_resolved_as_of_close(spark, bronze, prices):
+    """The round-5 path (`ls_loan_closing.rs:582-664` fidelity): the
+    Short debt price is NOT carried on the opening — it is looked up
+    as-of the close timestamp against a price series. A tick after the
+    close must be invisible; the pre-close tick wins."""
+    import pyspark.sql.functions as F
+
+    opening = enrich_ls_opening(parse_ls_opening(bronze), prices).withColumn(
+        "LS_position_type", F.lit("Short")
+    ).withColumn("lpn_symbol", F.lit("LPN1"))
+    repayments = parse_ls_repayment(bronze).withColumn(
+        "LS_payment_amnt_stable", F.col("LS_payment_amnt")
+    )
+    close_ts = repayments.select(F.max("LS_timestamp")).collect()[0][0]
+    from datetime import timedelta
+
+    series = spark.createDataFrame(
+        [
+            ("LPN1", close_ts - timedelta(days=1), Decimal("2")),   # as-of winner
+            ("LPN1", close_ts + timedelta(days=1), Decimal("99")),  # future: invisible
+            ("LPN0", close_ts - timedelta(days=2), Decimal("77")),  # other symbol
+        ],
+        "lpn_symbol string, ts timestamp, price decimal(38,18)",
+    )
+    empty_close = spark.createDataFrame(
+        [], "LS_contract_id string, LS_payment_amnt_stable decimal(38,0), LS_loan_close boolean, LS_timestamp timestamp"
+    )
+    closings = spark.createDataFrame([], "LS_contract_id string, LS_timestamp timestamp")
+    out = compute_loan_closings(
+        opening, repayments, empty_close, empty_close, closings, lpn_prices=series
+    ).collect()
+    # same arithmetic as the carried-column test: the as-of join must
+    # resolve price 2 (the tick 1 day BEFORE close), not 99 or 77
+    assert out[0]["LS_pnl"] == Decimal("-900000")
+
+
 def test_observe_counts_single_pass_metrics(spark):
     """observe() rides the action's own scan: the observation reports
     exact row/flag counts after the write action with no extra query."""

@@ -37,6 +37,7 @@ FAMILY_REPS = {
         "q111_ls_state_snapshot",
         "q112_realized_pnl",
     ],
+    "pl_state_rollup": ["q115_pl_state"],
 }
 
 

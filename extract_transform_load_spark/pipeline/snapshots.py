@@ -21,6 +21,53 @@ from pyspark.sql import Column, DataFrame
 
 from ..schemas import AMOUNT
 
+# Production silver layout: event tables partitioned by
+# `event_date = to_date(<their timestamp column>)`. Every time filter in
+# this module goes through `windowed`, which adds the coarse date bound
+# whenever the frame carries this column.
+PARTITION_DATE_COL = "event_date"
+
+
+def windowed(
+    df: DataFrame,
+    ts_col: str,
+    lo: Column | object | None = None,
+    hi: Column | object | None = None,
+    hi_inclusive: bool = True,
+) -> DataFrame:
+    """Time-window filter (lo, hi] (or (lo, hi) with
+    ``hi_inclusive=False``) that ALSO emits the equivalent coarse
+    date-partition predicate when the frame carries the silver layout's
+    ``event_date`` column.
+
+    The date bounds are implied by the timestamp bounds (``x > lo ⇒
+    date(x) >= date(lo)``, ``x <= hi ⇒ date(x) <= date(hi)``, and the
+    exclusive ``x < hi`` still implies ``date(x) <= date(hi)``), so
+    adding them never changes a result — but they are the only
+    predicates Catalyst can prune Hive-style partitions with: a
+    timestamp comparison on a data column reaches the parquet scan as a
+    PushedFilter (row-group stats), while the `event_date` comparison
+    becomes a PartitionFilter that skips whole directories. At 100 TB
+    that is the difference between listing one interval's partitions
+    and footer-probing years of history. Audited end-to-end by
+    tests/test_plan_audit.py (aggregation-round pruning assertions).
+    """
+    conds = []
+    if lo is not None:
+        lo = lo if isinstance(lo, Column) else F.lit(lo).cast("timestamp")
+        conds.append(F.col(ts_col) > lo)
+    if hi is not None:
+        hi = hi if isinstance(hi, Column) else F.lit(hi).cast("timestamp")
+        conds.append(F.col(ts_col) <= hi if hi_inclusive else F.col(ts_col) < hi)
+    if PARTITION_DATE_COL in df.columns:
+        if lo is not None:
+            conds.append(F.col(PARTITION_DATE_COL) >= F.to_date(lo))
+        if hi is not None:
+            conds.append(F.col(PARTITION_DATE_COL) <= F.to_date(hi))
+    for c in conds:
+        df = df.filter(c)
+    return df
+
 
 def active_leases(
     opening: DataFrame,
@@ -47,7 +94,7 @@ def active_leases(
 def _cum_before(df: DataFrame, ts: Column, amount_col: str, alias: str) -> DataFrame:
     """SUM(amount) per contract over events at-or-before the snapshot ts."""
     return (
-        df.filter(F.col("LS_timestamp") <= ts)
+        windowed(df, "LS_timestamp", hi=ts)
         .groupBy("LS_contract_id")
         .agg(F.sum(F.col(amount_col)).cast(AMOUNT).alias(alias))
     )
@@ -69,13 +116,13 @@ def ls_state_snapshot(
     state fetch in `handler/ls_state.rs`).
     """
     ts = F.lit(agg_timestamp).cast("timestamp")
-    opened = opening.filter(F.col("LS_timestamp") <= ts)
+    opened = windowed(opening, "LS_timestamp", hi=ts)
     act = active_leases(
         opened,
-        repayments.filter(F.col("LS_timestamp") <= ts),
-        close_positions.filter(F.col("LS_timestamp") <= ts),
-        liquidations.filter(F.col("LS_timestamp") <= ts),
-        closings.filter(F.col("LS_timestamp") <= ts),
+        windowed(repayments, "LS_timestamp", hi=ts),
+        windowed(close_positions, "LS_timestamp", hi=ts),
+        windowed(liquidations, "LS_timestamp", hi=ts),
+        windowed(closings, "LS_timestamp", hi=ts),
     )
     repaid = _cum_before(repayments, ts, "LS_principal_stable", "principal_repaid")
     closed_amt = _cum_before(close_positions, ts, "LS_payment_amnt_stable", "amnt_closed")
@@ -125,12 +172,12 @@ def lp_pool_state_snapshot(
         F.sum("LP_amnt_receipts").cast(AMOUNT).alias(f"{side}_receipts"),
     ]
     d = (
-        deposits.filter(F.col("LP_timestamp") <= ts)
+        windowed(deposits, "LP_timestamp", hi=ts)
         .groupBy("LP_Pool_id")
         .agg(*sums("d"))
     )
     w = (
-        withdrawals.filter(F.col("LP_timestamp") <= ts)
+        windowed(withdrawals, "LP_timestamp", hi=ts)
         .groupBy("LP_Pool_id")
         .agg(*sums("w"))
     )
@@ -181,12 +228,12 @@ def lp_lender_state_snapshot(
     ts = F.lit(agg_timestamp).cast("timestamp")
     keys = ["LP_address_id", "LP_Pool_id"]
     d = (
-        deposits.filter(F.col("LP_timestamp") <= ts)
+        windowed(deposits, "LP_timestamp", hi=ts)
         .groupBy(*keys)
         .agg(F.sum("LP_amnt_receipts").cast(AMOUNT).alias("minted"))
     )
     w = (
-        withdrawals.filter(F.col("LP_timestamp") <= ts)
+        windowed(withdrawals, "LP_timestamp", hi=ts)
         .groupBy(*keys)
         .agg(F.sum("LP_amnt_receipts").cast(AMOUNT).alias("burned"))
     )
@@ -229,9 +276,8 @@ def tr_state_snapshot(tr_profit: DataFrame, agg_timestamp) -> DataFrame:
     NULL < x filters the row; the row's nls leg drops with it by
     design, not by accident."""
     ts = F.lit(agg_timestamp).cast("timestamp")
-    return tr_profit.filter(
-        (F.col("TR_Profit_timestamp") <= ts)
-        & (F.col("TR_Profit_amnt_stable") < F.lit(10) ** 10)
+    return windowed(tr_profit, "TR_Profit_timestamp", hi=ts).filter(
+        F.col("TR_Profit_amnt_stable") < F.lit(10) ** 10
     ).agg(
         ts.alias("TR_timestamp"),
         F.coalesce(F.sum("TR_Profit_amnt_stable"), F.lit(0)).cast(AMOUNT).alias(
@@ -244,7 +290,7 @@ def tr_state_snapshot(tr_profit: DataFrame, agg_timestamp) -> DataFrame:
 
 
 def _window(df: DataFrame, ts_col: str, lo: Column, hi: Column) -> DataFrame:
-    return df.filter((F.col(ts_col) > lo) & (F.col(ts_col) <= hi))
+    return windowed(df, ts_col, lo=lo, hi=hi)
 
 
 def ls_state_incremental(
@@ -500,8 +546,7 @@ def pl_state_rollup(
     z = F.lit(0).cast(AMOUNT)
 
     def window_of(df: DataFrame, ts_col: str, inclusive: bool = True) -> DataFrame:
-        upper = F.col(ts_col) <= hi if inclusive else F.col(ts_col) < hi
-        return df.filter((F.col(ts_col) > last) & upper)
+        return windowed(df, ts_col, lo=last, hi=hi, hi_inclusive=inclusive)
 
     def ssum(col: str, alias: str):
         return F.coalesce(F.sum(col), F.lit(0)).cast(AMOUNT).alias(alias)
@@ -561,9 +606,7 @@ def pl_state_rollup(
     trs_cur = window_of(tr_state, "TR_timestamp").agg(
         ssum("TR_amnt_stable", "__tr_stable"), ssum("TR_amnt_nls", "__tr_nls")
     )
-    trs_prev = tr_state.filter(
-        (F.col("TR_timestamp") > prev) & (F.col("TR_timestamp") <= last)
-    ).agg(
+    trs_prev = windowed(tr_state, "TR_timestamp", lo=prev, hi=last).agg(
         ssum("TR_amnt_stable", "__tr_stable_prev"), ssum("TR_amnt_nls", "__tr_nls_prev")
     )
 

@@ -396,10 +396,19 @@ def test_ls_state_incremental_delta_pushdown(spark, tmp_path):
 )
 def test_pipeline_queries_no_window_no_single_partition(spark, sf_dir, name):
     """Snapshots and PnL are joins + partial aggregates only: no window
-    operator (nothing serializes per-key history through one task) and
-    no single-partition exchange anywhere in the plan."""
+    operator serializing per-CONTRACT history through one task, and no
+    single-partition exchange anywhere in the plan. Since round 5, q112
+    legitimately carries exactly ONE window — the as-of LPN price lookup
+    (operators/asof.py union-sort, partitioned by lpn_symbol, one
+    exchange) — so for it the assertion is "only the as-of window",
+    pinned by its partition key."""
     plan = plan_of(spark, sf_dir, name)
-    assert "Window" not in plan, name
+    if name == "q112_realized_pnl":
+        assert plan.count("Window") == 1, name
+        window_node = plan.split("Window", 1)[1].split("\n", 1)[0]
+        assert "lpn_symbol" in window_node, window_node
+    else:
+        assert "Window" not in plan, name
     assert "Exchange SinglePartition" not in plan, name
 
 
@@ -423,3 +432,110 @@ def test_q121_bloom_corpus_side_never_exchanges_before_verify(spark, sf_dir):
     assert "shiftrightunsigned" in corpus_side  # the bloom probe sits here
     assert "FileScan" in corpus_side
     assert "Exchange" not in corpus_side, "corpus grams were shuffled before verify"
+
+
+# -- A12-A17 cadence at 100 TB: the aggregation round over a date-
+# -- partitioned silver layout must read one interval, not history ---------
+
+
+def test_aggregation_round_partition_pruned_end_to_end(spark, tmp_path):
+    """Round-4 verdict task 6, executable: write the silver tables
+    date-partitioned (`event_date = to_date(ts)`), run the REAL
+    run_aggregation_round against the parquet, and assert that
+
+    - every windowed PL_State leg's file scan carries BOTH a
+      PartitionFilters entry on event_date (directory pruning — the
+      100 TB lever) and PushedFilters timestamp bounds (row-group
+      pruning inside the surviving partitions), and
+    - the partitioned plan returns the exact rows of the in-memory
+      plan (the date predicates are implied, never semantic).
+    """
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.pipeline.snapshots import run_aggregation_round
+
+    from .domain_fixtures import build_domain_tables
+
+    mem = build_domain_tables(spark)
+    # the fixture's LS_Close_Position is empty, and a partitioned write
+    # of an empty frame emits no readable files; one inert row (unknown
+    # contract, zero amount, non-terminal) is shared by BOTH runs so
+    # every table exercises the partitioned path without changing any
+    # snapshot or rollup value
+    from datetime import datetime as _dt
+    from decimal import Decimal as _D
+
+    mem["LS_Close_Position"] = mem["LS_Close_Position"].unionByName(
+        spark.createDataFrame(
+            [(0, 0, "no-such-lease", _D(0), _dt(2023, 6, 1), False)],
+            mem["LS_Close_Position"].schema,
+        )
+    )
+    ts_col = {
+        "LS_Opening": "LS_timestamp",
+        "LS_Repayment": "LS_timestamp",
+        "LS_Close_Position": "LS_timestamp",
+        "LS_Liquidation": "LS_timestamp",
+        "LS_Closing": "LS_timestamp",
+        "LP_Deposit": "LP_timestamp",
+        "LP_Withdraw": "LP_timestamp",
+        "TR_Profit": "TR_Profit_timestamp",
+        "TR_Rewards_Distribution": "TR_Rewards_timestamp",
+    }
+    silver: dict = {}
+    for name, tcol in ts_col.items():
+        path = str(tmp_path / name)
+        dated = mem[name].withColumn("event_date", F.to_date(F.col(tcol)))
+        dated.write.partitionBy("event_date").parquet(path)
+        silver[name] = spark.read.parquet(path)
+
+    args = dict(
+        agg_timestamp=datetime(2024, 3, 1),
+        prev_timestamp=datetime(2024, 1, 15),
+        prev_prev_timestamp=datetime(2020, 1, 1),
+    )
+    out = run_aggregation_round(silver, **args)
+    pl = out["PL_State"]
+    plan = pl._jdf.queryExecution().executedPlan().toString()
+
+    # every parquet scan of a windowed leg prunes partitions AND pushes
+    # the timestamp bounds; scans of (lo, hi] legs carry both bounds.
+    # The ONLY scans allowed without a date bound are join-side
+    # LS_Opening reads (pools_borrowed, the OUT_LS leg): a lease closed
+    # inside the window may have opened arbitrarily long ago, so those
+    # are time-unboundable by semantics — they carry no timestamp
+    # filter at all, and their probe side is the pruned one.
+    scans = [s for s in plan.split("FileScan parquet")[1:]]
+    assert scans, "no parquet scans in the PL_State plan"
+
+    def part_filters(s: str) -> str:
+        return s.split("PartitionFilters:")[1].split("]")[0] if "PartitionFilters:" in s else ""
+
+    def data_filters(s: str) -> str:
+        return s.split("DataFilters:")[1].split("]")[0] if "DataFilters:" in s else ""
+
+    unpruned = [s for s in scans if "event_date" not in part_filters(s)]
+    for s in unpruned:
+        assert "timestamp" not in data_filters(s).lower(), (
+            "a time-filtered scan did not prune partitions: " + s[:300]
+        )
+    assert len(unpruned) <= 2, f"{len(unpruned)} unbounded scans (expected the 2 join-side opening reads)"
+    both_bounds = [
+        s
+        for s in scans
+        if "GreaterThan(" in s.split("PushedFilters:")[1].split("]")[0]
+        and "LessThan" in s.split("PushedFilters:")[1].split("]")[0]
+    ]
+    # the (last_ts, ts] legs: repayments, deposits, withdrawals, profit,
+    # rewards, closings, openings — at least those seven scans carry
+    # both pushed bounds (snapshot legs carry only the upper bound)
+    assert len(both_bounds) >= 7, f"only {len(both_bounds)} scans push both window bounds"
+
+    # identical rows vs the in-memory (unpartitioned) run
+    mem_out = run_aggregation_round(mem, **args)
+    assert pl.collect() == mem_out["PL_State"].collect()
+    got = out["LS_State"].orderBy("LS_contract_id").collect()
+    want = mem_out["LS_State"].orderBy("LS_contract_id").collect()
+    assert [r["LS_contract_id"] for r in got] == [r["LS_contract_id"] for r in want]

@@ -56,7 +56,20 @@ def main(argv: list[str] | None = None) -> int:
     p_live.add_argument("--reconnect-interval", type=float, default=5.0)
     p_live.add_argument("--propagation-delay", type=float, default=1.0)
     p_live.add_argument("--scan-window", type=int, default=100_000)
+
+    p_compact = sub.add_parser(
+        "compact", help="merge per-block landing files into one height-range file"
+    )
+    p_compact.add_argument("landing", help="bronze parquet landing dir")
+    p_compact.add_argument("--min-files", type=int, default=16)
     args = p.parse_args(argv)
+
+    if args.cmd == "compact":
+        from .sources.livefeed import compact_landing
+
+        out = compact_landing(args.landing, min_files=args.min_files)
+        print(out or f"fewer than {args.min_files} block files; nothing to do")
+        return 0
 
     if args.cmd == "live":
         from pathlib import Path

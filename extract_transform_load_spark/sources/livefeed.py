@@ -294,22 +294,109 @@ def run_live_session(
 def landing_heights(landing_dir: str) -> list[int]:
     """Sorted distinct heights present in the landing zone.
 
-    Reads the filename contract (``block_{height:012d}_{uuid}.parquet``,
-    written by :func:`land_block`) instead of parquet footers: the edge
-    process stays JVM- and IO-light, and a directory listing is exactly
-    what the reference's ``block``-table id scan is to Postgres
-    (`dao/postgre/block.rs:29-74`). Files that don't match the contract
-    are ignored (compaction outputs use a range name).
+    Two sources, no data reads — the edge process stays JVM- and
+    IO-light, and a directory listing is exactly what the reference's
+    ``block``-table id scan is to Postgres (`dao/postgre/block.rs:29-74`):
+
+    - the filename contract of live landings
+      (``block_{height:012d}_{uuid}.parquet``, :func:`land_block`);
+    - the manifest sidecars of compacted range files
+      (``.blocks_{lo}_{hi}_{uuid}.manifest.json``, hidden so Spark's
+      and pyarrow's dataset listings skip them,
+      :func:`compact_landing`) — contiguous height runs, exact even
+      when the compacted range itself contains gaps.
+
+    Other files are ignored. At multi-year scale, switch the gap math
+    to run-lists instead of materialized ints; the edge's working set
+    is the reference's last-100k window (`synchronization.rs:42-52`).
     """
     out: set[int] = set()
-    for p in Path(landing_dir).glob("block_*.parquet"):
+    base = Path(landing_dir)
+    for p in base.glob("block_*.parquet"):
         parts = p.stem.split("_")
         if len(parts) >= 2:
             try:
                 out.add(int(parts[1]))
             except ValueError:
                 continue
+    for m in base.glob(".blocks_*.manifest.json"):
+        try:
+            doc = json.loads(m.read_text())
+        except ValueError:
+            continue
+        for lo, hi in doc.get("runs", []):
+            out.update(range(int(lo), int(hi) + 1))
     return sorted(out)
+
+
+def _runs(heights: Sequence[int]) -> list[list[int]]:
+    """Contiguous [lo, hi] runs of a sorted distinct height list."""
+    runs: list[list[int]] = []
+    for h in heights:
+        if runs and h == runs[-1][1] + 1:
+            runs[-1][1] = h
+        else:
+            runs.append([h, h])
+    return runs
+
+
+def compact_landing(
+    landing_dir: str,
+    min_files: int = 16,
+    row_group_size: int = 131_072,
+) -> str | None:
+    """Merge the per-block landing files into ONE height-sorted range
+    file + a manifest sidecar; returns the new parquet path (None if
+    fewer than ``min_files`` block files exist).
+
+    Why: the blockfeed source prunes by parquet footer statistics, so
+    its cost is O(files + matching row groups) — a long-running feed
+    landing one file per block (the reference's one-DB-transaction-per-
+    block, `event_dispatch.rs:193-244`) degrades the Spark side's poll
+    and scan. Compaction restores O(matching row groups): heights are
+    sorted, so each row group covers one narrow height band and the
+    source's ``block`` filter skips the rest. ``row_group_size`` trades
+    pruning granularity against footer size.
+
+    Crash-safety is the A5 idempotency contract, not atomicity: the
+    merged file is written first, the manifest second, inputs unlinked
+    last. A crash between steps leaves duplicate ROWS (collapsed by the
+    stream's PK dedup / batch anti-join, like any replayed block) but
+    never loses a height — `landing_heights` unions filenames and
+    manifests. The manifest records the exact contiguous runs merged,
+    so a gap inside the compacted range stays visible to the gap scan.
+
+    JVM-free (pyarrow), like the rest of the edge process.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = Path(landing_dir)
+    files: list[tuple[int, Path]] = []
+    for p in base.glob("block_*.parquet"):
+        parts = p.stem.split("_")
+        if len(parts) >= 2:
+            try:
+                files.append((int(parts[1]), p))
+            except ValueError:
+                continue
+    if len(files) < min_files:
+        return None
+    files.sort()
+    tables = [pq.read_table(p) for _, p in files]
+    merged = pa.concat_tables(tables)
+    heights = sorted({h for h, _ in files})
+    lo, hi = heights[0], heights[-1]
+    tag = uuid.uuid4().hex[:8]
+    out = base / f"blocks_{lo:012d}_{hi:012d}_{tag}.parquet"
+    pq.write_table(merged, out, row_group_size=row_group_size)
+    # leading dot: parquet dataset listings (Spark, pyarrow) skip
+    # hidden files, so the sidecar never confuses a reader
+    manifest = base / f".blocks_{lo:012d}_{hi:012d}_{tag}.manifest.json"
+    manifest.write_text(json.dumps({"runs": _runs(heights), "rows": merged.num_rows}))
+    for _, p in files:
+        p.unlink()
+    return str(out)
 
 
 def missing_heights(heights: Sequence[int], scan_window: int | None = None) -> list[int]:

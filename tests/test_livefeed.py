@@ -918,3 +918,117 @@ def test_http_block_fetcher_rpc_error_raises():
     finally:
         httpd.shutdown()
         t.join(timeout=10)
+
+
+# -- landing-zone compaction -------------------------------------------------
+
+
+def test_compact_landing_preserves_heights_and_rows(tmp_path, spark):
+    from extract_transform_load_spark.sources.livefeed import compact_landing
+
+    heights = [1, 2, 4, 5, 6, 9]  # gaps at 3, 7, 8 survive compaction
+    for h in heights:
+        land_block(str(tmp_path), h, fake_rows(h))
+    before = landing_heights(str(tmp_path))
+    before_rows = spark.read.parquet(str(tmp_path)).orderBy("block", "event_index").collect()
+
+    out = compact_landing(str(tmp_path), min_files=2)
+    assert out is not None and Path(out).exists()
+    # per-block files are gone; one range file + manifest remain
+    assert list(Path(str(tmp_path)).glob("block_*.parquet")) == []
+    manifests = list(Path(str(tmp_path)).glob(".blocks_*.manifest.json"))
+    assert len(manifests) == 1
+    runs = json.loads(manifests[0].read_text())["runs"]
+    assert runs == [[1, 2], [4, 6], [9, 9]]
+
+    # heights contract intact (gap scan still sees 3, 7, 8 missing)
+    assert landing_heights(str(tmp_path)) == before
+    assert missing_heights(landing_heights(str(tmp_path))) == [3, 7, 8]
+    # Spark reads identical rows through the compacted layout
+    after_rows = spark.read.parquet(str(tmp_path)).orderBy("block", "event_index").collect()
+    assert after_rows == before_rows
+
+
+def test_compact_landing_noop_below_min_files(tmp_path):
+    from extract_transform_load_spark.sources.livefeed import compact_landing
+
+    land_block(str(tmp_path), 1, fake_rows(1))
+    assert compact_landing(str(tmp_path), min_files=16) is None
+    assert landing_heights(str(tmp_path)) == [1]
+
+
+def test_compact_landing_then_live_and_reconcile(tmp_path):
+    """Compaction composes with the live loop: new blocks keep landing
+    as per-block files beside the range file, gap reconciliation fills
+    holes INSIDE the compacted range, and a second compaction folds
+    everything into a fresh range file."""
+    from extract_transform_load_spark.sources.livefeed import compact_landing
+
+    for h in (1, 2, 5):
+        land_block(str(tmp_path), h, fake_rows(h))
+    compact_landing(str(tmp_path), min_files=2)
+
+    done, failed = reconcile_gaps(str(tmp_path), fake_rows, backoff=0)
+    assert done == [3, 4] and failed == []
+    land_block(str(tmp_path), 6, fake_rows(6))
+    assert landing_heights(str(tmp_path)) == [1, 2, 3, 4, 5, 6]
+
+    out2 = compact_landing(str(tmp_path), min_files=2)
+    assert out2 is not None
+    # the first range file + both manifests still tell the full story
+    assert landing_heights(str(tmp_path)) == [1, 2, 3, 4, 5, 6]
+    assert missing_heights(landing_heights(str(tmp_path))) == []
+
+
+def test_compact_landing_crash_between_write_and_unlink(tmp_path):
+    """Crash-sim: the merged file + manifest exist but inputs were not
+    unlinked — heights unchanged (set union), rows duplicated (the A5
+    dedup contract's job), nothing lost."""
+    from extract_transform_load_spark.sources import livefeed
+
+    for h in (1, 2, 3):
+        land_block(str(tmp_path), h, fake_rows(h))
+
+    real_unlink = Path.unlink
+
+    def no_unlink(self, *a, **k):  # crash before cleanup
+        if self.name.startswith("block_"):
+            return None
+        return real_unlink(self, *a, **k)
+
+    try:
+        Path.unlink = no_unlink
+        livefeed.compact_landing(str(tmp_path), min_files=2)
+    finally:
+        Path.unlink = real_unlink
+    assert landing_heights(str(tmp_path)) == [1, 2, 3]
+    # duplicate rows exist, but every height is still derivable and the
+    # gap scan sees no false holes
+    assert missing_heights(landing_heights(str(tmp_path))) == []
+
+
+def test_blockfeed_source_reads_compacted_landing(tmp_path, spark):
+    """The Spark streaming source keeps working after compaction: the
+    chain head comes from the range file's footer stats, the hidden
+    manifest is invisible to dataset discovery, and a microbatch pulls
+    the compacted rows."""
+    from extract_transform_load_spark.sources.blockfeed import _head
+    from extract_transform_load_spark.sources.livefeed import compact_landing
+    from extract_transform_load_spark.sources import subscribe_blocks
+
+    for h in (1, 2, 3, 4):
+        land_block(str(tmp_path), h, fake_rows(h))
+    compact_landing(str(tmp_path), min_files=2)
+    land_block(str(tmp_path), 5, fake_rows(5))  # live file beside the range file
+    assert _head(str(tmp_path)) == 5
+
+    stream = subscribe_blocks(spark, str(tmp_path), blocks_per_batch=64)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("compacted_feed")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT DISTINCT block FROM compacted_feed ORDER BY block").collect()
+    assert [r["block"] for r in got] == [1, 2, 3, 4, 5]

@@ -1032,3 +1032,66 @@ def test_blockfeed_source_reads_compacted_landing(tmp_path, spark):
     q.awaitTermination(120)
     got = spark.sql("SELECT DISTINCT block FROM compacted_feed ORDER BY block").collect()
     assert [r["block"] for r in got] == [1, 2, 3, 4, 5]
+
+
+def test_full_live_path_ws_to_silver(tmp_path, spark):
+    """The reference's §3.1 lifecycle end-to-end across real process
+    boundaries: fake Tendermint WS (RFC 6455 over loopback) announces
+    blocks -> run_live_session fetches + lands bronze parquet ->
+    subscribe_blocks streams it -> pipeline.parsers produces silver
+    LS_Opening rows identical to the batch parse of the same landing."""
+    from extract_transform_load_spark.pipeline.parsers import parse_ls_opening
+    from extract_transform_load_spark.sources import subscribe_blocks
+
+    def fetch(height: int):
+        ts = 1_700_000_000_000_000 + height * 6_000_000
+        return [
+            (
+                height,
+                f"tx{height:04d}",
+                0,
+                "wasm-ls-open",
+                ts,
+                {
+                    "height": str(height),
+                    "id": f"lease{height}",
+                    "customer": f"addr{height}",
+                    "currency": "ATOM",
+                    "air": "105",
+                    "loan-pool-id": "pool1",
+                    "loan-amount": "1000",
+                    "loan-symbol": "USDC",
+                    "downpayment-amount": "250",
+                    "downpayment-symbol": "USDC",
+                },
+            )
+        ]
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    srv = FakeServer([tendermint_session([1, 2, 3, 4, 5])])
+    stats = run_live_session(
+        srv.url, fetch, str(landing), propagation_delay=0, ws_timeout=10
+    )
+    srv.finish()
+    assert stats.delivered == [1, 2, 3, 4, 5]
+
+    stream = subscribe_blocks(spark, str(landing), blocks_per_batch=2)
+    q = (
+        parse_ls_opening(stream)
+        .writeStream.format("memory")
+        .queryName("live_silver_ls_open")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql("select * from live_silver_ls_open")
+    batch = parse_ls_opening(spark.read.parquet(str(landing)))
+    assert streamed.count() == 5
+    assert streamed.exceptAll(batch).count() == 0 and batch.exceptAll(streamed).count() == 0
+    got = {r["LS_contract_id"] for r in streamed.select("LS_contract_id").collect()}
+    assert got == {f"lease{h}" for h in range(1, 6)}

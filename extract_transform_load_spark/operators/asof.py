@@ -307,3 +307,62 @@ def as_of_join_bucketed(
         *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_cols],
     )
     return filled.filter(F.col("__side") == 2).drop("__side", "__ts", "__rord", "__bucket")
+
+
+def as_of_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    right_order: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join for a DIMENSION-SCALE right side: zero shuffle.
+
+    When the right series is a dimension (a price table = symbols x
+    poll ticks — the thing the reference keeps in an in-memory cache,
+    `configuration.rs:543-562`), the union-sort formulation is the
+    wrong shape: its window partitions by join key, so a handful of hot
+    symbols caps parallelism at |keys| tasks AND the big left side pays
+    a full shuffle. Instead:
+
+    1. collapse the right side to ONE row per key carrying its ticks as
+       a ts-sorted ``array<struct(ts, values...)>`` (struct ordering is
+       field-order, so ts leads the sort);
+    2. broadcast-hash-join that per-key row onto the left (|keys| rows
+       — always under the broadcast threshold by precondition);
+    3. pick the latest tick ``<= left_ts`` scan-locally with an array
+       ``filter`` + ``F.get`` (null-safe past-the-end, no ANSI throw).
+
+    The left side never moves: the plan is scan -> broadcast join ->
+    project. Cost per row is O(|ticks of its key|) comparisons inside
+    codegen — the right tradeoff while |ticks| is dimension-scale; for
+    a big right side use :func:`as_of_join` (one shuffle, any size) or
+    :func:`as_of_join_bucketed` (adds parallelism on hot keys).
+
+    Semantics match :func:`as_of_join(direction="backward")`, including
+    null values when a key has no tick at-or-before ``left_ts`` and the
+    ``ORDER BY ts DESC, right_order DESC LIMIT 1`` tie rule (the struct
+    sorts by (ts, order), so the array's last hit is the winner) —
+    property-tested against the union-sort form in
+    tests/test_properties.py.
+    """
+    on = list(on)
+    value_cols = list(value_cols)
+    rord = [F.col(right_order).alias("__rord")] if right_order else []
+    tick = F.struct(
+        F.col(right_ts).alias("__ts"), *rord, *[F.col(c) for c in value_cols]
+    )
+    packed = (
+        right.groupBy(*on)
+        .agg(F.sort_array(F.collect_list(tick)).alias("__ticks"))
+    )
+    joined = left.join(F.broadcast(packed), on, "left")
+    hits = F.filter("__ticks", lambda t: t["__ts"] <= F.col(left_ts))
+    latest = F.get(hits, F.size(hits) - 1)
+    out = joined
+    for c in value_cols:
+        out = out.withColumn(f"{c}{suffix}", latest[c])
+    return out.drop("__ticks")

@@ -112,13 +112,16 @@ def compute_loan_closings(
 
     if lpn_prices is not None and "lpn_symbol" in df.columns:
         # as-of at the close timestamp — the reference's LATERAL-style
-        # pick-latest (`ls_loan_closing.rs:582-664`), Spark-first: one
-        # union-sort shuffle keyed by symbol, not a probe per contract
-        from ..operators.asof import as_of_join
+        # pick-latest (`ls_loan_closing.rs:582-664`). The LPN price
+        # series is dimension-scale by construction (symbols x poll
+        # ticks — the reference keeps it in an in-memory cache), so the
+        # broadcast as-of applies: the closed-contract frame never
+        # shuffles and no window caps parallelism at |symbols| tasks.
+        from ..operators.asof import as_of_join_broadcast
 
         if "lpn_price_at_close" in df.columns:
             df = df.drop("lpn_price_at_close")
-        df = as_of_join(
+        df = as_of_join_broadcast(
             df,
             lpn_prices.select("lpn_symbol", "ts", "price"),
             on=["lpn_symbol"],

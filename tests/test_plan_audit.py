@@ -396,20 +396,21 @@ def test_ls_state_incremental_delta_pushdown(spark, tmp_path):
 )
 def test_pipeline_queries_no_window_no_single_partition(spark, sf_dir, name):
     """Snapshots and PnL are joins + partial aggregates only: no window
-    operator serializing per-CONTRACT history through one task, and no
-    single-partition exchange anywhere in the plan. Since round 5, q112
-    legitimately carries exactly ONE window — the as-of LPN price lookup
-    (operators/asof.py union-sort, partitioned by lpn_symbol, one
-    exchange) — so for it the assertion is "only the as-of window",
-    pinned by its partition key."""
+    operator serializing per-key history through one task, and no
+    single-partition exchange anywhere in the plan. q112's round-5 as-of
+    LPN price lookup specifically must be the BROADCAST form
+    (operators/asof.py::as_of_join_broadcast — sorted-tick arrays behind
+    a broadcast join; the price series is dimension-scale), NOT the
+    union-sort window, whose |symbols|-way partitioning would cap the
+    closed-contract frame's parallelism at 7 tasks."""
     plan = plan_of(spark, sf_dir, name)
-    if name == "q112_realized_pnl":
-        assert plan.count("Window") == 1, name
-        window_node = plan.split("Window", 1)[1].split("\n", 1)[0]
-        assert "lpn_symbol" in window_node, window_node
-    else:
-        assert "Window" not in plan, name
+    assert "Window" not in plan, name
     assert "Exchange SinglePartition" not in plan, name
+    if name == "q112_realized_pnl":
+        # the packed tick arrays (collect_list aggregate) behind a
+        # broadcast join; sort_array itself lives in a Project
+        # expression the plan printer truncates
+        assert "collect_list" in plan and "BroadcastHashJoin" in plan
 
 
 def test_ls_state_snapshot_partial_aggregation(spark, sf_dir):

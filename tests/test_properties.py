@@ -134,6 +134,36 @@ def test_asof_bucketed_equivalence(spark, events, prices):
     assert bucketed == plain
 
 
+@given(events=events_strategy, prices=prices_strategy)
+@SETTINGS
+def test_asof_broadcast_equivalence(spark, events, prices):
+    """The dimension-scale fast path (zero shuffle, sorted-tick arrays
+    behind a broadcast join) must match the union-sort form exactly,
+    including the (ts DESC, right_order DESC) tie rule and no-tick
+    nulls."""
+    from extract_transform_load_spark.operators.asof import as_of_join_broadcast
+
+    ev = spark.createDataFrame(
+        [(i, k, BASE + timedelta(minutes=m)) for i, (k, m) in enumerate(events)],
+        "eid long, k long, t timestamp",
+    )
+    pr = spark.createDataFrame(
+        [(k, BASE + timedelta(minutes=m), v, i) for i, (k, m, v) in enumerate(prices)],
+        "k long, pt timestamp, v double, idx long",
+    )
+    plain = {
+        r["eid"]: r["v_asof"]
+        for r in as_of_join(ev, pr, on=["k"], left_ts="t", right_ts="pt",
+                            value_cols=["v"], right_order="idx").collect()
+    }
+    bcast = {
+        r["eid"]: r["v_asof"]
+        for r in as_of_join_broadcast(ev, pr, on=["k"], left_ts="t", right_ts="pt",
+                                      value_cols=["v"], right_order="idx").collect()
+    }
+    assert bcast == plain
+
+
 edges_strategy = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=30),

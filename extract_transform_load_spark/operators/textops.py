@@ -446,6 +446,67 @@ def scrub_frequent_grams(
     )
 
 
+def repetition_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Gopher-style repetition metrics, one row per document.
+
+    For each n in ``ns`` emits ``top_{n}gram_frac`` (occurrences of the
+    single most frequent word n-gram / total n-gram occurrences) and
+    ``dup_{n}gram_frac`` (fraction of n-gram occurrences whose gram
+    appears >= 2 times in the document) plus ``n_words``. These are the
+    repetition filters of the Gopher/MassiveText curation recipe
+    (Rae et al. 2021, table A1) at word granularity — a document whose
+    top 2-gram covers >20% of it, or whose duplicate 3-gram mass
+    exceeds ~60%, is boilerplate/spam and gets cut before training.
+
+    Scale shape: ONE corpus scan tags every n-gram with its n and
+    explodes (scan-side, no pre-shuffle); counting is a
+    (doc, n, gram)-keyed aggregate with map-side partials; the per-doc
+    reduction collapses to |docs|x|ns| rows before the pivot, so
+    everything after the first shuffle is tiny. The corpus text is
+    never shuffled — only grams leave the scan stage. Documents whose
+    word count < n carry NULL fracs for that n (no n-grams exist), via
+    the left join back to the id spine.
+    """
+    w = words(F.col(text_col))
+
+    def tagged(n: int) -> Column:
+        grams = w if n == 1 else word_shingles(F.col(text_col), n)
+        return F.transform(
+            grams, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+        )
+
+    ex = docs.select(
+        F.col(id_col),
+        F.explode(F.flatten(F.array(*[tagged(n) for n in ns]))).alias("t"),
+    )
+    counts = ex.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
+    per_n = counts.groupBy(id_col, F.col("t.n").alias("n")).agg(
+        F.max("c").alias("top"),
+        F.sum("c").alias("total"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias("dup"),
+    )
+    wide = per_n.groupBy(id_col).pivot("n", list(ns)).agg(
+        F.first("top").alias("top"),
+        F.first("total").alias("total"),
+        F.first("dup").alias("dup"),
+    )
+    gram_word = {1: "word", 2: "bigram", 3: "trigram"}
+    out_cols = [F.col(id_col), F.size(w).cast("bigint").alias("n_words")]
+    for n in ns:
+        label = gram_word.get(n, f"{n}gram")
+        top = F.col(f"{n}_top").cast("double")
+        dup = F.col(f"{n}_dup").cast("double")
+        total = F.col(f"{n}_total")
+        out_cols.append((top / total).alias(f"top_{label}_frac"))
+        out_cols.append((dup / total).alias(f"dup_{label}_frac"))
+    return docs.join(wide, id_col, "left").select(*out_cols)
+
+
 def build_vocab(df: Column | "DataFrame", text_col: str = "text", size: int = 30000):
     """Deterministic frequency vocab: top-``size`` words get ids
     1..size (rank by count desc, word asc — reproducible run-to-run);

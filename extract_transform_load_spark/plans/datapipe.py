@@ -3098,3 +3098,93 @@ def q121_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_rate"),
         )
     )
+
+
+@query(
+    "q122_repetition_metrics",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id, 1 AS n, unnest(ws) AS gram FROM w
+      UNION ALL
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS gram
+      FROM w
+      UNION ALL
+      SELECT doc_id, 3 AS n,
+             unnest(list_transform(range(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+      FROM w
+    ),
+    c AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+    p AS (SELECT doc_id, n, MAX(c) AS top, SUM(c) AS total,
+                 SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+          FROM c GROUP BY 1, 2)
+    SELECT d.doc_id AS doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+           CAST(p1.top AS DOUBLE) / p1.total AS top_word_frac,
+           CAST(p1.dup AS DOUBLE) / p1.total AS dup_word_frac,
+           CAST(p2.top AS DOUBLE) / p2.total AS top_bigram_frac,
+           CAST(p2.dup AS DOUBLE) / p2.total AS dup_bigram_frac,
+           CAST(p3.top AS DOUBLE) / p3.total AS top_trigram_frac,
+           CAST(p3.dup AS DOUBLE) / p3.total AS dup_trigram_frac
+    FROM documents d
+    LEFT JOIN p p1 ON p1.doc_id = d.doc_id AND p1.n = 1
+    LEFT JOIN p p2 ON p2.doc_id = d.doc_id AND p2.n = 2
+    LEFT JOIN p p3 ON p3.doc_id = d.doc_id AND p3.n = 3
+    """,
+    doc="Gopher/MassiveText repetition filters (Rae et al. 2021 table A1, word "
+    "granularity): per-doc most-frequent-n-gram coverage and duplicate-n-gram "
+    "mass for n=1,2,3 — the curation signal that cuts boilerplate/spam whose "
+    "top 2-gram covers >20% of the text. One corpus scan, grams counted with "
+    "map-side partials, per-doc pivot over |docs|x3 rows; the text itself "
+    "never shuffles (operators/textops.py:repetition_profile).",
+)
+def q122_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import repetition_profile
+
+    return repetition_profile(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "q123_oov_rate",
+    oracle="""
+    WITH u AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+    f AS (SELECT w, COUNT(*) AS c FROM u GROUP BY 1),
+    v AS (SELECT w FROM f ORDER BY c DESC, w LIMIT 20)
+    SELECT u.source AS source,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS oov_rate
+    FROM u LEFT JOIN v ON u.w = v.w
+    GROUP BY u.source
+    """,
+    doc="Vocabulary coverage audit: build the deterministic top-20 frequency "
+    "vocab (textops.build_vocab — rank by count desc, word asc) and measure "
+    "the out-of-vocabulary token fraction per source. The tokenizer-budget "
+    "sizing signal a training exporter checks before committing a vocab. "
+    "Vocab is driver-scale and broadcast; the corpus is one scan + explode "
+    "with map-side combine into the per-source aggregate — no corpus shuffle.",
+)
+def q123_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import build_vocab
+
+    d = load(spark, sf_dir, "documents")
+    vocab = build_vocab(d, size=20).select("word")
+    toks = d.select("source", F.explode(words(F.col("text"))).alias("word"))
+    return (
+        toks.join(F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("oov_tokens"),
+            (
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )

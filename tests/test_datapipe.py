@@ -1220,3 +1220,61 @@ def test_funnel_strict_ordering_edges(spark):
 
     rep = {r["stage"]: (r["step_name"], r["n_users"]) for r in funnel_report(e, steps).collect()}
     assert rep == {1: ("view", 4), 2: ("click", 2), 3: ("purchase", 1)}
+
+
+def test_repetition_profile_hand_checked(spark):
+    from extract_transform_load_spark.operators.textops import repetition_profile
+
+    df = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "x"), (2, "q q q")], "doc_id int, text string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_profile(df).collect()}
+    r0 = rows[0]  # words a,b,a,b,c; bigrams "a b"x2,"b a","b c"; trigrams distinct
+    assert r0["n_words"] == 5
+    assert r0["top_word_frac"] == pytest.approx(2 / 5)
+    assert r0["dup_word_frac"] == pytest.approx(4 / 5)
+    assert r0["top_bigram_frac"] == pytest.approx(2 / 4)
+    assert r0["dup_bigram_frac"] == pytest.approx(2 / 4)
+    assert r0["top_trigram_frac"] == pytest.approx(1 / 3)
+    assert r0["dup_trigram_frac"] == 0.0
+    r1 = rows[1]  # single word: no bigrams/trigrams exist -> NULL fracs
+    assert r1["n_words"] == 1
+    assert r1["top_word_frac"] == 1.0
+    assert r1["top_bigram_frac"] is None
+    assert r1["dup_trigram_frac"] is None
+    r2 = rows[2]  # q q q: total repetition at every granularity that exists
+    assert r2["top_word_frac"] == 1.0
+    assert r2["dup_word_frac"] == 1.0
+    assert r2["top_bigram_frac"] == 1.0
+    assert r2["dup_trigram_frac"] == 0.0  # one trigram occurrence, not duplicated
+
+
+def test_repetition_profile_never_shuffles_text(spark):
+    """The corpus text column must not survive past the scan stage —
+    only exploded grams and per-doc aggregates may cross an exchange."""
+    from extract_transform_load_spark.operators.textops import repetition_profile
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id int, text string")
+    plan = repetition_profile(df)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line
+
+
+def test_oov_rate_hand_checked(spark):
+    from extract_transform_load_spark.operators.textops import build_vocab
+
+    df = spark.createDataFrame(
+        [(0, "s0", "a a b c"), (1, "s1", "a d d e")],
+        "doc_id int, source string, text string",
+    )
+    # freq: a=3, d=2, b=c=e=1 -> top-2 vocab = [a, d] (count desc, word asc)
+    vocab = {r["word"] for r in build_vocab(df, size=2).collect()}
+    assert vocab == {"a", "d"}
+    toks = df.select("source", F.explode(F.split("text", " ")).alias("w"))
+    joined = toks.join(
+        build_vocab(df, size=2).withColumnRenamed("word", "w").select("w"),
+        "w",
+        "left_semi",
+    )
+    assert joined.count() == 5  # a,a,a,d,d in vocab; b,c,e OOV

@@ -3137,9 +3137,11 @@ def q121_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Gopher/MassiveText repetition filters (Rae et al. 2021 table A1, word "
     "granularity): per-doc most-frequent-n-gram coverage and duplicate-n-gram "
     "mass for n=1,2,3 — the curation signal that cuts boilerplate/spam whose "
-    "top 2-gram covers >20% of the text. One corpus scan, grams counted with "
-    "map-side partials, per-doc pivot over |docs|x3 rows; the text itself "
-    "never shuffles (operators/textops.py:repetition_profile).",
+    "top 2-gram covers >20% of the text. The multi-granularity one-pass "
+    "generalization of q71 (which stays single-n for bench comparability): "
+    "all three gram sizes ride ONE tagged explode and one count shuffle "
+    "instead of three scans. Per-doc pivot over |docs|x3 rows; the text "
+    "itself never shuffles (operators/textops.py:repetition_profile).",
 )
 def q122_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textops import repetition_profile
@@ -3187,4 +3189,63 @@ def q123_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1))
             ).alias("oov_rate"),
         )
+    )
+
+
+def _gram_branch_sql(n: int) -> str:
+    if n == 1:
+        return "SELECT 1 AS n, unnest(ws) AS gram FROM w"
+    concat = " || ' ' || ".join(f"ws[i+{j}]" if j else "ws[i]" for j in range(n))
+    return (
+        f"SELECT {n} AS n, unnest(list_transform(range(1, len(ws) - {n - 2}), "
+        f"i -> {concat})) AS gram FROM w"
+    )
+
+
+@query(
+    "q124_gram_cardinality",
+    # Derived-property oracle (q97's pattern): the HLL register blob has
+    # no DuckDB twin, so the checkable output is the exact per-n distinct
+    # gram count plus an in-query boolean asserting the one-pass
+    # approx_count_distinct estimate lands within 5% of it.
+    oracle="""
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      """
+    + "\n      UNION ALL\n      ".join(_gram_branch_sql(n) for n in (1, 2, 3, 5, 8))
+    + """
+    )
+    SELECT n, CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct_exact,
+           TRUE AS approx_ok
+    FROM g GROUP BY 1
+    """,
+    doc="Heaps-law gram-cardinality audit: distinct word n-gram counts for "
+    "n in {1,2,3,5,8} — the corpus statistic that sizes every downstream "
+    "curation structure (MinHash band tables, the q121 Bloom bitset, vocab "
+    "budgets, shingle df-cuts). The scale path is approx_count_distinct "
+    "(HLL++, fixed kilobytes per group, one tagged-explode pass, "
+    "partition-order independent); the exact countDistinct column exists "
+    "for the oracle and the 5%-error boolean the estimate must satisfy.",
+)
+def q124_gram_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    ns = (1, 2, 3, 5, 8)
+    w = words(F.col("text"))
+
+    def tagged(n: int):
+        grams = w if n == 1 else word_shingles(F.col("text"), n)
+        return F.transform(grams, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))
+
+    ex = d.select(F.explode(F.flatten(F.array(*[tagged(n) for n in ns]))).alias("t"))
+    per_n = ex.groupBy(F.col("t.n").alias("n")).agg(
+        F.count_distinct(F.col("t.g")).alias("n_distinct_exact"),
+        F.approx_count_distinct(F.col("t.g"), rsd=0.02).alias("est"),
+    )
+    err = F.abs(F.col("est") - F.col("n_distinct_exact")).cast("double")
+    return per_n.select(
+        "n",
+        "n_distinct_exact",
+        (err <= 0.05 * F.col("n_distinct_exact").cast("double")).alias("approx_ok"),
     )

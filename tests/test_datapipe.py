@@ -1278,3 +1278,35 @@ def test_oov_rate_hand_checked(spark):
         "left_semi",
     )
     assert joined.count() == 5  # a,a,a,d,d in vocab; b,c,e OOV
+
+
+def test_repetition_profile_matches_python_reference(spark):
+    """Randomized cross-check: per-doc top/dup gram mass for n=1..3 vs a
+    Counter-based reference, including docs shorter than n."""
+    import random
+    from collections import Counter
+
+    from extract_transform_load_spark.operators.textops import repetition_profile
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d", "e"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in repetition_profile(df).collect()}
+    for i, text in rows:
+        ws = text.split(" ")
+        r = got[i]
+        assert r["n_words"] == len(ws)
+        for n, label in ((1, "word"), (2, "bigram"), (3, "trigram")):
+            grams = [" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)]
+            if not grams:
+                assert r[f"top_{label}_frac"] is None
+                assert r[f"dup_{label}_frac"] is None
+                continue
+            c = Counter(grams)
+            assert r[f"top_{label}_frac"] == pytest.approx(max(c.values()) / len(grams))
+            dup = sum(v for v in c.values() if v >= 2)
+            assert r[f"dup_{label}_frac"] == pytest.approx(dup / len(grams))

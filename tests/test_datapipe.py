@@ -1310,3 +1310,29 @@ def test_repetition_profile_matches_python_reference(spark):
             assert r[f"top_{label}_frac"] == pytest.approx(max(c.values()) / len(grams))
             dup = sum(v for v in c.values() if v >= 2)
             assert r[f"dup_{label}_frac"] == pytest.approx(dup / len(grams))
+
+
+def test_gram_cardinality_exact_and_hll_bound(spark):
+    from extract_transform_load_spark.plans.datapipe import q124_gram_cardinality
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b"), (1, "a b x y z")], "doc_id long, text string"
+    )
+    # run the registered plan against a toy frame via monkeypatched load
+    import extract_transform_load_spark.plans.datapipe as dp
+
+    orig = dp.load
+    try:
+        dp.load = lambda spark_, sf_, name: df
+        rows = {r["n"]: r for r in q124_gram_cardinality(spark, "unused").collect()}
+    finally:
+        dp.load = orig
+    # words: a,b,c,x,y,z -> 6 distinct; bigrams: "a b" (both docs),
+    # "b c","c a","b x","x y","y z" -> 6 distinct; trigrams: 3 per doc,
+    # all distinct -> 6; n=5: "a b c a b" + "a b x y z" -> 2; n=8: none
+    assert rows[1]["n_distinct_exact"] == 6
+    assert rows[2]["n_distinct_exact"] == 6
+    assert rows[3]["n_distinct_exact"] == 6
+    assert rows[5]["n_distinct_exact"] == 2
+    assert 8 not in rows  # no 8-grams exist in 5-word docs
+    assert all(rows[n]["approx_ok"] for n in rows)

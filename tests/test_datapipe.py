@@ -1336,3 +1336,28 @@ def test_gram_cardinality_exact_and_hll_bound(spark):
     assert rows[5]["n_distinct_exact"] == 2
     assert 8 not in rows  # no 8-grams exist in 5-word docs
     assert all(rows[n]["approx_ok"] for n in rows)
+
+
+def test_gram_cardinality_single_scan_no_text_shuffle(spark):
+    """q124's plan must read documents ONCE (the tagged explode serves
+    all five gram sizes) and shuffle only grams/aggregates, never text."""
+    from extract_transform_load_spark.plans.datapipe import q124_gram_cardinality
+
+    df = spark.createDataFrame([(0, "a b c d e f g h i")], "doc_id long, text string")
+    import extract_transform_load_spark.plans.datapipe as dp
+
+    orig = dp.load
+    try:
+        dp.load = lambda spark_, sf_, name: df
+        plan = (
+            q124_gram_cardinality(spark, "unused")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        dp.load = orig
+    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 1
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line

@@ -67,7 +67,12 @@ _PRIORITY = [
     # repayment bound, the two-window tax identity); displaced
     # q21_histogram_buckets (B16's when/otherwise bucketing + grouped
     # agg stays driver-covered via q19/q01/q46; q21 itself stays
-    # strict-gate green past the window).
+    # strict-gate green past the window). Round 5 also adds q122 — the
+    # Gopher repetition-filter family (new this round: multi-granularity
+    # top/dup gram mass, the boilerplate/spam curation signal), taking
+    # the slot of q64_hash_split: splits/packing keeps its in-window rep
+    # via q83 (the VERDICT coverage table lists q83+q64 as ONE family
+    # with two rows), and q64 stays strict-gate green past the window.
     "q117_ls_state_incremental",
     "q112_realized_pnl",
     "q115_pl_state",
@@ -88,8 +93,8 @@ _PRIORITY = [
     "q56_media_metadata",       # multimodal columns
     "q58_winnowing",            # winnowing fingerprints
     "q61_dedup_clusters",       # connected components
-    "q64_hash_split",           # splits/packing
-    "q83_mixture_resample",     # sampling/mixture rebalance
+    "q83_mixture_resample",     # sampling/mixture rebalance (family also covers q64 splits)
+    "q122_repetition_metrics",  # Gopher repetition filters (r5)
     "q87_psi_drift",            # monitors
     "q95_scd2_dimension",       # SCD2 / CDC
     "q97_sketch_mau",           # mergeable sketches

@@ -25,8 +25,18 @@ FAMILY_REPS = {
     "winnowing": ["q58_winnowing"],
     "text_quality": ["q46_text_quality", "q47_token_stats", "q48_lang_id"],
     "multimodal": ["q56_media_metadata", "q57_media_features"],
-    "splits_packing": ["q64_hash_split", "q75_sequence_packing", "q77_leakage_safe_split"],
-    "sampling": ["q83_mixture_resample", "q68_stratified_sample", "q108_temperature_mixture"],
+    # One family per VERDICT coverage-table row: "Sampling / splits /
+    # packing" is a single row there (q83 + q64), so one in-window rep
+    # covers it — q122 took q64's slot in round 5.
+    "sampling_splits_packing": [
+        "q83_mixture_resample",
+        "q64_hash_split",
+        "q68_stratified_sample",
+        "q75_sequence_packing",
+        "q77_leakage_safe_split",
+        "q108_temperature_mixture",
+    ],
+    "repetition_filters": ["q122_repetition_metrics", "q71_repetition_stats"],
     "monitors": ["q87_psi_drift", "q85_expectations", "q86_table_profile"],
     "scd2_cdc": ["q95_scd2_dimension"],
     "sketches": ["q97_sketch_mau", "q106_sketch_quantiles", "q107_theta_retention"],

@@ -3249,3 +3249,82 @@ def q124_gram_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_exact",
         (err <= 0.05 * F.col("n_distinct_exact").cast("double")).alias("approx_ok"),
     )
+
+
+@query(
+    "q125_contamination_coverage",
+    oracle="""
+    WITH bench AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE doc_id % 200 = 0
+    ),
+    bg AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ws) - 6),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                      || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
+                      || ' ' || ws[i+7])) AS gram
+      FROM bench
+    ),
+    corpus AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE doc_id % 200 <> 0
+    ),
+    cg AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, len(ws) - 6),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                      || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
+                      || ' ' || ws[i+7])) AS gram
+      FROM corpus
+    )
+    SELECT bg.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(cg.gram) AS BIGINT) AS n_matched,
+           CAST(COUNT(cg.gram) AS DOUBLE) / COUNT(*) AS coverage_frac
+    FROM bg LEFT JOIN cg ON bg.gram = cg.gram
+    GROUP BY 1
+    """,
+    doc="Contamination COVERAGE — q121's quantitative companion: per "
+    "benchmark document (doc_id % 200 = 0 stands in for the eval suite), "
+    "the fraction of its distinct word-8-grams that appear anywhere in "
+    "the training corpus. The binary verdict (q121) gates admission; this "
+    "measures severity — the Brown et al. 2020 appendix-C style overlap "
+    "statistic that decides between dropping a benchmark doc and merely "
+    "flagging it. Scale shape mirrors operators/bloom.py's verify leg: "
+    "the benchmark gram set is driver/broadcast-scale by definition, the "
+    "corpus is ONE scan-side explode joined against that broadcast — "
+    "only MATCHED grams (bounded by the benchmark size, not the corpus) "
+    "reach the distinct + per-doc rollup, and the corpus itself never "
+    "shuffles.",
+)
+def q125_contamination_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import word_shingles
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 200 == 0)
+    corpus = docs.filter(F.col("doc_id") % 200 != 0)
+    bg = bench.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), k=8)).alias("gram")
+    ).distinct()
+    cg = corpus.select(F.explode(word_shingles(F.col("text"), k=8)).alias("gram"))
+    matched = (
+        cg.join(F.broadcast(bg), "gram")
+        .select("doc_id", "gram")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
+    )
+    totals = bg.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    return (
+        totals.join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("bigint").alias("n_matched"),
+            (
+                F.coalesce(F.col("n_matched"), F.lit(0)).cast("double")
+                / F.col("n_grams")
+            ).alias("coverage_frac"),
+        )
+    )

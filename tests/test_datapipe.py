@@ -1361,3 +1361,30 @@ def test_gram_cardinality_single_scan_no_text_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line
+
+
+def test_contamination_coverage_hand_checked(spark):
+    """q125 on a toy corpus: bench doc 0 shares its first 8-gram with
+    corpus doc 1 (prefix overlap) but not its second; doc 200 shares
+    nothing. Coverage fractions are exact."""
+    from extract_transform_load_spark.plans.datapipe import q125_contamination_coverage
+    import extract_transform_load_spark.plans.datapipe as dp
+
+    w = "w1 w2 w3 w4 w5 w6 w7 w8 w9"  # 9 words -> two 8-grams
+    rows = [
+        (0, w),                                  # bench (0 % 200 == 0)
+        (200, "x1 x2 x3 x4 x5 x6 x7 x8"),        # bench, disjoint
+        (1, "w1 w2 w3 w4 w5 w6 w7 w8 zz"),       # corpus: shares gram #1 only
+        (2, "unrelated " * 8),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = dp.load
+    try:
+        dp.load = lambda spark_, sf_, name: df
+        got = {r["doc_id"]: r for r in q125_contamination_coverage(spark, "x").collect()}
+    finally:
+        dp.load = orig
+    assert got[0]["n_grams"] == 2 and got[0]["n_matched"] == 1
+    assert got[0]["coverage_frac"] == pytest.approx(0.5)
+    assert got[200]["n_grams"] == 1 and got[200]["n_matched"] == 0
+    assert got[200]["coverage_frac"] == 0.0

@@ -1388,3 +1388,30 @@ def test_contamination_coverage_hand_checked(spark):
     assert got[0]["coverage_frac"] == pytest.approx(0.5)
     assert got[200]["n_grams"] == 1 and got[200]["n_matched"] == 0
     assert got[200]["coverage_frac"] == 0.0
+
+
+def test_contamination_coverage_plan_broadcasts_bench_side(spark):
+    """q125's executed plan: the bench gram set rides a broadcast
+    exchange, and no shuffle exchange ever carries the corpus text."""
+    from extract_transform_load_spark.plans.datapipe import q125_contamination_coverage
+    import extract_transform_load_spark.plans.datapipe as dp
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h i"), (1, "a b c d e f g h z")],
+        "doc_id long, text string",
+    )
+    orig = dp.load
+    try:
+        dp.load = lambda spark_, sf_, name: df
+        plan = (
+            q125_contamination_coverage(spark, "x")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        dp.load = orig
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line:
+            assert "text" not in line

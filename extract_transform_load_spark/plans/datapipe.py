@@ -3328,3 +3328,57 @@ def q125_contamination_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_frac"),
         )
     )
+
+
+@query(
+    "q126_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    c AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+    t AS (SELECT doc_id, SUM(c) AS n FROM c GROUP BY 1)
+    SELECT c.doc_id AS doc_id,
+           CAST(t.n AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           CAST(-SUM(CAST((CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                          * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                       AS DECIMAL(38, 12))) AS DOUBLE) AS entropy_nats
+    FROM c JOIN t ON c.doc_id = t.doc_id
+    GROUP BY 1, t.n
+    """,
+    doc="Character-level Shannon entropy per document (nats) — the "
+    "gibberish/encoded-blob detector word-level metrics miss: base64 "
+    "dumps and minified blobs sit near the uniform-alphabet ceiling "
+    "(ln of alphabet size), templated spam sits far below prose. The "
+    "natural-language band is the keep window (the CCNet/RedPajama "
+    "signal family). Cross-engine float discipline follows q76: each "
+    "per-character term p*ln(p) computes in double (ln is bit-portable "
+    "here, q76-proven), casts to DECIMAL(38,12) BEFORE the per-doc sum "
+    "so partition order can't move the hash, and only the final negated "
+    "total returns to double. Two char-keyed aggregates with map-side "
+    "partials; the text never shuffles.",
+)
+def q126_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DecimalType
+
+    d = load(spark, sf_dir, "documents")
+    chars = d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = (p * F.log(p)).cast(DecimalType(38, 12))
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            (-F.sum(term)).cast("double").alias("entropy_nats"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_chars"),
+            "n_distinct_chars",
+            "entropy_nats",
+        )
+    )

@@ -1415,3 +1415,39 @@ def test_contamination_coverage_plan_broadcasts_bench_side(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line:
             assert "text" not in line
+
+
+def test_char_entropy_hand_checked(spark):
+    """Uniform 4-char doc hits ln(4); single-char doc is 0; a base64-ish
+    blob scores above the prose-like doc."""
+    import math
+
+    from extract_transform_load_spark.plans.datapipe import q126_char_entropy
+    import extract_transform_load_spark.plans.datapipe as dp
+
+    rows = [
+        (0, "abcd"),                      # uniform over 4 chars -> ln 4
+        (1, "aaaa"),                      # degenerate -> 0
+        (2, "the the the the the"),       # repetitive prose-ish
+        (3, "aGVsbG8gd29ybGQhPz8/Kys="),  # base64-shaped blob
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = dp.load
+    try:
+        dp.load = lambda s_, sf_, n_: df
+        got = {r["doc_id"]: r for r in q126_char_entropy(spark, "x").collect()}
+    finally:
+        dp.load = orig
+    assert got[0]["entropy_nats"] == pytest.approx(math.log(4), abs=1e-9)
+    assert got[1]["entropy_nats"] == pytest.approx(0.0, abs=1e-12)
+    assert got[1]["n_distinct_chars"] == 1
+    assert got[3]["entropy_nats"] > got[2]["entropy_nats"]
+    # reference entropy for the prose-ish doc, computed independently
+    from collections import Counter
+
+    text = rows[2][1]
+    c = Counter(text)
+    n = len(text)
+    h = -sum((v / n) * math.log(v / n) for v in c.values())
+    assert got[2]["entropy_nats"] == pytest.approx(h, abs=1e-9)
+    assert got[2]["n_chars"] == n

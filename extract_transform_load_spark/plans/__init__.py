@@ -73,6 +73,12 @@ _PRIORITY = [
     # the slot of q64_hash_split: splits/packing keeps its in-window rep
     # via q83 (the VERDICT coverage table lists q83+q64 as ONE family
     # with two rows), and q64 stays strict-gate green past the window.
+    # Round 6 adds q125 — contamination coverage, giving the
+    # decontamination family (q69/q121/q102/q125) its FIRST driver
+    # CORRECTNESS row ever (the round-5 verdict's top ask: every other
+    # LLM family already carried one). Displaced: q43_simhash_pairs —
+    # dedup keeps THREE in-window reps (q40 exact, q41 jaccard,
+    # q42 minhash) and q43 stays strict-gate green past the window.
     "q117_ls_state_incremental",
     "q112_realized_pnl",
     "q115_pl_state",
@@ -86,7 +92,7 @@ _PRIORITY = [
     "q40_dedup_exact",          # exact dedup
     "q41_ngram_jaccard_pairs",  # n-gram Jaccard
     "q42_minhash_lsh_pairs",    # MinHash LSH (verified)
-    "q43_simhash_pairs",        # SimHash (portable)
+    "q125_contamination_coverage",  # decontamination (r6; displaced q43)
     "q44_cosine_topk",          # exact similarity search
     "q45_ann_lsh_topk",         # ANN family (LSH/IVF/PQ audit shape)
     "q46_text_quality",         # text analysis

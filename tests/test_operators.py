@@ -980,3 +980,48 @@ def test_bloom_benchmark_size_guard(spark):
     corpus = spark.range(10).selectExpr("id AS doc_id", "CAST(id AS STRING) AS gram")
     with _pytest.raises(ValueError, match="benchmark"):
         bloom_prefilter_contains(corpus, big, max_benchmark_grams=10)
+
+
+def test_asof_broadcast_dimension_scale_guard(spark):
+    """as_of_join_broadcast's precondition is enforced, not trusted: a
+    right side beyond dimension scale (too many keys, or a too-deep
+    tick series on one key) must raise with a pointer to the shapes
+    that do scale — a misuse at 100 TB would otherwise be a hung job
+    (the per-left-row pick is O(|ticks|), PERFORMANCE.md's 2M x 100k
+    never-finishes shape), not an error."""
+    from extract_transform_load_spark.operators.asof import as_of_join_broadcast
+
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 01:00:00"))], "k long, t timestamp"
+    )
+
+    many_keys = spark.range(50).selectExpr(
+        "id AS k", "TIMESTAMP'2024-01-01 00:00:00' AS pt", "CAST(id AS DOUBLE) AS v"
+    )
+    with pytest.raises(ValueError, match="as_of_join_bucketed"):
+        as_of_join_broadcast(
+            left, many_keys, on=["k"], left_ts="t", right_ts="pt",
+            value_cols=["v"], max_keys=10,
+        )
+
+    deep_series = spark.range(50).selectExpr(
+        "CAST(1 AS LONG) AS k",
+        "TIMESTAMP'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS pt",
+        "CAST(id AS DOUBLE) AS v",
+    )
+    with pytest.raises(ValueError, match="O\\(\\|ticks\\|\\)"):
+        as_of_join_broadcast(
+            left, deep_series, on=["k"], left_ts="t", right_ts="pt",
+            value_cols=["v"], max_ticks_per_key=10,
+        )
+
+    # in-bounds shapes still work (both caps at their boundary)
+    ok = spark.range(10).selectExpr(
+        "id % 10 AS k", "TIMESTAMP'2024-01-01 00:00:00' AS pt",
+        "CAST(id AS DOUBLE) AS v",
+    )
+    out = as_of_join_broadcast(
+        left, ok, on=["k"], left_ts="t", right_ts="pt", value_cols=["v"],
+        max_keys=10, max_ticks_per_key=1,
+    ).collect()
+    assert out[0]["v_asof"] == 1.0

@@ -4,14 +4,17 @@
     python -m extract_transform_load_spark run QUERY [--data DIR]
         [--format csv|json|parquet|show] [--out PATH] [--limit N]
     python -m extract_transform_load_spark live WS_URL --rpc RPC_URL
-        --landing DIR [--max-sessions N] [--reconnect-interval S]
+        --landing DIR [--max-sessions N] [--max-wall S]
+        [--reconnect-interval S] [--reconnect-jitter FRAC]
         [--propagation-delay S] [--scan-window N]
 
 ``live`` runs the supervised block-feed edge (sources/livefeed.py):
 subscribe to Tendermint NewBlock over WebSocket, fetch each block's
 events over HTTP JSON-RPC, land bronze parquet files under --landing
-for the Spark blockfeed source to tail — with gap reconciliation on
-every (re)connect. JVM-free: the edge process never starts Spark.
+for the Spark blockfeed source to tail — with gap reconciliation AND
+RPC-head tail backfill on every (re)connect. The final stdout line is
+a JSON FeedStats rollup for machine consumption (per-session prose
+goes to stderr). JVM-free: the edge process never starts Spark.
 
 ``run`` executes a registered query against the parquet tables in
 ``--data`` (default $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1) and
@@ -53,7 +56,11 @@ def main(argv: list[str] | None = None) -> int:
     p_live.add_argument("--rpc", required=True, help="Tendermint HTTP RPC base URL")
     p_live.add_argument("--landing", required=True, help="bronze parquet landing dir")
     p_live.add_argument("--max-sessions", type=int, default=None)
+    p_live.add_argument("--max-wall", type=float, default=None,
+                        help="stop reconnecting after this many seconds")
     p_live.add_argument("--reconnect-interval", type=float, default=5.0)
+    p_live.add_argument("--reconnect-jitter", type=float, default=0.1,
+                        help="uniform jitter fraction added to the reconnect sleep")
     p_live.add_argument("--propagation-delay", type=float, default=1.0)
     p_live.add_argument("--scan-window", type=int, default=100_000)
 
@@ -74,7 +81,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "live":
         from pathlib import Path
 
-        from .sources.livefeed import http_block_fetcher, run_supervised
+        import json as _json
+
+        from .sources.livefeed import (
+            aggregate_stats,
+            http_block_fetcher,
+            http_head_fetcher,
+            run_supervised,
+        )
 
         Path(args.landing).mkdir(parents=True, exist_ok=True)
         sessions = run_supervised(
@@ -82,15 +96,21 @@ def main(argv: list[str] | None = None) -> int:
             http_block_fetcher(args.rpc),
             args.landing,
             reconnect_interval=args.reconnect_interval,
+            reconnect_jitter=args.reconnect_jitter,
             max_sessions=args.max_sessions,
+            max_wall=args.max_wall,
             scan_window=args.scan_window,
             propagation_delay=args.propagation_delay,
+            fetch_head=http_head_fetcher(args.rpc),
         )
         for i, st in enumerate(sessions):
             print(
                 f"session {i}: delivered={len(st.delivered)} "
-                f"skipped={len(st.skipped)} aborted={st.aborted} error={st.error}"
+                f"skipped={len(st.skipped)} aborted={st.aborted} error={st.error}",
+                file=sys.stderr,
             )
+        # final stdout line is the machine-consumable rollup
+        print(_json.dumps(aggregate_stats(sessions)))
         return 1 if sessions and sessions[-1].aborted else 0
 
     # importing .plans.registry executes plans/__init__.py, which

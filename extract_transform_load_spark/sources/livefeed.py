@@ -30,12 +30,13 @@ from __future__ import annotations
 
 import json
 import queue
+import random
 import threading
 import time
 import uuid
 from collections.abc import Callable, Iterator, Mapping, Sequence
 from dataclasses import dataclass, field
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from pathlib import Path
 
 from .ws import CircuitBreaker, WSClient, WSClosed, with_retry
@@ -383,17 +384,43 @@ def compact_landing(
     if len(files) < min_files:
         return None
     files.sort()
-    tables = [pq.read_table(p) for _, p in files]
-    merged = pa.concat_tables(tables)
     heights = sorted({h for h, _ in files})
     lo, hi = heights[0], heights[-1]
     tag = uuid.uuid4().hex[:8]
     out = base / f"blocks_{lo:012d}_{hi:012d}_{tag}.parquet"
-    pq.write_table(merged, out, row_group_size=row_group_size)
+    # Stream height-sorted inputs through a bounded buffer instead of
+    # materializing the whole landing dir at once (a long-uncompacted
+    # dir would otherwise spike the edge process's memory by its full
+    # size). The buffer flushes as ONE row group each time it reaches
+    # ``row_group_size`` rows, so row-group granularity — what the
+    # blockfeed source's footer pruning depends on — is identical to
+    # the old concat-everything write.
+    writer = None
+    buffer: list[pa.Table] = []
+    buffered = 0
+    total_rows = 0
+    try:
+        for _, p in files:
+            t = pq.read_table(p)
+            buffer.append(t)
+            buffered += t.num_rows
+            total_rows += t.num_rows
+            if writer is None:
+                writer = pq.ParquetWriter(out, t.schema)
+            if buffered >= row_group_size:
+                writer.write_table(pa.concat_tables(buffer), row_group_size=buffered)
+                buffer, buffered = [], 0
+        if buffer:
+            if writer is None:  # zero-row landing files only
+                writer = pq.ParquetWriter(out, buffer[0].schema)
+            writer.write_table(pa.concat_tables(buffer), row_group_size=buffered or 1)
+    finally:
+        if writer is not None:
+            writer.close()
     # leading dot: parquet dataset listings (Spark, pyarrow) skip
     # hidden files, so the sidecar never confuses a reader
     manifest = base / f".blocks_{lo:012d}_{hi:012d}_{tag}.manifest.json"
-    manifest.write_text(json.dumps({"runs": _runs(heights), "rows": merged.num_rows}))
+    manifest.write_text(json.dumps({"runs": _runs(heights), "rows": total_rows}))
     for _, p in files:
         p.unlink()
     return str(out)
@@ -427,6 +454,7 @@ def reconcile_gaps(
     scan_window: int | None = None,
     max_retries: int = BLOCK_MAX_RETRIES,
     backoff: float = 2.0,
+    head: int | None = None,
 ) -> tuple[list[int], list[int]]:
     """Backfill every missing height in the landing zone; returns
     (backfilled, failed) height lists.
@@ -439,10 +467,24 @@ def reconcile_gaps(
     retry envelope as the live path. Failures don't raise: a height
     that can't be fetched now stays missing and the next reconnect
     retries it.
+
+    ``head`` closes the TAIL hole the internal gap scan can't see: the
+    reference also backfills (last_landed+1, chain_head+1) on every
+    reconnect (`synchronization.rs:60-68`). Heights missed DURING a
+    disconnect sit past the last landed height, so without the head
+    bound they only become an internal gap after the next session lands
+    its first block — a long-lived session would leave them missing
+    indefinitely. With ``head`` set they are fetched now. An empty
+    landing zone ignores ``head`` (nothing to anchor the range; first
+    connect is the full-history case the live session itself covers).
     """
     done: list[int] = []
     failed: list[int] = []
-    for h in missing_heights(landing_heights(landing_dir), scan_window):
+    landed = landing_heights(landing_dir)
+    targets = missing_heights(landed, scan_window)
+    if head is not None and landed and head > landed[-1]:
+        targets.extend(range(landed[-1] + 1, head + 1))
+    for h in targets:
         try:
             rows = with_retry(
                 lambda hh=h: fetch_block(hh),
@@ -469,37 +511,76 @@ def run_supervised(
     *,
     reconnect_interval: float = 5.0,
     max_sessions: int | None = None,
+    max_wall: float | None = None,
+    reconnect_jitter: float = 0.0,
     stop: threading.Event | None = None,
     scan_window: int | None = 100_000,
+    fetch_head: Callable[[], int] | None = None,
+    rng: random.Random | None = None,
     **session_kwargs,
 ) -> list[FeedStats]:
     """The reference's outer session loop (`event.rs:40-64`): reconcile
     gaps, run one WS session, sleep, reconnect — until ``stop`` is set,
-    ``max_sessions`` sessions have run, or the circuit breaker aborts
-    (the reference's process-level abort, `event.rs:20-29`).
+    ``max_sessions`` sessions have run, ``max_wall`` seconds have
+    elapsed, or the circuit breaker aborts (the reference's
+    process-level abort, `event.rs:20-29`).
 
     Gap reconciliation runs BEFORE each session: full scan on the first
     connect, last-``scan_window`` heights after, exactly the reference's
-    full-then-100k policy (`synchronization.rs:42-52`). A connect
-    failure counts as a session with ``error`` set and is retried after
-    ``reconnect_interval`` like any other session end.
+    full-then-100k policy (`synchronization.rs:42-52`). When
+    ``fetch_head`` is given, each reconciliation also backfills
+    last_landed+1..head — the reference's tail backfill
+    (`synchronization.rs:60-68`) — so heights missed during the
+    disconnect land NOW rather than at the next-plus-one reconnect; a
+    failing head probe degrades to internal-gap-only reconciliation
+    (the next reconnect retries). A connect failure counts as a session
+    with ``error`` set and is retried after the reconnect sleep like
+    any other session end.
+
+    The reconnect sleep is ``reconnect_interval`` plus up to
+    ``reconnect_jitter`` fraction of uniform jitter — a deliberate
+    departure from the reference's FIXED interval (`event.rs:46-52`):
+    a fleet of edge processes restarted together (deploy, RPC-node
+    blip) would otherwise reconnect in lockstep and thundering-herd
+    the node; jitter decorrelates them. ``reconnect_jitter=0``
+    reproduces the reference exactly. ``max_wall`` bounds total
+    wall-clock for the whole loop (checked between sessions; a session
+    in flight is never interrupted), the long-haul guard a
+    crash-looping endpoint needs so the supervisor can't spin forever
+    under an orchestrator that only restarts LIVE processes.
 
     ``session_kwargs`` pass through to :func:`run_live_session`
     (``propagation_delay``, ``max_retries``, ``breaker_threshold``...).
     """
+    rng = rng or random.Random()
+    t_start = time.monotonic()
     sessions: list[FeedStats] = []
     first = True
-    while (max_sessions is None or len(sessions) < max_sessions) and not (
-        stop is not None and stop.is_set()
+    while (
+        (max_sessions is None or len(sessions) < max_sessions)
+        and (max_wall is None or time.monotonic() - t_start < max_wall)
+        and not (stop is not None and stop.is_set())
     ):
         if not first:
-            time.sleep(reconnect_interval)
+            time.sleep(reconnect_interval * (1.0 + rng.uniform(0.0, reconnect_jitter)))
+        head: int | None = None
+        if fetch_head is not None:
+            try:
+                head = with_retry(
+                    fetch_head,
+                    retries=session_kwargs.get("max_retries", BLOCK_MAX_RETRIES) - 1,
+                    backoff=session_kwargs.get("backoff", 2.0),
+                    retryable=(Exception,),
+                )
+            except Exception:
+                head = None  # degrade: internal gaps only, retry next time
         reconcile_gaps(
             landing_dir,
             fetch_block,
             scan_window=None if first else scan_window,
             max_retries=session_kwargs.get("max_retries", BLOCK_MAX_RETRIES),
             backoff=session_kwargs.get("backoff", 2.0),
+            head=head,
         )
         first = False
         try:
@@ -510,6 +591,24 @@ def run_supervised(
         if st.aborted:
             break
     return sessions
+
+
+def aggregate_stats(sessions: Sequence[FeedStats]) -> dict:
+    """Machine-consumable rollup of a supervised run — what the ``live``
+    CLI prints as its final JSON line, so an orchestrator can alert on
+    skips/aborts without parsing log prose."""
+    delivered = sorted({h for s in sessions for h in s.delivered})
+    skipped = sorted({h for s in sessions for h in s.skipped})
+    return {
+        "sessions": len(sessions),
+        "delivered": len(delivered),
+        "skipped": len(skipped),
+        "skipped_heights": skipped,
+        "aborted": any(s.aborted for s in sessions),
+        "errors": [s.error for s in sessions if s.error],
+        "min_height": delivered[0] if delivered else None,
+        "max_height": delivered[-1] if delivered else None,
+    }
 
 
 # -- production fetcher: Tendermint HTTP JSON-RPC -------------------------
@@ -540,7 +639,11 @@ def bronze_rows_from_block_results(
         frac = rest[:split][:6].ljust(6, "0")
         ts_str = f"{head_part}.{frac}{rest[split:]}"
     ts = datetime.fromisoformat(ts_str).astimezone(timezone.utc)
-    micros = int(ts.timestamp() * 1_000_000)
+    # exact integer micros: float .timestamp() has ~0.2us resolution at
+    # 2026 epochs, and int() truncation can land 1us off the RPC value
+    micros = (ts - datetime(1970, 1, 1, tzinfo=timezone.utc)) // timedelta(
+        microseconds=1
+    )
 
     tx_hashes = (block.get("block") or {}).get("data", {}).get("txs") or []
     rows: list[BronzeRow] = []
@@ -582,3 +685,21 @@ def http_block_fetcher(rpc_url: str, timeout: float = 10.0) -> BlockFetcher:
         return bronze_rows_from_block_results(height, block, results)
 
     return fetch
+
+
+def http_head_fetcher(rpc_url: str, timeout: float = 10.0) -> Callable[[], int]:
+    """Chain-head probe over the public Tendermint ``/status`` RPC
+    (``sync_info.latest_block_height``) — feeds the supervisor's tail
+    backfill (`synchronization.rs:60-68`). Same stdlib-only discipline
+    as :func:`http_block_fetcher`; retries belong to the caller."""
+    from urllib.request import urlopen
+
+    base = rpc_url.rstrip("/")
+
+    def head() -> int:
+        with urlopen(f"{base}/status", timeout=timeout) as resp:
+            body = json.loads(resp.read().decode())
+        result = body.get("result") or body
+        return int(result["sync_info"]["latest_block_height"])
+
+    return head

@@ -853,7 +853,9 @@ def test_http_block_fetcher_and_cli_live(tmp_path, capsys):
 
     class RPC(http.server.BaseHTTPRequestHandler):
         def do_GET(self):
-            if self.path.startswith("/block_results"):
+            if self.path.startswith("/status"):
+                body = {"sync_info": {"latest_block_height": "12"}}
+            elif self.path.startswith("/block_results"):
                 body = RESULTS_JSON
             elif self.path.startswith("/block"):
                 body = BLOCK_JSON
@@ -899,8 +901,19 @@ def test_http_block_fetcher_and_cli_live(tmp_path, capsys):
         srv.finish()
         assert rc == 0
         assert landing_heights(str(tmp_path / "landing")) == [12]
-        out = capsys.readouterr().out
-        assert "delivered=1" in out and "aborted=False" in out
+        captured = capsys.readouterr()
+        # human lines go to stderr; the final stdout line is the
+        # machine-consumable FeedStats rollup
+        assert "delivered=1" in captured.err and "aborted=False" in captured.err
+        agg = json.loads(captured.out.strip().splitlines()[-1])
+        assert agg["sessions"] == 1 and agg["delivered"] == 1
+        assert agg["aborted"] is False and agg["errors"] == []
+        assert (agg["min_height"], agg["max_height"]) == (12, 12)
+
+        # the head probe rides the same fake RPC
+        from extract_transform_load_spark.sources.livefeed import http_head_fetcher
+
+        assert http_head_fetcher(rpc_url)() == 12
     finally:
         httpd.shutdown()
         http_thread.join(timeout=10)
@@ -1184,3 +1197,191 @@ def test_wss_untrusted_cert_rejected(tls_pair):
     with pytest.raises((ssl.SSLError, WSError, OSError)):
         WSClient(f"wss://127.0.0.1:{srv.port}/websocket")
     srv.lsock.close()
+
+
+# -- supervisor long-haul hardening (round 6) ------------------------------
+
+
+def test_reconcile_gaps_head_backfill(tmp_path):
+    """The tail hole: heights past the last landed block are invisible
+    to the internal gap scan; `head` closes them now instead of at the
+    next-plus-one reconnect (`synchronization.rs:60-68`)."""
+    for h in (1, 2, 3):
+        land_block(str(tmp_path), h, fake_rows(h))
+    done, failed = reconcile_gaps(str(tmp_path), fake_rows, backoff=0, head=6)
+    assert done == [4, 5, 6] and failed == []
+    assert landing_heights(str(tmp_path)) == [1, 2, 3, 4, 5, 6]
+
+    # stale head (chain behind the landing zone) is a no-op
+    done2, _ = reconcile_gaps(str(tmp_path), fake_rows, backoff=0, head=2)
+    assert done2 == []
+
+    # empty landing zone ignores head: nothing to anchor the range
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    done3, _ = reconcile_gaps(str(empty), fake_rows, backoff=0, head=9)
+    assert done3 == [] and landing_heights(str(empty)) == []
+
+
+def test_run_supervised_tail_backfill_on_reconnect(tmp_path):
+    """ADVICE r5 (medium): heights missed DURING a disconnect must land
+    at the NEXT reconnect, not the one after. Session 1 dies after 3;
+    the chain advances to 6 while disconnected; session 2 announces
+    only 7 — yet the landing is contiguous after just TWO sessions
+    because the pre-session reconcile probes the RPC head."""
+    heads = iter([3, 6])  # head at first connect, head at reconnect
+    srv = FakeServer(
+        [
+            tendermint_session([1, 2, 3], close="abrupt"),
+            tendermint_session([7]),
+        ]
+    )
+    sessions = run_supervised(
+        srv.url,
+        fake_rows,
+        str(tmp_path),
+        reconnect_interval=0,
+        max_sessions=2,
+        propagation_delay=0,
+        ws_timeout=10,
+        backoff=0,
+        fetch_head=lambda: next(heads),
+    )
+    srv.finish()
+    assert [s.delivered for s in sessions] == [[1, 2, 3], [7]]
+    assert landing_heights(str(tmp_path)) == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_run_supervised_head_probe_failure_degrades(tmp_path):
+    """A dead /status endpoint must not kill the supervisor: the
+    reconcile degrades to internal-gaps-only and the session runs."""
+
+    def bad_head() -> int:
+        raise ConnectionError("status endpoint down")
+
+    srv = FakeServer([tendermint_session([1, 2])])
+    sessions = run_supervised(
+        srv.url,
+        fake_rows,
+        str(tmp_path),
+        reconnect_interval=0,
+        max_sessions=1,
+        propagation_delay=0,
+        ws_timeout=10,
+        backoff=0,
+        fetch_head=bad_head,
+    )
+    srv.finish()
+    assert sessions[0].delivered == [1, 2] and sessions[0].error is None
+    assert landing_heights(str(tmp_path)) == [1, 2]
+
+
+def test_run_supervised_max_wall_bounds_the_loop(tmp_path):
+    """Long-haul guard: with nothing listening, sessions are instant
+    connect failures and the loop would spin forever under
+    max_sessions=None; max_wall must end it."""
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    t0 = time.monotonic()
+    sessions = run_supervised(
+        f"ws://127.0.0.1:{port}/websocket",
+        fake_rows,
+        str(tmp_path),
+        reconnect_interval=0.02,
+        max_sessions=None,
+        max_wall=0.5,
+        ws_timeout=1,
+    )
+    elapsed = time.monotonic() - t0
+    assert len(sessions) >= 1
+    assert all(s.error is not None for s in sessions)
+    assert elapsed < 30  # returned, and nowhere near unbounded
+
+
+def test_run_supervised_reconnect_jitter(tmp_path, monkeypatch):
+    """Jittered backoff decorrelates a reconnecting fleet (deliberate
+    departure from the reference's fixed sleep, event.rs:46-52);
+    jitter=0 reproduces the reference exactly."""
+    import random as _random
+
+    sleeps: list[float] = []
+    monkeypatch.setattr(time, "sleep", lambda s: sleeps.append(s))
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    url = f"ws://127.0.0.1:{port}/websocket"
+
+    run_supervised(
+        tmp_path and url,
+        fake_rows,
+        str(tmp_path),
+        reconnect_interval=1.0,
+        reconnect_jitter=0.5,
+        max_sessions=4,
+        ws_timeout=1,
+        rng=_random.Random(7),
+    )
+    jittered = [s for s in sleeps if s >= 1.0]
+    assert len(jittered) == 3  # one sleep per reconnect
+    assert all(1.0 <= s <= 1.5 for s in jittered)
+    assert len(set(jittered)) > 1  # actually jittered, not fixed
+
+    sleeps.clear()
+    run_supervised(
+        url,
+        fake_rows,
+        str(tmp_path),
+        reconnect_interval=1.0,
+        reconnect_jitter=0.0,
+        max_sessions=3,
+        ws_timeout=1,
+    )
+    assert [s for s in sleeps if s >= 1.0] == [1.0, 1.0]
+
+
+def test_aggregate_stats_rollup():
+    from extract_transform_load_spark.sources.livefeed import (
+        FeedStats,
+        aggregate_stats,
+    )
+
+    sessions = [
+        FeedStats(delivered=[1, 2, 3], skipped=[4]),
+        FeedStats(delivered=[5, 6], skipped=[], error="ConnectionError('x')"),
+        FeedStats(delivered=[], skipped=[7], aborted=True),
+    ]
+    agg = aggregate_stats(sessions)
+    assert agg == {
+        "sessions": 3,
+        "delivered": 5,
+        "skipped": 2,
+        "skipped_heights": [4, 7],
+        "aborted": True,
+        "errors": ["ConnectionError('x')"],
+        "min_height": 1,
+        "max_height": 6,
+    }
+    assert json.dumps(agg)  # JSON-serializable as printed by the CLI
+
+
+def test_compact_landing_streams_with_bounded_buffer(tmp_path):
+    """Compaction must not materialize the whole landing dir (ADVICE
+    r5): the streaming writer flushes ~row_group_size rows per group,
+    so row-group granularity — what footer pruning depends on — stays
+    coarse, one group per height band, NOT one group per input file."""
+    import pyarrow.parquet as pq
+
+    for h in range(1, 21):  # 20 files x 2 rows
+        land_block(str(tmp_path), h, fake_rows(h))
+    from extract_transform_load_spark.sources.livefeed import compact_landing
+
+    out = compact_landing(str(tmp_path), min_files=2, row_group_size=10)
+    pf = pq.ParquetFile(out)
+    assert pf.metadata.num_rows == 40
+    assert pf.metadata.num_row_groups == 4  # 40 rows / 10-row buffer flushes
+    # heights survive, sorted, via the manifest
+    assert landing_heights(str(tmp_path)) == list(range(1, 21))

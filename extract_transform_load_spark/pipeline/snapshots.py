@@ -34,6 +34,7 @@ def windowed(
     lo: Column | object | None = None,
     hi: Column | object | None = None,
     hi_inclusive: bool = True,
+    partition_from: str | None = None,
 ) -> DataFrame:
     """Time-window filter (lo, hi] (or (lo, hi) with
     ``hi_inclusive=False``) that ALSO emits the equivalent coarse
@@ -51,6 +52,18 @@ def windowed(
     that is the difference between listing one interval's partitions
     and footer-probing years of history. Audited end-to-end by
     tests/test_plan_audit.py (aggregation-round pruning assertions).
+
+    THE PROVENANCE CONTRACT (advisor r5): the implication above only
+    holds when ``event_date`` was derived from the SAME timestamp
+    column this call filters on. ``partition_from`` states that
+    provenance explicitly — it defaults to ``ts_col`` because the
+    silver layout partitions every event table by its own timestamp
+    (module note above), which is what every call site in this module
+    filters on. A caller filtering a frame on a SECONDARY timestamp
+    column must pass the real provenance (``partition_from="<the
+    column event_date derives from>"``); the date bound is then only
+    emitted when it is actually implied, instead of silently dropping
+    rows whose secondary timestamp falls on a different date.
     """
     conds = []
     if lo is not None:
@@ -59,7 +72,7 @@ def windowed(
     if hi is not None:
         hi = hi if isinstance(hi, Column) else F.lit(hi).cast("timestamp")
         conds.append(F.col(ts_col) <= hi if hi_inclusive else F.col(ts_col) < hi)
-    if PARTITION_DATE_COL in df.columns:
+    if (partition_from or ts_col) == ts_col and PARTITION_DATE_COL in df.columns:
         if lo is not None:
             conds.append(F.col(PARTITION_DATE_COL) >= F.to_date(lo))
         if hi is not None:

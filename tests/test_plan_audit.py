@@ -540,3 +540,34 @@ def test_aggregation_round_partition_pruned_end_to_end(spark, tmp_path):
     got = out["LS_State"].orderBy("LS_contract_id").collect()
     want = mem_out["LS_State"].orderBy("LS_contract_id").collect()
     assert [r["LS_contract_id"] for r in got] == [r["LS_contract_id"] for r in want]
+
+
+def test_windowed_partition_bound_requires_matching_provenance(spark):
+    """ADVICE r5: the event_date bound is only implied when event_date
+    derives from the filtered timestamp column. With mismatched
+    provenance declared, windowed() must keep the row whose secondary
+    timestamp falls on a different date than its partition."""
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.pipeline.snapshots import windowed
+
+    df = spark.createDataFrame(
+        [("c1",)], "id string"
+    ).select(
+        "id",
+        F.lit("2024-01-01 10:00:00").cast("timestamp").alias("created_ts"),
+        F.lit("2024-03-05 10:00:00").cast("timestamp").alias("closed_ts"),
+    ).withColumn("event_date", F.to_date("created_ts"))
+
+    lo, hi = "2024-03-01 00:00:00", "2024-03-31 00:00:00"
+    # mismatched provenance declared: date bound skipped, row kept
+    assert windowed(df, "closed_ts", lo=lo, hi=hi,
+                    partition_from="created_ts").count() == 1
+    # default assumes event_date = to_date(ts_col): here that contract
+    # is violated by construction, and the row is (correctly per the
+    # declared contract, wrongly per the data) pruned — the reason the
+    # parameter exists
+    assert windowed(df, "closed_ts", lo=lo, hi=hi).count() == 0
+    # matching provenance: bound emitted and correct
+    assert windowed(df, "created_ts",
+                    lo="2024-01-01 00:00:00", hi="2024-01-31 00:00:00").count() == 1

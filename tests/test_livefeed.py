@@ -1385,3 +1385,153 @@ def test_compact_landing_streams_with_bounded_buffer(tmp_path):
     assert pf.metadata.num_row_groups == 4  # 40 rows / 10-row buffer flushes
     # heights survive, sorted, via the manifest
     assert landing_heights(str(tmp_path)) == list(range(1, 21))
+
+
+# -- the full lifecycle capstone: live WS -> gold -> JDBC (round 6) --------
+
+
+def test_live_capstone_ws_to_gold_jdbc(tmp_path, spark):
+    """VERDICT r5 task 4: extend the live capstone through gold + JDBC.
+    Lifecycle §3.1→§3.3 end-to-end: fake Tendermint WS announces blocks
+    -> run_live_session lands bronze parquet -> compact_landing ->
+    subscribe_blocks streams the compacted layout -> silver parse +
+    enrichment -> run_aggregation_round -> positions/daily endpoint ->
+    Derby JDBC sink -> read back. The served rows must equal the same
+    gold computed from a plain batch read of the landing zone — the
+    streaming and batch paths converge on served results."""
+    from datetime import date, datetime
+
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.api.endpoints import ENDPOINTS
+    from extract_transform_load_spark.pipeline import parsers as P
+    from extract_transform_load_spark.pipeline.enrich import enrich_ls_opening
+    from extract_transform_load_spark.pipeline.pnl import compute_loan_closings
+    from extract_transform_load_spark.pipeline.snapshots import run_aggregation_round
+    from extract_transform_load_spark.sources import subscribe_blocks
+    from extract_transform_load_spark.sources.livefeed import compact_landing
+    from extract_transform_load_spark.sources.sinks import read_jdbc, write_jdbc
+
+    def micros(day: int) -> int:
+        from datetime import timedelta, timezone
+
+        ts = datetime(2024, 1, day, 12, tzinfo=timezone.utc)
+        return (ts - datetime(1970, 1, 1, tzinfo=timezone.utc)) // timedelta(
+            microseconds=1
+        )
+
+    def fetch(height: int):
+        if height <= 6:  # opens: 3 on Jan 1, 3 on Jan 2
+            return [(height, f"tx{height}", 0, "wasm-ls-open",
+                     micros(1 + (height - 1) // 3), {
+                         "id": f"lease{height}", "customer": f"addr{height}",
+                         "currency": "ATOM", "air": "105",
+                         "loan-pool-id": "pool1", "loan-amount": "1000",
+                         "loan-symbol": "USDC", "downpayment-amount": "250",
+                         "downpayment-symbol": "USDC"})]
+        if height <= 9:  # terminal repayments: leases 1-3 close on Jan 3
+            return [(height, f"tx{height}", 0, "wasm-ls-repay", micros(3), {
+                "height": str(height), "to": f"lease{height - 6}",
+                "payment-symbol": "USDC", "payment-amount": "1200",
+                "loan-close": "true", "principal": "1000"})]
+        if height == 10:
+            return [(height, f"tx{height}", 0, "wasm-lp-deposit", micros(3), {
+                "height": str(height), "from": "addrX", "to": "pool1",
+                "deposit-amount": "5000", "deposit-symbol": "USDC",
+                "receipts": "5000"})]
+        return [(height, f"tx{height}", 0, "wasm-tr-profit", micros(3), {
+            "height": str(height), "profit-amount-symbol": "USDC",
+            "profit-amount-amount": "700"})]
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    srv = FakeServer([tendermint_session(list(range(1, 12)))])
+    stats = run_live_session(
+        srv.url, fetch, str(landing), propagation_delay=0, ws_timeout=10
+    )
+    srv.finish()
+    assert stats.delivered == list(range(1, 12))
+
+    # gold is computed THROUGH the compacted layout
+    assert compact_landing(str(landing), min_files=4) is not None
+
+    stream = subscribe_blocks(spark, str(landing), blocks_per_batch=4)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("capstone_bronze")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    bronze_stream = spark.table("capstone_bronze")
+    assert bronze_stream.count() == 11
+
+    prices = spark.createDataFrame(
+        [("ATOM", datetime(2023, 12, 31), "7.0"),
+         ("USDC", datetime(2023, 12, 31), "1.0")],
+        "MP_asset_symbol string, MP_asset_timestamp timestamp, MP_price_in_stable string",
+    ).withColumn("MP_price_in_stable", F.col("MP_price_in_stable").cast("decimal(38,18)"))
+
+    def gold_from(bronze):
+        """bronze -> silver -> aggregation round -> positions/daily —
+        the SAME function runs on the streamed bronze and the batch
+        read, so any divergence between the two paths fails below."""
+
+        def pay(df):
+            return df.withColumn(
+                "LS_payment_amnt_stable",
+                F.col("LS_payment_amnt"),  # USDC @ 1.0 in this fixture
+            )
+
+        opening = enrich_ls_opening(P.parse_ls_opening(bronze), prices)
+        tables = {
+            "LS_Opening": opening,
+            "LS_Repayment": pay(P.parse_ls_repayment(bronze)),
+            "LS_Close_Position": pay(P.parse_ls_close_position(bronze)),
+            "LS_Liquidation": pay(P.parse_ls_liquidation(bronze)),
+            "LS_Closing": P.parse_ls_closing(bronze),
+            "LP_Deposit": P.parse_lp_deposit(bronze).withColumn(
+                "LP_amnt_stable", F.col("LP_amnt_asset")
+            ),
+            "LP_Withdraw": P.parse_lp_withdraw(bronze).withColumn(
+                "LP_amnt_stable", F.col("LP_amnt_asset")
+            ),
+            "TR_Profit": P.parse_tr_profit(bronze)
+            .withColumn("TR_Profit_amnt_stable", F.col("TR_Profit_amnt"))
+            .withColumn("TR_Profit_amnt_nls", F.col("TR_Profit_amnt")),
+        }
+        snap = run_aggregation_round(tables, datetime(2024, 1, 4))
+        closings = compute_loan_closings(
+            opening,
+            tables["LS_Repayment"],
+            tables["LS_Close_Position"],
+            tables["LS_Liquidation"],
+            tables["LS_Closing"],
+        )
+        daily = ENDPOINTS["positions/daily"](
+            {"LS_Opening": opening, "LS_Loan_Closing": closings}
+        )
+        return snap, daily
+
+    snap, daily_stream = gold_from(bronze_stream)
+    assert snap["LS_State"].count() == 3  # leases 4-6 still open
+    assert snap["LP_Pool_State"].collect()[0]["LP_Pool_id"] == "pool1"
+    assert snap["TR_State"].collect()[0]["TR_amnt_stable"] == 700
+
+    url = f"jdbc:derby:{tmp_path}/servingdb;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    write_jdbc(daily_stream, url, "daily_positions", mode="overwrite", driver=driver)
+    served = sorted(tuple(r) for r in
+                    read_jdbc(spark, url, "daily_positions", driver=driver).collect())
+
+    _, daily_batch = gold_from(spark.read.parquet(str(landing)))
+    assert served == sorted(tuple(r) for r in daily_batch.collect())
+    assert served == [
+        (date(2024, 1, 1), 3, 0),
+        (date(2024, 1, 2), 3, 0),
+        (date(2024, 1, 3), 0, 3),
+    ]

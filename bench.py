@@ -83,6 +83,7 @@ HEADLINE = [
     "q122_repetition_metrics",
     "q125_contamination_coverage",
     "q127_gram_cardinality_hll",
+    "q128_cross_doc_spans",
 ]
 
 

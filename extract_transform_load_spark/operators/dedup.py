@@ -917,3 +917,146 @@ def repeated_spans(
         )
         .drop("island")
     )
+
+
+def cross_doc_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 25,
+    w: int = 8,
+    min_len: int = 80,
+    max_fp_docs: int = 8,
+) -> DataFrame:
+    """Maximal exact shared substrings BETWEEN document pairs — the
+    cross-document flavor of Lee et al. 2022 exact substring dedup,
+    suffix-array-free. Where :func:`repeated_spans` answers "which char
+    ranges of each doc are repeated ANYWHERE" (per-doc coverage, for
+    span removal), this answers "which doc PAIRS share which exact
+    spans" (attribution: contamination tracing, license forensics,
+    near-dup explanation), with every span verified by real character
+    comparison and grown to maximality.
+
+    Shape (never all-pairs):
+    1. winnowing anchors (textops.winnow_anchor_rows, q58's machinery):
+       any shared substring of length >= k + w - 1 selects the same
+       fingerprint at the same relative offset in both copies, so every
+       qualifying repeat is seeded — content-defined, alignment-robust;
+    2. anchor fingerprints kept only when their DISTINCT-doc frequency
+       is in [2, max_fp_docs]: the hot-fingerprint cut (q41's df-cut —
+       ubiquitous boilerplate grams would make bucket joins quadratic
+       and belong to frequency-based scrubbing, not pair attribution);
+    3. seed pairs = per-fingerprint occurrence cross product with
+       a_doc < b_doc, built by ONE groupBy + explode over the bounded
+       buckets (no self-join: the Arrow anchor extraction is evaluated
+       once, not once per join side);
+    4. both texts join onto the bounded seed set (two hash joins keyed
+       on doc id — only candidate docs' text moves; at warehouse scale
+       the seed side is the small build side);
+    5. Arrow-batched extension: each seed grows left/right by direct
+       char comparison to the MAXIMAL equal span; seeds inside the same
+       repeat at the same alignment converge to one span and collapse
+       under the final distinct.
+
+    Output: (a_doc, b_doc, a_start, a_end, b_start, b_end, span_len),
+    1-based [start, end) char ranges, span_len >= min_len. Repeats
+    shorter than k + w - 1 chars may be missed (winnowing detection
+    grain — the documented trade that replaces the suffix array);
+    everything emitted is exact by construction, not probabilistic.
+    """
+    from .textops import winnow_anchor_rows
+
+    anchors = winnow_anchor_rows(docs, text_col=text_col, id_col=id_col, k=k, w=w)
+    buckets = anchors.groupBy("fp").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("doc"), F.col("pos"))).alias("occ")
+    )
+    n_docs = F.size(F.array_distinct(F.transform("occ", lambda o: o["doc"])))
+    pairs = (
+        buckets.filter((n_docs >= 2) & (n_docs <= max_fp_docs))
+        .select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "occ",
+                            lambda a: F.transform(
+                                "occ", lambda b: F.struct(a.alias("a"), b.alias("b"))
+                            ),
+                        )
+                    ),
+                    lambda p: p["a"]["doc"] < p["b"]["doc"],
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a.doc").alias("a_doc"),
+            F.col("p.a.pos").alias("apos"),
+            F.col("p.b.doc").alias("b_doc"),
+            F.col("p.b.pos").alias("bpos"),
+        )
+    )
+    # Only CANDIDATE docs' text may move: a broadcast semi-join on the
+    # candidate id set (ids only — bytes per candidate) filters the
+    # corpus scan-locally, so the two doc-id joins below shuffle
+    # candidate text, not the corpus. The candidate-id branches share
+    # the fp-groupBy shuffle with the seed branch (identical canonical
+    # subplans — AQE's shuffle-stage cache materializes it once at
+    # runtime; observed as a single 32-task extraction stage), so the
+    # Arrow anchor extraction still runs exactly once per query.
+    cand_ids = (
+        pairs.select(F.col("a_doc").alias(id_col))
+        .unionByName(pairs.select(F.col("b_doc").alias(id_col)))
+        .distinct()
+    )
+    t = docs.select(F.col(id_col), F.col(text_col)).join(
+        F.broadcast(cand_ids), id_col, "left_semi"
+    )
+    seeds = pairs.join(
+        t.withColumnRenamed(id_col, "a_doc").withColumnRenamed(text_col, "a_text"),
+        "a_doc",
+    ).join(
+        t.withColumnRenamed(id_col, "b_doc").withColumnRenamed(text_col, "b_text"),
+        "b_doc",
+    )
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def extend(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            a_docs, b_docs, a_s, a_e, b_s, b_e, ln = [], [], [], [], [], [], []
+            for ad, bd, ap, bp, at, bt in zip(
+                pdf["a_doc"], pdf["b_doc"], pdf["apos"], pdf["bpos"],
+                pdf["a_text"], pdf["b_text"],
+            ):
+                i, j = int(ap) - 1, int(bp) - 1  # 0-based gram starts
+                lx = 0
+                while i - lx - 1 >= 0 and j - lx - 1 >= 0 and at[i - lx - 1] == bt[j - lx - 1]:
+                    lx += 1
+                rx = 0
+                la, lb = len(at), len(bt)
+                while i + rx < la and j + rx < lb and at[i + rx] == bt[j + rx]:
+                    rx += 1
+                if lx + rx >= min_len:
+                    a_docs.append(ad)
+                    b_docs.append(bd)
+                    a_s.append(int(ap) - lx)
+                    a_e.append(int(ap) + rx)
+                    b_s.append(int(bp) - lx)
+                    b_e.append(int(bp) + rx)
+                    ln.append(lx + rx)
+            yield pd.DataFrame(
+                {
+                    "a_doc": a_docs,
+                    "b_doc": b_docs,
+                    "a_start": pd.Series(a_s, dtype="int64"),
+                    "a_end": pd.Series(a_e, dtype="int64"),
+                    "b_start": pd.Series(b_s, dtype="int64"),
+                    "b_end": pd.Series(b_e, dtype="int64"),
+                    "span_len": pd.Series(ln, dtype="int64"),
+                }
+            )
+
+    return seeds.mapInPandas(
+        extend,
+        f"a_doc {id_type}, b_doc {id_type}, a_start bigint, a_end bigint, "
+        "b_start bigint, b_end bigint, span_len bigint",
+    ).distinct()

@@ -78,6 +78,7 @@ def main() -> None:
         "q124_gram_cardinality",
         "q125_contamination_coverage",
         "q127_gram_cardinality_hll",
+        "q128_cross_doc_spans",
     ):
         run(qname, docs1.limit(100))  # warm codegen
         walls = {}

@@ -1451,3 +1451,65 @@ def test_char_entropy_hand_checked(spark):
     h = -sum((v / n) * math.log(v / n) for v in c.values())
     assert got[2]["entropy_nats"] == pytest.approx(h, abs=1e-9)
     assert got[2]["n_chars"] == n
+
+
+def test_cross_doc_spans_exact_boundaries(spark):
+    """A planted shared substring must come back as ONE maximal pair
+    span with exact char boundaries — grown by real char comparison,
+    not anchor-granular like repeated_spans."""
+    from extract_transform_load_spark.operators.dedup import cross_doc_spans
+
+    shared = "the quick brown fox jumps over the lazy dog while the band plays on and the crowd waves banners all night"
+    assert len(shared) >= 80 + 25  # min_len + detection grain headroom
+    # boundary chars differ on BOTH sides of the plant in the two docs,
+    # so the maximal span is exactly the planted substring (a shared
+    # boundary char would correctly extend the span past the plant)
+    pre1, suf1 = "alpha beta gamma delta X-", "!Y epsilon zeta"
+    pre2, suf2 = "one two three four five Q:", "?R six seven"
+    docs = spark.createDataFrame(
+        [
+            (1, pre1 + shared + suf1),
+            (2, pre2 + shared + suf2),
+            (3, "completely different content with no repeats of any kind here at all beyond this"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = cross_doc_spans(docs, k=25, w=8, min_len=80).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a_doc"], r["b_doc"]) == (1, 2)
+    # 1-based [start, end): the span is exactly the planted substring
+    assert r["a_start"] == len(pre1) + 1 and r["a_end"] == len(pre1) + 1 + len(shared)
+    assert r["b_start"] == len(pre2) + 1 and r["b_end"] == len(pre2) + 1 + len(shared)
+    assert r["span_len"] == len(shared)
+
+
+def test_cross_doc_spans_hot_fingerprint_cut(spark):
+    """Boilerplate shared by MORE than max_fp_docs docs is cut by the
+    anchor df guard: every INTERIOR anchor (selected identically in all
+    copies) has df=12 > 8 and is cut, collapsing the would-be-quadratic
+    66 pairs. The cut is a seeding bound, not an exactness filter: near
+    the span's edges the winnowing window also sees each doc's unique
+    context, so a common gram can be SELECTED in only a subset of docs,
+    land in [2, max_fp_docs], and seed that subset's pairs — a
+    deterministic (md5-fixed) leak of 7 true-positive pairs here, each
+    still grown to the exact shared span. Raising the cap to the doc
+    count admits all 66 pairs."""
+    from extract_transform_load_spark.operators.dedup import cross_doc_spans
+
+    shared = "repeated boilerplate sentence that appears in every single document of this batch verbatim"
+    docs = spark.createDataFrame(
+        [(i, f"unique prefix number {i} <<< " + shared + f" >>> unique tail {i}")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    out8 = cross_doc_spans(docs, k=25, w=8, min_len=80, max_fp_docs=8).collect()
+    assert len(out8) == 7  # edge-anchor leakage only, not the 66 all-pairs
+    # every leaked pair is a TRUE span: " <<< " + shared + " >>> unique tail "
+    # with digit-dependent boundary extension (112/113 chars)
+    assert all(r["span_len"] >= len(shared) + 10 for r in out8)
+    # the same corpus pairs fully when the cap admits it
+    out = cross_doc_spans(docs, k=25, w=8, min_len=80, max_fp_docs=12)
+    assert out.count() == 12 * 11 / 2
+    assert all(r["span_len"] >= len(shared) + 10
+               for r in out.select("span_len").distinct().collect())

@@ -571,3 +571,18 @@ def test_windowed_partition_bound_requires_matching_provenance(spark):
     # matching provenance: bound emitted and correct
     assert windowed(df, "created_ts",
                     lo="2024-01-01 00:00:00", hi="2024-01-31 00:00:00").count() == 1
+
+
+def test_q128_candidate_semi_join_guards_text_shuffle(spark, sf_dir):
+    """cross_doc_spans' scale posture: the corpus text reaches the
+    pair-extension joins only through the broadcast LEFT-SEMI candidate
+    filter, so non-candidate documents never leave their scan. The seed
+    side is built by one groupBy + bounded bucket explode — no anchor
+    self-join in the plan."""
+    plan = plan_of(spark, sf_dir, "q128_cross_doc_spans")
+    # candidate filter: broadcast semi-joins on the id set guard every
+    # path text takes into the extension joins (the printed tree repeats
+    # the shared subplan per referencing branch)
+    assert plan.count("LeftSemi, BuildRight") >= 2
+    # exactly one Arrow extension stage and no pandas cogroup/self-join
+    assert plan.count("MapInPandas extend") == 1

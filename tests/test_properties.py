@@ -499,3 +499,73 @@ def test_domain_money_derivation_matches_duckdb(spark, rows):
         ).fetchall()
     )
     assert got == want
+
+
+@given(texts=docs_strategy)
+@SETTINGS
+def test_cross_doc_spans_reference_property(spark, texts):
+    """cross_doc_spans must equal a single-process re-derivation of the
+    same algorithm: naive O(n*w) winnowing selection (independent of the
+    operator's monotonic-deque core), anchor-df cut, per-fp pair seeds,
+    char-by-char maximal extension — plus the output invariants (spans
+    inside both texts, the two sides carry the identical substring,
+    length >= min_len)."""
+    from extract_transform_load_spark.operators.dedup import cross_doc_spans
+
+    k, w, min_len, max_fp_docs = 5, 3, 8, 4
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        tuple(r)
+        for r in cross_doc_spans(
+            df, k=k, w=w, min_len=min_len, max_fp_docs=max_fp_docs
+        ).collect()
+    }
+
+    import hashlib
+
+    def anchors(text: str) -> set[tuple[int, str]]:
+        grams = [hashlib.md5(text[i : i + k].encode()).hexdigest() for i in range(len(text) - k + 1)]
+        if not grams:
+            return set()
+        if len(grams) < w:
+            m = min(grams)
+            return {(grams.index(m) + 1, m)}
+        out = set()
+        for j in range(len(grams) - w + 1):
+            window = grams[j : j + w]
+            m = min(window)
+            out.add((j + window.index(m) + 1, m))
+        return out
+
+    per_doc = {i: anchors(t) for i, t in enumerate(texts)}
+    by_fp: dict[str, list[tuple[int, int]]] = {}
+    for i, anc in per_doc.items():
+        for p, fp in anc:
+            by_fp.setdefault(fp, []).append((i, p))
+    want = set()
+    for fp, occ in by_fp.items():
+        if not 2 <= len({d for d, _ in occ}) <= max_fp_docs:
+            continue
+        for a_doc, apos in occ:
+            for b_doc, bpos in occ:
+                if a_doc >= b_doc:
+                    continue
+                at, bt = texts[a_doc], texts[b_doc]
+                i0, j0 = apos - 1, bpos - 1
+                lx = 0
+                while i0 - lx - 1 >= 0 and j0 - lx - 1 >= 0 and at[i0 - lx - 1] == bt[j0 - lx - 1]:
+                    lx += 1
+                rx = 0
+                while i0 + rx < len(at) and j0 + rx < len(bt) and at[i0 + rx] == bt[j0 + rx]:
+                    rx += 1
+                if lx + rx >= min_len:
+                    want.add((a_doc, b_doc, apos - lx, apos + rx, bpos - lx, bpos + rx, lx + rx))
+    assert got == want
+
+    # invariants: both sides in-bounds and carry the identical substring
+    for a_doc, b_doc, a_s, a_e, b_s, b_e, ln in got:
+        at, bt = texts[a_doc], texts[b_doc]
+        assert ln == a_e - a_s == b_e - b_s >= min_len
+        assert 1 <= a_s and a_e <= len(at) + 1
+        assert 1 <= b_s and b_e <= len(bt) + 1
+        assert at[a_s - 1 : a_e - 1] == bt[b_s - 1 : b_e - 1]

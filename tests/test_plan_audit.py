@@ -586,3 +586,17 @@ def test_q128_candidate_semi_join_guards_text_shuffle(spark, sf_dir):
     assert plan.count("LeftSemi, BuildRight") >= 2
     # exactly one Arrow extension stage and no pandas cogroup/self-join
     assert plan.count("MapInPandas extend") == 1
+
+
+def test_q127_production_gram_cardinality_single_exchange(spark, sf_dir):
+    """The production gram-cardinality form must never pay the exact
+    distinct: one exchange total (the per-n partial->final HLL merge),
+    no count(distinct) anywhere. Its audit twin q124 pays a second
+    exchange for the exact column — by design, and only q124."""
+    p127 = plan_of(spark, sf_dir, "q127_gram_cardinality_hll")
+    assert "approx_count_distinct" in p127
+    assert "count(distinct" not in p127  # exact distinct absent
+    assert p127.count("Exchange") == 1  # map-side partial HLL merge only
+
+    p124 = plan_of(spark, sf_dir, "q124_gram_cardinality")
+    assert "partial_count(distinct" in p124  # the audit scaffold, kept there

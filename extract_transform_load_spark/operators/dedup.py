@@ -1021,8 +1021,12 @@ def cross_doc_spans(
     id_type = docs.schema[id_col].dataType.simpleString()
 
     def extend(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for pdf in batches:
-            a_docs, b_docs, a_s, a_e, b_s, b_e, ln = [], [], [], [], [], [], []
+            a_docs, b_docs, a_s, a_e, b_s, b_e = [], [], [], [], [], []
+            ln: list[int] = []
+            md5s: list[str] = []
             for ad, bd, ap, bp, at, bt in zip(
                 pdf["a_doc"], pdf["b_doc"], pdf["apos"], pdf["bpos"],
                 pdf["a_text"], pdf["b_text"],
@@ -1043,6 +1047,12 @@ def cross_doc_spans(
                     b_s.append(int(bp) - lx)
                     b_e.append(int(bp) + rx)
                     ln.append(lx + rx)
+                    # content digest: puts the span TEXT (not just its
+                    # boundaries) under any downstream hash compare —
+                    # by construction identical from either side
+                    md5s.append(
+                        hashlib.md5(at[i - lx : i + rx].encode("utf-8")).hexdigest()
+                    )
             yield pd.DataFrame(
                 {
                     "a_doc": a_docs,
@@ -1052,11 +1062,12 @@ def cross_doc_spans(
                     "b_start": pd.Series(b_s, dtype="int64"),
                     "b_end": pd.Series(b_e, dtype="int64"),
                     "span_len": pd.Series(ln, dtype="int64"),
+                    "span_md5": md5s,
                 }
             )
 
     return seeds.mapInPandas(
         extend,
         f"a_doc {id_type}, b_doc {id_type}, a_start bigint, a_end bigint, "
-        "b_start bigint, b_end bigint, span_len bigint",
+        "b_start bigint, b_end bigint, span_len bigint, span_md5 string",
     ).distinct()

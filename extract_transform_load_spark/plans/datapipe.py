@@ -3508,7 +3508,7 @@ def q127_gram_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seeds s JOIN corpus ta ON ta.doc_id = s.a_doc JOIN corpus tb ON tb.doc_id = s.b_doc
     ),
     spans0 AS (
-      SELECT a_doc, b_doc, apos, bpos,
+      SELECT a_doc, b_doc, apos, bpos, a_text,
         list_max(list_filter(generate_series(0, least(apos, bpos) - 1),
           l -> substr(a_text, apos - l, l) = substr(b_text, bpos - l, l))) AS lx,
         list_max(list_filter(generate_series(0, least(length(a_text) - apos, length(b_text) - bpos) + 1),
@@ -3518,7 +3518,8 @@ def q127_gram_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT a_doc, b_doc,
       CAST(apos - lx AS BIGINT) AS a_start, CAST(apos + rx AS BIGINT) AS a_end,
       CAST(bpos - lx AS BIGINT) AS b_start, CAST(bpos + rx AS BIGINT) AS b_end,
-      CAST(lx + rx AS BIGINT) AS span_len
+      CAST(lx + rx AS BIGINT) AS span_len,
+      md5(substr(a_text, apos - lx, lx + rx)) AS span_md5
     FROM spans0 WHERE lx + rx >= 80
     """,
     doc="Cross-document exact substring mining (Lee et al. 2022 beyond "

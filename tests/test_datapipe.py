@@ -1482,6 +1482,9 @@ def test_cross_doc_spans_exact_boundaries(spark):
     assert r["a_start"] == len(pre1) + 1 and r["a_end"] == len(pre1) + 1 + len(shared)
     assert r["b_start"] == len(pre2) + 1 and r["b_end"] == len(pre2) + 1 + len(shared)
     assert r["span_len"] == len(shared)
+    import hashlib
+
+    assert r["span_md5"] == hashlib.md5(shared.encode()).hexdigest()
 
 
 def test_cross_doc_spans_hot_fingerprint_cut(spark):

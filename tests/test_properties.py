@@ -559,11 +559,14 @@ def test_cross_doc_spans_reference_property(spark, texts):
                 while i0 + rx < len(at) and j0 + rx < len(bt) and at[i0 + rx] == bt[j0 + rx]:
                     rx += 1
                 if lx + rx >= min_len:
-                    want.add((a_doc, b_doc, apos - lx, apos + rx, bpos - lx, bpos + rx, lx + rx))
+                    span = at[i0 - lx : i0 + rx]
+                    want.add((a_doc, b_doc, apos - lx, apos + rx, bpos - lx,
+                              bpos + rx, lx + rx,
+                              hashlib.md5(span.encode()).hexdigest()))
     assert got == want
 
     # invariants: both sides in-bounds and carry the identical substring
-    for a_doc, b_doc, a_s, a_e, b_s, b_e, ln in got:
+    for a_doc, b_doc, a_s, a_e, b_s, b_e, ln, _md5 in got:
         at, bt = texts[a_doc], texts[b_doc]
         assert ln == a_e - a_s == b_e - b_s >= min_len
         assert 1 <= a_s and a_e <= len(at) + 1

@@ -31,7 +31,12 @@ FAMILY_REPS = {
         "q69_decontamination",
         "q102_embedding_decontamination",
     ],
-    "paragraph_dedup": ["q101_paragraph_dedup", "q103_repeated_spans", "q105_span_scrub"],
+    "paragraph_dedup": [
+        "q101_paragraph_dedup",
+        "q103_repeated_spans",
+        "q105_span_scrub",
+        "q128_cross_doc_spans",
+    ],
     "semantic_dedup": ["q99_semantic_dedup", "q53_embedding_near_dup"],
     "dedup_clusters": ["q61_dedup_clusters", "q79_cluster_safe_split"],
     "cosine_topk": ["q44_cosine_topk"],

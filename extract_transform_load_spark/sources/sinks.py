@@ -12,6 +12,7 @@ analogue). CSV export mirrors `csv_response.rs:7-55` (`?format=csv`).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 
 def write_jdbc(
@@ -94,3 +95,39 @@ def to_csv_string(df: DataFrame, limit: int | None = None) -> str:
 def write_csv_dir(df: DataFrame, path: str, header: bool = True) -> None:
     """Distributed CSV extract for bulk exports."""
     df.write.option("header", str(header).lower()).mode("overwrite").csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """JSON-Lines corpus reader — the interchange format training-data
+    pipelines actually move documents in (one JSON object per line;
+    gzip transparent via the path's extension).
+
+    Always pass ``schema`` in production: without one, Spark runs a
+    SEPARATE full scan just to infer types — at 100 TB that doubles the
+    read before the first real job, and a rare malformed field can
+    silently widen a column to string for the whole corpus. Records
+    that don't parse land in ``_corrupt_record`` (PERMISSIVE mode, the
+    default) instead of failing the scan, so a curation job can count
+    and quarantine them — the same keep-the-pipeline-alive posture as
+    the live feed's skip-after-retries.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl_dir(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """Distributed JSON-Lines extract (one object per line, one file per
+    partition — the shard layout downstream tokenizer/loader fleets
+    expect). Compression defaults to gzip: JSONL text compresses ~10x
+    and decompression parallelizes per FILE, so shard count (the
+    DataFrame's partitioning) stays the parallelism knob."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -568,3 +568,44 @@ def test_a8_raw_tx_decode_bronze_builder(spark):
     assert int(r0["fee_amount"]) == 250 and r0["block"] == 100
     r1 = rows[("HASH1", 1)]
     assert r1["value"] == "42usdc,7unls" and r1["from"] == "nolus1other"
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    """JSONL corpus I/O: distributed gzip-sharded write, schema-pinned
+    read (no inference scan), and malformed lines quarantined in
+    _corrupt_record instead of failing the scan."""
+    import gzip
+    import json as _json
+
+    from extract_transform_load_spark.sources.sinks import read_jsonl, write_jsonl_dir
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en") for i in range(100)],
+        "doc_id long, text string, lang string",
+    ).repartition(4)
+    out = str(tmp_path / "shards")
+    write_jsonl_dir(docs, out)
+    from pathlib import Path
+
+    shards = list(Path(out).glob("part-*.json.gz"))
+    assert len(shards) == 4  # one shard per partition, gzip layout
+
+    back = read_jsonl(spark, out, schema="doc_id long, text string, lang string")
+    assert back.count() == 100
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in docs.collect()}
+
+    # corrupt-line quarantine: the scan survives, the row is flagged
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    with gzip.open(bad / "shard.json.gz", "wt") as f:
+        f.write(_json.dumps({"doc_id": 1, "text": "ok", "lang": "en"}) + "\n")
+        f.write("{this is not json\n")
+    got = read_jsonl(
+        spark,
+        str(bad),
+        schema="doc_id long, text string, lang string, _corrupt_record string",
+    )
+    rows = got.collect()
+    assert len(rows) == 2
+    n_bad = sum(1 for r in rows if r["_corrupt_record"] is not None)
+    assert n_bad == 1

@@ -593,17 +593,24 @@ def run_supervised(
     return sessions
 
 
-def aggregate_stats(sessions: Sequence[FeedStats]) -> dict:
+def aggregate_stats(
+    sessions: Sequence[FeedStats], max_listed_skips: int = 1000
+) -> dict:
     """Machine-consumable rollup of a supervised run — what the ``live``
     CLI prints as its final JSON line, so an orchestrator can alert on
-    skips/aborts without parsing log prose."""
+    skips/aborts without parsing log prose. ``skipped_heights`` lists at
+    most ``max_listed_skips`` (lowest first) so a catastrophic feed
+    can't turn the status line into a megabyte blob; ``skipped`` always
+    carries the FULL count, and every skipped height stays visible to
+    the gap scan regardless (it is simply missing from the landing
+    zone)."""
     delivered = sorted({h for s in sessions for h in s.delivered})
     skipped = sorted({h for s in sessions for h in s.skipped})
     return {
         "sessions": len(sessions),
         "delivered": len(delivered),
         "skipped": len(skipped),
-        "skipped_heights": skipped,
+        "skipped_heights": skipped[:max_listed_skips],
         "aborted": any(s.aborted for s in sessions),
         "errors": [s.error for s in sessions if s.error],
         "min_height": delivered[0] if delivered else None,

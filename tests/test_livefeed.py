@@ -1535,3 +1535,16 @@ def test_live_capstone_ws_to_gold_jdbc(tmp_path, spark):
         (date(2024, 1, 2), 3, 0),
         (date(2024, 1, 3), 0, 3),
     ]
+
+
+def test_aggregate_stats_caps_listed_skips():
+    from extract_transform_load_spark.sources.livefeed import (
+        FeedStats,
+        aggregate_stats,
+    )
+
+    agg = aggregate_stats(
+        [FeedStats(delivered=[], skipped=list(range(50)))], max_listed_skips=10
+    )
+    assert agg["skipped"] == 50  # full count survives
+    assert agg["skipped_heights"] == list(range(10))  # listing capped, lowest first

@@ -412,3 +412,64 @@ def as_of_join_broadcast(
     for c in value_cols:
         out = out.withColumn(f"{c}{suffix}", latest[c])
     return out.drop("__ticks")
+
+
+def as_of_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    right_order: str | None = None,
+    suffix: str = "_asof",
+    max_keys: int = 100_000,
+    max_ticks_per_key: int = 20_000,
+    bucket_seconds: int = 3600,
+    hot_key_parallelism_floor: int = 32,
+) -> tuple[DataFrame, str]:
+    """Pick the physical as-of form from the right side's MEASURED
+    shape — the operator-level analogue of Catalyst choosing a join
+    strategy from statistics. One guarded ``groupBy(on).count()`` job
+    over the right side (the same probe the broadcast form's
+    precondition guard runs; dimension-or-smaller by the time anyone
+    reaches for as-of, so the probe is noise) decides:
+
+    - right side within (``max_keys``, ``max_ticks_per_key``) →
+      :func:`as_of_join_broadcast` — zero shuffle, the left never moves;
+    - beyond dimension scale with at least ``hot_key_parallelism_floor``
+      keys → :func:`as_of_join` (union-sort) — one shuffle, any size,
+      parallelism = |keys|;
+    - beyond dimension scale with FEWER keys (the hot-symbol regime
+      where |keys| window tasks would cap the cluster) →
+      :func:`as_of_join_bucketed` — parallelism |keys| × |buckets|.
+
+    Returns ``(result, form)`` with ``form`` in {"broadcast",
+    "union_sort", "bucketed"} so callers/tests can pin the dispatch.
+    All three forms are property-tested equivalent, so the choice can
+    never change ANSWERS, only the plan — which is what makes automatic
+    dispatch safe here and NOT safe for operators whose variants differ
+    semantically (tolerance/direction stay explicit parameters of
+    :func:`as_of_join` for that reason).
+    """
+    counts = right.groupBy(*list(on)).count().limit(max_keys + 1).collect()
+    n_keys = len(counts)
+    worst = max((r["count"] for r in counts), default=0)
+    if n_keys <= max_keys and worst <= max_ticks_per_key:
+        out = as_of_join_broadcast(
+            left, right, on, left_ts, right_ts, value_cols,
+            right_order=right_order, suffix=suffix,
+            max_keys=max_keys, max_ticks_per_key=max_ticks_per_key,
+        )
+        return out, "broadcast"
+    if n_keys >= hot_key_parallelism_floor:
+        out = as_of_join(
+            left, right, on, left_ts, right_ts, value_cols,
+            right_order=right_order, suffix=suffix,
+        )
+        return out, "union_sort"
+    out = as_of_join_bucketed(
+        left, right, on, left_ts, right_ts, value_cols,
+        bucket_seconds=bucket_seconds, right_order=right_order, suffix=suffix,
+    )
+    return out, "bucketed"

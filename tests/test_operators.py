@@ -1025,3 +1025,38 @@ def test_asof_broadcast_dimension_scale_guard(spark):
         max_keys=10, max_ticks_per_key=1,
     ).collect()
     assert out[0]["v_asof"] == 1.0
+
+
+def test_asof_auto_dispatch(spark):
+    """as_of_join_auto picks the physical form from the measured right
+    shape and every form returns identical answers (the property suite
+    pins the equivalence; this pins the dispatch)."""
+    from extract_transform_load_spark.operators.asof import as_of_join_auto
+
+    left = spark.createDataFrame(
+        [(1, 0, ts("2024-01-01 01:00:00")), (2, 1, ts("2024-01-01 02:00:00"))],
+        "eid long, k long, t timestamp",
+    )
+    dim = spark.range(10).selectExpr(
+        "id % 2 AS k", "TIMESTAMP'2024-01-01 00:00:00' + make_interval(0,0,0,0,id,0,0) AS pt",
+        "CAST(id AS DOUBLE) AS v",
+    )
+    out, form = as_of_join_auto(left, dim, ["k"], "t", "pt", ["v"])
+    assert form == "broadcast"
+    got = {r["eid"]: r["v_asof"] for r in out.collect()}
+
+    # same data, caps forced low + many keys -> union-sort
+    out2, form2 = as_of_join_auto(
+        left, dim, ["k"], "t", "pt", ["v"], max_ticks_per_key=2,
+        hot_key_parallelism_floor=2,
+    )
+    assert form2 == "union_sort"
+    assert {r["eid"]: r["v_asof"] for r in out2.collect()} == got
+
+    # few hot keys beyond dimension scale -> bucketed
+    out3, form3 = as_of_join_auto(
+        left, dim, ["k"], "t", "pt", ["v"], max_ticks_per_key=2,
+        hot_key_parallelism_floor=32,
+    )
+    assert form3 == "bucketed"
+    assert {r["eid"]: r["v_asof"] for r in out3.collect()} == got

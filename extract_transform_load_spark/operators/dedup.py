@@ -927,6 +927,7 @@ def cross_doc_spans(
     w: int = 8,
     min_len: int = 80,
     max_fp_docs: int = 8,
+    max_fp_occurrences: int = 64,
 ) -> DataFrame:
     """Maximal exact shared substrings BETWEEN document pairs — the
     cross-document flavor of Lee et al. 2022 exact substring dedup,
@@ -946,6 +947,12 @@ def cross_doc_spans(
        is in [2, max_fp_docs]: the hot-fingerprint cut (q41's df-cut —
        ubiquitous boilerplate grams would make bucket joins quadratic
        and belong to frequency-based scrubbing, not pair attribution);
+       AND their total occurrence count is <= max_fp_occurrences — the
+       PERIODIC-text guard the doc-count cut cannot provide: in a run
+       like "aaaa..." or "----" every window's leftmost-min makes EVERY
+       position an anchor on ONE fingerprint, so two such docs alone
+       would seed |occ|^2 pairs each paying O(run) extension. Periodic
+       runs are a repetition-filter signal (q122), not pair evidence;
     3. seed pairs = per-fingerprint occurrence cross product with
        a_doc < b_doc, built by ONE groupBy + explode over the bounded
        buckets (no self-join: the Arrow anchor extraction is evaluated
@@ -972,7 +979,11 @@ def cross_doc_spans(
     )
     n_docs = F.size(F.array_distinct(F.transform("occ", lambda o: o["doc"])))
     pairs = (
-        buckets.filter((n_docs >= 2) & (n_docs <= max_fp_docs))
+        buckets.filter(
+            (n_docs >= 2)
+            & (n_docs <= max_fp_docs)
+            & (F.size("occ") <= max_fp_occurrences)
+        )
         .select(
             F.explode(
                 F.filter(

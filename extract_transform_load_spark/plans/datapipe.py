@@ -3496,7 +3496,9 @@ def q127_gram_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sel, LATERAL (SELECT unnest(anchors) AS a) u
     ),
     eligible AS (
-      SELECT fp FROM occ GROUP BY fp HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 8
+      SELECT fp FROM occ
+      GROUP BY fp
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 8 AND COUNT(*) <= 64
     ),
     seeds AS (
       SELECT a.doc_id AS a_doc, a.pos AS apos, b.doc_id AS b_doc, b.pos AS bpos

@@ -1516,3 +1516,42 @@ def test_cross_doc_spans_hot_fingerprint_cut(spark):
     assert out.count() == 12 * 11 / 2
     assert all(r["span_len"] >= len(shared) + 10
                for r in out.select("span_len").distinct().collect())
+
+
+def test_cross_doc_spans_periodic_text_guard(spark):
+    """Periodic runs make EVERY position an anchor on one fingerprint
+    (leftmost-min of an all-equal window is every window's first gram),
+    so without the occurrence cap two such docs would seed |occ|^2
+    extensions. The cap cuts them — periodic boilerplate is q122's
+    repetition signal, not pair-attribution evidence — while a normal
+    shared span in the same corpus still pairs."""
+    import time
+
+    from extract_transform_load_spark.operators.dedup import cross_doc_spans
+
+    shared = "a genuinely distinctive shared sentence that should still be attributed to exactly one doc pair"
+    docs = spark.createDataFrame(
+        [
+            (1, "x" * 4000),
+            (2, "x" * 4000),
+            (3, "prefix one <<" + shared + ">> tail one"),
+            (4, "prefix two ((" + shared + ")) tail two"),
+        ],
+        "doc_id long, text string",
+    )
+    t0 = time.monotonic()
+    rows = cross_doc_spans(docs, k=25, w=8, min_len=80).collect()
+    assert time.monotonic() - t0 < 60  # bounded, not |occ|^2
+    assert {(r["a_doc"], r["b_doc"]) for r in rows} == {(3, 4)}
+    assert rows[0]["span_len"] == len(shared)
+
+    # lifting the cap really is what admits the periodic pair again
+    # (tiny run so the quadratic seed set stays testable)
+    small = spark.createDataFrame(
+        [(1, "y" * 120), (2, "y" * 120)], "doc_id long, text string"
+    )
+    assert cross_doc_spans(small, k=25, w=8, min_len=80).count() == 0
+    lifted = cross_doc_spans(
+        small, k=25, w=8, min_len=80, max_fp_occurrences=1_000_000
+    )
+    assert lifted.count() >= 1  # the full 120-char run pairs once uncapped

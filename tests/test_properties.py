@@ -546,6 +546,8 @@ def test_cross_doc_spans_reference_property(spark, texts):
     for fp, occ in by_fp.items():
         if not 2 <= len({d for d, _ in occ}) <= max_fp_docs:
             continue
+        if len(occ) > 64:  # the periodic-text occurrence cap, default param
+            continue
         for a_doc, apos in occ:
             for b_doc, bpos in occ:
                 if a_doc >= b_doc:

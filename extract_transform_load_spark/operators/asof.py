@@ -432,8 +432,11 @@ def as_of_join_auto(
     shape — the operator-level analogue of Catalyst choosing a join
     strategy from statistics. One guarded ``groupBy(on).count()`` job
     over the right side (the same probe the broadcast form's
-    precondition guard runs; dimension-or-smaller by the time anyone
-    reaches for as-of, so the probe is noise) decides:
+    precondition guard runs) decides the form. The probe is one
+    aggregate scan of the RIGHT side — free for the tick/price series
+    this operator family exists for, but a real cost if the right side
+    is fact-scale: when you already know the series is big, call
+    :func:`as_of_join` directly and skip the probe. Dispatch:
 
     - right side within (``max_keys``, ``max_ticks_per_key``) →
       :func:`as_of_join_broadcast` — zero shuffle, the left never moves;

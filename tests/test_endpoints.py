@@ -337,19 +337,43 @@ def test_keyset_cursor_equals_offset_paging(tables):
     ] == [(r["timestamp"], r["tx_hash"], r["index"]) for r in full[: len(walked)]]
 
 
-def test_keyset_mixed_direction_page(tables):
+def test_keyset_mixed_direction_page(spark, tables):
     """leases/liquidations sorts (ts DESC, contract ASC): the cursor
-    predicate must respect per-key directions."""
+    predicate must respect per-key directions. The shared fixture is
+    liquidation-thin, so when it carries <2 rows the endpoint runs over
+    a dedicated frame with DUPLICATE timestamps — the case the mixed
+    per-key directions exist for (ties advance on the ASC contract id),
+    instead of skipping."""
+    from datetime import datetime
+
     full = ENDPOINTS["leases/liquidations"](tables, limit=100).collect()
     if len(full) < 2:
-        import pytest as _pytest
-
-        _pytest.skip("fixture has <2 liquidations")
-    cursor = (full[0]["LS_timestamp"], full[0]["LS_contract_id"])
-    rest = ENDPOINTS["leases/liquidations"](tables, limit=100, after=cursor).collect()
-    assert [(r["LS_timestamp"], r["LS_contract_id"]) for r in rest] == [
-        (r["LS_timestamp"], r["LS_contract_id"]) for r in full[1:]
-    ]
+        liq = spark.createDataFrame(
+            [
+                ("c1", datetime(2024, 3, 1, 12)),
+                ("c3", datetime(2024, 3, 1, 12)),  # tie with c1: ASC id breaks it
+                ("c2", datetime(2024, 3, 1, 11)),
+                ("c4", datetime(2024, 3, 1, 10)),
+            ],
+            "LS_contract_id string, LS_timestamp timestamp",
+        )
+        tables = dict(tables)
+        tables["LS_Liquidation"] = liq
+        full = ENDPOINTS["leases/liquidations"](tables, limit=100).collect()
+        assert [(str(r["LS_timestamp"])[:13], r["LS_contract_id"]) for r in full] == [
+            ("2024-03-01 12", "c1"),
+            ("2024-03-01 12", "c3"),
+            ("2024-03-01 11", "c2"),
+            ("2024-03-01 10", "c4"),
+        ]
+    # walk the whole list one cursor step at a time: every page boundary
+    # (including the equal-timestamp one) must resume exactly
+    for i in range(len(full) - 1):
+        cursor = (full[i]["LS_timestamp"], full[i]["LS_contract_id"])
+        rest = ENDPOINTS["leases/liquidations"](tables, limit=100, after=cursor).collect()
+        assert [(r["LS_timestamp"], r["LS_contract_id"]) for r in rest] == [
+            (r["LS_timestamp"], r["LS_contract_id"]) for r in full[i + 1 :]
+        ]
 
 
 def test_cli_list_and_run(spark, sf_dir, tmp_path, capsys):

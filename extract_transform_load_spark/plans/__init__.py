@@ -79,6 +79,13 @@ _PRIORITY = [
     # LLM family already carried one). Displaced: q43_simhash_pairs —
     # dedup keeps THREE in-window reps (q40 exact, q41 jaccard,
     # q42 minhash) and q43 stays strict-gate green past the window.
+    # Round 7 adds q128 — cross-document exact substring mining (the
+    # repo's most algorithmically novel operator, previously
+    # judge-verified only; the round-6 verdict's ranked task 2).
+    # Displaced: q41_ngram_jaccard_pairs — its family folds into the
+    # banded near-dup reps exactly the way simhash did in round 6
+    # (q40/q42 stay in-window; q41 stays strict-gate green past the
+    # window).
     "q117_ls_state_incremental",
     "q112_realized_pnl",
     "q115_pl_state",
@@ -90,8 +97,8 @@ _PRIORITY = [
     # family's in-window rep; q32 moved out for q117 in round 3) and the
     # q50/q52/q59 beyond-the-floor extras.
     "q40_dedup_exact",          # exact dedup
-    "q41_ngram_jaccard_pairs",  # n-gram Jaccard
     "q42_minhash_lsh_pairs",    # MinHash LSH (verified)
+    "q128_cross_doc_spans",     # cross-doc exact substring mining (r7; displaced q41)
     "q125_contamination_coverage",  # decontamination (r6; displaced q43)
     "q44_cosine_topk",          # exact similarity search
     "q45_ann_lsh_topk",         # ANN family (LSH/IVF/PQ audit shape)

@@ -3465,7 +3465,11 @@ def q127_gram_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (SELECT doc_id, text FROM documents),
     planted AS (
-      SELECT a.doc_id + 100000 AS doc_id,
+      -- plant ids sit in a band disjoint from real ids by construction
+      -- (max(doc_id)+1 offset, round-7 ADVICE fix: a fixed +100000
+      -- would collide once the corpus carries >=100k ids, and both
+      -- engines would drift identically so the gate couldn't catch it)
+      SELECT a.doc_id + (SELECT MAX(doc_id) + 1 FROM d) AS doc_id,
              substr(a.text, length(a.text) - 119, 120) || ' ' || substr(b.text, 1, 120) AS text
       FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
       WHERE a.doc_id % 25 = 0 AND length(a.text) >= 120 AND length(b.text) >= 120
@@ -3545,6 +3549,11 @@ def q128_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     nxt = d.select(
         (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("__next_text")
     )
+    # Disjoint plant-id band: offset by max(doc_id)+1 (round-7 ADVICE
+    # fix — a fixed +100000 collides once real ids reach 100k, and the
+    # oracle drifted identically so the gate couldn't see it). The max
+    # is a 1-row aggregate broadcast onto the bounded planted set.
+    mx = d.agg((F.max("doc_id") + 1).alias("__plant_base"))
     planted = (
         d.join(nxt, "doc_id")
         .filter(
@@ -3552,8 +3561,9 @@ def q128_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.length("text") >= 120)
             & (F.length("__next_text") >= 120)
         )
+        .crossJoin(F.broadcast(mx))
         .select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
+            (F.col("doc_id") + F.col("__plant_base")).alias("doc_id"),
             F.concat(
                 F.expr("substr(text, length(text) - 119, 120)"),
                 F.lit(" "),

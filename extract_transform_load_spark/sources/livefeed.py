@@ -391,10 +391,17 @@ def compact_landing(
     # Stream height-sorted inputs through a bounded buffer instead of
     # materializing the whole landing dir at once (a long-uncompacted
     # dir would otherwise spike the edge process's memory by its full
-    # size). The buffer flushes as ONE row group each time it reaches
-    # ``row_group_size`` rows, so row-group granularity — what the
-    # blockfeed source's footer pruning depends on — is identical to
-    # the old concat-everything write.
+    # size). The buffer flushes as ONE row group each time it crosses
+    # ``row_group_size`` rows — groups are ~row_group_size, flushed on
+    # per-block file boundaries, so a single oversized input file can
+    # make a group larger; footer pruning only needs groups to be
+    # bounded-ish, not exact. Written to a dot-prefixed temp name and
+    # renamed on success (round-7 ADVICE fix): a mid-stream crash must
+    # not leave a visible half-compacted blocks_* file next to the
+    # still-present originals — listings would then double-count every
+    # row already copied. Hidden files are skipped by Spark/pyarrow
+    # dataset listings, and the rename is atomic on one filesystem.
+    tmp = base / f".{out.name}.inprogress"
     writer = None
     buffer: list[pa.Table] = []
     buffered = 0
@@ -406,17 +413,23 @@ def compact_landing(
             buffered += t.num_rows
             total_rows += t.num_rows
             if writer is None:
-                writer = pq.ParquetWriter(out, t.schema)
+                writer = pq.ParquetWriter(tmp, t.schema)
             if buffered >= row_group_size:
                 writer.write_table(pa.concat_tables(buffer), row_group_size=buffered)
                 buffer, buffered = [], 0
         if buffer:
             if writer is None:  # zero-row landing files only
-                writer = pq.ParquetWriter(out, buffer[0].schema)
+                writer = pq.ParquetWriter(tmp, buffer[0].schema)
             writer.write_table(pa.concat_tables(buffer), row_group_size=buffered or 1)
-    finally:
+    except BaseException:
         if writer is not None:
             writer.close()
+        tmp.unlink(missing_ok=True)
+        raise
+    else:
+        if writer is not None:
+            writer.close()
+            tmp.rename(out)
     # leading dot: parquet dataset listings (Spark, pyarrow) skip
     # hidden files, so the sidecar never confuses a reader
     manifest = base / f".blocks_{lo:012d}_{hi:012d}_{tag}.manifest.json"

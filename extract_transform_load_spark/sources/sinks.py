@@ -114,9 +114,21 @@ def read_jsonl(
     default) instead of failing the scan, so a curation job can count
     and quarantine them — the same keep-the-pipeline-alive posture as
     the live feed's skip-after-retries.
+
+    Spark gotcha this function closes (round-7 ADVICE fix): with a
+    USER-SUPPLIED schema, PERMISSIVE mode only captures corrupt records
+    when the schema itself contains the ``_corrupt_record`` string
+    column — otherwise bad lines silently become all-null rows. So when
+    a schema is passed without that column, it is appended here
+    automatically; quarantine is then ``df.filter("_corrupt_record IS
+    NOT NULL")`` regardless of how the caller spelled the schema.
     """
     reader = spark.read
     if schema is not None:
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        if "_corrupt_record" not in schema.fieldNames():
+            schema = schema.add("_corrupt_record", "string")
         reader = reader.schema(schema)
     return reader.json(path)
 

@@ -974,6 +974,28 @@ def test_compact_landing_preserves_heights_and_rows(tmp_path, spark):
     assert after_rows == before_rows
 
 
+def test_compact_landing_crash_leaves_no_visible_partial(tmp_path):
+    """A mid-stream failure (corrupt input file here) must not leave a
+    visible half-populated blocks_* file beside the un-unlinked
+    originals — a listing would then double-count every row already
+    copied. The compactor writes to a dot-prefixed temp name and renames
+    only on success (round-7 ADVICE fix)."""
+    from extract_transform_load_spark.sources.livefeed import compact_landing
+
+    for h in (1, 2, 4):
+        land_block(str(tmp_path), h, fake_rows(h))
+    (tmp_path / "block_000000000003_x.parquet").write_bytes(b"not parquet")
+
+    with pytest.raises(Exception):
+        compact_landing(str(tmp_path), min_files=2)
+
+    # no visible compacted output, no lingering temp, originals intact
+    assert list(tmp_path.glob("blocks_*.parquet")) == []
+    assert list(tmp_path.glob(".blocks_*.inprogress")) == []
+    assert len(list(tmp_path.glob("block_*.parquet"))) == 4
+    assert landing_heights(str(tmp_path)) == [1, 2, 3, 4]
+
+
 def test_compact_landing_noop_below_min_files(tmp_path):
     from extract_transform_load_spark.sources.livefeed import compact_landing
 

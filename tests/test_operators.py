@@ -1060,3 +1060,67 @@ def test_asof_auto_dispatch(spark):
     )
     assert form3 == "bucketed"
     assert {r["eid"]: r["v_asof"] for r in out3.collect()} == got
+
+
+def test_asof_probe_memo_and_precomputed_stats(spark):
+    """Round-7 guard economics (VERDICT r06 ranked task 3 + ADVICE):
+
+    1. the dimension-scale probe is memoized per logical plan, so a
+       pipeline that re-enriches against the same validated series pays
+       the probe job once per session;
+    2. as_of_join_auto hands its measured stats to the broadcast form
+       (one probe scan total, as the docstring claims);
+    3. ``precomputed_stats`` skips only the probe JOB — the cap checks
+       still run against the provided numbers, so misuse stays loud.
+    """
+    from extract_transform_load_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1, 0, ts("2024-01-01 01:00:00"))], "eid long, k long, t timestamp"
+    )
+    dim = spark.range(6).selectExpr(
+        "id % 2 AS k",
+        "TIMESTAMP'2024-01-01 00:00:00' + make_interval(0,0,0,0,id,0,0) AS pt",
+        "CAST(id AS DOUBLE) AS v",
+    )
+
+    # (1) memoization: second probe of the same plan is served from the
+    # memo — prove it by planting a sentinel and reading it back.
+    asof.clear_probe_memo()
+    stats = asof._probe_right_stats(dim, ["k"], 100_000)
+    assert stats == (2, 3)
+    (key,) = asof._PROBE_MEMO.keys()
+    asof._PROBE_MEMO[key] = (7, 7)
+    assert asof._probe_right_stats(dim, ["k"], 100_000) == (7, 7)
+    asof.clear_probe_memo()
+    assert asof._PROBE_MEMO == {}
+
+    # (2) auto probes exactly once end-to-end (dispatch + guard share it)
+    calls = []
+    real = asof._probe_right_stats
+
+    def counting(right, on, max_keys):
+        calls.append(1)
+        return real(right, on, max_keys)
+
+    asof._probe_right_stats = counting
+    try:
+        out, form = asof.as_of_join_auto(left, dim, ["k"], "t", "pt", ["v"])
+        assert form == "broadcast"
+        assert out.collect()[0]["v_asof"] == 0.0  # k=0's latest tick <= 01:00
+        assert len(calls) == 1
+    finally:
+        asof._probe_right_stats = real
+        asof.clear_probe_memo()
+
+    # (3) precomputed stats skip the job but not the guard
+    with pytest.raises(ValueError, match="as_of_join_bucketed"):
+        asof.as_of_join_broadcast(
+            left, dim, on=["k"], left_ts="t", right_ts="pt",
+            value_cols=["v"], precomputed_stats=(200_001, 3),
+        )
+    with pytest.raises(ValueError, match="O\\(\\|ticks\\|\\)"):
+        asof.as_of_join_broadcast(
+            left, dim, on=["k"], left_ts="t", right_ts="pt",
+            value_cols=["v"], precomputed_stats=(2, 50_000),
+        )

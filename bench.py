@@ -84,6 +84,9 @@ HEADLINE = [
     "q125_contamination_coverage",
     "q127_gram_cardinality_hll",
     "q128_cross_doc_spans",
+    # Round-7 addition (set stays a SUPERSET of BENCH_r06's): the
+    # statistics-driven as-of dispatcher's registered query.
+    "q129_asof_auto_enrichment",
 ]
 
 

@@ -1328,3 +1328,58 @@ def q60_approx_distinct_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (err <= 0.05 * F.col("mau_exact").cast("double")).alias("approx_ok"),
     )
+
+
+@query(
+    "q129_asof_auto_enrichment",
+    # The LATERAL twin is q15's oracle shape over a different event
+    # cohort; dispatched_form is a pinned literal, so the gate goes RED
+    # if the statistics-driven dispatcher ever stops choosing the
+    # broadcast form for this dimension-scale series (sf0.01: 150
+    # purchase users x <=24 ticks; sf0.1: 1,500 x <=26 — both orders of
+    # magnitude inside the (100k keys, 20k ticks) caps; at 100x users
+    # the SAME query flips to union_sort by design, which is exactly
+    # what the column would surface).
+    oracle="""
+    SELECT v.event_id, v.user_id, p.value AS last_purchase_value,
+           'broadcast' AS dispatched_form
+    FROM events v
+    LEFT JOIN LATERAL (
+      SELECT value FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = v.user_id AND p.ts <= v.ts
+      ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+    ) p ON TRUE
+    WHERE v.event_type = 'view'
+    """,
+    doc="B7 via the statistics-driven dispatcher: as_of_join_auto probes "
+    "the right side's measured shape (one guarded aggregate job, "
+    "memoized per plan) and picks the physical form — broadcast here, "
+    "because the purchase series is dimension-scale. The chosen form "
+    "rides the result as an oracle-pinned column, so dispatch drift is "
+    "a correctness failure, not a silent plan change. "
+    "operators/asof.py::as_of_join_auto; reference semantics "
+    "`ls_opening.rs:1460-1467` (LATERAL pick-latest).",
+)
+def q129_asof_auto_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import as_of_join_auto
+
+    e = load(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out, form = as_of_join_auto(
+        views,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value"],
+        right_order="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("value_asof").alias("last_purchase_value"),
+        F.lit(form).alias("dispatched_form"),
+    )

@@ -1,0 +1,109 @@
+"""Measures what cross_doc_spans' same-diagonal seed thinning saves on
+a LONG-SPAN fixture (VERDICT r06 ranked task 4's "Done" evidence;
+results: PERFORMANCE.md "cross_doc_spans: diagonal seed thinning").
+
+Fixture: ``n_pairs`` doc pairs, each sharing one ``span_len``-char span
+embedded in otherwise-unique text (unique vocab per pair — no hot
+fingerprints, so the df-cut keeps everything and the traffic is pure
+seed-carry). Pre-thinning, a shared span of length L seeds ~L/w anchor
+pairs on one diagonal and EACH carries both full texts through the
+seed-text joins; post-thinning one seed per diagonal cluster survives.
+Both settings must return identical spans (asserted here, and pinned by
+tests/test_properties.py::test_cross_doc_spans_reference_property).
+
+Run back-to-back in one session (this container's walls swing 2-5x
+across sessions): ``python scripts/bench_cross_doc_thinning.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+import urllib.request
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from extract_transform_load_spark.session import get_spark  # noqa: E402
+
+
+def shuffle_write_bytes(spark) -> int:
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return -1
+    try:
+        apps = json.load(
+            urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=10)
+        )
+        stages = json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{apps[0]['id']}/stages?status=complete",
+                timeout=30,
+            )
+        )
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return -1
+
+
+def build_fixture(spark, n_pairs: int = 200, span_len: int = 3000,
+                  pad_len: int = 2000, seed: int = 7):
+    rng = random.Random(seed)
+
+    def words(tag: str, n: int) -> str:
+        return " ".join(f"{tag}{rng.randrange(10**9)}" for _ in range(n))
+
+    rows = []
+    for i in range(n_pairs):
+        shared = words(f"s{i}_", span_len // 10)[:span_len]
+        a = words(f"a{i}_", pad_len // 10)[:pad_len] + " " + shared
+        b = shared + " " + words(f"b{i}_", pad_len // 10)[:pad_len]
+        rows.append((2 * i, a))
+        rows.append((2 * i + 1, b))
+    return spark.createDataFrame(rows, "doc_id long, text string").repartition(32)
+
+
+def main() -> None:
+    from extract_transform_load_spark.operators.dedup import cross_doc_spans
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.createDataFrame([(0, "warm " * 40)], "doc_id long, text string")
+    cross_doc_spans(docs).count()  # warm codegen
+
+    fixture = build_fixture(spark)
+    fixture.cache().count()
+
+    out = {}
+    spans = {}
+    for label, thin in (("unthinned", False), ("thinned", True)):
+        walls = []
+        for rep in range(3):
+            sw0 = shuffle_write_bytes(spark)
+            t0 = time.time()
+            got = cross_doc_spans(fixture, thin_seeds=thin)
+            rows = got.collect()
+            walls.append(time.time() - t0)
+            sw1 = shuffle_write_bytes(spark)
+            if rep == 0:
+                spans[label] = {tuple(r) for r in rows}
+                out[label] = {
+                    "shuffle_mb": round((sw1 - sw0) / 1e6, 1) if sw0 >= 0 else None,
+                    "n_spans": len(rows),
+                }
+        out[label]["wall_s"] = round(min(walls), 2)
+        print(label, json.dumps(out[label]), flush=True)
+
+    assert spans["thinned"] == spans["unthinned"], "thinning changed the answer!"
+    out["shuffle_reduction"] = (
+        round(out["unthinned"]["shuffle_mb"] / out["thinned"]["shuffle_mb"], 1)
+        if out["thinned"]["shuffle_mb"] else None
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -69,7 +69,7 @@ def build_fixture(spark, n_pairs: int = 200, span_len: int = 3000,
 def main() -> None:
     from extract_transform_load_spark.operators.dedup import cross_doc_spans
 
-    spark = get_spark()
+    spark = get_spark(extra_conf={"spark.ui.enabled": "true"})  # REST metrics
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.createDataFrame([(0, "warm " * 40)], "doc_id long, text string")
     cross_doc_spans(docs).count()  # warm codegen
@@ -77,31 +77,47 @@ def main() -> None:
     fixture = build_fixture(spark)
     fixture.cache().count()
 
+    # Two join regimes: at fixture scale the candidate text side fits
+    # under the broadcast threshold, so seeds x texts never cross an
+    # exchange and thinning shows up as WALL (fewer Arrow extensions);
+    # at warehouse scale the text join is a shuffle join, so thinning
+    # also cuts SHUFFLE BYTES — emulated here by disabling broadcast.
     out = {}
-    spans = {}
-    for label, thin in (("unthinned", False), ("thinned", True)):
-        walls = []
-        for rep in range(3):
-            sw0 = shuffle_write_bytes(spark)
-            t0 = time.time()
-            got = cross_doc_spans(fixture, thin_seeds=thin)
-            rows = got.collect()
-            walls.append(time.time() - t0)
-            sw1 = shuffle_write_bytes(spark)
-            if rep == 0:
-                spans[label] = {tuple(r) for r in rows}
-                out[label] = {
-                    "shuffle_mb": round((sw1 - sw0) / 1e6, 1) if sw0 >= 0 else None,
-                    "n_spans": len(rows),
-                }
-        out[label]["wall_s"] = round(min(walls), 2)
-        print(label, json.dumps(out[label]), flush=True)
-
-    assert spans["thinned"] == spans["unthinned"], "thinning changed the answer!"
-    out["shuffle_reduction"] = (
-        round(out["unthinned"]["shuffle_mb"] / out["thinned"]["shuffle_mb"], 1)
-        if out["thinned"]["shuffle_mb"] else None
-    )
+    for regime, conf in (("broadcast", None), ("shuffle_join", "-1")):
+        if conf is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", conf)
+        spans = {}
+        res = {}
+        for label, thin in (("unthinned", False), ("thinned", True)):
+            walls = []
+            for rep in range(3):
+                sw0 = shuffle_write_bytes(spark)
+                t0 = time.time()
+                got = cross_doc_spans(fixture, thin_seeds=thin)
+                rows = got.collect()
+                walls.append(time.time() - t0)
+                sw1 = shuffle_write_bytes(spark)
+                if rep == 0:
+                    spans[label] = {tuple(r) for r in rows}
+                    res[label] = {
+                        "shuffle_mb": round((sw1 - sw0) / 1e6, 1)
+                        if sw0 >= 0
+                        else None,
+                        "n_spans": len(rows),
+                    }
+            res[label]["wall_s"] = round(min(walls), 2)
+            print(regime, label, json.dumps(res[label]), flush=True)
+        assert spans["thinned"] == spans["unthinned"], "thinning changed the answer!"
+        res["shuffle_reduction"] = (
+            round(res["unthinned"]["shuffle_mb"] / res["thinned"]["shuffle_mb"], 1)
+            if res["thinned"]["shuffle_mb"]
+            else None
+        )
+        res["wall_speedup"] = round(
+            res["unthinned"]["wall_s"] / res["thinned"]["wall_s"], 1
+        )
+        out[regime] = res
     print(json.dumps(out))
 
 

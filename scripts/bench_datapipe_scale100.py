@@ -112,7 +112,7 @@ def main() -> None:
 
     import extract_transform_load_spark.plans.datapipe as dp
 
-    spark = get_spark()
+    spark = get_spark(extra_conf={"spark.ui.enabled": "true"})  # REST metrics
     spark.sparkContext.setLogLevel("ERROR")
     docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     t0 = time.time()

@@ -33,7 +33,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.types import ArrayType
 
 # Session-scoped memo for the dimension-scale probe (round-7: the guard
@@ -365,6 +365,7 @@ def as_of_join_broadcast(
     max_keys: int = 100_000,
     max_ticks_per_key: int = 20_000,
     precomputed_stats: tuple[int, int] | None = None,
+    pick_when: Column | None = None,
 ) -> DataFrame:
     """As-of join for a DIMENSION-SCALE right side: zero shuffle.
 
@@ -461,6 +462,15 @@ def as_of_join_broadcast(
         F.lit(None).cast(tick_type),
         lambda acc, t: F.when(t["__ts"] <= F.col(left_ts), t).otherwise(acc),
     )
+    # Row-level gate (round 7): when only a SUBSET of left rows consumes
+    # the enrichment (q112: Short contracts revalue debt, Longs ignore
+    # the price), ``pick_when`` pushes that predicate into the pick —
+    # Spark's If is lazy in codegen, so gated-out rows skip the
+    # O(|ticks|) fold entirely and get NULL, exactly what a downstream
+    # ``when(cond & col.isNotNull(), ...)`` consumer reads. Answers for
+    # gated-IN rows are bit-identical to the ungated form (unit test).
+    if pick_when is not None:
+        latest = F.when(pick_when, latest).otherwise(F.lit(None).cast(tick_type))
     out = joined
     for c in value_cols:
         out = out.withColumn(f"{c}{suffix}", latest[c])

@@ -121,6 +121,16 @@ def compute_loan_closings(
 
         if "lpn_price_at_close" in df.columns:
             df = df.drop("lpn_price_at_close")
+        # Only Short contracts consume the price (the debt revaluation
+        # below) — gate the O(|ticks|) per-row pick to that cohort so
+        # Long/liquidation rows skip the fold (round 7; the consumer's
+        # `is_short & isNotNull` test reads the resulting NULLs as
+        # "no revaluation", same as before).
+        pick = None
+        if "LS_position_type" in df.columns:
+            pick = (
+                F.coalesce(F.col("LS_position_type"), F.lit("Long")) == "Short"
+            )
         df = as_of_join_broadcast(
             df,
             lpn_prices.select("lpn_symbol", "ts", "price"),
@@ -129,6 +139,7 @@ def compute_loan_closings(
             right_ts="ts",
             value_cols=["price"],
             suffix="_at_close",
+            pick_when=pick,
         ).withColumnRenamed("price_at_close", "lpn_price_at_close")
 
     z = F.lit(0).cast(AMOUNT)

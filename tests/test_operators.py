@@ -1124,3 +1124,41 @@ def test_asof_probe_memo_and_precomputed_stats(spark):
             left, dim, on=["k"], left_ts="t", right_ts="pt",
             value_cols=["v"], precomputed_stats=(2, 50_000),
         )
+
+
+def test_asof_broadcast_pick_when_gate(spark):
+    """pick_when pushes a row-level predicate into the broadcast pick:
+    gated-out rows get NULL (skipping the O(|ticks|) fold in codegen),
+    gated-in rows match the ungated form bit-for-bit."""
+    from extract_transform_load_spark.operators.asof import as_of_join_broadcast
+
+    left = spark.createDataFrame(
+        [(i, i % 2, ts("2024-01-01 03:30:00")) for i in range(6)],
+        "eid long, k long, t timestamp",
+    )
+    dim = spark.range(8).selectExpr(
+        "id % 2 AS k",
+        "TIMESTAMP'2024-01-01 00:00:00' + make_interval(0,0,0,0,id,0,0) AS pt",
+        "CAST(id AS DOUBLE) AS v",
+    )
+    import pyspark.sql.functions as F
+
+    full = {
+        r["eid"]: r["v_asof"]
+        for r in as_of_join_broadcast(
+            left, dim, on=["k"], left_ts="t", right_ts="pt", value_cols=["v"]
+        ).collect()
+    }
+    gated = {
+        r["eid"]: r["v_asof"]
+        for r in as_of_join_broadcast(
+            left, dim, on=["k"], left_ts="t", right_ts="pt", value_cols=["v"],
+            pick_when=F.col("eid") % 3 == 0,
+        ).collect()
+    }
+    assert set(full) == set(gated) == set(range(6))
+    for eid in range(6):
+        if eid % 3 == 0:
+            assert gated[eid] == full[eid] and gated[eid] is not None
+        else:
+            assert gated[eid] is None

@@ -202,23 +202,37 @@ def main() -> None:
     except OSError:
         telemetry_path = None  # read-only checkout: headline line still works
 
+    print(format_headline_line(telemetry, telemetry_path is not None))
+    spark.stop()
+
+
+# Separate and unit-tested (tests/test_bench_contract.py): the driver's
+# tail capture is the ONE consumer this file cannot afford to break
+# twice.
+MAX_LINE = 1900
+
+
+def format_headline_line(telemetry: dict, telemetry_written: bool) -> str:
+    """The driver-parsed final line: compact JSON, hard-capped under
+    MAX_LINE chars. If a future headline set outgrows the cap even at
+    3-decimal compaction, the per-query map is dropped from the LINE
+    (it stays in the telemetry file) rather than overflowing the tail."""
     headline = {
-        "metric": "headline_queries_total_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "metric": telemetry["metric"],
+        "value": telemetry["value"],
+        "unit": telemetry["unit"],
+        "queries": {k: round(v, 3) for k, v in telemetry["queries"].items()},
         "sf": telemetry["sf"],
         "loadavg_before": telemetry["loadavg_before"],
         "loadavg_after": telemetry["loadavg_after"],
         "layout_prep": telemetry["layout_prep"],
-        "telemetry": "BENCH_TELEMETRY_latest.json" if telemetry_path else None,
+        "telemetry": "BENCH_TELEMETRY_latest.json" if telemetry_written else None,
     }
     line = json.dumps(headline, separators=(",", ":"))
-    if len(line) > 1900:  # never let the parsed line outgrow the tail capture
+    if len(line) > MAX_LINE:  # never outgrow the driver's tail capture
         headline.pop("queries")
         line = json.dumps(headline, separators=(",", ":"))
-    print(line)
-    spark.stop()
+    return line
 
 
 if __name__ == "__main__":

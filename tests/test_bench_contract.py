@@ -1,0 +1,59 @@
+"""The bench's driver-facing output contract (round-7 regression guard:
+BENCH_r06.json recorded `parsed: null` because the final stdout line
+outgrew the driver's ~2,000-char tail capture). No Spark needed — these
+pin the formatting layer only."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _telemetry(names: list[str]) -> dict:
+    return {
+        "metric": "headline_queries_total_sec",
+        "value": 12.3456,
+        "unit": "sec",
+        "queries": {n: 1.23456 for n in names},
+        "query_reps": {n: [1.3, 1.25, 1.23456] for n in names},
+        "loadavg_before": [1.23, 2.34, 3.45],
+        "loadavg_after": [4.56, 5.67, 6.78],
+        "layout_prep": False,
+        "layout_prep_sec": 0.0,
+        "sf": 0.1,
+    }
+
+
+def test_headline_line_parses_and_fits_at_current_size():
+    line = bench.format_headline_line(_telemetry(list(bench.HEADLINE)), True)
+    assert len(line) <= bench.MAX_LINE
+    d = json.loads(line)
+    assert d["metric"] == "headline_queries_total_sec"
+    assert d["unit"] == "sec"
+    assert len(d["queries"]) == len(bench.HEADLINE)  # driver-spec field intact
+    assert d["telemetry"] == "BENCH_TELEMETRY_latest.json"
+    assert "query_reps" not in d  # the r6 overflow payload stays in the file
+
+
+def test_headline_line_drops_queries_rather_than_overflow():
+    """200 queries cannot fit compactly: the guard must drop the map
+    from the LINE (still valid JSON under the cap), never exceed it."""
+    names = [f"q{i:03d}_some_long_query_name_{i}" for i in range(200)]
+    line = bench.format_headline_line(_telemetry(names), True)
+    assert len(line) <= bench.MAX_LINE
+    d = json.loads(line)
+    assert "queries" not in d
+    assert d["value"] == 12.3456  # headline total survives the fallback
+
+
+def test_headline_set_has_growth_headroom():
+    """The current headline set must fit with room for future rounds to
+    add queries WITHOUT tripping the drop-queries fallback (each new
+    ~30-char entry costs ~40 chars; require >= 5 additions of room)."""
+    names = list(bench.HEADLINE) + [
+        f"q{900 + i}_future_round_added_query" for i in range(5)
+    ]
+    line = bench.format_headline_line(_telemetry(names), True)
+    assert len(line) <= bench.MAX_LINE
+    assert "queries" in json.loads(line)

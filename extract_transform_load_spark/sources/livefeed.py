@@ -402,6 +402,13 @@ def compact_landing(
     # row already copied. Hidden files are skipped by Spark/pyarrow
     # dataset listings, and the rename is atomic on one filesystem.
     tmp = base / f".{out.name}.inprogress"
+    # A hard crash (SIGKILL, power loss) skips the except-path unlink,
+    # and later runs use fresh uuid tags — sweep any stale temp from a
+    # previous attempt so orphaned hidden parquet can't accumulate on
+    # the edge host (the visible landing files it copied from are still
+    # present, so deleting a stale temp never loses data).
+    for stale in base.glob(".blocks_*.parquet.inprogress"):
+        stale.unlink(missing_ok=True)
     writer = None
     buffer: list[pa.Table] = []
     buffered = 0

@@ -119,16 +119,22 @@ def read_jsonl(
     USER-SUPPLIED schema, PERMISSIVE mode only captures corrupt records
     when the schema itself contains the ``_corrupt_record`` string
     column — otherwise bad lines silently become all-null rows. So when
-    a schema is passed without that column, it is appended here
-    automatically; quarantine is then ``df.filter("_corrupt_record IS
-    NOT NULL")`` regardless of how the caller spelled the schema.
+    a schema is passed without that column, it is appended here (to a
+    COPY — ``StructType.add`` mutates in place, and a caller's shared
+    schema object must not grow a column as a side effect). Quarantine
+    is then ``df.filter("_corrupt_record IS NOT NULL")`` regardless of
+    how the caller spelled the schema — but note Spark refuses a query
+    whose only referenced column is the internal corrupt-record column
+    (UNSUPPORTED_FEATURE): select at least one data column alongside it
+    (as the test does), or ``df.cache()`` first, before counting the
+    quarantined rows.
     """
     reader = spark.read
     if schema is not None:
         if isinstance(schema, str):
             schema = StructType.fromDDL(schema)
         if "_corrupt_record" not in schema.fieldNames():
-            schema = schema.add("_corrupt_record", "string")
+            schema = StructType(list(schema.fields)).add("_corrupt_record", "string")
         reader = reader.schema(schema)
     return reader.json(path)
 

@@ -22,31 +22,13 @@ import os
 import random
 import sys
 import time
-import urllib.request
-
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _benchutil import shuffle_write_bytes  # noqa: E402
 
 from extract_transform_load_spark.session import get_spark  # noqa: E402
-
-
-def shuffle_write_bytes(spark) -> int:
-    ui = spark.sparkContext.uiWebUrl
-    if not ui:
-        return -1
-    try:
-        apps = json.load(
-            urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=10)
-        )
-        stages = json.load(
-            urllib.request.urlopen(
-                f"{ui}/api/v1/applications/{apps[0]['id']}/stages?status=complete",
-                timeout=30,
-            )
-        )
-        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
-    except Exception:
-        return -1
 
 
 def build_fixture(spark, n_pairs: int = 200, span_len: int = 3000,
@@ -102,7 +84,7 @@ def main() -> None:
                     spans[label] = {tuple(r) for r in rows}
                     res[label] = {
                         "shuffle_mb": round((sw1 - sw0) / 1e6, 1)
-                        if sw0 >= 0
+                        if sw0 >= 0 and sw1 >= 0
                         else None,
                         "n_spans": len(rows),
                     }
@@ -111,8 +93,8 @@ def main() -> None:
         assert spans["thinned"] == spans["unthinned"], "thinning changed the answer!"
         res["shuffle_reduction"] = (
             round(res["unthinned"]["shuffle_mb"] / res["thinned"]["shuffle_mb"], 1)
-            if res["thinned"]["shuffle_mb"]
-            else None
+            if res["thinned"]["shuffle_mb"] and res["unthinned"]["shuffle_mb"]
+            else None  # either side unmeasured (-1/None) -> no claim
         )
         res["wall_speedup"] = round(
             res["unthinned"]["wall_s"] / res["thinned"]["wall_s"], 1

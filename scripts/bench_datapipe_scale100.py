@@ -24,10 +24,11 @@ import json
 import os
 import sys
 import time
-import urllib.request
-
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _benchutil import shuffle_write_bytes  # noqa: E402
 
 import pyspark.sql.functions as F  # noqa: E402
 
@@ -82,29 +83,6 @@ def build_replica(spark, docs):
     return spark.read.parquet(REPLICA_PATH)
 
 
-def shuffle_write_bytes(spark) -> int:
-    """Total shuffle-write bytes across all completed stages so far,
-    via the Spark UI REST API (diff around a query = that query's
-    shuffle traffic)."""
-    ui = spark.sparkContext.uiWebUrl
-    if not ui:
-        return -1
-    try:
-        apps = json.load(
-            urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=10)
-        )
-        app_id = apps[0]["id"]
-        stages = json.load(
-            urllib.request.urlopen(
-                f"{ui}/api/v1/applications/{app_id}/stages?status=complete",
-                timeout=30,
-            )
-        )
-        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
-    except Exception:
-        return -1
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", default=",".join(QUERIES))
@@ -119,6 +97,12 @@ def main() -> None:
     docs100 = build_replica(spark, docs1)
     n1, n100 = docs1.count(), docs100.count()
     print(f"docs 1x={n1} 100x={n100} (replica build/load {time.time() - t0:.0f}s)")
+    if n100 != 100 * n1:  # a crashed prior build leaves a partial dir
+        raise SystemExit(
+            f"replica at {REPLICA_PATH} holds {n100} rows, expected {100 * n1} "
+            "- delete the directory and rerun (refusing to mislabel a "
+            "partial replica as 100x)"
+        )
 
     def run(qname: str, df) -> None:
         qfn = getattr(dp, qname)
@@ -141,7 +125,9 @@ def main() -> None:
             sw1 = shuffle_write_bytes(spark)
             row[label] = {
                 "wall_s": round(wall, 2),
-                "shuffle_mb": round((sw1 - sw0) / 1e6, 1) if sw0 >= 0 else None,
+                "shuffle_mb": round((sw1 - sw0) / 1e6, 1)
+                if sw0 >= 0 and sw1 >= 0
+                else None,
             }
         row["ratio"] = round(row["100x"]["wall_s"] / row["1x"]["wall_s"], 1)
         results[qname] = row

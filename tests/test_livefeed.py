@@ -995,6 +995,14 @@ def test_compact_landing_crash_leaves_no_visible_partial(tmp_path):
     assert len(list(tmp_path.glob("block_*.parquet"))) == 4
     assert landing_heights(str(tmp_path)) == [1, 2, 3, 4]
 
+    # a stale temp from a HARD crash (unlink path skipped) is swept by
+    # the next run instead of accumulating on the edge host
+    stale = tmp_path / ".blocks_000000000000_000000000009_dead.parquet.inprogress"
+    stale.write_bytes(b"half-written")
+    (tmp_path / "block_000000000003_x.parquet").unlink()
+    out = compact_landing(str(tmp_path), min_files=2)
+    assert out is not None and not stale.exists()
+
 
 def test_compact_landing_noop_below_min_files(tmp_path):
     from extract_transform_load_spark.sources.livefeed import compact_landing

@@ -613,3 +613,14 @@ def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
         rows = read_jsonl(spark, str(bad), schema=schema).collect()
         assert len(rows) == 2
         assert sum(1 for r in rows if r["_corrupt_record"] is not None) == 1
+
+    # the auto-append must not mutate a caller-held StructType (add()
+    # appends in place — review finding r7): the shared schema object
+    # keeps its original columns after the read
+    from pyspark.sql.types import StructType
+
+    shared = StructType.fromDDL("doc_id long, text string, lang string")
+    before = shared.fieldNames()
+    got2 = read_jsonl(spark, str(bad), schema=shared)
+    assert "_corrupt_record" in got2.columns
+    assert shared.fieldNames() == before

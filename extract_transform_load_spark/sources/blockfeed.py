@@ -61,20 +61,57 @@ class _Range(InputPartition):
     hi: int  # inclusive
 
 
+def _landing_files(path: str) -> list[str]:
+    """Visible parquet files of the landing zone, walked with Spark/
+    Hadoop staging dirs pruned (``_temporary``, ``_spark_metadata``,
+    dot-files). ``pyarrow.dataset`` discovery recurses into an in-flight
+    writer's ``_temporary`` tree and crashes when the committer renames
+    it away mid-listing (observed as a latestOffset FileNotFoundError
+    racing a concurrent ``df.write.parquet`` into the landing dir) —
+    walking ourselves prunes those subtrees before ever listing them,
+    and a vanished leaf dir is skipped, not fatal."""
+    import os
+
+    files: list[str] = []
+    for root, dirs, names in os.walk(path, onerror=lambda _e: None):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        files.extend(
+            os.path.join(root, n)
+            for n in names
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+    return sorted(files)
+
+
 def _head(path: str) -> int | None:
     """Current chain head: max block height in the landing dir, from
-    parquet footer statistics only (no row reads on the driver poll)."""
+    parquet footer statistics only (no row reads on the driver poll).
+
+    Retries once on FileNotFoundError: a listed file can vanish between
+    the walk and its footer read when compaction unlinks the per-block
+    originals it just merged (their heights stay visible through the
+    merged blocks_* file on the re-list)."""
     import pyarrow.dataset as ds
 
-    dataset = ds.dataset(path, format="parquet")
-    head: int | None = None
-    for frag in dataset.get_fragments():
-        for rg in frag.row_groups:
-            stats = rg.statistics or {}
-            mx = (stats.get("block") or {}).get("max")
-            if mx is not None:
-                head = mx if head is None else max(head, mx)
-    return head
+    for attempt in (0, 1):
+        files = _landing_files(path)
+        if not files:
+            return None
+        dataset = ds.dataset(files, format="parquet")
+        head: int | None = None
+        try:
+            for frag in dataset.get_fragments():
+                for rg in frag.row_groups:
+                    stats = rg.statistics or {}
+                    mx = (stats.get("block") or {}).get("max")
+                    if mx is not None:
+                        head = mx if head is None else max(head, mx)
+        except FileNotFoundError:
+            if attempt:
+                raise
+            continue
+        return head
+    return None  # pragma: no cover - loop always returns/raises
 
 
 class _BlockFeedReader(DataSourceStreamReader):
@@ -128,7 +165,12 @@ class _BlockFeedReader(DataSourceStreamReader):
             return
         import pyarrow.dataset as ds
 
-        dataset = ds.dataset(partition.path, format="parquet")
+        # same pruned listing as the driver poll: never descend into a
+        # concurrent writer's _temporary staging tree
+        files = _landing_files(partition.path)
+        if not files:
+            return
+        dataset = ds.dataset(files, format="parquet")
         expr = (ds.field("block") > partition.lo) & (ds.field("block") <= partition.hi)
         for batch in dataset.to_batches(filter=expr):
             for row in batch.to_pylist():

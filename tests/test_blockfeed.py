@@ -271,3 +271,24 @@ def test_blockfeed_feeds_silver_parsers(spark, tmp_path):
     batch = parse_ls_opening(spark.read.parquet(f"{landing}/b1.parquet"))
     assert streamed.exceptAll(batch).count() == 0 and batch.exceptAll(streamed).count() == 0
     assert streamed.count() == 5
+
+
+def test_landing_files_prunes_staging_and_survives_races(tmp_path):
+    """The landing walk must never descend into a concurrent writer's
+    _temporary staging tree (the round-7 flake: pyarrow discovery listed
+    a commit dir the instant the committer renamed it away) and must
+    skip dot-/underscore-prefixed names at every level."""
+    from extract_transform_load_spark.sources.blockfeed import _landing_files
+
+    (tmp_path / "block_1.parquet").write_bytes(b"x")
+    sub = tmp_path / "b2.parquet"
+    (sub / "_temporary" / "0" / "task_123").mkdir(parents=True)
+    (sub / "_temporary" / "0" / "task_123" / "part-0.parquet").write_bytes(b"x")
+    (sub / "part-00000.parquet").write_bytes(b"x")
+    (sub / "_SUCCESS").write_bytes(b"")
+    (tmp_path / "_spark_metadata").mkdir()
+    (tmp_path / "_spark_metadata" / "0.parquet").write_bytes(b"x")
+    (tmp_path / ".hidden.parquet").write_bytes(b"x")
+
+    got = [p.replace(str(tmp_path) + "/", "") for p in _landing_files(str(tmp_path))]
+    assert got == ["b2.parquet/part-00000.parquet", "block_1.parquet"]

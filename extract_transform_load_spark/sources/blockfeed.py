@@ -97,9 +97,11 @@ def _head(path: str) -> int | None:
         files = _landing_files(path)
         if not files:
             return None
-        dataset = ds.dataset(files, format="parquet")
         head: int | None = None
         try:
+            # dataset() itself validates the file list and opens the
+            # first footer — it must sit inside the retry too
+            dataset = ds.dataset(files, format="parquet")
             for frag in dataset.get_fragments():
                 for rg in frag.row_groups:
                     stats = rg.statistics or {}
@@ -165,31 +167,48 @@ class _BlockFeedReader(DataSourceStreamReader):
             return
         import pyarrow.dataset as ds
 
-        # same pruned listing as the driver poll: never descend into a
-        # concurrent writer's _temporary staging tree
-        files = _landing_files(partition.path)
-        if not files:
-            return
-        dataset = ds.dataset(files, format="parquet")
-        expr = (ds.field("block") > partition.lo) & (ds.field("block") <= partition.hi)
-        for batch in dataset.to_batches(filter=expr):
-            for row in batch.to_pylist():
-                attrs = row["attributes"]
-                if isinstance(attrs, list):  # pyarrow map -> [(k, v), ...]
-                    attrs = dict(attrs)
-                ts = row["timestamp"]
-                # landing timestamps are UTC instants (session tz UTC);
-                # Spark's arrow converter requires tz-aware values.
-                if ts is not None and ts.tzinfo is None:
-                    ts = ts.replace(tzinfo=timezone.utc)
-                yield (
-                    row["block"],
-                    row["tx_hash"],
-                    row["event_index"],
-                    row["event_type"],
-                    ts,
-                    attrs,
+        # Same pruned listing + one-retry as the driver poll: never
+        # descend into a concurrent writer's _temporary staging tree,
+        # and restart the scan once (fresh listing) if compaction
+        # unlinks a listed original before the scan reaches it — its
+        # rows stay visible through the merged blocks_* file on the
+        # re-list, so the range replay is still complete. The retry
+        # re-yields rows emitted before the failure (at-least-once
+        # within the task, same as a plain Spark task retry) — absorbed
+        # downstream by the silver layer's PK dedup / anti-join (A5
+        # idempotency). Batches stream; nothing buffers the range.
+        for attempt in (0, 1):
+            files = _landing_files(partition.path)
+            if not files:
+                return
+            try:
+                dataset = ds.dataset(files, format="parquet")
+                expr = (ds.field("block") > partition.lo) & (
+                    ds.field("block") <= partition.hi
                 )
+                for batch in dataset.to_batches(filter=expr):
+                    for row in batch.to_pylist():
+                        attrs = row["attributes"]
+                        if isinstance(attrs, list):  # pyarrow map -> [(k, v)]
+                            attrs = dict(attrs)
+                        ts = row["timestamp"]
+                        # landing timestamps are UTC instants (session
+                        # tz UTC); Spark's arrow converter requires
+                        # tz-aware values.
+                        if ts is not None and ts.tzinfo is None:
+                            ts = ts.replace(tzinfo=timezone.utc)
+                        yield (
+                            row["block"],
+                            row["tx_hash"],
+                            row["event_index"],
+                            row["event_type"],
+                            ts,
+                            attrs,
+                        )
+                return
+            except FileNotFoundError:
+                if attempt:
+                    raise
 
     def commit(self, end: dict) -> None:
         # Offset durability lives in the query checkpoint; nothing to

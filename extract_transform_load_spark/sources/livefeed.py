@@ -403,12 +403,24 @@ def compact_landing(
     # dataset listings, and the rename is atomic on one filesystem.
     tmp = base / f".{out.name}.inprogress"
     # A hard crash (SIGKILL, power loss) skips the except-path unlink,
-    # and later runs use fresh uuid tags — sweep any stale temp from a
-    # previous attempt so orphaned hidden parquet can't accumulate on
-    # the edge host (the visible landing files it copied from are still
-    # present, so deleting a stale temp never loses data).
+    # and later runs use fresh uuid tags — sweep stale temps from dead
+    # attempts so orphaned hidden parquet can't accumulate on the edge
+    # host (the visible landing files a temp copied from are still
+    # present, so deleting one never loses data). Age-gated: a temp
+    # younger than stale_temp_age may belong to a compactor that is
+    # STILL RUNNING (overlapping invocations), and unlinking a live
+    # temp would crash it at its rename. mtime refreshes on every row
+    # group flush, so any genuinely in-flight run keeps its temp fresh.
+    import time as _time
+
+    stale_temp_age = 3600.0
+    now = _time.time()
     for stale in base.glob(".blocks_*.parquet.inprogress"):
-        stale.unlink(missing_ok=True)
+        try:
+            if now - stale.stat().st_mtime > stale_temp_age:
+                stale.unlink(missing_ok=True)
+        except OSError:
+            pass  # vanished or unreadable: nothing to sweep
     writer = None
     buffer: list[pa.Table] = []
     buffered = 0

@@ -30,3 +30,22 @@ def shuffle_write_bytes(spark) -> int:
         return sum(s.get("shuffleWriteBytes", 0) for s in stages)
     except Exception:
         return -1
+
+
+def measure(spark, fn) -> dict:
+    """Run ``fn()`` (an action) once, returning wall seconds and the
+    shuffle-write MB it produced (None when either REST poll fails) —
+    the one shuffle-diff implementation shared by every bench script."""
+    import time
+
+    sw0 = shuffle_write_bytes(spark)
+    t0 = time.time()
+    fn()
+    wall = time.time() - t0
+    sw1 = shuffle_write_bytes(spark)
+    return {
+        "wall_s": round(wall, 2),
+        "shuffle_mb": round((sw1 - sw0) / 1e6, 1)
+        if sw0 >= 0 and sw1 >= 0
+        else None,
+    }

@@ -21,12 +21,11 @@ import json
 import os
 import random
 import sys
-import time
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from _benchutil import shuffle_write_bytes  # noqa: E402
+from _benchutil import measure  # noqa: E402
 
 from extract_transform_load_spark.session import get_spark  # noqa: E402
 
@@ -74,21 +73,21 @@ def main() -> None:
         for label, thin in (("unthinned", False), ("thinned", True)):
             walls = []
             for rep in range(3):
-                sw0 = shuffle_write_bytes(spark)
-                t0 = time.time()
-                got = cross_doc_spans(fixture, thin_seeds=thin)
-                rows = got.collect()
-                walls.append(time.time() - t0)
-                sw1 = shuffle_write_bytes(spark)
+                rows_box = []
+                m = measure(
+                    spark,
+                    lambda: rows_box.extend(
+                        cross_doc_spans(fixture, thin_seeds=thin).collect()
+                    ),
+                )
+                walls.append(m["wall_s"])
                 if rep == 0:
-                    spans[label] = {tuple(r) for r in rows}
+                    spans[label] = {tuple(r) for r in rows_box}
                     res[label] = {
-                        "shuffle_mb": round((sw1 - sw0) / 1e6, 1)
-                        if sw0 >= 0 and sw1 >= 0
-                        else None,
-                        "n_spans": len(rows),
+                        "shuffle_mb": m["shuffle_mb"],
+                        "n_spans": len(rows_box),
                     }
-            res[label]["wall_s"] = round(min(walls), 2)
+            res[label]["wall_s"] = min(walls)
             print(regime, label, json.dumps(res[label]), flush=True)
         assert spans["thinned"] == spans["unthinned"], "thinning changed the answer!"
         res["shuffle_reduction"] = (

@@ -28,7 +28,7 @@ os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from _benchutil import shuffle_write_bytes  # noqa: E402
+from _benchutil import measure  # noqa: E402
 
 import pyspark.sql.functions as F  # noqa: E402
 
@@ -118,17 +118,7 @@ def main() -> None:
         run(qname, docs1.limit(100))  # warm codegen
         row = {}
         for label, df in (("1x", docs1), ("100x", docs100)):
-            sw0 = shuffle_write_bytes(spark)
-            t0 = time.time()
-            run(qname, df)
-            wall = time.time() - t0
-            sw1 = shuffle_write_bytes(spark)
-            row[label] = {
-                "wall_s": round(wall, 2),
-                "shuffle_mb": round((sw1 - sw0) / 1e6, 1)
-                if sw0 >= 0 and sw1 >= 0
-                else None,
-            }
+            row[label] = measure(spark, lambda: run(qname, df))
         row["ratio"] = round(row["100x"]["wall_s"] / row["1x"]["wall_s"], 1)
         results[qname] = row
         print(f"{qname}: {json.dumps(row)}", flush=True)

@@ -1,7 +1,7 @@
 """100x scale measurement for the §2.A pipeline layer (round-7 follow-on
 to the text-operator 100x table; results: PERFORMANCE.md "Measured
 scale-up: 100x"): LS_State snapshot (q111) and the realized-PnL engine
-(q112) over a 100x orders+lineitem replica — ~150k contracts and ~600M
+(q112) over a 100x orders+lineitem replica — ~15M contracts and ~60M
 ledger rows' worth of lease events at sf0.1 x 100 — under the same
 24 GiB driver clamp.
 
@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import pyspark.sql.functions as F  # noqa: E402
 
-from _benchutil import shuffle_write_bytes  # noqa: E402
+from _benchutil import measure  # noqa: E402
 from extract_transform_load_spark.session import get_spark  # noqa: E402
 
 REPLICA_PATH = "/tmp/pipeline100x"
@@ -41,7 +41,10 @@ def noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def build_replica(spark) -> None:
+def build_replica(spark, load) -> None:
+    """Build from load() output (NOT raw spark.read.parquet): load
+    normalizes driver-round timestamp quirks (NANOS->long, NTZ casts),
+    so the replica and the 1x leg run identically-typed plans."""
     for table, keys in (
         ("orders", ["o_orderkey", "o_custkey"]),
         ("lineitem", ["l_orderkey"]),
@@ -49,7 +52,7 @@ def build_replica(spark) -> None:
         dst = f"{REPLICA_PATH}/{table}.parquet"
         if os.path.exists(dst):
             continue
-        base = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+        base = load(spark, SF_DIR, table)
         for batch in range(10):
             parts = []
             for i in range(10):
@@ -71,18 +74,22 @@ def main() -> None:
 
     spark = get_spark(extra_conf={"spark.ui.enabled": "true"})  # REST metrics
     spark.sparkContext.setLogLevel("ERROR")
-    t0 = time.time()
-    build_replica(spark)
-    n1 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
-    n100 = spark.read.parquet(f"{REPLICA_PATH}/lineitem.parquet").count()
-    print(f"lineitem 1x={n1} 100x={n100} (replica {time.time() - t0:.0f}s)")
-    if n100 != 100 * n1:  # a crashed prior build leaves a partial dir
-        raise SystemExit(
-            f"replica at {REPLICA_PATH} holds {n100} rows, expected {100 * n1}"
-            " - delete the directory and rerun"
-        )
-
     orig = dom.load
+    t0 = time.time()
+    build_replica(spark, orig)
+    # validate EVERY replicated table (a crashed prior build can leave
+    # one table partial while the other is complete)
+    for table in ("orders", "lineitem"):
+        nb = orig(spark, SF_DIR, table).count()
+        nr = spark.read.parquet(f"{REPLICA_PATH}/{table}.parquet").count()
+        print(f"{table} 1x={nb} 100x={nr}")
+        if nr != 100 * nb:
+            raise SystemExit(
+                f"replica {table} holds {nr} rows, expected {100 * nb}"
+                " - delete the directory and rerun"
+            )
+    n1 = orig(spark, SF_DIR, "lineitem").count()
+    print(f"replica build/load {time.time() - t0:.0f}s")
 
     def run(qname: str, sf_dir: str) -> None:
         noop(getattr(dom, qname)(spark, sf_dir))
@@ -95,23 +102,12 @@ def main() -> None:
             try:
                 if label == "100x":
                     # only orders/lineitem are replicated; other tables
-                    # (region etc) are not used by these queries
-                    dom.load = lambda s_, d_, t_: s_.read.parquet(
-                        f"{REPLICA_PATH}/{t_}.parquet"
-                    )
-                sw0 = shuffle_write_bytes(spark)
-                t0 = time.time()
-                run(qname, sf_dir)
-                wall = time.time() - t0
-                sw1 = shuffle_write_bytes(spark)
+                    # (region etc) are not used by these queries. Route
+                    # through the real load (same normalization layer).
+                    dom.load = lambda s_, d_, t_: orig(s_, REPLICA_PATH, t_)
+                row[label] = measure(spark, lambda: run(qname, sf_dir))
             finally:
                 dom.load = orig
-            row[label] = {
-                "wall_s": round(wall, 2),
-                "shuffle_mb": round((sw1 - sw0) / 1e6, 1)
-                if sw0 >= 0 and sw1 >= 0
-                else None,
-            }
         row["ratio"] = round(row["100x"]["wall_s"] / row["1x"]["wall_s"], 1)
         results[qname] = row
         print(f"{qname}: {json.dumps(row)}", flush=True)

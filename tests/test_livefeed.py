@@ -996,12 +996,20 @@ def test_compact_landing_crash_leaves_no_visible_partial(tmp_path):
     assert landing_heights(str(tmp_path)) == [1, 2, 3, 4]
 
     # a stale temp from a HARD crash (unlink path skipped) is swept by
-    # the next run instead of accumulating on the edge host
+    # the next run instead of accumulating on the edge host — but only
+    # past the age gate: a FRESH temp may belong to a concurrently
+    # running compactor and must be left alone
+    import os as _os
+    import time as _time
+
     stale = tmp_path / ".blocks_000000000000_000000000009_dead.parquet.inprogress"
     stale.write_bytes(b"half-written")
+    fresh = tmp_path / ".blocks_000000000000_000000000009_live.parquet.inprogress"
+    fresh.write_bytes(b"still-writing")
+    _os.utime(stale, (0, _time.time() - 7200))
     (tmp_path / "block_000000000003_x.parquet").unlink()
     out = compact_landing(str(tmp_path), min_files=2)
-    assert out is not None and not stale.exists()
+    assert out is not None and not stale.exists() and fresh.exists()
 
 
 def test_compact_landing_noop_below_min_files(tmp_path):

@@ -43,17 +43,34 @@ from pyspark.sql.types import ArrayType
 # the same logical right plan yields the same stats within a session, so
 # a pipeline that has already validated its price series pays the probe
 # once. The memo affects ONLY the guard/dispatch decision, never answers
-# (the join itself always reads the actual data). Stale-stats caveat: if
+# (the join itself always reads the actual data). Stale-stats hazard: if
 # the same plan re-reads a GROWING source within one session, a memo hit
-# can skip the loud cap error — call :func:`clear_probe_memo` after
-# appending to a series a long-lived session keeps enriching against.
-_PROBE_MEMO: dict[tuple[int, tuple[str, ...], int], tuple[int, int]] = {}
+# could skip the loud cap error. Two mitigations IN CODE (round-8
+# verdict task 3 — the caveat used to be prose-only):
+#
+# 1. Every in-repo path that mutates a parquet table a session may
+#    re-enrich against (``sources.merge.merge_parquet``, ``replace_dir``
+#    — the streaming ``merge_sink`` and gold swaps route through them)
+#    calls :func:`clear_probe_memo` after the mutation lands.
+# 2. Entries expire after ``_PROBE_MEMO_TTL`` seconds (monotonic clock)
+#    as a backstop for OUT-of-session writers (another process appending
+#    to the landing dir): a long-lived enrichment loop re-validates its
+#    series at least every 5 minutes, so the guard can lag a grow by at
+#    most one TTL, never forever.
+#
+# External writers inside the TTL window remain the documented residual
+# gap — the caps carry 100x+ headroom over fixture shapes, and answers
+# are never affected, only guard latency.
+_PROBE_MEMO: dict[tuple[int, tuple[str, ...], int], tuple[float, tuple[int, int]]] = {}
 _PROBE_MEMO_CAP = 256
+_PROBE_MEMO_TTL = 300.0
 
 
 def clear_probe_memo() -> None:
     """Drop memoized dimension-scale probe stats (see module note on
-    growing sources)."""
+    growing sources). Called automatically by the in-repo table-mutation
+    paths; call it manually after appending to a series through any
+    OTHER channel inside the TTL window."""
     _PROBE_MEMO.clear()
 
 
@@ -64,19 +81,25 @@ def _probe_right_stats(
     guarded ``limit(max_keys + 1)`` count — the similarity.py probe
     pattern. n_keys saturates at max_keys + 1 (enough to fail the cap
     check); memoized per logical plan within the session."""
+    import time
+
     key = None
     try:
         key = (right.semanticHash(), tuple(on), max_keys)
     except Exception:  # pragma: no cover - semanticHash unavailable
         pass
+    now = time.monotonic()
     if key is not None and key in _PROBE_MEMO:
-        return _PROBE_MEMO[key]
+        born, stats = _PROBE_MEMO[key]
+        if now - born <= _PROBE_MEMO_TTL:
+            return stats
+        del _PROBE_MEMO[key]  # expired: re-probe below
     counts = right.groupBy(*list(on)).count().limit(max_keys + 1).collect()
     stats = (len(counts), max((r["count"] for r in counts), default=0))
     if key is not None:
         if len(_PROBE_MEMO) >= _PROBE_MEMO_CAP:
             _PROBE_MEMO.clear()
-        _PROBE_MEMO[key] = stats
+        _PROBE_MEMO[key] = (now, stats)
     return stats
 
 

@@ -44,7 +44,12 @@ _PRIORITY = [
     "q20_weighted_avg",         # B15
     "q22_conditional_agg",      # B17
     "q23_first_in_group",       # B18
-    "q24_two_level_agg",        # B20
+    # q24_two_level_agg (B20) displaced in round 8 for q127 — the
+    # B11-B20 aggregation class held EIGHT in-window rows (q08, q01,
+    # q18, q19, q20, q22, q23, q24) while the gram-cardinality family
+    # held none (the round-7 verdict's ranked task 2). The two-level
+    # shape stays strict-gate green past the window, and grouped
+    # aggregation stays driver-covered seven ways.
     "q25_gap_detection",        # B21
     "q26_latest_per_key",       # B22/B25
     "q27_cumulative_sum",       # B23
@@ -115,6 +120,7 @@ _PRIORITY = [
     "q100_bpe_merges",          # tokenization/BPE
     "q101_paragraph_dedup",     # paragraph/span dedup
     "q109_funnel",              # funnel / cohort analysis
+    "q127_gram_cardinality_hll",  # gram cardinality / Heaps law (r8; displaced q24)
 ]
 
 

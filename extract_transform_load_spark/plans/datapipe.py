@@ -451,9 +451,14 @@ def q55_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q61_dedup_clusters",
-    oracle="""
+# Shared by q61 (exact-pair audit feed) and q130 (production MinHash
+# feed): the cluster assignment is the transitive closure over the
+# near-dup pair set, and the two feeds produce the SAME pair set on the
+# fixture corpus (the q42-vs-q41 equality the driver asserts per-SF:
+# banding recall is ~1 at the fixture's j>=0.8 pair distribution, and
+# the verify step restores exact precision), so one recursive-CTE
+# closure over the exact pairs is ground truth for both.
+_CLUSTERS_ORACLE = """
     WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh AS (
       SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -484,7 +489,12 @@ def q55_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
            least(u, MIN(v)) AS cluster_id,
            u = least(u, MIN(v)) AS keep
     FROM reach GROUP BY u
-    """,
+    """
+
+
+@query(
+    "q61_dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
     doc="Duplicate-cluster assignment: connected components (large-star/"
     "small-star, operators/components.py) over the exact Jaccard pairs "
     "of q41 — the transitive-closure step that turns near-dup PAIRS "
@@ -497,6 +507,31 @@ def q61_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import dedup_clusters
 
     pairs = ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5, k=3)
+    return dedup_clusters(pairs)
+
+
+@query(
+    "q130_dedup_clusters_minhash",
+    oracle=_CLUSTERS_ORACLE,
+    doc="The PRODUCTION dedup-clustering composition (round-7 verdict "
+    "ranked task 1): connected components over MinHash-LSH-verified "
+    "pairs — dedup_clusters(minhash_lsh_verified_pairs(...)). q61 keeps "
+    "the exact-Jaccard feed as the quality audit baseline; THIS is the "
+    "100 TB shape, because candidate generation is bucket-bounded "
+    "(O(candidates) verify) instead of the exact feed's shared-shingle "
+    "quadratic join — the only operator whose 100x wall was dominated "
+    "by a quality-baseline stage (~138s of q61's ~112-153s at 500k "
+    "docs). The oracle is the same recursive-CTE closure over exact "
+    "pairs: the two feeds agree on the fixture pair set (the q42-vs-q41 "
+    "equality the gate already asserts per-SF), so clusters agree too.",
+)
+def q130_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import dedup_clusters
+    from ..operators.dedup import minhash_lsh_verified_pairs
+
+    pairs = minhash_lsh_verified_pairs(
+        load(spark, sf_dir, "documents"), num_hashes=64, bands=16, threshold=0.5
+    )
     return dedup_clusters(pairs)
 
 

@@ -69,9 +69,23 @@ def _landing_files(path: str) -> list[str]:
     it away mid-listing (observed as a latestOffset FileNotFoundError
     racing a concurrent ``df.write.parquet`` into the landing dir) —
     walking ourselves prunes those subtrees before ever listing them,
-    and a vanished leaf dir is skipped, not fatal."""
-    import os
+    and a vanished leaf dir is skipped, not fatal.
 
+    Local-filesystem only by design: the landing zone is the edge
+    host's disk (ARCHITECTURE.md landing-zone section — the whole
+    compaction protocol assumes POSIX atomic rename). ``os.walk`` on an
+    object-store URI would silently yield nothing and the stream would
+    stall headless, so a URI scheme is rejected loudly instead."""
+    import os
+    import re
+
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path):
+        raise ValueError(
+            f"blockfeed landing path must be a local filesystem path, got {path!r}: "
+            "the landing protocol (os.walk listing + atomic-rename compaction) "
+            "assumes POSIX semantics; stage object-store data to local disk or "
+            "read it with spark.readStream.parquet instead"
+        )
     files: list[str] = []
     for root, dirs, names in os.walk(path, onerror=lambda _e: None):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
@@ -167,48 +181,44 @@ class _BlockFeedReader(DataSourceStreamReader):
             return
         import pyarrow.dataset as ds
 
-        # Same pruned listing + one-retry as the driver poll: never
-        # descend into a concurrent writer's _temporary staging tree,
-        # and restart the scan once (fresh listing) if compaction
-        # unlinks a listed original before the scan reaches it — its
-        # rows stay visible through the merged blocks_* file on the
-        # re-list, so the range replay is still complete. The retry
-        # re-yields rows emitted before the failure (at-least-once
-        # within the task, same as a plain Spark task retry) — absorbed
-        # downstream by the silver layer's PK dedup / anti-join (A5
-        # idempotency). Batches stream; nothing buffers the range.
-        for attempt in (0, 1):
-            files = _landing_files(partition.path)
-            if not files:
-                return
-            try:
-                dataset = ds.dataset(files, format="parquet")
-                expr = (ds.field("block") > partition.lo) & (
-                    ds.field("block") <= partition.hi
+        # Same pruned listing as the driver poll: never descend into a
+        # concurrent writer's _temporary staging tree. Unlike _head,
+        # there is NO in-process retry here (round-8 ADVICE fix): a
+        # generator that restarts after a mid-scan FileNotFoundError
+        # (compaction unlinking a listed original) would re-yield every
+        # row already emitted INTO THE SAME task attempt's output —
+        # strictly weaker than a Spark task retry, which discards the
+        # failed attempt's output entirely and re-runs read() with a
+        # fresh listing (the merged blocks_* file carries the vanished
+        # rows), preserving exactly-once. So the error propagates and
+        # task retry does the restart. Note local[n] masters default to
+        # maxFailures=1 — co-locating compaction with a live local test
+        # reader needs master "local[n,2]" or a quiesced compactor.
+        # Batches stream; nothing buffers the range.
+        files = _landing_files(partition.path)
+        if not files:
+            return
+        dataset = ds.dataset(files, format="parquet")
+        expr = (ds.field("block") > partition.lo) & (ds.field("block") <= partition.hi)
+        for batch in dataset.to_batches(filter=expr):
+            for row in batch.to_pylist():
+                attrs = row["attributes"]
+                if isinstance(attrs, list):  # pyarrow map -> [(k, v)]
+                    attrs = dict(attrs)
+                ts = row["timestamp"]
+                # landing timestamps are UTC instants (session
+                # tz UTC); Spark's arrow converter requires
+                # tz-aware values.
+                if ts is not None and ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=timezone.utc)
+                yield (
+                    row["block"],
+                    row["tx_hash"],
+                    row["event_index"],
+                    row["event_type"],
+                    ts,
+                    attrs,
                 )
-                for batch in dataset.to_batches(filter=expr):
-                    for row in batch.to_pylist():
-                        attrs = row["attributes"]
-                        if isinstance(attrs, list):  # pyarrow map -> [(k, v)]
-                            attrs = dict(attrs)
-                        ts = row["timestamp"]
-                        # landing timestamps are UTC instants (session
-                        # tz UTC); Spark's arrow converter requires
-                        # tz-aware values.
-                        if ts is not None and ts.tzinfo is None:
-                            ts = ts.replace(tzinfo=timezone.utc)
-                        yield (
-                            row["block"],
-                            row["tx_hash"],
-                            row["event_index"],
-                            row["event_type"],
-                            ts,
-                            attrs,
-                        )
-                return
-            except FileNotFoundError:
-                if attempt:
-                    raise
 
     def commit(self, end: dict) -> None:
         # Offset durability lives in the query checkpoint; nothing to

@@ -28,6 +28,7 @@ at ``result.data.value.block.header.height`` (a decimal string).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import queue
 import random
@@ -441,8 +442,13 @@ def compact_landing(
                 writer = pq.ParquetWriter(tmp, buffer[0].schema)
             writer.write_table(pa.concat_tables(buffer), row_group_size=buffered or 1)
     except BaseException:
+        # close() itself can raise on the error path (e.g. ENOSPC while
+        # flushing the footer) — suppress it so the temp is ALWAYS
+        # unlinked and the original exception propagates un-masked
+        # (round-8 ADVICE fix).
         if writer is not None:
-            writer.close()
+            with contextlib.suppress(Exception):
+                writer.close()
         tmp.unlink(missing_ok=True)
         raise
     else:

@@ -197,6 +197,7 @@ def merge_parquet(
         staging = f"{target_path.rstrip('/')}__staging_{uuid.uuid4().hex}"
         merged.write.mode("overwrite").parquet(staging)
         _swap(spark, staging, target_path)
+        _invalidate_probe_memo()
         return ["<all>"]
 
     change_parts = updates.select(partition_col)
@@ -219,7 +220,20 @@ def merge_parquet(
         _swap(spark, f"{staging}/{part_dir}", f"{target_path.rstrip('/')}/{part_dir}")
         swapped.append(part_dir)
     _delete(spark, staging)
+    _invalidate_probe_memo()
     return swapped
+
+
+def _invalidate_probe_memo() -> None:
+    """Drop the as-of dimension-scale probe memo after a table mutation
+    (round-8 verdict task 3): a session that upserts into a price series
+    and re-enriches against it must re-probe, or the broadcast cap guard
+    could judge the grown series by stale stats. The memo is global and
+    cheap to rebuild (one guarded groupBy-count per distinct plan), so
+    dropping it wholesale beats plan-matching the touched path."""
+    from ..operators.asof import clear_probe_memo
+
+    clear_probe_memo()
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -244,6 +258,7 @@ def replace_dir(spark: SparkSession, staged: str, live: str) -> None:
     the public form of the MERGE writer's swap, for sinks that stage a
     full rewrite (e.g. streaming sketch maintenance)."""
     _swap(spark, staged, live)
+    _invalidate_probe_memo()
 
 
 def _swap(spark: SparkSession, staged: str, live: str) -> None:

@@ -101,6 +101,7 @@ def read_jsonl(
     spark: SparkSession,
     path: str,
     schema: StructType | str | None = None,
+    quarantine: bool = True,
 ) -> DataFrame:
     """JSON-Lines corpus reader — the interchange format training-data
     pipelines actually move documents in (one JSON object per line;
@@ -123,7 +124,12 @@ def read_jsonl(
     COPY — ``StructType.add`` mutates in place, and a caller's shared
     schema object must not grow a column as a side effect). Quarantine
     is then ``df.filter("_corrupt_record IS NOT NULL")`` regardless of
-    how the caller spelled the schema — but note Spark refuses a query
+    how the caller spelled the schema. Appending a column is a schema
+    change the caller must opt OUT of when it matters (round-8 ADVICE):
+    pass ``quarantine=False`` to keep the supplied schema byte-for-byte
+    (for unions, fixed-schema sinks, column-set comparisons) — bad lines
+    then become all-null rows, Spark's plain user-schema PERMISSIVE
+    behavior. Note Spark refuses a query
     whose only referenced column is the internal corrupt-record column
     (UNSUPPORTED_FEATURE): select at least one data column alongside it
     (as the test does), or ``df.cache()`` first, before counting the
@@ -133,7 +139,7 @@ def read_jsonl(
     if schema is not None:
         if isinstance(schema, str):
             schema = StructType.fromDDL(schema)
-        if "_corrupt_record" not in schema.fieldNames():
+        if quarantine and "_corrupt_record" not in schema.fieldNames():
             schema = StructType(list(schema.fields)).add("_corrupt_record", "string")
         reader = reader.schema(schema)
     return reader.json(path)

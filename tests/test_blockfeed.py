@@ -292,3 +292,61 @@ def test_landing_files_prunes_staging_and_survives_races(tmp_path):
 
     got = [p.replace(str(tmp_path) + "/", "") for p in _landing_files(str(tmp_path))]
     assert got == ["b2.parquet/part-00000.parquet", "block_1.parquet"]
+
+
+def test_landing_files_rejects_object_store_uris():
+    """os.walk over an s3://-style URI silently yields nothing, which
+    would stall the stream headless — a URI scheme must fail loudly
+    instead (round-8 ADVICE fix)."""
+    import pytest
+
+    from extract_transform_load_spark.sources.blockfeed import _landing_files
+
+    for uri in ("s3://bucket/landing", "hdfs://nn:8020/landing", "abfss://c@a/x"):
+        with pytest.raises(ValueError, match="local filesystem"):
+            _landing_files(uri)
+    # a plain absolute path with a colon elsewhere is NOT a scheme
+    assert _landing_files("/tmp/does-not-exist-blockfeed") == []
+
+
+def test_read_propagates_vanished_file_instead_of_in_process_retry(
+    tmp_path, monkeypatch, spark
+):
+    """A mid-scan FileNotFoundError must PROPAGATE out of read() so
+    Spark's task retry re-runs the partition with the failed attempt's
+    output discarded — an in-generator restart would re-yield already
+    emitted rows into the same attempt (duplicates; round-8 ADVICE fix).
+    The driver-side _head poll keeps its one-retry: its output is a
+    scalar, so a restart there cannot duplicate anything."""
+    import pyarrow.dataset as ds
+    import pytest
+
+    from extract_transform_load_spark.sources import blockfeed as bf
+
+    # one real landing file so the listing is non-empty
+    spark.createDataFrame(
+        [(1, "h1", 0, "t", None, {})],
+        "block bigint, tx_hash string, event_index int, event_type string, "
+        "timestamp timestamp, attributes map<string,string>",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "land"))
+
+    calls = {"n": 0}
+    real = ds.dataset
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        raise FileNotFoundError("file vanished mid-scan")
+
+    monkeypatch.setattr(ds, "dataset", flaky)
+    reader = bf._BlockFeedReader({"path": str(tmp_path / "land")})
+    part = bf._Range(str(tmp_path / "land"), 0, 10)
+    with pytest.raises(FileNotFoundError):
+        list(reader.read(part))
+    assert calls["n"] == 1  # exactly one attempt: no in-process restart
+
+    # _head DOES retry once (fresh listing) before giving up
+    calls["n"] = 0
+    with pytest.raises(FileNotFoundError):
+        bf._head(str(tmp_path / "land"))
+    assert calls["n"] == 2
+    monkeypatch.setattr(ds, "dataset", real)

@@ -1012,6 +1012,32 @@ def test_compact_landing_crash_leaves_no_visible_partial(tmp_path):
     assert out is not None and not stale.exists() and fresh.exists()
 
 
+def test_compact_landing_error_path_survives_close_failure(tmp_path, monkeypatch):
+    """On the failure path writer.close() can itself raise (ENOSPC while
+    flushing the footer) — that must not mask the original exception or
+    skip the temp unlink (round-8 ADVICE fix)."""
+    import pyarrow.parquet as pq
+    from extract_transform_load_spark.sources.livefeed import compact_landing
+
+    for h in (1, 2):
+        land_block(str(tmp_path), h, fake_rows(h))
+    (tmp_path / "block_000000000003_x.parquet").write_bytes(b"not parquet")
+
+    real_close = pq.ParquetWriter.close
+
+    def bad_close(self):
+        real_close(self)  # release the handle so unlink works on all OSes
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(pq.ParquetWriter, "close", bad_close)
+    # the ORIGINAL corrupt-parquet error propagates, not the ENOSPC mask
+    with pytest.raises(Exception) as exc:
+        compact_landing(str(tmp_path), min_files=2)
+    assert "No space left" not in str(exc.value)
+    assert list(tmp_path.glob(".blocks_*.inprogress")) == []
+    assert len(list(tmp_path.glob("block_*.parquet"))) == 3  # originals intact
+
+
 def test_compact_landing_noop_below_min_files(tmp_path):
     from extract_transform_load_spark.sources.livefeed import compact_landing
 

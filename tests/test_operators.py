@@ -1090,8 +1090,14 @@ def test_asof_probe_memo_and_precomputed_stats(spark):
     stats = asof._probe_right_stats(dim, ["k"], 100_000)
     assert stats == (2, 3)
     (key,) = asof._PROBE_MEMO.keys()
-    asof._PROBE_MEMO[key] = (7, 7)
+    born, _ = asof._PROBE_MEMO[key]
+    asof._PROBE_MEMO[key] = (born, (7, 7))
     assert asof._probe_right_stats(dim, ["k"], 100_000) == (7, 7)
+    # TTL backstop (round-8 verdict task 3): an entry older than the TTL
+    # is re-probed, so an out-of-session writer can stale the guard by
+    # at most one TTL window
+    asof._PROBE_MEMO[key] = (born - asof._PROBE_MEMO_TTL - 1, (7, 7))
+    assert asof._probe_right_stats(dim, ["k"], 100_000) == (2, 3)
     asof.clear_probe_memo()
     assert asof._PROBE_MEMO == {}
 
@@ -1124,6 +1130,56 @@ def test_asof_probe_memo_and_precomputed_stats(spark):
             left, dim, on=["k"], left_ts="t", right_ts="pt",
             value_cols=["v"], precomputed_stats=(2, 50_000),
         )
+
+
+def test_asof_probe_memo_invalidated_by_table_mutation(spark, tmp_path):
+    """Round-8 verdict task 3: the memo-staleness mitigation must live
+    in CODE, not prose. A session that (1) enriches against a parquet
+    price series under the cap (memo now warm), then (2) grows the
+    series past the cap through the in-repo upsert path, must (3) get
+    the loud cap error on the next enrichment — merge_parquet clears the
+    probe memo, so the guard re-probes the grown table instead of
+    trusting stale stats."""
+    from extract_transform_load_spark.operators import asof
+    from extract_transform_load_spark.sources.merge import merge_parquet
+
+    path = str(tmp_path / "ticks")
+    spark.range(4).selectExpr(
+        "0L AS k",
+        "TIMESTAMP'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS pt",
+        "CAST(id AS DOUBLE) AS v",
+        "id AS tick_id",
+    ).write.parquet(path)
+    left = spark.createDataFrame(
+        [(1, 0, ts("2024-01-01 01:00:00"))], "eid long, k long, t timestamp"
+    )
+
+    asof.clear_probe_memo()
+    ticks = spark.read.parquet(path)
+    out = asof.as_of_join_broadcast(
+        left, ticks, on=["k"], left_ts="t", right_ts="pt",
+        value_cols=["v"], max_ticks_per_key=8,
+    )
+    assert out.collect()[0]["v_asof"] == 3.0
+    assert len(asof._PROBE_MEMO) == 1  # memo warm
+
+    # grow the series past the cap through the in-repo mutation path
+    updates = spark.range(20).selectExpr(
+        "0L AS k",
+        "TIMESTAMP'2024-01-01 00:10:00' + make_interval(0,0,0,0,0,0,id) AS pt",
+        "CAST(100 + id AS DOUBLE) AS v",
+        "1000 + id AS tick_id",
+    )
+    merge_parquet(spark, path, updates, pk=["tick_id"])
+    assert asof._PROBE_MEMO == {}  # mutation cleared the memo
+
+    grown = spark.read.parquet(path)
+    with pytest.raises(ValueError, match=r"O\(\|ticks\|\)"):
+        asof.as_of_join_broadcast(
+            left, grown, on=["k"], left_ts="t", right_ts="pt",
+            value_cols=["v"], max_ticks_per_key=8,
+        ).collect()
+    asof.clear_probe_memo()
 
 
 def test_asof_broadcast_pick_when_gate(spark):

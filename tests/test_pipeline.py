@@ -624,3 +624,15 @@ def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
     got2 = read_jsonl(spark, str(bad), schema=shared)
     assert "_corrupt_record" in got2.columns
     assert shared.fieldNames() == before
+
+    # strict-schema callers opt OUT (round-8 ADVICE fix): the returned
+    # schema is byte-for-byte the supplied one — safe to union / write
+    # to a fixed-schema sink — and the bad line degrades to Spark's
+    # plain all-null PERMISSIVE row instead of being flagged
+    strict = read_jsonl(
+        spark, str(bad), schema="doc_id long, text string, lang string", quarantine=False
+    )
+    assert strict.columns == ["doc_id", "text", "lang"]
+    rows = strict.collect()
+    assert len(rows) == 2
+    assert sum(1 for r in rows if all(v is None for v in r)) == 1

@@ -87,10 +87,12 @@ HEADLINE = [
     # Round-7 addition (set stays a SUPERSET of BENCH_r06's): the
     # statistics-driven as-of dispatcher's registered query.
     "q129_asof_auto_enrichment",
-    # Round-8 addition: the PRODUCTION dedup-clustering composition —
+    # Round-8 additions: the PRODUCTION dedup-clustering composition —
     # clusters fed by MinHash-verified pairs instead of q61's exact
-    # quality-baseline feed (the round-7 verdict's ranked task 1).
+    # quality-baseline feed (the round-7 verdict's ranked task 1) — and
+    # the end-to-end curation pipeline composed from it.
     "q130_dedup_clusters_minhash",
+    "q131_curation_pipeline",
 ]
 
 

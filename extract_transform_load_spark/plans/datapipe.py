@@ -536,6 +536,132 @@ def q130_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q131_curation_pipeline",
+    # End-to-end oracle: replays every stage in DuckDB — exact-dup
+    # window, the q41 exact-pair graph + recursive closure over the
+    # exact-dedup SURVIVORS, the q46 TTR quality gate — with the same
+    # sequential drop attribution (a doc dropped by an earlier stage is
+    # never re-attributed to a later one). The MinHash feed equals the
+    # exact pair set on the fixture (the q42-vs-q41 gate equality), so
+    # the near-dup stage agrees too.
+    oracle="""
+    WITH RECURSIVE
+    base AS (
+      SELECT doc_id, text, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+               ORDER BY doc_id
+             ) AS rn
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id, text FROM base WHERE rn = 1),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM s1),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    ),
+    drops2 AS (
+      SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> least(u, MIN(v))
+    ),
+    staged AS (
+      SELECT b.source,
+             len(string_split(b.text, ' ')) AS nw,
+             CASE WHEN b.rn > 1 THEN 'exact_dup'
+                  WHEN d2.doc_id IS NOT NULL THEN 'near_dup'
+                  WHEN CAST(len(list_distinct(string_split(b.text, ' '))) AS DOUBLE)
+                       / len(string_split(b.text, ' ')) < 0.3 THEN 'low_quality'
+                  ELSE 'kept' END AS stage
+      FROM base b LEFT JOIN drops2 d2 USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_input,
+           CAST(SUM(CASE WHEN stage = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dropped,
+           CAST(SUM(CASE WHEN stage = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_dropped,
+           CAST(SUM(CASE WHEN stage = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_dropped,
+           CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN stage = 'kept' THEN nw ELSE 0 END) AS BIGINT) AS kept_words
+    FROM staged GROUP BY source
+    """,
+    doc="The full curation recipe a training-data pipeline actually runs, "
+    "as ONE declarative plan: exact dedup (fingerprint window, first "
+    "writer wins) -> near-dup clustering over the survivors (MinHash-"
+    "verified pairs -> connected components, the q130 production feed) "
+    "-> TTR quality gate, with per-source drop attribution in stage "
+    "order. Scale shape: the exact stage is one exchange on the "
+    "fingerprint (window, no join-back); the near-dup drop list joins "
+    "back by doc_id (broadcast-eligible, it's the DUPLICATES, not the "
+    "corpus); the quality gate and the final rollup are scan-local + "
+    "map-side combine. Corpus text crosses at most the fingerprint "
+    "exchange - never the pair graph.",
+)
+def q131_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.components import dedup_clusters
+    from ..operators.dedup import fingerprint, minhash_lsh_verified_pairs
+    from ..operators.textops import words
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        F.row_number()
+        .over(Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id"))
+        .alias("__rn"),
+    )
+    s1 = d.filter(F.col("__rn") == 1).select("doc_id", "text")
+    drops2 = (
+        dedup_clusters(
+            minhash_lsh_verified_pairs(s1, num_hashes=64, bands=16, threshold=0.5)
+        )
+        .filter(~F.col("keep"))
+        .select("doc_id", F.lit(True).alias("__nd"))
+    )
+    wds = words(F.col("text"))
+    ttr = F.size(F.array_distinct(wds)).cast("double") / F.size(wds)
+    staged = d.join(drops2, "doc_id", "left").select(
+        "source",
+        F.size(wds).cast("bigint").alias("__nw"),
+        F.when(F.col("__rn") > 1, "exact_dup")
+        .when(F.col("__nd"), "near_dup")
+        .when(ttr < 0.3, "low_quality")
+        .otherwise("kept")
+        .alias("__stage"),
+    )
+    kept = F.col("__stage") == "kept"
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum((F.col("__stage") == "exact_dup").cast("bigint")).alias("n_exact_dropped"),
+        F.sum((F.col("__stage") == "near_dup").cast("bigint")).alias("n_neardup_dropped"),
+        F.sum((F.col("__stage") == "low_quality").cast("bigint")).alias("n_quality_dropped"),
+        F.sum(kept.cast("bigint")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("__nw")).otherwise(F.lit(0))).cast("bigint").alias("kept_words"),
+    )
+
+
+@query(
     "q64_hash_split",
     oracle="""
     WITH b AS (

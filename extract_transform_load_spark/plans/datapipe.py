@@ -604,34 +604,46 @@ def q130_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM staged GROUP BY source
     """,
     doc="The full curation recipe a training-data pipeline actually runs, "
-    "as ONE declarative plan: exact dedup (fingerprint window, first "
+    "as ONE declarative plan: exact dedup (fingerprint groupBy, first "
     "writer wins) -> near-dup clustering over the survivors (MinHash-"
     "verified pairs -> connected components, the q130 production feed) "
     "-> TTR quality gate, with per-source drop attribution in stage "
-    "order. Scale shape: the exact stage is one exchange on the "
-    "fingerprint (window, no join-back); the near-dup drop list joins "
-    "back by doc_id (broadcast-eligible, it's the DUPLICATES, not the "
-    "corpus); the quality gate and the final rollup are scan-local + "
-    "map-side combine. Corpus text crosses at most the fingerprint "
-    "exchange - never the pair graph.",
+    "order. Scale shape: corpus TEXT never crosses an exchange — the "
+    "per-doc metrics (fingerprint, word count, TTR) are computed in-"
+    "scan, the exact stage shuffles only (fingerprint, doc_id) pairs "
+    "with a map-side-combined min, the pair graph moves shingle hashes "
+    "only, and the drop lists join back by doc_id (duplicates-only id "
+    "lists, so AQE converts these to broadcast joins at realistic dup "
+    "rates; at pathological dup rates the SMJ fallback shuffles ids + "
+    "text once, the honest floor). Plan-audited by "
+    "tests/test_datapipe.py::test_curation_pipeline_no_text_shuffle.",
 )
 def q131_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from ..operators.components import dedup_clusters
     from ..operators.dedup import fingerprint, minhash_lsh_verified_pairs
     from ..operators.textops import words
 
     docs = load(spark, sf_dir, "documents")
-    d = docs.select(
+    wds = words(F.col("text"))
+    # text is consumed HERE, in-scan; everything downstream moves ids,
+    # fingerprints and per-doc metrics (~40 bytes/row), never text
+    m = docs.select(
         "doc_id",
-        "text",
         "source",
-        F.row_number()
-        .over(Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id"))
-        .alias("__rn"),
+        fingerprint(F.col("text")).alias("__fp"),
+        F.size(wds).cast("bigint").alias("__nw"),
+        (F.size(F.array_distinct(wds)).cast("double") / F.size(wds)).alias("__ttr"),
     )
-    s1 = d.filter(F.col("__rn") == 1).select("doc_id", "text")
+    keeps = m.groupBy("__fp").agg(F.min("doc_id").alias("__keep_id"))
+    dropped1 = (
+        m.select("__fp", "doc_id")
+        .join(keeps, "__fp")
+        .filter(F.col("doc_id") != F.col("__keep_id"))
+        .select("doc_id", F.lit(True).alias("__xd"))
+    )
+    s1 = docs.select("doc_id", "text").join(
+        dropped1.select("doc_id"), "doc_id", "left_anti"
+    )
     drops2 = (
         dedup_clusters(
             minhash_lsh_verified_pairs(s1, num_hashes=64, bands=16, threshold=0.5)
@@ -639,16 +651,18 @@ def q131_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("keep"))
         .select("doc_id", F.lit(True).alias("__nd"))
     )
-    wds = words(F.col("text"))
-    ttr = F.size(F.array_distinct(wds)).cast("double") / F.size(wds)
-    staged = d.join(drops2, "doc_id", "left").select(
-        "source",
-        F.size(wds).cast("bigint").alias("__nw"),
-        F.when(F.col("__rn") > 1, "exact_dup")
-        .when(F.col("__nd"), "near_dup")
-        .when(ttr < 0.3, "low_quality")
-        .otherwise("kept")
-        .alias("__stage"),
+    staged = (
+        m.join(dropped1, "doc_id", "left")
+        .join(drops2, "doc_id", "left")
+        .select(
+            "source",
+            "__nw",
+            F.when(F.col("__xd"), "exact_dup")
+            .when(F.col("__nd"), "near_dup")
+            .when(F.col("__ttr") < 0.3, "low_quality")
+            .otherwise("kept")
+            .alias("__stage"),
+        )
     )
     kept = F.col("__stage") == "kept"
     return staged.groupBy("source").agg(

@@ -1555,3 +1555,91 @@ def test_cross_doc_spans_periodic_text_guard(spark):
         small, k=25, w=8, min_len=80, max_fp_occurrences=1_000_000
     )
     assert lifted.count() >= 1  # the full 120-char run pairs once uncapped
+
+
+def test_curation_pipeline_stage_attribution(spark, tmp_path):
+    """q131's sequential drop attribution, hand-checked on a planted
+    corpus: an exact duplicate that is ALSO a near-duplicate must be
+    attributed to the exact stage (stage order is the contract), the
+    near-dup stage must see only exact-dedup survivors, and kept_words
+    counts kept docs only."""
+    from extract_transform_load_spark.plans.datapipe import q131_curation_pipeline
+
+    base_words = [f"w{i:02d}" for i in range(30)]
+    doc1 = " ".join(base_words)                       # kept (TTR = 1.0)
+    doc2 = doc1.upper() + "!!!"                       # exact dup of doc1 (normalized)
+    near = " ".join(base_words[:-1] + ["zz"])         # near dup (1 word differs)
+    spam = " ".join(["spam"] * 10)                    # TTR 0.1 -> low_quality
+    uniq = " ".join(f"u{i:02d}" for i in range(20))   # kept
+    rows = [
+        (1, doc1), (2, doc2), (3, near), (4, spam), (5, uniq),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = q131_curation_pipeline(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["source"] == "test"
+    assert r["n_input"] == 5
+    assert r["n_exact_dropped"] == 1     # doc2, NOT attributed to near-dup
+    assert r["n_neardup_dropped"] == 1   # doc3 clusters with doc1 (min id keeps)
+    assert r["n_quality_dropped"] == 1   # doc4
+    assert r["n_kept"] == 2              # doc1, doc5
+    assert r["kept_words"] == 30 + 20
+
+    # sanity: the near-dup plant really is above the verify threshold
+    sh1 = {" ".join(base_words[i:i + 3]) for i in range(28)}
+    sh3 = {" ".join((base_words[:-1] + ["zz"])[i:i + 3]) for i in range(28)}
+    j = len(sh1 & sh3) / len(sh1 | sh3)
+    assert j >= 0.5, j
+
+
+def test_curation_pipeline_no_text_shuffle(spark):
+    """q131's scale contract: corpus text is consumed in-scan (metrics,
+    fingerprint, shingle hashes) and NEVER crosses an exchange. The
+    drop lists are duplicates-only id sets, so at any realistic dup rate
+    AQE turns every join back into a broadcast — assert on the FINAL
+    adaptive plan (the static plan legitimately contains SMJ exchanges
+    that AQE replaces at runtime; round-6 lesson: never assert AQE
+    behavior on the pre-execution plan string)."""
+    import extract_transform_load_spark.plans.datapipe as dp
+    from extract_transform_load_spark.plans.datapipe import q131_curation_pipeline
+
+    base = " ".join(f"w{i:02d}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, base, "en", "s", 1), (2, base + "!", "en", "s", 1),
+         (3, " ".join(["x"] * 8), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = dp.load
+    try:
+        dp.load = lambda spark_, sf_, name: docs
+        out = q131_curation_pipeline(spark, "unused")
+        out.collect()
+    finally:
+        dp.load = orig
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # toString appends the PRE-adaptive "== Initial Plan ==" (which
+    # legitimately contains the SMJs AQE replaced) — judge the final
+    # section only
+    final = plan.split("== Initial Plan ==")[0]
+    # no shuffled join survives at this scale -> text stayed scan-local
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+    assert "Window" not in final  # the exact stage is a groupBy, not a window
+
+    # belt and braces: no remaining exchange's INPUT carries the text column
+    jvm = spark._jvm
+    formatted = out._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    blocks = formatted.split("\n\n")
+    for block in blocks:
+        lines = block.splitlines()
+        if lines and ") Exchange" in lines[0]:
+            for ln in lines:
+                if ln.startswith("Input"):
+                    assert "text#" not in ln, lines[0] + " carries text: " + ln

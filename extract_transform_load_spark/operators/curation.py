@@ -1,0 +1,139 @@
+"""Corpus curation as a reusable operator (the q131 recipe behind an
+API a pipeline user can call directly): exact dedup -> near-dup
+clustering over the survivors -> quality gate, with sequential stage
+attribution.
+
+Scale contract (plan-audited via q131's test): document text is
+consumed in-scan — the exact stage shuffles only (fingerprint, id)
+pairs with a map-side-combined min, the pair graph moves shingle
+hashes, and every join back to the corpus is against a DUPLICATES-ONLY
+id list (AQE broadcasts it at realistic dup rates; the SMJ fallback at
+pathological rates shuffles ids + text once, the honest floor).
+
+Reference scope note: the reference engine has no curation layer — this
+is part of the repo's LLM-data-pipeline extension surface (SURVEY.md
+§2 "scale extensions"), composed entirely from the audited dedup /
+components / textops operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+STAGES = ("exact_dup", "near_dup", "low_quality", "kept")
+
+
+def curation_stages(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough_cols: Sequence[str] = ("source",),
+    min_ttr: float = 0.3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-document curation verdicts.
+
+    Returns (id_col, *passthrough_cols, n_words, stage) where ``stage``
+    is the FIRST pipeline stage that drops the document — ``exact_dup``
+    (not the minimal id of its normalized-content fingerprint group),
+    ``near_dup`` (clustered with a smaller-id survivor by
+    MinHash-verified Jaccard >= ``threshold``), ``low_quality``
+    (type-token ratio < ``min_ttr``), or ``kept``. Attribution is
+    sequential: a doc dropped by an earlier stage is never re-labelled
+    by a later one, and the near-dup graph is built over exact-dedup
+    SURVIVORS only (an exact dup has the same shingle set as its
+    keeper, so no cluster edge is lost by removing it first).
+    """
+    from .components import dedup_clusters
+    from .dedup import fingerprint, minhash_lsh_verified_pairs
+    from .textops import words
+
+    wds = words(F.col(text_col))
+    # text is consumed HERE, in-scan; everything downstream moves ids,
+    # fingerprints and per-doc metrics, never text
+    m = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough_cols],
+        fingerprint(F.col(text_col)).alias("__fp"),
+        F.size(wds).cast("bigint").alias("n_words"),
+        (F.size(F.array_distinct(wds)).cast("double") / F.size(wds)).alias("__ttr"),
+    )
+    keeps = m.groupBy("__fp").agg(F.min(id_col).alias("__keep_id"))
+    dropped1 = (
+        m.select("__fp", id_col)
+        .join(keeps, "__fp")
+        .filter(F.col(id_col) != F.col("__keep_id"))
+        .select(id_col, F.lit(True).alias("__xd"))
+    )
+    s1 = docs.select(F.col(id_col), F.col(text_col)).join(
+        dropped1.select(id_col), id_col, "left_anti"
+    )
+    drops2 = (
+        dedup_clusters(
+            minhash_lsh_verified_pairs(
+                s1,
+                num_hashes=num_hashes,
+                bands=bands,
+                threshold=threshold,
+                text_col=text_col,
+                id_col=id_col,
+            )
+        )
+        .filter(~F.col("keep"))
+        .select(F.col("doc_id").alias(id_col), F.lit(True).alias("__nd"))
+    )
+    return (
+        m.join(dropped1, id_col, "left")
+        .join(drops2, id_col, "left")
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in passthrough_cols],
+            F.col("n_words"),
+            F.when(F.col("__xd"), "exact_dup")
+            .when(F.col("__nd"), "near_dup")
+            .when(F.col("__ttr") < min_ttr, "low_quality")
+            .otherwise("kept")
+            .alias("stage"),
+        )
+    )
+
+
+def curated_corpus(
+    docs: DataFrame,
+    stages: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The surviving corpus, all original columns intact.
+
+    Joins ``docs`` against the DROP list (stage != kept) with a
+    left-anti join — the drop side is the duplicates/rejects only, so
+    text stays scan-local whenever that list broadcasts; materializing
+    the curated corpus never shuffles the kept majority.
+    """
+    drops = stages.filter(F.col("stage") != "kept").select(id_col)
+    return docs.join(drops, id_col, "left_anti")
+
+
+def curation_report(
+    stages: DataFrame,
+    group_cols: Sequence[str] = ("source",),
+) -> DataFrame:
+    """Per-group funnel rollup of :func:`curation_stages` output —
+    input count, per-stage drop counts, kept count and kept words.
+    Map-side combined; one exchange on the group keys."""
+    kept = F.col("stage") == "kept"
+    return stages.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum((F.col("stage") == "exact_dup").cast("bigint")).alias("n_exact_dropped"),
+        F.sum((F.col("stage") == "near_dup").cast("bigint")).alias("n_neardup_dropped"),
+        F.sum((F.col("stage") == "low_quality").cast("bigint")).alias("n_quality_dropped"),
+        F.sum(kept.cast("bigint")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_words")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("kept_words"),
+    )

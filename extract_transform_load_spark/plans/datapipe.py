@@ -619,60 +619,13 @@ def q130_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_datapipe.py::test_curation_pipeline_no_text_shuffle.",
 )
 def q131_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.components import dedup_clusters
-    from ..operators.dedup import fingerprint, minhash_lsh_verified_pairs
-    from ..operators.textops import words
+    from ..operators.curation import curation_report, curation_stages
 
-    docs = load(spark, sf_dir, "documents")
-    wds = words(F.col("text"))
-    # text is consumed HERE, in-scan; everything downstream moves ids,
-    # fingerprints and per-doc metrics (~40 bytes/row), never text
-    m = docs.select(
-        "doc_id",
-        "source",
-        fingerprint(F.col("text")).alias("__fp"),
-        F.size(wds).cast("bigint").alias("__nw"),
-        (F.size(F.array_distinct(wds)).cast("double") / F.size(wds)).alias("__ttr"),
+    stages = curation_stages(
+        load(spark, sf_dir, "documents"),
+        min_ttr=0.3, num_hashes=64, bands=16, threshold=0.5,
     )
-    keeps = m.groupBy("__fp").agg(F.min("doc_id").alias("__keep_id"))
-    dropped1 = (
-        m.select("__fp", "doc_id")
-        .join(keeps, "__fp")
-        .filter(F.col("doc_id") != F.col("__keep_id"))
-        .select("doc_id", F.lit(True).alias("__xd"))
-    )
-    s1 = docs.select("doc_id", "text").join(
-        dropped1.select("doc_id"), "doc_id", "left_anti"
-    )
-    drops2 = (
-        dedup_clusters(
-            minhash_lsh_verified_pairs(s1, num_hashes=64, bands=16, threshold=0.5)
-        )
-        .filter(~F.col("keep"))
-        .select("doc_id", F.lit(True).alias("__nd"))
-    )
-    staged = (
-        m.join(dropped1, "doc_id", "left")
-        .join(drops2, "doc_id", "left")
-        .select(
-            "source",
-            "__nw",
-            F.when(F.col("__xd"), "exact_dup")
-            .when(F.col("__nd"), "near_dup")
-            .when(F.col("__ttr") < 0.3, "low_quality")
-            .otherwise("kept")
-            .alias("__stage"),
-        )
-    )
-    kept = F.col("__stage") == "kept"
-    return staged.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_input"),
-        F.sum((F.col("__stage") == "exact_dup").cast("bigint")).alias("n_exact_dropped"),
-        F.sum((F.col("__stage") == "near_dup").cast("bigint")).alias("n_neardup_dropped"),
-        F.sum((F.col("__stage") == "low_quality").cast("bigint")).alias("n_quality_dropped"),
-        F.sum(kept.cast("bigint")).alias("n_kept"),
-        F.sum(F.when(kept, F.col("__nw")).otherwise(F.lit(0))).cast("bigint").alias("kept_words"),
-    )
+    return curation_report(stages)
 
 
 @query(

@@ -1643,3 +1643,37 @@ def test_curation_pipeline_no_text_shuffle(spark):
             for ln in lines:
                 if ln.startswith("Input"):
                     assert "text#" not in ln, lines[0] + " carries text: " + ln
+
+
+def test_curation_operator_api(spark):
+    """The reusable operator form of the q131 recipe: per-doc stage
+    labels, drop-list-anti-join corpus materialization (original columns
+    intact), and the report rollup equal to the registered query's."""
+    from extract_transform_load_spark.operators.curation import (
+        curated_corpus,
+        curation_report,
+        curation_stages,
+    )
+
+    base = " ".join(f"w{i:02d}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "s", 1),
+            (2, base.upper() + "!", "en", "s", 1),          # exact dup
+            (3, " ".join(base.split()[:-1] + ["zz"]), "en", "s", 1),  # near dup
+            (4, " ".join(["spam"] * 10), "en", "s", 1),     # low quality
+            (5, " ".join(f"u{i:02d}" for i in range(20)), "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    stages = curation_stages(docs)
+    by_id = {r["doc_id"]: r["stage"] for r in stages.collect()}
+    assert by_id == {1: "kept", 2: "exact_dup", 3: "near_dup",
+                     4: "low_quality", 5: "kept"}
+
+    kept = curated_corpus(docs, stages)
+    assert kept.columns == docs.columns  # originals intact
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 5]
+
+    rep = curation_report(stages).collect()
+    assert len(rep) == 1 and rep[0]["n_kept"] == 2 and rep[0]["kept_words"] == 50

@@ -1629,9 +1629,10 @@ def test_curation_pipeline_no_text_shuffle(spark):
     final = plan.split("== Initial Plan ==")[0]
     # no shuffled join survives at this scale -> text stayed scan-local
     assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
-    assert "Window" not in final  # the exact stage is a groupBy, not a window
 
-    # belt and braces: no remaining exchange's INPUT carries the text column
+    # belt and braces: no remaining exchange's (or window's) INPUT
+    # carries the text column — the exact-stage window is legal because
+    # it runs over the pruned (fingerprint, id) frame, never text
     jvm = spark._jvm
     formatted = out._jdf.queryExecution().explainString(
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
@@ -1639,7 +1640,7 @@ def test_curation_pipeline_no_text_shuffle(spark):
     blocks = formatted.split("\n\n")
     for block in blocks:
         lines = block.splitlines()
-        if lines and ") Exchange" in lines[0]:
+        if lines and (") Exchange" in lines[0] or ") Window" in lines[0]):
             for ln in lines:
                 if ln.startswith("Input"):
                     assert "text#" not in ln, lines[0] + " carries text: " + ln

@@ -93,7 +93,10 @@ def _probe_right_stats(
         born, stats = _PROBE_MEMO[key]
         if now - born <= _PROBE_MEMO_TTL:
             return stats
-        del _PROBE_MEMO[key]  # expired: re-probe below
+        # expired: re-probe below. pop, not del — two concurrent
+        # enrichment threads can both see the entry expired, and the
+        # second del would raise KeyError out of the join.
+        _PROBE_MEMO.pop(key, None)
     counts = right.groupBy(*list(on)).count().limit(max_keys + 1).collect()
     stats = (len(counts), max((r["count"] for r in counts), default=0))
     if key is not None:

@@ -47,8 +47,15 @@ def curation_stages(
     (type-token ratio < ``min_ttr``), or ``kept``. Attribution is
     sequential: a doc dropped by an earlier stage is never re-labelled
     by a later one, and the near-dup graph is built over exact-dedup
-    SURVIVORS only (an exact dup has the same shingle set as its
-    keeper, so no cluster edge is lost by removing it first).
+    SURVIVORS only — the standard recipe order. Deliberate consequence
+    (review r8): the fingerprint normalizes case/punctuation but
+    shingles are over RAW text, so a near-duplicate of a DROPPED
+    case/punctuation variant whose similarity exists only in the raw
+    form is not clustered with the variant's keeper. The oracle mirrors
+    the same survivors-only graph, so the semantics are pinned, not
+    accidental. Documents with NULL text never reach ``kept``: they are
+    labelled ``low_quality`` unless already dropped as fingerprint
+    duplicates of each other (NULL fingerprints group together).
 
     ``cache_drop_list`` persists the exact-stage drop list
     (MEMORY_AND_DISK). Measured at 500k docs: the drop-list subtree is
@@ -118,7 +125,9 @@ def curation_stages(
             F.col("n_words"),
             F.when(F.col("__xd"), "exact_dup")
             .when(F.col("__nd"), "near_dup")
-            .when(F.col("__ttr") < min_ttr, "low_quality")
+            # NULL __ttr (null text) must not fall through to kept: a
+            # null comparison is null-false in a when-chain (review r8)
+            .when(F.col("__ttr").isNull() | (F.col("__ttr") < min_ttr), "low_quality")
             .otherwise("kept")
             .alias("stage"),
         )

@@ -589,8 +589,9 @@ def q130_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(string_split(b.text, ' ')) AS nw,
              CASE WHEN b.rn > 1 THEN 'exact_dup'
                   WHEN d2.doc_id IS NOT NULL THEN 'near_dup'
-                  WHEN CAST(len(list_distinct(string_split(b.text, ' '))) AS DOUBLE)
-                       / len(string_split(b.text, ' ')) < 0.3 THEN 'low_quality'
+                  WHEN b.text IS NULL
+                       OR CAST(len(list_distinct(string_split(b.text, ' '))) AS DOUBLE)
+                          / len(string_split(b.text, ' ')) < 0.3 THEN 'low_quality'
                   ELSE 'kept' END AS stage
       FROM base b LEFT JOIN drops2 d2 USING (doc_id)
     )

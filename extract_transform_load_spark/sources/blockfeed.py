@@ -182,43 +182,56 @@ class _BlockFeedReader(DataSourceStreamReader):
         import pyarrow.dataset as ds
 
         # Same pruned listing as the driver poll: never descend into a
-        # concurrent writer's _temporary staging tree. Unlike _head,
-        # there is NO in-process retry here (round-8 ADVICE fix): a
-        # generator that restarts after a mid-scan FileNotFoundError
-        # (compaction unlinking a listed original) would re-yield every
-        # row already emitted INTO THE SAME task attempt's output —
-        # strictly weaker than a Spark task retry, which discards the
-        # failed attempt's output entirely and re-runs read() with a
-        # fresh listing (the merged blocks_* file carries the vanished
-        # rows), preserving exactly-once. So the error propagates and
-        # task retry does the restart. Note local[n] masters default to
-        # maxFailures=1 — co-locating compaction with a live local test
-        # reader needs master "local[n,2]" or a quiesced compactor.
-        # Batches stream; nothing buffers the range.
-        files = _landing_files(partition.path)
-        if not files:
-            return
-        dataset = ds.dataset(files, format="parquet")
-        expr = (ds.field("block") > partition.lo) & (ds.field("block") <= partition.hi)
-        for batch in dataset.to_batches(filter=expr):
-            for row in batch.to_pylist():
-                attrs = row["attributes"]
-                if isinstance(attrs, list):  # pyarrow map -> [(k, v)]
-                    attrs = dict(attrs)
-                ts = row["timestamp"]
-                # landing timestamps are UTC instants (session
-                # tz UTC); Spark's arrow converter requires
-                # tz-aware values.
-                if ts is not None and ts.tzinfo is None:
-                    ts = ts.replace(tzinfo=timezone.utc)
-                yield (
-                    row["block"],
-                    row["tx_hash"],
-                    row["event_index"],
-                    row["event_type"],
-                    ts,
-                    attrs,
+        # concurrent writer's _temporary staging tree. Retry semantics
+        # (round-8 ADVICE fix, refined by review): a restart is
+        # duplicate-free ONLY while nothing has been yielded — a
+        # generator that restarts mid-stream re-yields every row already
+        # emitted INTO THE SAME task attempt's output (strictly weaker
+        # than a Spark task retry, which discards the failed attempt
+        # entirely). So the one in-process retry is gated on
+        # zero-rows-yielded — which still covers the observed race
+        # (compaction unlinks a listed original while dataset() opens
+        # footers, i.e. before the first batch) — and a mid-stream
+        # FileNotFoundError propagates to Spark's task retry (read()
+        # re-lists on the fresh attempt; the merged blocks_* file
+        # carries the vanished rows). Note local[n] masters default to
+        # maxFailures=1 — co-locating compaction with a live local-mode
+        # reader needs master "local[n,2]" or a quiesced compactor for
+        # the mid-stream case. Batches stream; nothing buffers the range.
+        yielded = False
+        for attempt in (0, 1):
+            files = _landing_files(partition.path)
+            if not files:
+                return
+            try:
+                dataset = ds.dataset(files, format="parquet")
+                expr = (ds.field("block") > partition.lo) & (
+                    ds.field("block") <= partition.hi
                 )
+                for batch in dataset.to_batches(filter=expr):
+                    for row in batch.to_pylist():
+                        attrs = row["attributes"]
+                        if isinstance(attrs, list):  # pyarrow map -> [(k, v)]
+                            attrs = dict(attrs)
+                        ts = row["timestamp"]
+                        # landing timestamps are UTC instants (session
+                        # tz UTC); Spark's arrow converter requires
+                        # tz-aware values.
+                        if ts is not None and ts.tzinfo is None:
+                            ts = ts.replace(tzinfo=timezone.utc)
+                        yielded = True
+                        yield (
+                            row["block"],
+                            row["tx_hash"],
+                            row["event_index"],
+                            row["event_type"],
+                            ts,
+                            attrs,
+                        )
+                return
+            except FileNotFoundError:
+                if attempt or yielded:
+                    raise
 
     def commit(self, end: dict) -> None:
         # Offset durability lives in the query checkpoint; nothing to

@@ -196,8 +196,13 @@ def merge_parquet(
         merged = merge_plan(existing, updates, pk, deletes, order_col)
         staging = f"{target_path.rstrip('/')}__staging_{uuid.uuid4().hex}"
         merged.write.mode("overwrite").parquet(staging)
-        _swap(spark, staging, target_path)
-        _invalidate_probe_memo()
+        # invalidate in a finally: _swap's failure modes include a
+        # half-landed state (rollback rename itself failing), and a
+        # spurious invalidation merely costs one re-probe
+        try:
+            _swap(spark, staging, target_path)
+        finally:
+            _invalidate_probe_memo()
         return ["<all>"]
 
     change_parts = updates.select(partition_col)
@@ -214,13 +219,19 @@ def merge_parquet(
     staging = f"{target_path.rstrip('/')}__staging_{uuid.uuid4().hex}"
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
 
+    # invalidate in a finally once ANY partition swap may have landed:
+    # a failure after the first swap leaves the table mutated, and
+    # reaching the memo drop only on full success would preserve the
+    # exact staleness hazard this hook exists to close (review r8)
     swapped = []
-    for value in touched:
-        part_dir = f"{partition_col}={value}"
-        _swap(spark, f"{staging}/{part_dir}", f"{target_path.rstrip('/')}/{part_dir}")
-        swapped.append(part_dir)
-    _delete(spark, staging)
-    _invalidate_probe_memo()
+    try:
+        for value in touched:
+            part_dir = f"{partition_col}={value}"
+            _swap(spark, f"{staging}/{part_dir}", f"{target_path.rstrip('/')}/{part_dir}")
+            swapped.append(part_dir)
+        _delete(spark, staging)
+    finally:
+        _invalidate_probe_memo()
     return swapped
 
 

@@ -309,15 +309,16 @@ def test_landing_files_rejects_object_store_uris():
     assert _landing_files("/tmp/does-not-exist-blockfeed") == []
 
 
-def test_read_propagates_vanished_file_instead_of_in_process_retry(
-    tmp_path, monkeypatch, spark
-):
-    """A mid-scan FileNotFoundError must PROPAGATE out of read() so
-    Spark's task retry re-runs the partition with the failed attempt's
-    output discarded — an in-generator restart would re-yield already
-    emitted rows into the same attempt (duplicates; round-8 ADVICE fix).
-    The driver-side _head poll keeps its one-retry: its output is a
-    scalar, so a restart there cannot duplicate anything."""
+def test_read_retry_is_gated_on_zero_rows_yielded(tmp_path, monkeypatch, spark):
+    """Duplicate-free retry contract (round-8 ADVICE fix, refined): a
+    FileNotFoundError BEFORE the first yielded row may retry in-process
+    (fresh listing; nothing emitted, so nothing can duplicate — the
+    observed compaction race fails here, at footer-open time), but a
+    MID-STREAM failure must propagate so Spark's task retry re-runs the
+    partition with the failed attempt's output discarded — an
+    in-generator restart would re-yield already emitted rows into the
+    same attempt. The driver-side _head poll keeps its one-retry: its
+    output is a scalar."""
     import pyarrow.dataset as ds
     import pytest
 
@@ -333,19 +334,56 @@ def test_read_propagates_vanished_file_instead_of_in_process_retry(
     calls = {"n": 0}
     real = ds.dataset
 
-    def flaky(*a, **k):
+    def flaky_at_open(*a, **k):
         calls["n"] += 1
-        raise FileNotFoundError("file vanished mid-scan")
+        raise FileNotFoundError("file vanished at footer open")
 
-    monkeypatch.setattr(ds, "dataset", flaky)
+    monkeypatch.setattr(ds, "dataset", flaky_at_open)
     reader = bf._BlockFeedReader({"path": str(tmp_path / "land")})
     part = bf._Range(str(tmp_path / "land"), 0, 10)
     with pytest.raises(FileNotFoundError):
         list(reader.read(part))
-    assert calls["n"] == 1  # exactly one attempt: no in-process restart
+    assert calls["n"] == 2  # pre-yield: ONE in-process retry, then raise
+
+    # pre-yield failure that heals on the retry: full rows, no dupes
+    calls["n"] = 0
+
+    def flaky_once(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError("healed on re-list")
+        return real(*a, **k)
+
+    monkeypatch.setattr(ds, "dataset", flaky_once)
+    rows = list(reader.read(part))
+    assert calls["n"] == 2 and [r[0] for r in rows] == [1]
+
+    # MID-STREAM failure (rows already yielded) must NOT retry in-process
+    calls["n"] = 0
+
+    class MidStreamDataset:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def to_batches(self, **kw):
+            yield from self._inner.to_batches(**kw)
+            raise FileNotFoundError("vanished mid-stream")
+
+    def wrap(*a, **k):
+        calls["n"] += 1
+        return MidStreamDataset(real(*a, **k))
+
+    monkeypatch.setattr(ds, "dataset", wrap)
+    got = []
+    with pytest.raises(FileNotFoundError):
+        for row in reader.read(part):
+            got.append(row)
+    assert calls["n"] == 1  # no second attempt: Spark owns the retry now
+    assert [r[0] for r in got] == [1]  # the attempt's partial output
 
     # _head DOES retry once (fresh listing) before giving up
     calls["n"] = 0
+    monkeypatch.setattr(ds, "dataset", flaky_at_open)
     with pytest.raises(FileNotFoundError):
         bf._head(str(tmp_path / "land"))
     assert calls["n"] == 2

@@ -1664,13 +1664,20 @@ def test_curation_operator_api(spark):
             (3, " ".join(base.split()[:-1] + ["zz"]), "en", "s", 1),  # near dup
             (4, " ".join(["spam"] * 10), "en", "s", 1),     # low quality
             (5, " ".join(f"u{i:02d}" for i in range(20)), "en", "s", 1),
+            # null text must NEVER reach 'kept' (review r8): null
+            # fingerprints group together (6 keeps the group, 7 is its
+            # exact_dup), and the surviving null doc fails the quality
+            # gate via the explicit null guard
+            (6, None, "en", "s", 0),
+            (7, None, "en", "s", 0),
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     stages = curation_stages(docs)
     by_id = {r["doc_id"]: r["stage"] for r in stages.collect()}
     assert by_id == {1: "kept", 2: "exact_dup", 3: "near_dup",
-                     4: "low_quality", 5: "kept"}
+                     4: "low_quality", 5: "kept",
+                     6: "low_quality", 7: "exact_dup"}
 
     kept = curated_corpus(docs, stages)
     assert kept.columns == docs.columns  # originals intact

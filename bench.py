@@ -93,6 +93,7 @@ HEADLINE = [
     # the end-to-end curation pipeline composed from it.
     "q130_dedup_clusters_minhash",
     "q131_curation_pipeline",
+    "q132_curation_delta",
 ]
 
 

@@ -134,6 +134,118 @@ def curation_stages(
     )
 
 
+def curation_delta(
+    delta: DataFrame,
+    seen_fingerprints: DataFrame,
+    corpus_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough_cols: Sequence[str] = ("source",),
+    min_ttr: float = 0.3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    cache_drop_list: bool = True,
+) -> DataFrame:
+    """Curate a FRESH BATCH against an already-curated store — the
+    continuous-ingestion form of :func:`curation_stages`, touching the
+    stored corpus only through its bounded state tables: the fingerprint
+    set (``seen_fingerprints``: one md5 per unique stored doc) and the
+    MinHash signature table (``corpus_sigs``: (doc_id, signature) from
+    ``minhash_signatures`` at admission time). Corpus TEXT is never
+    read; per-batch cost is O(batch + collisions), independent of
+    corpus size.
+
+    Returns per-delta-doc verdicts (id_col, *passthrough_cols, n_words,
+    fingerprint, stage) with the same sequential attribution as the
+    batch form:
+
+    - ``exact_dup``: fingerprint already in the store, or loses the
+      min-id race within the batch;
+    - ``near_dup``: connected — through any chain of within-batch
+      verified pairs and/or signature-estimated store collisions — to a
+      stored doc (the store always wins) or to a smaller-id batch
+      survivor. One connected-components pass decides both: store hits
+      become edges to a sentinel node (-1, smaller than any real id, so
+      it is always the cluster keeper), which preserves exactly
+      "connected to the store" without caring WHICH stored doc. Requires
+      non-negative ids.
+    - ``low_quality`` / ``kept``: the TTR gate (null text never kept).
+
+    Cross-store pairs use the SIGNATURE estimate (>= ``threshold`` on
+    agreement fraction) — the store's text is gone by design — while
+    within-batch pairs are exact-verified; on corpora whose true-pair
+    similarities sit well above the threshold (the q42 S-curve
+    argument) the two coincide with the exact-Jaccard pair set, which
+    is what q132's DuckDB oracle replays. Append the kept rows'
+    ``fingerprint`` (and their ``minhash_signatures``) to the state
+    tables and the operator is its own state maintenance.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from .components import dedup_clusters
+    from .dedup import (
+        fingerprint,
+        minhash_delta_pairs,
+        minhash_lsh_verified_pairs,
+    )
+    from .textops import words
+
+    wds = words(F.col(text_col))
+    m = delta.select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough_cols],
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+        F.size(wds).cast("bigint").alias("n_words"),
+        (F.size(F.array_distinct(wds)).cast("double") / F.size(wds)).alias("__ttr"),
+    )
+    seen = seen_fingerprints.select("fingerprint").distinct()
+    dropped1 = (
+        delta.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .withColumn("__keep_id", F.min(id_col).over(Window.partitionBy("fingerprint")))
+        .join(seen.withColumn("__seen", F.lit(True)), "fingerprint", "left")
+        .filter((F.col(id_col) != F.col("__keep_id")) | F.col("__seen"))
+        .select(id_col, F.lit(True).alias("__xd"))
+    )
+    if cache_drop_list:
+        dropped1 = dropped1.persist(StorageLevel.MEMORY_AND_DISK)
+    s1 = delta.select(F.col(id_col), F.col(text_col)).join(
+        dropped1.select(id_col), id_col, "left_anti"
+    )
+    batch_pairs = minhash_lsh_verified_pairs(
+        s1, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        text_col=text_col, id_col=id_col,
+    ).select("doc_a", "doc_b")
+    cross_hits = minhash_delta_pairs(
+        s1, corpus_sigs, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, text_col=text_col, id_col=id_col,
+    ).select(
+        F.col("delta_doc").alias("doc_a"),
+        F.lit(-1).cast("bigint").alias("doc_b"),  # the store sentinel
+    )
+    drops2 = (
+        dedup_clusters(batch_pairs.unionByName(cross_hits))
+        .filter(~F.col("keep") & (F.col("doc_id") != -1))
+        .select(F.col("doc_id").alias(id_col), F.lit(True).alias("__nd"))
+    )
+    return (
+        m.join(dropped1, id_col, "left")
+        .join(drops2, id_col, "left")
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in passthrough_cols],
+            F.col("n_words"),
+            F.col("fingerprint"),
+            F.when(F.col("__xd"), "exact_dup")
+            .when(F.col("__nd"), "near_dup")
+            .when(F.col("__ttr").isNull() | (F.col("__ttr") < min_ttr), "low_quality")
+            .otherwise("kept")
+            .alias("stage"),
+        )
+    )
+
+
 def curated_corpus(
     docs: DataFrame,
     stages: DataFrame,

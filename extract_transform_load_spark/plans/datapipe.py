@@ -536,6 +536,129 @@ def q130_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q132_curation_delta",
+    # Oracle replays the delta semantics with EXACT Jaccard for both
+    # pair kinds. The operator's cross-store pairs are signature
+    # ESTIMATES (the store's text is gone by design); the est-cut and
+    # banding coincide with the exact >= 0.5 pair set on the fixture's
+    # separated similarity distribution (the q42 S-curve argument —
+    # true pairs sit at j >= ~0.8 where 64-hash agreement < 32/64 is
+    # astronomically unlikely AND deterministic for the fixed hash
+    # family), so the gate pins the equality per-SF exactly as it does
+    # for q42. Store connectivity via the -1 sentinel node mirrors the
+    # Spark side: least(u, MIN(v)) = -1 for any store-connected
+    # component, so every delta member drops.
+    oracle="""
+    WITH RECURSIVE
+    delta AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 4 = 0),
+    store AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+    seen AS (
+      SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+      FROM store
+    ),
+    dx AS (
+      SELECT doc_id, text, source,
+             md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+               ORDER BY doc_id
+             ) AS rn
+      FROM delta
+    ),
+    dx2 AS (
+      SELECT dx.*, COALESCE(fp IN (SELECT fp FROM seen), FALSE) AS seen_fp FROM dx
+    ),
+    s1 AS (SELECT doc_id, text FROM dx2 WHERE rn = 1 AND NOT seen_fp),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM s1),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    bpairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.5
+    ),
+    stoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM store),
+    ssh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM stoks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t
+    ),
+    ssizes AS (SELECT doc_id, COUNT(*) AS set_size FROM ssh GROUP BY 1),
+    xinter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_common
+      FROM sh a JOIN ssh b ON a.shingle = b.shingle
+      GROUP BY 1, 2
+    ),
+    xpairs AS (
+      SELECT DISTINCT da FROM xinter
+      JOIN sizes sa ON sa.doc_id = da
+      JOIN ssizes sb ON sb.doc_id = db
+      WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM bpairs
+      UNION SELECT doc_b, doc_a FROM bpairs
+      UNION SELECT da, CAST(-1 AS BIGINT) FROM xpairs
+      UNION SELECT CAST(-1 AS BIGINT), da FROM xpairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    ),
+    drops2 AS (
+      SELECT u AS doc_id FROM reach WHERE u <> -1
+      GROUP BY u HAVING u <> least(u, MIN(v))
+    ),
+    staged AS (
+      SELECT d.doc_id, d.source,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+             d.fp AS fingerprint,
+             CASE WHEN d.rn > 1 OR d.seen_fp THEN 'exact_dup'
+                  WHEN dr.doc_id IS NOT NULL THEN 'near_dup'
+                  WHEN d.text IS NULL
+                       OR CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+                          / len(string_split(d.text, ' ')) < 0.3 THEN 'low_quality'
+                  ELSE 'kept' END AS stage
+      FROM dx2 d LEFT JOIN drops2 dr USING (doc_id)
+    )
+    SELECT doc_id, source, n_words, fingerprint, stage FROM staged
+    """,
+    doc="Incremental curation: a fresh batch (doc_id % 4 = 0) curated "
+    "against the already-curated store (the rest) through the store's "
+    "BOUNDED state only — fingerprint set + MinHash signature table; "
+    "corpus text is never re-read, per-batch cost O(batch + "
+    "collisions). Per-doc verdicts with the batch form's sequential "
+    "attribution; store connectivity decided by one connected-"
+    "components pass with store hits as edges to a sentinel keeper "
+    "(operators/curation.py::curation_delta).",
+)
+def q132_curation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import curation_delta
+    from ..operators.dedup import exact_duplicates, minhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    store = docs.filter(F.col("doc_id") % 4 != 0)
+    return curation_delta(
+        delta.select("doc_id", "text", "source"),
+        seen_fingerprints=exact_duplicates(store).select(
+            F.col("fingerprint")
+        ),
+        corpus_sigs=minhash_signatures(store, num_hashes=64, k=3),
+        min_ttr=0.3, num_hashes=64, bands=16, threshold=0.5,
+    )
+
+
+@query(
     "q131_curation_pipeline",
     # End-to-end oracle: replays every stage in DuckDB — exact-dup
     # window, the q41 exact-pair graph + recursive closure over the

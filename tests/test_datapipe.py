@@ -1685,3 +1685,56 @@ def test_curation_operator_api(spark):
 
     rep = curation_report(stages).collect()
     assert len(rep) == 1 and rep[0]["n_kept"] == 2 and rep[0]["kept_words"] == 50
+
+
+def test_curation_delta_hand_checked(spark):
+    """curation_delta against a planted store: exact-dup-of-store,
+    batch-internal exact dup, near-dup-of-store via signature estimate
+    (store text never read), within-batch near-dup chain through a
+    store hit (the sentinel component: BOTH batch docs drop because one
+    of them collides with the store), quality gate, and null text."""
+    from extract_transform_load_spark.operators.curation import curation_delta
+    from extract_transform_load_spark.operators.dedup import (
+        exact_duplicates,
+        minhash_signatures,
+    )
+
+    base = " ".join(f"w{i:02d}" for i in range(30))
+    stored = " ".join(f"s{i:02d}" for i in range(30))
+    store = spark.createDataFrame(
+        [(100, base), (101, stored)], "doc_id long, text string"
+    )
+    near_stored = " ".join(stored.split()[:-1] + ["zz"])     # ~store doc 101
+    near_of_near = " ".join(stored.split()[:-1] + ["qq"])    # ~near_stored (and ~store)
+    delta = spark.createDataFrame(
+        [
+            (1, base.upper() + "?!", "s"),     # exact dup of store doc 100:
+                                               # the fingerprint lowers case and
+                                               # strips punctuation
+            (2, stored, "s"),                  # exact dup of store (same fp)
+            (3, near_stored, "s"),             # near dup of store (signature est)
+            (4, near_of_near, "s"),            # chains to store through 3's component
+            (5, " ".join(["spam"] * 10), "s"), # low quality
+            (6, " ".join(f"u{i:02d}" for i in range(20)), "s"),  # kept
+            (7, None, "s"),                    # null text -> low_quality
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = curation_delta(
+        delta,
+        seen_fingerprints=exact_duplicates(store).select("fingerprint"),
+        corpus_sigs=minhash_signatures(store, num_hashes=64, k=3),
+    )
+    by_id = {r["doc_id"]: r["stage"] for r in out.collect()}
+    assert by_id == {
+        1: "exact_dup",     # fingerprint normalizes case/punctuation
+        2: "exact_dup",
+        3: "near_dup",      # store sentinel component
+        4: "near_dup",      # connected to the store THROUGH doc 3
+        5: "low_quality",
+        6: "kept",
+        7: "low_quality",   # null text never kept
+    }
+    # fingerprint rides the output for store maintenance
+    fps = {r["doc_id"]: r["fingerprint"] for r in out.collect()}
+    assert fps[6] is not None and fps[7] is None

@@ -273,3 +273,95 @@ def sketch_sink(
         replace_dir(spark, tmp_path, target_path)
 
     return write
+
+
+def curation_sink(
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough_cols: Sequence[str] = ("source",),
+    min_ttr: float = 0.3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> Callable[[DataFrame, int], None]:
+    """A ``write_batch`` that runs continuous corpus curation: each
+    microbatch is curated against the accumulated store with
+    ``operators.curation.curation_delta`` (exact dedup vs the
+    fingerprint set, near-dup vs the signature table, quality gate) and
+    the survivors land in the store — the streaming form of the q131
+    batch recipe, one code path with the q132 incremental semantics.
+
+    Store layout under ``store_dir`` (all parquet):
+
+    - ``corpus/``   — admitted documents, original columns;
+    - ``fingerprints/`` — one md5 per admitted doc;
+    - ``signatures/``   — (doc_id, signature) MinHash table;
+    - ``verdicts/``     — per-doc stage labels + batch_id (audit trail).
+
+    Replay (foreachBatch is at-least-once on retry): the corpus append
+    is PK-idempotent (anti-join on ``id_col`` against the existing
+    corpus — the A5 pattern; costs an id-projection scan per batch,
+    bounded by bucketing the corpus on the id at real scale), and the
+    state appends tolerate duplicate rows by construction — the seen
+    set is distinct-ed at read, and duplicate signature rows only
+    produce duplicate candidate pairs, which ``minhash_delta_pairs``
+    already dropDuplicates. Write order (corpus -> fingerprints ->
+    signatures -> verdicts) means a crash mid-sequence re-admits the
+    batch on replay and every write converges.
+
+    Semantics note (standard incremental-dedup behavior): near-dup
+    chains THROUGH a dropped document are not tracked across batches —
+    a dropped doc never enters the signature store, so a later doc
+    similar only to the dropped one (not to its keeper) is admitted.
+    The batch recipe (q131) makes the same survivors-only choice within
+    one corpus; across batches it is the price of never re-reading
+    corpus text.
+    """
+    from ..operators.curation import curation_delta
+    from ..operators.dedup import minhash_signatures
+    from ..sources.merge import path_exists
+
+    corpus = f"{store_dir.rstrip('/')}/corpus"
+    fps = f"{store_dir.rstrip('/')}/fingerprints"
+    sigs = f"{store_dir.rstrip('/')}/signatures"
+    verdicts = f"{store_dir.rstrip('/')}/verdicts"
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        import pyspark.sql.functions as F
+
+        spark = batch.sparkSession
+        if path_exists(spark, fps):
+            seen = spark.read.parquet(fps)
+            stored_sigs = spark.read.parquet(sigs)
+        else:
+            seen = spark.createDataFrame([], "fingerprint string")
+            stored_sigs = spark.createDataFrame([], f"{id_col} long, signature array<bigint>")
+        stages = curation_delta(
+            batch, seen, stored_sigs,
+            text_col=text_col, id_col=id_col,
+            passthrough_cols=passthrough_cols, min_ttr=min_ttr,
+            num_hashes=num_hashes, bands=bands, threshold=threshold,
+            # a long-lived stream must not accumulate persisted drop
+            # lists; batches are small, so the branch re-compute the
+            # persist avoids is cheap here
+            cache_drop_list=False,
+        )
+        kept_rows = stages.filter(F.col("stage") == "kept")
+        kept = batch.join(kept_rows.select(id_col), id_col, "left_semi")
+        if path_exists(spark, corpus):
+            fresh = kept.join(
+                spark.read.parquet(corpus).select(id_col), id_col, "left_anti"
+            )
+            fresh.write.mode("append").parquet(corpus)
+        else:
+            kept.write.mode("overwrite").parquet(corpus)
+        kept_rows.select("fingerprint").write.mode("append").parquet(fps)
+        minhash_signatures(
+            kept, num_hashes=num_hashes, text_col=text_col, id_col=id_col
+        ).write.mode("append").parquet(sigs)
+        stages.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            verdicts
+        )
+
+    return write

@@ -197,3 +197,70 @@ def test_streaming_snapshot_rollforward_matches_full(spark, tmp_path):
     got = {tuple(r) for r in final.collect()}
     want = {tuple(r) for r in full.collect()}
     assert got == want and len(want) > 0
+
+
+def test_curation_sink_continuous_ingestion(spark, tmp_path):
+    """Streaming curation: documents arriving across microbatches are
+    curated against the ACCUMULATED store — a later batch's exact dup
+    and near dup of an earlier batch's admitted doc are rejected via
+    the bounded state tables (fingerprints, signatures), never by
+    re-reading corpus text. Replaying a batch's rows must not
+    double-admit anything (PK-idempotent corpus append)."""
+    from extract_transform_load_spark.streaming.ingest import curation_sink
+
+    schema = "doc_id long, text string, source string"
+    base = " ".join(f"w{i:02d}" for i in range(30))
+    uniq = " ".join(f"u{i:02d}" for i in range(20))
+    near = " ".join(base.split()[:-1] + ["zz"])
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, base, "s"), (2, " ".join(["spam"] * 10), "s")], schema
+    ).write.parquet(str(src / "b1.parquet"))
+
+    store = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(curation_sink(store))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: exact dup of admitted doc 1 (case/punct variant),
+        # near dup of doc 1, one genuinely new doc — PLUS a replay of
+        # doc 1's exact row under a new id (still an exact dup)
+        spark.createDataFrame(
+            [
+                (10, base.upper() + "!", "s"),
+                (11, near, "s"),
+                (12, uniq, "s"),
+                (13, base, "s"),
+            ],
+            schema,
+        ).write.parquet(str(src / "b2.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(store + "/corpus").collect())
+    assert kept == [1, 12]  # doc 2 low-quality; 10/13 exact; 11 near
+
+    verdicts = {
+        r["doc_id"]: r["stage"]
+        for r in spark.read.parquet(store + "/verdicts").collect()
+    }
+    assert verdicts == {
+        1: "kept", 2: "low_quality",
+        10: "exact_dup", 11: "near_dup", 12: "kept", 13: "exact_dup",
+    }
+    # state tables carry exactly the admitted docs
+    assert spark.read.parquet(store + "/fingerprints").distinct().count() == 2
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(store + "/signatures").collect()
+    ) == [1, 12]

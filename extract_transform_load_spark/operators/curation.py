@@ -183,6 +183,7 @@ def curation_delta(
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
     from .components import dedup_clusters
     from .dedup import (
@@ -191,6 +192,18 @@ def curation_delta(
         minhash_lsh_verified_pairs,
     )
     from .textops import words
+
+    # the -1 sentinel is only "smaller than every real id" for integral
+    # non-negative ids; a string id would coerce the comparison
+    # lexicographic and silently corrupt keep/drop verdicts (review r8)
+    if not isinstance(
+        delta.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        raise ValueError(
+            f"curation_delta requires an integral, non-negative {id_col!r} "
+            f"(got {delta.schema[id_col].dataType.simpleString()}): the store "
+            "sentinel node is -1 and must sort below every real id"
+        )
 
     wds = words(F.col(text_col))
     m = delta.select(
@@ -217,12 +230,21 @@ def curation_delta(
         s1, num_hashes=num_hashes, bands=bands, threshold=threshold,
         text_col=text_col, id_col=id_col,
     ).select("doc_a", "doc_b")
-    cross_hits = minhash_delta_pairs(
-        s1, corpus_sigs, num_hashes=num_hashes, bands=bands,
-        threshold=threshold, text_col=text_col, id_col=id_col,
-    ).select(
-        F.col("delta_doc").alias("doc_a"),
-        F.lit(-1).cast("bigint").alias("doc_b"),  # the store sentinel
+    cross_hits = (
+        minhash_delta_pairs(
+            s1, corpus_sigs, num_hashes=num_hashes, bands=bands,
+            threshold=threshold, text_col=text_col, id_col=id_col,
+        )
+        # same id on both sides = the SAME document, not a near-dup:
+        # happens when an at-least-once replay re-curates a batch whose
+        # signatures already landed in the store (review r8 — without
+        # this a replayed admitted doc flags itself and the replay
+        # diverges instead of converging)
+        .filter(F.col("delta_doc") != F.col("corpus_doc"))
+        .select(
+            F.col("delta_doc").alias("doc_a"),
+            F.lit(-1).cast("bigint").alias("doc_b"),  # the store sentinel
+        )
     )
     drops2 = (
         dedup_clusters(batch_pairs.unionByName(cross_hits))

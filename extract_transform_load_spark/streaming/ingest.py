@@ -299,16 +299,36 @@ def curation_sink(
     - ``signatures/``   — (doc_id, signature) MinHash table;
     - ``verdicts/``     — per-doc stage labels + batch_id (audit trail).
 
-    Replay (foreachBatch is at-least-once on retry): the corpus append
-    is PK-idempotent (anti-join on ``id_col`` against the existing
-    corpus — the A5 pattern; costs an id-projection scan per batch,
-    bounded by bucketing the corpus on the id at real scale), and the
-    state appends tolerate duplicate rows by construction — the seen
-    set is distinct-ed at read, and duplicate signature rows only
-    produce duplicate candidate pairs, which ``minhash_delta_pairs``
-    already dropDuplicates. Write order (corpus -> fingerprints ->
-    signatures -> verdicts) means a crash mid-sequence re-admits the
-    batch on replay and every write converges.
+    Replay safety (foreachBatch is at-least-once on retry) is BY
+    CONSTRUCTION, not by evaluation-order luck — Spark invalidates and
+    recomputes any plan that reads a path the same batch just appended
+    to (``refreshByPath`` fires on every parquet write, and it even
+    re-caches persisted plans), so the batch's verdicts CAN be
+    re-evaluated mid-sequence against partially-updated state. Three
+    properties make every re-evaluation converge to the same labels
+    (review r8, measured: a verdicts write after the fingerprint append
+    relabelled the batch's own admissions exact_dup):
+
+    - every state append is PK-idempotent: corpus and signatures
+      anti-join on ``id_col``, fingerprints on the fingerprint (the A5
+      pattern — each costs a projection scan of the state table,
+      bounded by bucketing at real scale);
+    - ``curation_delta`` ignores self-pairs (same id both sides), so a
+      replayed admission whose signature already landed does not flag
+      itself near-dup;
+    - the FINGERPRINT append lands LAST — it is the exact-dup replay
+      gate, and until it commits every evaluation (including the
+      verdicts write just before it) sees the doc as new and produces
+      the same labels; after it commits, all other writes have already
+      landed, so the replay's relabel-as-exact_dup writes nothing new.
+
+    The verdicts audit table is a plain append: a crash replay can
+    duplicate its rows (same labels — dropDuplicates on
+    (batch_id, id) when consuming). The state bootstrap requires BOTH
+    state tables present (a crash between the first batch's two state
+    writes must re-bootstrap, not wedge the stream on a missing path).
+    ``id_col`` must be integral and non-negative (the curation_delta
+    sentinel contract — validated there).
 
     Semantics note (standard incremental-dedup behavior): near-dup
     chains THROUGH a dropped document are not tracked across batches —
@@ -329,39 +349,69 @@ def curation_sink(
 
     def write(batch: DataFrame, batch_id: int) -> None:
         import pyspark.sql.functions as F
+        from pyspark import StorageLevel
 
         spark = batch.sparkSession
-        if path_exists(spark, fps):
+        id_type = batch.schema[id_col].dataType.simpleString()
+        # both-or-neither: a first-batch crash between the two state
+        # writes must re-bootstrap on replay, not wedge every retry on
+        # a missing path (review r8)
+        if path_exists(spark, fps) and path_exists(spark, sigs):
             seen = spark.read.parquet(fps)
             stored_sigs = spark.read.parquet(sigs)
         else:
             seen = spark.createDataFrame([], "fingerprint string")
-            stored_sigs = spark.createDataFrame([], f"{id_col} long, signature array<bigint>")
+            stored_sigs = spark.createDataFrame(
+                [], f"{id_col} {id_type}, signature array<bigint>"
+            )
         stages = curation_delta(
             batch, seen, stored_sigs,
             text_col=text_col, id_col=id_col,
             passthrough_cols=passthrough_cols, min_ttr=min_ttr,
             num_hashes=num_hashes, bands=bands, threshold=threshold,
-            # a long-lived stream must not accumulate persisted drop
-            # lists; batches are small, so the branch re-compute the
-            # persist avoids is cheap here
+            # the sink does its own per-batch persist below (bounded
+            # lifetime); the operator's session-lifetime drop-list cache
+            # would accumulate across a long-lived stream
             cache_drop_list=False,
         )
-        kept_rows = stages.filter(F.col("stage") == "kept")
-        kept = batch.join(kept_rows.select(id_col), id_col, "left_semi")
-        if path_exists(spark, corpus):
-            fresh = kept.join(
-                spark.read.parquet(corpus).select(id_col), id_col, "left_anti"
+        # persist saves recomputing the corpus-signature banding for
+        # each of the four writes (work that grows with corpus size,
+        # not batch size); correctness does NOT depend on it — Spark's
+        # write-path refreshByPath re-caches plans that read just-
+        # appended paths, which is why the docstring's replay-stable
+        # construction exists. Bounded lifetime: unpersisted in the
+        # finally, so a long-lived stream accumulates nothing.
+        stages.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            kept_rows = stages.filter(F.col("stage") == "kept")
+            kept = batch.join(kept_rows.select(id_col), id_col, "left_semi")
+            if path_exists(spark, corpus):
+                kept.join(
+                    spark.read.parquet(corpus).select(id_col), id_col, "left_anti"
+                ).write.mode("append").parquet(corpus)
+            else:
+                kept.write.mode("overwrite").parquet(corpus)
+            fresh_sigs = minhash_signatures(
+                kept, num_hashes=num_hashes, text_col=text_col, id_col=id_col
             )
-            fresh.write.mode("append").parquet(corpus)
-        else:
-            kept.write.mode("overwrite").parquet(corpus)
-        kept_rows.select("fingerprint").write.mode("append").parquet(fps)
-        minhash_signatures(
-            kept, num_hashes=num_hashes, text_col=text_col, id_col=id_col
-        ).write.mode("append").parquet(sigs)
-        stages.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            verdicts
-        )
+            if path_exists(spark, sigs):
+                fresh_sigs = fresh_sigs.join(
+                    spark.read.parquet(sigs).select(id_col), id_col, "left_anti"
+                )
+            fresh_sigs.write.mode("append").parquet(sigs)
+            stages.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(verdicts)
+            # fingerprints land LAST: the exact-dup replay gate (see
+            # docstring) — everything else already holds the doc when
+            # it becomes visible
+            fresh_fps = kept_rows.select("fingerprint")
+            if path_exists(spark, fps):
+                fresh_fps = fresh_fps.join(
+                    spark.read.parquet(fps), "fingerprint", "left_anti"
+                )
+            fresh_fps.write.mode("append").parquet(fps)
+        finally:
+            stages.unpersist()
 
     return write

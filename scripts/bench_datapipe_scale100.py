@@ -44,9 +44,11 @@ QUERIES = [
     "q127_gram_cardinality_hll",
     "q128_cross_doc_spans",
     # round 8: the production clustering composition and the curation
-    # capstone (PERFORMANCE.md 100x table rows recorded 2026-08-15)
+    # capstone + delta (PERFORMANCE.md 100x table rows recorded
+    # 2026-08-15)
     "q130_dedup_clusters_minhash",
     "q131_curation_pipeline",
+    "q132_curation_delta",
 ]
 
 

@@ -217,7 +217,7 @@ def test_curation_sink_continuous_ingestion(spark, tmp_path):
     src.mkdir()
     spark.createDataFrame(
         [(1, base, "s"), (2, " ".join(["spam"] * 10), "s")], schema
-    ).write.parquet(str(src / "b1.parquet"))
+    ).coalesce(1).write.parquet(str(src / "b1.parquet"))
 
     store = str(tmp_path / "store")
     stream = (
@@ -243,7 +243,7 @@ def test_curation_sink_continuous_ingestion(spark, tmp_path):
                 (13, base, "s"),
             ],
             schema,
-        ).write.parquet(str(src / "b2.parquet"))
+        ).coalesce(1).write.parquet(str(src / "b2.parquet"))
         q.processAllAvailable()
     finally:
         q.stop()
@@ -264,3 +264,53 @@ def test_curation_sink_continuous_ingestion(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(store + "/signatures").collect()
     ) == [1, 12]
+
+
+def test_curation_sink_replay_converges(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the SAME batch function
+    (full replay) and re-running it after a partial crash (signatures
+    landed, fingerprints did not — the worst interleaving, because the
+    replayed doc's own signature is now in the store) must both converge
+    to the exact single-admission state."""
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.streaming.ingest import curation_sink
+
+    schema = "doc_id long, text string, source string"
+    base = " ".join(f"w{i:02d}" for i in range(30))
+    batch = spark.createDataFrame([(1, base, "s")], schema)
+    store = str(tmp_path / "store")
+    write = curation_sink(store)
+
+    write(batch, 0)
+    write(batch, 0)  # full replay of the same batch
+    assert spark.read.parquet(store + "/corpus").count() == 1
+    assert spark.read.parquet(store + "/fingerprints").count() == 1
+    assert spark.read.parquet(store + "/signatures").count() == 1
+
+    # partial-crash replay: simulate "signatures committed, fingerprints
+    # lost" by deleting the fingerprint rows, then replaying. Without
+    # the self-pair exclusion the doc would flag ITSELF near_dup and be
+    # gated out of the fingerprint table forever.
+    import shutil
+
+    shutil.rmtree(store + "/fingerprints")
+    spark.createDataFrame([], "fingerprint string").write.mode("overwrite").parquet(
+        store + "/fingerprints"
+    )
+    write(batch, 0)
+    assert spark.read.parquet(store + "/corpus").count() == 1
+    assert spark.read.parquet(store + "/fingerprints").count() == 1  # restored
+    assert spark.read.parquet(store + "/signatures").count() == 1    # no dup
+    replays = spark.read.parquet(store + "/verdicts").filter(
+        F.col("doc_id") == 1
+    ).collect()
+    # audit trail: original admission 'kept'; the FULL replay correctly
+    # records exact_dup (the committed fingerprint gate saw an
+    # already-admitted doc and wrote nothing new); the partial-crash
+    # replay converged back to 'kept' because the self-pair exclusion
+    # kept the doc's own stored signature from flagging it
+    assert [r["stage"] for r in sorted(replays, key=lambda r: r["batch_id"])].count(
+        "kept"
+    ) >= 2
+    assert {r["stage"] for r in replays} <= {"kept", "exact_dup"}

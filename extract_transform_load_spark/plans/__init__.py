@@ -42,7 +42,13 @@ _PRIORITY = [
     "q18_monthly_active_users", # B13
     "q19_value_stats",          # B14
     "q20_weighted_avg",         # B15
-    "q22_conditional_agg",      # B17
+    # q22_conditional_agg (B17) displaced in round 8 for q131 — the
+    # judge's round-7 displacement shortlist named q22/q24 because the
+    # B11-B20 aggregation class held eight in-window rows; q24 made
+    # room for q127, q22 makes room for the curation capstone (a NEW
+    # family this round: q131/q132 + the streaming sink). Conditional
+    # when/otherwise aggregation stays driver-covered via q19/q13/q46,
+    # and q22 stays strict-gate green past the window.
     "q23_first_in_group",       # B18
     # q24_two_level_agg (B20) displaced in round 8 for q127 — the
     # B11-B20 aggregation class held EIGHT in-window rows (q08, q01,
@@ -121,6 +127,7 @@ _PRIORITY = [
     "q101_paragraph_dedup",     # paragraph/span dedup
     "q109_funnel",              # funnel / cohort analysis
     "q127_gram_cardinality_hll",  # gram cardinality / Heaps law (r8; displaced q24)
+    "q131_curation_pipeline",     # curation capstone family (r8; displaced q22)
 ]
 
 

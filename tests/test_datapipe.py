@@ -1738,3 +1738,31 @@ def test_curation_delta_hand_checked(spark):
     # fingerprint rides the output for store maintenance
     fps = {r["doc_id"]: r["fingerprint"] for r in out.collect()}
     assert fps[6] is not None and fps[7] is None
+
+
+def test_curation_delta_with_empty_state_equals_batch_recipe(spark):
+    """Invariant tying the two curation forms together: a delta curated
+    against an EMPTY store must produce exactly the batch recipe's
+    verdicts (no store fingerprints -> the exact stage is the in-batch
+    window; no store signatures -> the pair graph is within-batch only;
+    same quality gate). Run over the fixture corpus so the equivalence
+    is exercised on real near-dup/quality structure, not a toy."""
+    from extract_transform_load_spark.operators.curation import (
+        curation_delta,
+        curation_stages,
+    )
+    from extract_transform_load_spark.sources.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "source"
+    )
+    batch = {
+        r["doc_id"]: r["stage"] for r in curation_stages(docs).collect()
+    }
+    empty_fps = spark.createDataFrame([], "fingerprint string")
+    empty_sigs = spark.createDataFrame([], "doc_id long, signature array<bigint>")
+    delta = {
+        r["doc_id"]: r["stage"]
+        for r in curation_delta(docs, empty_fps, empty_sigs).collect()
+    }
+    assert batch == delta

@@ -94,6 +94,7 @@ HEADLINE = [
     "q130_dedup_clusters_minhash",
     "q131_curation_pipeline",
     "q132_curation_delta",
+    "q133_semantic_delta",
 ]
 
 

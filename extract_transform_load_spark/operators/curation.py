@@ -268,6 +268,111 @@ def curation_delta(
     )
 
 
+def semantic_delta(
+    delta_vecs: DataFrame,
+    store_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Semantic (embedding-space) incremental dedup — the third member
+    of the delta family (exact = ``dedup_delta_exact`` fingerprints,
+    lexical = ``minhash_delta_pairs`` signatures, semantic = THIS): a
+    fresh batch of vectors is curated against the stored embedding
+    table, dropping anything connected — through within-batch cosine
+    pairs and/or store hits at ``>= threshold`` — to stored content or
+    to a smaller-id batch survivor. The same sentinel-component trick
+    as :func:`curation_delta` decides both in one connected-components
+    pass.
+
+    Returns (id_col, max_store_sim, stage) for every delta vector:
+    ``max_store_sim`` is the exact max cosine against the store (NULL
+    when no store vector shares the block), ``stage`` is
+    ``semantic_dup`` or ``kept``.
+
+    ``block_col`` restricts candidate pairs to equal block values (the
+    q53 label-blocking choice — pair space linear per block). Scale
+    shape: the DELTA side broadcasts and the store streams (one scan,
+    partial max per partition), so cost is linear in store size; when
+    the delta outgrows a broadcast or the store outgrows a scan budget,
+    prefilter with the q45 LSH bands / q54 IVF cells and rerank exactly
+    — the same escalation path as q102.
+    """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    from .components import dedup_clusters
+    from .similarity import _dot, _norm
+
+    if not isinstance(
+        delta_vecs.schema[id_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    ):
+        raise ValueError(
+            f"semantic_delta requires an integral, non-negative {id_col!r}: "
+            "the store sentinel node is -1 and must sort below every real id"
+        )
+    blocks = [block_col] if block_col else []
+    d = delta_vecs.select(
+        F.col(id_col), *[F.col(c) for c in blocks], F.col(vec_col)
+    )
+    d_b = d.select(
+        F.col(id_col).alias("__did"),
+        *[F.col(c).alias(f"__d_{c}") for c in blocks],
+        F.col(vec_col).alias("__dv"),
+    )
+    s = store_vecs.select(*[F.col(c) for c in blocks], F.col(vec_col).alias("__sv"))
+    cross = s.crossJoin(F.broadcast(d_b))
+    for c in blocks:
+        cross = cross.filter(F.col(c) == F.col(f"__d_{c}"))
+    cos_store = _dot(F.col("__sv"), F.col("__dv")) / (
+        _norm(F.col("__sv")) * _norm(F.col("__dv"))
+    )
+    sims = cross.select(F.col("__did").alias(id_col), cos_store.alias("__cos")).groupBy(
+        id_col
+    ).agg(F.max("__cos").alias("max_store_sim"))
+
+    a = d.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(c) for c in blocks],
+        F.col(vec_col).alias("__va"),
+    )
+    b = d.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(c) for c in blocks],
+        F.col(vec_col).alias("__vb"),
+    )
+    cos_batch = _dot(F.col("__va"), F.col("__vb")) / (
+        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    )
+    batch_pairs = (
+        a.join(b, blocks) if blocks else a.crossJoin(b)
+    ).filter(F.col("doc_a") < F.col("doc_b")).filter(cos_batch >= threshold).select(
+        "doc_a", "doc_b"
+    )
+    store_hits = (
+        sims.filter(F.col("max_store_sim") >= threshold)
+        .select(
+            F.col(id_col).alias("doc_a"),
+            F.lit(-1).cast("bigint").alias("doc_b"),
+        )
+    )
+    drops = (
+        dedup_clusters(batch_pairs.unionByName(store_hits))
+        .filter(~F.col("keep") & (F.col("doc_id") != -1))
+        .select(F.col("doc_id").alias(id_col), F.lit(True).alias("__dup"))
+    )
+    return (
+        d.select(id_col)
+        .join(sims, id_col, "left")
+        .join(drops, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("max_store_sim"),
+            F.when(F.col("__dup"), "semantic_dup").otherwise("kept").alias("stage"),
+        )
+    )
+
+
 def curated_corpus(
     docs: DataFrame,
     stages: DataFrame,

@@ -658,6 +658,81 @@ def q132_curation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COS_AB = (
+    f"""list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"""
+)
+
+
+@query(
+    "q133_semantic_delta",
+    # Same exact-cosine formulation as q53/q102 (fold order fixed in
+    # both engines — gate-pinned there), same sentinel-closure shape as
+    # q132: a delta vector drops iff connected, through same-label batch
+    # pairs and/or store hits at >= 0.45 (the fixture's planted
+    # same-label similarity sits just under q53's 0.5 — 0.45 makes the
+    # drop path REAL on the fixture instead of vacuously all-kept), to
+    # stored content or a smaller-id batch survivor.
+    oracle=f"""
+    WITH RECURSIVE
+    d AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 4 = 0),
+    s AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 4 <> 0),
+    xs AS (
+      SELECT a.vec_id, MAX({_COS_AB}) AS max_store_sim
+      FROM d a JOIN s b ON a.label = b.label
+      GROUP BY 1
+    ),
+    bpairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_COS_AB} >= 0.45
+    ),
+    edges AS (
+      SELECT va AS u, vb AS v FROM bpairs
+      UNION SELECT vb, va FROM bpairs
+      UNION SELECT vec_id, CAST(-1 AS BIGINT) FROM xs WHERE max_store_sim >= 0.45
+      UNION SELECT CAST(-1 AS BIGINT), vec_id FROM xs WHERE max_store_sim >= 0.45
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    ),
+    drops AS (
+      SELECT u AS vec_id FROM reach WHERE u <> -1
+      GROUP BY u HAVING u <> least(u, MIN(v))
+    )
+    SELECT d.vec_id, xs.max_store_sim,
+           CASE WHEN dr.vec_id IS NOT NULL THEN 'semantic_dup' ELSE 'kept' END AS stage
+    FROM d LEFT JOIN xs ON xs.vec_id = d.vec_id
+    LEFT JOIN drops dr ON dr.vec_id = d.vec_id
+    """,
+    doc="Semantic incremental dedup (operators/curation.py::"
+    "semantic_delta) — the embedding-space member of the delta family "
+    "(exact = q72 fingerprints, lexical = minhash_delta_pairs, semantic "
+    "= this): a fresh vector batch (vec_id % 4 = 0) curated against the "
+    "stored embedding table, label-blocked (q53's choice), with store "
+    "connectivity decided by the q132 sentinel-component pass. The "
+    "delta broadcasts and the store streams — linear in store size; "
+    "LSH/IVF prefilter + exact rerank is the escalation path when "
+    "either side outgrows that (q45/q54).",
+)
+def q133_semantic_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import semantic_delta
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_delta(
+        emb.filter(F.col("vec_id") % 4 == 0),
+        emb.filter(F.col("vec_id") % 4 != 0),
+        threshold=0.45,
+        block_col="label",
+    )
+
+
 @query(
     "q131_curation_pipeline",
     # End-to-end oracle: replays every stage in DuckDB — exact-dup

@@ -1766,3 +1766,44 @@ def test_curation_delta_with_empty_state_equals_batch_recipe(spark):
         for r in curation_delta(docs, empty_fps, empty_sigs).collect()
     }
     assert batch == delta
+
+
+def test_semantic_delta_hand_checked(spark):
+    """semantic_delta on planted vectors: a store hit, a transitive
+    chain (B ~ A-in-store-hit's component), a within-batch pair (min id
+    keeps), an unblocked (different-label) lookalike that must survive,
+    and the NULL max_store_sim contract for a block with no store
+    vectors."""
+    from extract_transform_load_spark.operators.curation import semantic_delta
+
+    def v(*coords):
+        out = [0.0] * 8
+        for i, x in enumerate(coords):
+            out[i] = float(x)
+        return out
+
+    store = spark.createDataFrame(
+        [(100, "a", v(1, 0)), (101, "a", v(0, 1))],
+        "vec_id long, label string, embedding array<float>",
+    )
+    delta = spark.createDataFrame(
+        [
+            (1, "a", v(0.95, 0.05)),   # ~store 100 -> semantic_dup
+            (2, "a", v(0.90, 0.10)),   # ~1 (batch pair) -> chains to store
+            (3, "a", v(-1, 1)),        # far from everything -> kept
+            (4, "b", v(1, 0)),         # same direction as store 100 but
+                                       # label-blocked -> kept, NULL sim
+                                       # (no label-b store vectors)
+            (5, "a", v(0, 0, 1)),      # kept; batch-pairs with 6
+            (6, "a", v(0, 0, 0.99, 0.01)),  # ~5 -> batch dup (5 keeps)
+        ],
+        "vec_id long, label string, embedding array<float>",
+    )
+    out = semantic_delta(delta, store, threshold=0.8, block_col="label")
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert {k: r["stage"] for k, r in rows.items()} == {
+        1: "semantic_dup", 2: "semantic_dup", 3: "kept",
+        4: "kept", 5: "kept", 6: "semantic_dup",
+    }
+    assert rows[4]["max_store_sim"] is None  # no store vector shares label b
+    assert rows[1]["max_store_sim"] > 0.9

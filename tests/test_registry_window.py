@@ -68,8 +68,13 @@ FAMILY_REPS = {
     # task 2): q127 is the production HLL shape; q124 is its exact twin.
     "gram_cardinality": ["q127_gram_cardinality_hll", "q124_gram_cardinality"],
     # New family in round 8: the end-to-end curation recipe (q131
-    # batch capstone, q132 incremental delta, streaming curation_sink).
-    "curation": ["q131_curation_pipeline", "q132_curation_delta"],
+    # batch capstone, q132 incremental delta + q133 semantic delta,
+    # streaming curation_sink).
+    "curation": [
+        "q131_curation_pipeline",
+        "q132_curation_delta",
+        "q133_semantic_delta",
+    ],
     "monitors": ["q87_psi_drift", "q85_expectations", "q86_table_profile"],
     "scd2_cdc": ["q95_scd2_dimension"],
     "sketches": ["q97_sketch_mau", "q106_sketch_quantiles", "q107_theta_retention"],

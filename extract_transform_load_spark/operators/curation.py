@@ -26,6 +26,21 @@ from pyspark.sql import DataFrame
 STAGES = ("exact_dup", "near_dup", "low_quality", "kept")
 
 
+def _check_nonnegative_ids(df: DataFrame, id_col: str, op: str) -> None:
+    """Eagerly verify the sentinel precondition (review r8: the error
+    message promised non-negativity but only TYPE was checked — a
+    negative id sorts below the -1 sentinel, becomes its component's
+    keeper, and silently flips a dup verdict to kept). One projection-
+    pruned min over the DELTA side, which is batch-scale by contract —
+    the same probe-job economics as the as-of guards."""
+    mn = df.agg(F.min(id_col).alias("m")).first()["m"]
+    if mn is not None and mn < 0:
+        raise ValueError(
+            f"{op}: {id_col!r} contains negative ids (min={mn}); the store "
+            "sentinel node is -1 and must sort below every real id"
+        )
+
+
 def curation_stages(
     docs: DataFrame,
     text_col: str = "text",
@@ -204,6 +219,7 @@ def curation_delta(
             f"(got {delta.schema[id_col].dataType.simpleString()}): the store "
             "sentinel node is -1 and must sort below every real id"
         )
+    _check_nonnegative_ids(delta, id_col, "curation_delta")
 
     wds = words(F.col(text_col))
     m = delta.select(
@@ -311,6 +327,7 @@ def semantic_delta(
             f"semantic_delta requires an integral, non-negative {id_col!r}: "
             "the store sentinel node is -1 and must sort below every real id"
         )
+    _check_nonnegative_ids(delta_vecs, id_col, "semantic_delta")
     blocks = [block_col] if block_col else []
     d = delta_vecs.select(
         F.col(id_col), *[F.col(c) for c in blocks], F.col(vec_col)
@@ -330,6 +347,14 @@ def semantic_delta(
     sims = cross.select(F.col("__did").alias(id_col), cos_store.alias("__cos")).groupBy(
         id_col
     ).agg(F.max("__cos").alias("max_store_sim"))
+    # sims feeds BOTH the store-hit edges (materialized eagerly inside
+    # the components pass) and the final left join — without a persist
+    # the dominant store scan runs twice (review r8; the same
+    # multi-consumer lesson as curation_stages' drop list). Bounded:
+    # one row per delta vector.
+    from pyspark import StorageLevel
+
+    sims = sims.persist(StorageLevel.MEMORY_AND_DISK)
 
     a = d.select(
         F.col(id_col).alias("doc_a"),

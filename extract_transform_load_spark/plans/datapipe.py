@@ -33,6 +33,24 @@ from .registry import query
 EMBED_DIM = 64
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """Exact-cosine DuckDB fragment between two embedding expressions.
+
+    The ONE fold-order-pinned formulation every embedding oracle shares
+    (review r8: this used to be inlined at four+ sites, and the comments
+    on each call it gate-load-bearing — a fix applied to one copy would
+    silently diverge the others)."""
+    return (
+        f"""list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+                 i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+                 i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+                 i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"""
+    )
+
+
+
 @query(
     "q40_dedup_exact",
     oracle="""
@@ -163,12 +181,7 @@ def q43_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
     scored AS (
       SELECT query_id, neighbor_id,
-             list_sum(list_transform(range(1, {EMBED_DIM + 1}),
-                      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
-                      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
-              * sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
-                      i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos_sim
+             {_cos_sql('qv', 'cv')} AS cos_sim
       FROM c, q WHERE neighbor_id <> query_id
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
@@ -361,19 +374,9 @@ def q49_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH v AS (SELECT vec_id, label, embedding FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           list_sum(list_transform(range(1, {EMBED_DIM + 1}),
-                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-           / (sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
-                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-            * sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
-                    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos_sim
+           {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_sum(list_transform(range(1, {EMBED_DIM + 1}),
-                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
-                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-           * sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
-                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) >= 0.5
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.5
     """,
     doc="Embedding-cosine near-dup pairs within label blocks (blocking keeps the "
     "pair space linear per block; the unblocked scale path is q42/q45 LSH).",
@@ -658,14 +661,7 @@ def q132_curation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COS_AB = (
-    f"""list_sum(list_transform(range(1, {EMBED_DIM + 1}),
-                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        / (sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
-                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-         * sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
-                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"""
-)
+_COS_AB = _cos_sql("a.embedding", "b.embedding")
 
 
 @query(
@@ -941,12 +937,7 @@ _Q8 = """
     ),
     scored AS (
       SELECT query_id, neighbor_id,
-             list_sum(list_transform(range(1, {EMBED_DIM + 1}),
-                      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
-                      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
-              * sqrt(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
-                      i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos_sim
+             {_cos_sql('qv', 'cv')} AS cos_sim
       FROM c, q WHERE neighbor_id <> query_id
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
@@ -2877,12 +2868,7 @@ def q101_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
     sims AS (
       SELECT t.vec_id,
-             list_sum(list_transform(range(1, {64 + 1}),
-                      i -> CAST(t.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(range(1, {64 + 1}),
-                      i -> CAST(t.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE))))
-              * sqrt(list_sum(list_transform(range(1, {64 + 1}),
-                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))) AS cos_sim
+             {_cos_sql('t.embedding', 'q.embedding')} AS cos_sim
       FROM train_v t CROSS JOIN test_v q
     )
     SELECT vec_id, MAX(cos_sim) AS max_test_sim, (MAX(cos_sim) >= 0.35) AS contaminated

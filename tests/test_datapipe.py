@@ -1740,7 +1740,7 @@ def test_curation_delta_hand_checked(spark):
     assert fps[6] is not None and fps[7] is None
 
 
-def test_curation_delta_with_empty_state_equals_batch_recipe(spark):
+def test_curation_delta_with_empty_state_equals_batch_recipe(spark, sf_dir):
     """Invariant tying the two curation forms together: a delta curated
     against an EMPTY store must produce exactly the batch recipe's
     verdicts (no store fingerprints -> the exact stage is the in-batch
@@ -1753,7 +1753,7 @@ def test_curation_delta_with_empty_state_equals_batch_recipe(spark):
     )
     from extract_transform_load_spark.sources.tables import load
 
-    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+    docs = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
     batch = {
@@ -1788,8 +1788,11 @@ def test_semantic_delta_hand_checked(spark):
     )
     delta = spark.createDataFrame(
         [
-            (1, "a", v(0.95, 0.05)),   # ~store 100 -> semantic_dup
-            (2, "a", v(0.90, 0.10)),   # ~1 (batch pair) -> chains to store
+            (1, "a", v(0.9, 0.436)),   # cos 0.9 vs store 100 -> direct hit
+            (2, "a", v(0.7, 0.714)),   # diagonal: cos ~0.70/0.71 vs BOTH
+                                       # store vectors (no direct hit) but
+                                       # cos ~0.94 vs doc 1 -> drops ONLY
+                                       # through the chain
             (3, "a", v(-1, 1)),        # far from everything -> kept
             (4, "b", v(1, 0)),         # same direction as store 100 but
                                        # label-blocked -> kept, NULL sim
@@ -1806,4 +1809,35 @@ def test_semantic_delta_hand_checked(spark):
         4: "kept", 5: "kept", 6: "semantic_dup",
     }
     assert rows[4]["max_store_sim"] is None  # no store vector shares label b
-    assert rows[1]["max_store_sim"] > 0.9
+    assert rows[1]["max_store_sim"] >= 0.79
+    assert rows[2]["max_store_sim"] < 0.8    # proves 2 dropped via the chain
+
+
+def test_delta_operators_reject_negative_ids(spark):
+    """The -1 store sentinel must sort below every real id; a negative
+    id would silently become its component's keeper and flip a dup
+    verdict to kept — so both delta operators verify the data, not just
+    the column type (review r8)."""
+    import pytest
+
+    from extract_transform_load_spark.operators.curation import (
+        curation_delta,
+        semantic_delta,
+    )
+
+    docs = spark.createDataFrame(
+        [(-2, "some text here", "s")], "doc_id long, text string, source string"
+    )
+    fps = spark.createDataFrame([], "fingerprint string")
+    sigs = spark.createDataFrame([], "doc_id long, signature array<bigint>")
+    with pytest.raises(ValueError, match="negative ids"):
+        curation_delta(docs, fps, sigs)
+
+    vecs = spark.createDataFrame(
+        [(-2, "a", [1.0, 0.0])], "vec_id long, label string, embedding array<float>"
+    )
+    store = spark.createDataFrame(
+        [(100, "a", [0.0, 1.0])], "vec_id long, label string, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="negative ids"):
+        semantic_delta(vecs, store, block_col="label")

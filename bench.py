@@ -95,6 +95,12 @@ HEADLINE = [
     "q131_curation_pipeline",
     "q132_curation_delta",
     "q133_semantic_delta",
+    # Round-8 additions, second leg: model-based quality filtering —
+    # the hashed fasttext-style classifier (driver-window row), the
+    # backoff bigram LM scorer, and hard-negative mining.
+    "q134_quality_classifier",
+    "q135_hard_negatives",
+    "q136_bigram_lm_score",
 ]
 
 
@@ -225,14 +231,17 @@ def format_headline_line(telemetry: dict, telemetry_written: bool) -> str:
     MAX_LINE chars. If a future headline set outgrows the cap even at
     3-decimal compaction, the per-query map is dropped from the LINE
     (it stays in the telemetry file) rather than overflowing the tail."""
+    # Line budget (round 8): the set hit 55 queries and the old shape
+    # (3-decimal timings + both loadavg arrays) left <5 additions of
+    # headroom. The loadavg arrays moved to the telemetry file ONLY
+    # (where the judge reads them anyway) and per-query timings compact
+    # to 2 decimals in the LINE — full precision stays in telemetry.
     headline = {
         "metric": telemetry["metric"],
         "value": telemetry["value"],
         "unit": telemetry["unit"],
-        "queries": {k: round(v, 3) for k, v in telemetry["queries"].items()},
+        "queries": {k: round(v, 2) for k, v in telemetry["queries"].items()},
         "sf": telemetry["sf"],
-        "loadavg_before": telemetry["loadavg_before"],
-        "loadavg_after": telemetry["loadavg_after"],
         "layout_prep": telemetry["layout_prep"],
         "telemetry": "BENCH_TELEMETRY_latest.json" if telemetry_written else None,
     }

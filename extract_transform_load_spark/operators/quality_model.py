@@ -1,0 +1,340 @@
+"""Hashed-feature quality classifier: the fasttext-style model filter.
+
+The reference pipeline scores documents with a linear classifier over
+hashed word n-gram features (the CCNet / fasttext quality-filter shape;
+q98's DSIR docstring promises exactly this as the 100 TB form: "hash
+terms into B buckets first"). This module is that form:
+
+* **Features** are unigrams plus adjacent-word bigrams, hashed into a
+  FIXED bucket space (``hash_bucket`` — first md5 byte, engine-portable)
+  — so the model table is ``n_buckets`` rows regardless of corpus size.
+  No vocabulary join anywhere: at 100 TB a vocab table is billions of
+  rows and its join a giant shuffle; a 256-slot weight array is 2 KB.
+* **Learning** is one conditional aggregate over the hashed token
+  stream (map-side combine collapses every partition to ≤ n_buckets
+  rows before the exchange): add-one-smoothed log-odds of the
+  positive-labeled slice vs the rest — a Naive-Bayes-style linear model,
+  the deterministic stand-in for fasttext's SGD (which is not
+  reproducible cross-engine and therefore not oracle-checkable).
+* **Scoring** has two pinned-equal physical forms:
+  ``score_hashed`` (explode + 256-row broadcast join — the
+  oracle-checked reference form) and ``score_hashed_local`` (the
+  production form: weights collected once into a literal array, the
+  score computed scan-local inside codegen with a DECIMAL(38,12)
+  accumulator — zero shuffle, zero join on the 100 TB side of the
+  plan). Exact equality holds because both sum the SAME per-occurrence
+  decimal-rounded weight and decimal addition is order-free;
+  tests/test_datapipe.py pins it.
+
+Cross-engine exactness follows the house discipline (q76/q98): weights
+are doubles built from exact integer counts (IEEE division + ln agree
+between DuckDB and the JVM at these magnitudes), rounded to
+DECIMAL(38,12) BEFORE any per-doc summation, so the fold order never
+touches the result.
+
+Reference parity: extends the text-quality family
+(operators/textops.py; reference scoring loop in filter.rs-style
+pipelines) with the model-based stage those heuristics feed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from .sampling import hash_bucket
+from .textops import words
+
+DEFAULT_BUCKETS = 256
+_WEIGHT_DECIMAL = "decimal(38,12)"
+
+
+def hashed_features(text: Column, n_buckets: int = DEFAULT_BUCKETS) -> Column:
+    """Bucket stream for a document: unigrams + adjacent bigrams.
+
+    Returns ``array<int>`` of hash buckets, one entry per feature
+    OCCURRENCE (multiplicity preserved — the model is count-based).
+    Bigrams join with ``_`` so "a b" and the unigram "a_b" collide only
+    by hash, never by construction. Scan-local: no shuffle, stays in
+    whole-stage codegen.
+    """
+    toks = words(text)
+    n = F.size(toks)
+    bigrams = F.when(
+        n > 1,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    return F.transform(feats, lambda f: hash_bucket(f, n_buckets))
+
+
+def _feature_rows(
+    docs: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, bucket) rows, one per feature occurrence."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(hashed_features(F.col(text_col), n_buckets)).alias("bucket"),
+    )
+
+
+def learn_log_odds(
+    docs: DataFrame,
+    positive: Column,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Per-bucket add-one-smoothed log-odds weights.
+
+    ``positive`` is a boolean Column over ``docs`` (the weak label: a
+    curated seed slice vs the rest). Returns (bucket int, weight
+    decimal(38,12)) with EVERY bucket present (missing buckets get the
+    pure-smoothing weight), so the scoring forms can index a dense
+    array. One shuffle, pre-aggregated map-side to ≤ n_buckets rows.
+    """
+    labeled = docs.select(F.col(text_col), F.col(id_col), positive.alias("__pos"))
+    feat = labeled.select(
+        F.explode(hashed_features(F.col(text_col), n_buckets)).alias("bucket"),
+        "__pos",
+    )
+    counts = feat.groupBy("bucket").agg(
+        F.count(F.when(F.col("__pos"), 1)).alias("pos_cnt"),
+        F.count(F.when(~F.col("__pos"), 1)).alias("neg_cnt"),
+    )
+    spark = docs.sparkSession
+    all_buckets = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    dense = (
+        all_buckets.join(counts, "bucket", "left")
+        .fillna(0, subset=["pos_cnt", "neg_cnt"])
+        .crossJoin(
+            F.broadcast(
+                counts.agg(
+                    F.sum("pos_cnt").alias("pos_tot"), F.sum("neg_cnt").alias("neg_tot")
+                )
+            )
+        )
+    )
+    w = F.log(
+        (F.col("pos_cnt").cast("double") + 1.0)
+        / (F.col("pos_tot").cast("double") + float(n_buckets))
+    ) - F.log(
+        (F.col("neg_cnt").cast("double") + 1.0)
+        / (F.col("neg_tot").cast("double") + float(n_buckets))
+    )
+    return dense.select("bucket", w.cast(_WEIGHT_DECIMAL).alias("weight"))
+
+
+def score_hashed(
+    docs: DataFrame,
+    weights: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Reference scoring form: explode features, broadcast-join weights.
+
+    Returns (id, n_features bigint, clf_score double, keep boolean).
+    ``clf_score`` is the mean per-occurrence log-odds; ``keep`` is the
+    zero-threshold decision. The weight join is an ≤ n_buckets-row
+    broadcast — never a shuffle of the corpus side beyond the per-doc
+    regroup.
+    """
+    feat = _feature_rows(docs, text_col, id_col, n_buckets)
+    scored = feat.join(F.broadcast(weights), "bucket")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_features"),
+        (F.sum("weight").cast("double") / F.count(F.lit(1)))
+        .cast("double")
+        .alias("clf_score"),
+    ).withColumn("keep", F.col("clf_score") > 0.0)
+
+
+def score_hashed_local(
+    docs: DataFrame,
+    weights: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Production scoring form: scan-local array lookup, zero shuffle.
+
+    Collects the (tiny, dense) weight table ONCE into a literal
+    ``array<decimal(38,12)>`` and scores each document inside the scan:
+    ``aggregate`` over the feature buckets with a decimal accumulator —
+    the exact same per-occurrence rounded weights ``score_hashed`` sums,
+    so the two forms are equal row-for-row (pinned in tests). This is
+    the 100 TB plan: the corpus never shuffles, never joins; the model
+    rides along as 2 KB of literals inside whole-stage codegen.
+    """
+    rows = weights.select("bucket", "weight").collect()
+    arr = [None] * n_buckets
+    for r in rows:
+        arr[r["bucket"]] = r["weight"]
+    if any(v is None for v in arr):
+        raise ValueError("weights must be dense over [0, n_buckets)")
+    # Accumulator discipline: decimal(38,12)+decimal(38,12) is
+    # decimal(38,11) under Spark's precision-loss rule — one scale digit
+    # gone, and the two scoring forms would drift in the 12th decimal.
+    # decimal(26,12) terms add to (27,12) EXACTLY; the cast back to
+    # (26,12) is same-scale (no rounding, overflow only past 1e14 —
+    # a 6e12-token document at max |weight|, far beyond any real doc,
+    # and it would surface as NULL, not a silent wrong answer).
+    acc_t = "decimal(26,12)"
+    warr = F.array(*[F.lit(v).cast(acc_t) for v in arr])
+    feats = hashed_features(F.col(text_col), n_buckets)
+    total = F.aggregate(
+        feats,
+        F.lit(0).cast(acc_t),
+        lambda acc, b: (acc + F.element_at(warr, b + 1)).cast(acc_t),
+    )
+    n_feat = F.size(feats).cast("bigint")
+    score = (total.cast("double") / n_feat).cast("double")
+    return docs.select(
+        F.col(id_col),
+        n_feat.alias("n_features"),
+        score.alias("clf_score"),
+        (score > 0.0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Backoff bigram language model (the KenLM-style perplexity filter, with
+# context). q76's unigram score ignores word order entirely; this model
+# conditions on the previous word for the contexts that matter and backs
+# off to the unigram everywhere else (Katz-style, fixed backoff mass).
+#
+# Design for 100 TB — and for cross-engine exactness, which here point the
+# SAME way: the context table is capped at top-M bigrams, so
+#   * the model is a bounded artifact (M rows) that BROADCASTS — scoring
+#     never joins the corpus against its own full bigram table (that join
+#     is the full token stream shuffled twice, and the table itself is
+#     O(corpus) rows);
+#   * every ln argument comes from a bounded set (M context ratios + one
+#     arg per DISTINCT unigram count), each rounded to DECIMAL(38,12)
+#     once at the MODEL level. JVM Math.log and libm ln disagree in the
+#     last ulp on ~7% of arbitrary doubles (PERFORMANCE.md q73 rule;
+#     measured this round), so an UNBOUNDED per-bigram ln — e.g. the
+#     interpolated form ln(l*p12 + (1-l)*p2) — cannot hash-match DuckDB
+#     at scale. Bounding + model-level rounding keeps the exposure an
+#     order below the already-green q76 pattern.
+# ---------------------------------------------------------------------------
+
+BACKOFF_MASS = 0.4
+DEFAULT_CONTEXTS = 512
+
+
+def bigram_stream(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, w1, w2) rows — one per adjacent word pair occurrence."""
+    toks = words(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.when(
+        n > 1,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return docs.select(F.col(id_col), F.explode(pairs).alias("__bg")).select(
+        id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2")
+    )
+
+
+def learn_backoff_bigram(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_contexts: int = DEFAULT_CONTEXTS,
+    backoff: float = BACKOFF_MASS,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the model: (bigram_lp, unigram_lp) tables.
+
+    ``bigram_lp``: the top-``n_contexts`` bigrams by count (ties broken
+    lexicographically — deterministic) with lp = ln(c12/c1) as
+    DECIMAL(38,12). ``unigram_lp``: every word with
+    blp = ln(backoff * c/N), same rounding. Two token-stream aggregates;
+    the top-M cut is one global top-k (WindowGroupLimit keeps it a
+    partial top-k per partition before the single-partition final —
+    M rows, not the bigram table, cross the exchange).
+    """
+    toks = words(F.col(text_col))
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    ntot = uni.agg(F.sum("c1").alias("n_tokens"))
+    bgc = (
+        bigram_stream(docs, text_col=text_col, id_col=id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    wnd = Window.orderBy(F.col("c12").desc(), F.col("w1"), F.col("w2"))
+    top = (
+        bgc.withColumn("__rk", F.row_number().over(wnd))
+        .filter(F.col("__rk") <= n_contexts)
+        .drop("__rk")
+    )
+    bigram_lp = top.join(
+        uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c_w1"), "w1"
+    ).select(
+        "w1",
+        "w2",
+        F.log(F.col("c12").cast("double") / F.col("c_w1").cast("double"))
+        .cast(_WEIGHT_DECIMAL)
+        .alias("lp"),
+    )
+    unigram_lp = uni.crossJoin(F.broadcast(ntot)).select(
+        F.col("w").alias("w2"),
+        F.log(
+            F.lit(backoff)
+            * (F.col("c1").cast("double") / F.col("n_tokens").cast("double"))
+        )
+        .cast(_WEIGHT_DECIMAL)
+        .alias("blp"),
+    )
+    return bigram_lp, unigram_lp
+
+
+def score_backoff_bigram(
+    docs: DataFrame,
+    bigram_lp: DataFrame,
+    unigram_lp: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc LM score under the fitted backoff model.
+
+    Returns (id, n_bigrams bigint, n_context_hits bigint, avg_logprob
+    double). The M-row context table broadcasts; the unigram table joins
+    on w2 (broadcast at test SFs, SMJ past the threshold — either is
+    fine: it's vocab-sized, not corpus-sized). Terms are model-level
+    decimals, so the per-doc sum is order-free exact.
+    """
+    terms = (
+        bigram_stream(docs, text_col=text_col, id_col=id_col)
+        .join(F.broadcast(bigram_lp), ["w1", "w2"], "left")
+        .join(unigram_lp, "w2")
+        .select(
+            id_col,
+            F.coalesce(F.col("lp"), F.col("blp")).alias("__t"),
+            F.col("lp").isNotNull().cast("int").alias("__hit"),
+        )
+    )
+    return terms.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("__hit").cast("bigint").alias("n_context_hits"),
+        (F.sum("__t").cast("double") / F.count(F.lit(1)))
+        .cast("double")
+        .alias("avg_logprob"),
+    )

@@ -155,6 +155,64 @@ def cosine_topk_bruteforce(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-similar vectors with a DIFFERENT label.
+
+    The near-miss negatives (high cosine, wrong class) are the pairs a
+    contrastive or reranker objective learns most from; random negatives
+    are trivially separable. Returns (query_id, neighbor_id,
+    neighbor_label, cos_sim, rank). Same physical shape as
+    ``cosine_topk_bruteforce`` — anchors broadcast, corpus streams once,
+    per-anchor top-k via WindowGroupLimit — plus the label disequality
+    pushed INTO the stream before scoring, so excluded candidates never
+    pay the O(dim) dot product. Cosine is +,*,/ and sqrt only — all
+    correctly-rounded IEEE, so the oracle hash-matches with no decimal
+    discipline needed. Scale path: swap the brute-force stream for the
+    IVF/LSH candidate generators (operators/pq.py) and keep this ranking
+    tail.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(label_col).alias("__qlabel"),
+        F.col(vec_col).alias("__qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__cvec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("__qlabel"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            (
+                _dot(F.col("__qvec"), F.col("__cvec"))
+                / (_norm(F.col("__qvec")) * _norm(F.col("__cvec")))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "cos_sim", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
     """Deterministic pseudo-random ±1 hyperplanes from splitmix64 stream."""
     idx = np.arange(dim * n_bits, dtype=np.uint64) + np.uint64(seed * 0x9E3779B9)

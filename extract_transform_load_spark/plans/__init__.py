@@ -61,7 +61,14 @@ _PRIORITY = [
     "q27_cumulative_sum",       # B23
     "q29_topk_customers",       # sorts/top-k
     "q30_union_ledger",         # set ops
-    "q33_json_extract",         # scalar functions + semi-structured extraction
+    # q33_json_extract displaced in round 8 for q134 — the judge's
+    # round-7 displacement shortlist named q33 next ("a single
+    # scalar-function class also covered by q05/q06"); the JSON/
+    # semi-structured extraction family stays strict-gate green past
+    # the window, and scalar-function coverage stays driver-owned via
+    # q05/q06's expression stacks. q134 gives the NEW model-based
+    # filtering family (hashed fasttext-style classifier + backoff
+    # bigram LM, this round) a driver CORRECTNESS row from birth.
     # §2.A pipeline layer: q117 (round 3) is the densest snapshot
     # witness — it exercises the full LS_State reconstruction AND the
     # incremental roll-forward, and its oracle is the full recompute, so
@@ -128,6 +135,7 @@ _PRIORITY = [
     "q109_funnel",              # funnel / cohort analysis
     "q127_gram_cardinality_hll",  # gram cardinality / Heaps law (r8; displaced q24)
     "q131_curation_pipeline",     # curation capstone family (r8; displaced q22)
+    "q134_quality_classifier",    # model-based filtering family (r8; displaced q33)
 ]
 
 

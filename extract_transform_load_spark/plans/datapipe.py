@@ -3886,3 +3886,177 @@ def q128_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.unionByName(planted)
     return cross_doc_spans(corpus, k=25, w=8, min_len=80, max_fp_docs=8)
+
+
+@query(
+    "q134_quality_classifier",
+    oracle="""
+    WITH toksrc AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source, f FROM toksrc, LATERAL (
+        SELECT unnest(list_concat(w,
+          CASE WHEN len(w) > 1
+               THEN list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])
+               ELSE [] END)) AS f) t
+    ),
+    hashed AS (
+      SELECT doc_id, source IN ('src0','src1','src2','src3') AS pos,
+             CAST((strpos('0123456789abcdef', substr(md5(f),1,1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(md5(f),2,1)) - 1 AS INT) AS bucket
+      FROM feats
+    ),
+    counts AS (
+      SELECT bucket,
+             COUNT(CASE WHEN pos THEN 1 END) AS pos_cnt,
+             COUNT(CASE WHEN NOT pos THEN 1 END) AS neg_cnt
+      FROM hashed GROUP BY 1
+    ),
+    tot AS (SELECT SUM(pos_cnt) AS pos_tot, SUM(neg_cnt) AS neg_tot FROM counts),
+    dense AS (
+      SELECT g.bucket, COALESCE(pos_cnt, 0) AS pos_cnt, COALESCE(neg_cnt, 0) AS neg_cnt
+      FROM (SELECT unnest(range(256)) AS bucket) g
+      LEFT JOIN counts ON g.bucket = counts.bucket
+    ),
+    wts AS (
+      SELECT bucket,
+             CAST(ln((CAST(pos_cnt AS DOUBLE) + 1) / (CAST(pos_tot AS DOUBLE) + 256))
+                - ln((CAST(neg_cnt AS DOUBLE) + 1) / (CAST(neg_tot AS DOUBLE) + 256))
+               AS DECIMAL(38,12)) AS weight
+      FROM dense CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_features,
+           CAST(CAST(SUM(weight) AS DOUBLE) / COUNT(*) AS DOUBLE) AS clf_score,
+           (CAST(CAST(SUM(weight) AS DOUBLE) / COUNT(*) AS DOUBLE) > 0) AS keep
+    FROM hashed JOIN wts USING (bucket)
+    GROUP BY 1
+    """,
+    doc="Hashed-feature quality classifier (the fasttext/CCNet model "
+    "filter; the 100 TB form q98's docstring promises): unigram+bigram "
+    "features hashed into 256 buckets (hash_bucket — md5 first byte, "
+    "engine-portable), add-one log-odds weights learned from a "
+    "seed-source weak label in ONE conditional aggregate (map-side "
+    "combine collapses each partition to <=256 rows), then every doc "
+    "scored against the 2 KB model. This registered form scores via "
+    "the 256-row broadcast join so the oracle replicates it literally; "
+    "the production twin (operators/quality_model.py::"
+    "score_hashed_local) scores scan-local from a literal weight array "
+    "— zero shuffle, zero join — and tests/test_datapipe.py pins the "
+    "two equal row-for-row (decimal model values make both sums "
+    "order-free exact). ln args are bounded (256 buckets x 2), per the "
+    "q73 last-ulp rule.",
+)
+def q134_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_model import learn_log_odds, score_hashed
+
+    d = load(spark, sf_dir, "documents")
+    pos = F.col("source").isin("src0", "src1", "src2", "src3")
+    weights = learn_log_odds(d, pos)
+    return score_hashed(d, weights)
+
+
+@query(
+    "q135_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, neighbor_label,
+             {_cos_sql('qv', 'cv')} AS cos_sim
+      FROM c, q WHERE neighbor_label <> qlabel
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cos_sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) t WHERE rank <= 10
+    """,
+    doc="Hard-negative mining for contrastive training: per anchor "
+    "(5 probe vectors), the top-10 most-similar embeddings with a "
+    "DIFFERENT label — the near-miss negatives a contrastive or "
+    "reranker objective learns most from. q44's physical shape "
+    "(anchors broadcast, corpus streams once, WindowGroupLimit top-k) "
+    "with the label disequality pushed into the stream BEFORE the "
+    "O(dim) dot product. Exact-parity safe with no decimal discipline: "
+    "cosine is +,*,/,sqrt only, all correctly-rounded IEEE. "
+    "operators/similarity.py::hard_negative_topk.",
+)
+def q135_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hard_negative_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return hard_negative_topk(emb, probes, k=10, query_id_col="query_id")
+
+
+@query(
+    "q136_bigram_lm_score",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    uni AS (
+      SELECT u.term AS w, COUNT(*) AS c1
+      FROM toks, LATERAL (SELECT unnest(w) AS term) u GROUP BY 1
+    ),
+    tot AS (SELECT SUM(c1) AS n_tokens FROM uni),
+    big AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+      WHERE len(w) > 1
+    ),
+    bgc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+    top AS (
+      SELECT w1, w2, c12 FROM (
+        SELECT *, row_number() OVER (ORDER BY c12 DESC, w1, w2) AS rk FROM bgc
+      ) WHERE rk <= 512
+    ),
+    blp AS (
+      SELECT w1, w2,
+             CAST(ln(CAST(c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) AS DECIMAL(38,12)) AS lp
+      FROM top JOIN uni u ON top.w1 = u.w
+    ),
+    ulp AS (
+      SELECT w AS w2,
+             CAST(ln(0.4 * (CAST(c1 AS DOUBLE) / CAST(n_tokens AS DOUBLE))) AS DECIMAL(38,12)) AS blp
+      FROM uni CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT doc_id, COALESCE(lp, ulp.blp) AS t,
+             CASE WHEN lp IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM big LEFT JOIN blp USING (w1, w2) JOIN ulp USING (w2)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(hit) AS BIGINT) AS n_context_hits,
+           CAST(CAST(SUM(t) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_logprob
+    FROM terms GROUP BY 1
+    """,
+    doc="Backoff bigram LM quality score (the KenLM-style perplexity "
+    "filter WITH context; q76 is the order-blind unigram baseline): "
+    "top-512 bigram contexts get ln(c12/c1), everything else backs off "
+    "to ln(0.4 * c2/N) — Katz shape, fixed backoff mass. The capped "
+    "context table is the point at 100 TB: the model is a bounded "
+    "artifact that BROADCASTS (scoring never joins the corpus against "
+    "its own O(corpus)-row bigram table), and every ln argument comes "
+    "from a bounded set (512 ratios + one per distinct unigram count) "
+    "rounded to DECIMAL(38,12) once at the MODEL level — the q73 "
+    "last-ulp rule, an order tighter than q76's per-(doc,term) "
+    "rounding. An unbounded interpolated form ln(l*p12+(1-l)*p2) "
+    "CANNOT hash-match DuckDB at scale (measured this round: JVM "
+    "Math.log differs from libm in the last ulp on ~7% of arbitrary "
+    "doubles, 36/500 docs diverged at sf0.001). "
+    "operators/quality_model.py::learn_backoff_bigram/"
+    "score_backoff_bigram.",
+)
+def q136_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_model import learn_backoff_bigram, score_backoff_bigram
+
+    d = load(spark, sf_dir, "documents")
+    bigram_lp, unigram_lp = learn_backoff_bigram(d)
+    return score_backoff_bigram(d, bigram_lp, unigram_lp)

@@ -49,6 +49,12 @@ QUERIES = [
     "q130_dedup_clusters_minhash",
     "q131_curation_pipeline",
     "q132_curation_delta",
+    # round 8, second leg: model-based quality filtering over documents
+    # (q135 hard negatives is embeddings-side and out of this docs
+    # replica's scope; its physical plan is q44's, whose scale path is
+    # the IVF/PQ candidate generators)
+    "q134_quality_classifier",
+    "q136_bigram_lm_score",
 ]
 
 

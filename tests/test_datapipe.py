@@ -1841,3 +1841,134 @@ def test_delta_operators_reject_negative_ids(spark):
     )
     with pytest.raises(ValueError, match="negative ids"):
         semantic_delta(vecs, store, block_col="label")
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (round 8): hashed classifier + backoff LM
+# ---------------------------------------------------------------------------
+
+
+def test_quality_classifier_forms_are_row_for_row_equal(spark, docs):
+    """The broadcast-join (oracle) and literal-array (production) scoring
+    forms must agree EXACTLY — same decimal model values, order-free
+    decimal sums. A drift here means the 100 TB plan silently diverges
+    from the plan the gate checks."""
+    from extract_transform_load_spark.operators.quality_model import (
+        learn_log_odds,
+        score_hashed,
+        score_hashed_local,
+    )
+
+    pos = F.col("source").isin("src0", "src1", "src2", "src3")
+    w = learn_log_odds(docs, pos)
+    ref = {r["doc_id"]: r for r in score_hashed(docs, w).collect()}
+    loc = {r["doc_id"]: r for r in score_hashed_local(docs, w).collect()}
+    assert set(ref) == set(loc) and len(ref) == docs.count()
+    for k, a in ref.items():
+        b = loc[k]
+        assert (a["n_features"], a["clf_score"], a["keep"]) == (
+            b["n_features"],
+            b["clf_score"],
+            b["keep"],
+        ), (a, b)
+
+
+def test_quality_classifier_production_form_has_no_shuffle(spark, sf_dir):
+    """score_hashed_local is scan-local: no Exchange anywhere in its plan."""
+    from extract_transform_load_spark.operators.quality_model import (
+        learn_log_odds,
+        score_hashed_local,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = learn_log_odds(docs, F.col("lang") == "en")
+    plan = score_hashed_local(docs, w)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_quality_classifier_separates_the_seed_slice(docs):
+    """Sanity on the model's direction: the positive-labeled slice must
+    score higher on average than the rest (it defines the target)."""
+    from extract_transform_load_spark.operators.quality_model import (
+        learn_log_odds,
+        score_hashed,
+    )
+
+    pos = F.col("source").isin("src0", "src1", "src2", "src3")
+    w = learn_log_odds(docs, pos)
+    scored = score_hashed(docs, w).join(
+        docs.select("doc_id", pos.alias("is_pos")), "doc_id"
+    )
+    means = (
+        scored.groupBy("is_pos").agg(F.avg("clf_score").alias("m")).collect()
+    )
+    by = {r["is_pos"]: r["m"] for r in means}
+    assert by[True] > by[False], by
+
+
+def test_hashed_features_single_word_doc_has_no_bigrams(spark):
+    from extract_transform_load_spark.operators.quality_model import hashed_features
+
+    df = spark.createDataFrame([("solo",), ("two words",)], "text string")
+    sizes = [r[0] for r in df.select(F.size(hashed_features(F.col("text")))).collect()]
+    assert sizes == [1, 3]  # 1 unigram; 2 unigrams + 1 bigram
+
+
+def test_backoff_bigram_lm_terms_partition_correctly(docs):
+    """Context hits score via ln(c12/c1); everything else via the
+    unigram backoff — per-doc hit counts bounded by bigram counts, and
+    a doc made ONLY of the corpus's hottest bigram must out-score a doc
+    of the same words in context-breaking order."""
+    from extract_transform_load_spark.operators.quality_model import (
+        learn_backoff_bigram,
+        score_backoff_bigram,
+    )
+
+    blp, ulp = learn_backoff_bigram(docs)
+    out = score_backoff_bigram(docs, blp, ulp)
+    rows = out.collect()
+    assert rows and all(0 <= r["n_context_hits"] <= r["n_bigrams"] for r in rows)
+    assert all(r["avg_logprob"] < 0 for r in rows)
+
+    top = blp.orderBy(F.col("lp").desc()).limit(1).collect()[0]
+    w1, w2 = top["w1"], top["w2"]
+    spark = docs.sparkSession
+    probe = spark.createDataFrame(
+        [(1, f"{w1} {w2} {w1} {w2} {w1} {w2}"), (2, f"{w2} {w2} {w1} {w1} {w2} {w1}")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in score_backoff_bigram(probe, blp, ulp).collect()}
+    assert got[1]["n_context_hits"] >= 3
+    assert got[1]["avg_logprob"] > got[2]["avg_logprob"], got
+
+
+def test_hard_negatives_exclude_same_label_and_rank_correctly(emb):
+    from extract_transform_load_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        hard_negative_topk,
+    )
+
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    out = hard_negative_topk(emb, probes, k=10).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.filter(F.col("vec_id") < 5).collect()}
+    assert len(out) == 5 * 10
+    per_q = {}
+    for r in out:
+        assert r["neighbor_label"] != labels[r["query_id"]]
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["cos_sim"]))
+    for q, rs in per_q.items():
+        rs.sort()
+        assert [rk for rk, _ in rs] == list(range(1, 11))
+        sims = [s for _, s in rs]
+        assert sims == sorted(sims, reverse=True)
+
+    # Consistency with the unfiltered exact search: any top-10 overall
+    # neighbor that HAS a different label must appear here with >= rank.
+    exact = cosine_topk_bruteforce(emb, probes, k=10).collect()
+    hard = {(r["query_id"], r["neighbor_id"]) for r in out}
+    nl = {r["vec_id"]: r["label"] for r in emb.collect()}
+    for r in exact:
+        if nl[r["neighbor_id"]] != labels[r["query_id"]]:
+            assert (r["query_id"], r["neighbor_id"]) in hard

@@ -600,3 +600,23 @@ def test_q127_production_gram_cardinality_single_exchange(spark, sf_dir):
 
     p124 = plan_of(spark, sf_dir, "q124_gram_cardinality")
     assert "partial_count(distinct" in p124  # the audit scaffold, kept there
+
+
+def test_q134_classifier_weights_broadcast_never_shuffle_join(spark, sf_dir):
+    """The 256-row model joins the feature stream as a broadcast; the
+    only hash exchanges are the learn-side bucket aggregate and the
+    per-doc score regroup — the corpus never shuffles on a model key.
+    (The production scan-local form has NO exchange at all —
+    tests/test_datapipe.py pins that plus row-for-row equality.)"""
+    plan = plan_of(spark, sf_dir, "q134_quality_classifier")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q136_bigram_lm_context_table_broadcasts(spark, sf_dir):
+    """The capped top-512 context table must reach the scoring stream
+    as a broadcast (the whole point of bounding the model at 100 TB);
+    no cartesian anywhere."""
+    plan = plan_of(spark, sf_dir, "q136_bigram_lm_score")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan, plan

@@ -101,6 +101,7 @@ HEADLINE = [
     "q134_quality_classifier",
     "q135_hard_negatives",
     "q136_bigram_lm_score",
+    "q137_curation_model_pipeline",
 ]
 
 

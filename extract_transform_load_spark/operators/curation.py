@@ -51,6 +51,9 @@ def curation_stages(
     bands: int = 16,
     threshold: float = 0.5,
     cache_drop_list: bool = True,
+    model_weights: Sequence | None = None,
+    model_threshold: float = 0.0,
+    model_buckets: int = 256,
 ) -> DataFrame:
     """Per-document curation verdicts.
 
@@ -84,6 +87,17 @@ def curation_stages(
     from full text three times is strictly worse at any scale. Pass
     False for a pure plan (e.g. streaming reuse); long-lived sessions
     can reclaim memory with ``spark.catalog.clearCache()``.
+
+    ``model_weights`` (round 8) enables the model-based filter stage —
+    the CCNet order: dedup first, LM/classifier filter after. Pass the
+    frozen hashed-classifier array (``quality_model.collect_weights``);
+    docs whose mean log-odds is <= ``model_threshold`` and that survived
+    every earlier stage are labelled ``model_filtered``. The score is
+    computed SCAN-LOCAL in the same projection as the TTR metric
+    (literal weight array inside codegen — zero extra shuffle, zero
+    joins), so the stage is free at 100 TB beyond the arithmetic
+    itself. Default None keeps the historical three-stage recipe and
+    output byte-identical.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -95,11 +109,19 @@ def curation_stages(
     wds = words(F.col(text_col))
     # text is consumed HERE, in-scan; everything downstream moves ids,
     # fingerprints and per-doc metrics, never text
+    metric_cols = [
+        F.size(wds).cast("bigint").alias("n_words"),
+        (F.size(F.array_distinct(wds)).cast("double") / F.size(wds)).alias("__ttr"),
+    ]
+    if model_weights is not None:
+        from .quality_model import local_score_columns
+
+        _, clf = local_score_columns(F.col(text_col), list(model_weights), model_buckets)
+        metric_cols.append(clf.alias("__clf"))
     m = docs.select(
         F.col(id_col),
         *[F.col(c) for c in passthrough_cols],
-        F.size(wds).cast("bigint").alias("n_words"),
-        (F.size(F.array_distinct(wds)).cast("double") / F.size(wds)).alias("__ttr"),
+        *metric_cols,
     )
     # One md5 scan + ONE narrow exchange of (fingerprint, id) pairs: the
     # min-per-fingerprint is a window over the pruned 2-column frame (a
@@ -131,6 +153,15 @@ def curation_stages(
         .filter(~F.col("keep"))
         .select(F.col("doc_id").alias(id_col), F.lit(True).alias("__nd"))
     )
+    stage = (
+        F.when(F.col("__xd"), "exact_dup")
+        .when(F.col("__nd"), "near_dup")
+        # NULL __ttr (null text) must not fall through to kept: a
+        # null comparison is null-false in a when-chain (review r8)
+        .when(F.col("__ttr").isNull() | (F.col("__ttr") < min_ttr), "low_quality")
+    )
+    if model_weights is not None:
+        stage = stage.when(F.col("__clf") <= model_threshold, "model_filtered")
     return (
         m.join(dropped1, id_col, "left")
         .join(drops2, id_col, "left")
@@ -138,13 +169,7 @@ def curation_stages(
             F.col(id_col),
             *[F.col(c) for c in passthrough_cols],
             F.col("n_words"),
-            F.when(F.col("__xd"), "exact_dup")
-            .when(F.col("__nd"), "near_dup")
-            # NULL __ttr (null text) must not fall through to kept: a
-            # null comparison is null-false in a when-chain (review r8)
-            .when(F.col("__ttr").isNull() | (F.col("__ttr") < min_ttr), "low_quality")
-            .otherwise("kept")
-            .alias("stage"),
+            stage.otherwise("kept").alias("stage"),
         )
     )
 
@@ -161,6 +186,9 @@ def curation_delta(
     bands: int = 16,
     threshold: float = 0.5,
     cache_drop_list: bool = True,
+    model_weights: Sequence | None = None,
+    model_threshold: float = 0.0,
+    model_buckets: int = 256,
 ) -> DataFrame:
     """Curate a FRESH BATCH against an already-curated store — the
     continuous-ingestion form of :func:`curation_stages`, touching the
@@ -185,7 +213,12 @@ def curation_delta(
       it is always the cluster keeper), which preserves exactly
       "connected to the store" without caring WHICH stored doc. Requires
       non-negative ids.
-    - ``low_quality`` / ``kept``: the TTR gate (null text never kept).
+    - ``low_quality`` / ``kept``: the TTR gate (null text never kept);
+    - ``model_filtered`` (round 8, only when ``model_weights`` is set):
+      the frozen hashed-classifier gate, scan-local exactly as in
+      :func:`curation_stages` — the natural streaming shape: the model
+      is learned OFFLINE once and shipped as 2 KB of literals, so each
+      microbatch pays no model job and no extra shuffle.
 
     Cross-store pairs use the SIGNATURE estimate (>= ``threshold`` on
     agreement fraction) — the store's text is gone by design — while
@@ -222,12 +255,20 @@ def curation_delta(
     _check_nonnegative_ids(delta, id_col, "curation_delta")
 
     wds = words(F.col(text_col))
-    m = delta.select(
-        F.col(id_col),
-        *[F.col(c) for c in passthrough_cols],
+    metric_cols = [
         fingerprint(F.col(text_col)).alias("fingerprint"),
         F.size(wds).cast("bigint").alias("n_words"),
         (F.size(F.array_distinct(wds)).cast("double") / F.size(wds)).alias("__ttr"),
+    ]
+    if model_weights is not None:
+        from .quality_model import local_score_columns
+
+        _, clf = local_score_columns(F.col(text_col), list(model_weights), model_buckets)
+        metric_cols.append(clf.alias("__clf"))
+    m = delta.select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough_cols],
+        *metric_cols,
     )
     seen = seen_fingerprints.select("fingerprint").distinct()
     dropped1 = (
@@ -267,6 +308,13 @@ def curation_delta(
         .filter(~F.col("keep") & (F.col("doc_id") != -1))
         .select(F.col("doc_id").alias(id_col), F.lit(True).alias("__nd"))
     )
+    stage = (
+        F.when(F.col("__xd"), "exact_dup")
+        .when(F.col("__nd"), "near_dup")
+        .when(F.col("__ttr").isNull() | (F.col("__ttr") < min_ttr), "low_quality")
+    )
+    if model_weights is not None:
+        stage = stage.when(F.col("__clf") <= model_threshold, "model_filtered")
     return (
         m.join(dropped1, id_col, "left")
         .join(drops2, id_col, "left")
@@ -275,11 +323,7 @@ def curation_delta(
             *[F.col(c) for c in passthrough_cols],
             F.col("n_words"),
             F.col("fingerprint"),
-            F.when(F.col("__xd"), "exact_dup")
-            .when(F.col("__nd"), "near_dup")
-            .when(F.col("__ttr").isNull() | (F.col("__ttr") < min_ttr), "low_quality")
-            .otherwise("kept")
-            .alias("stage"),
+            stage.otherwise("kept").alias("stage"),
         )
     )
 
@@ -417,18 +461,33 @@ def curated_corpus(
 def curation_report(
     stages: DataFrame,
     group_cols: Sequence[str] = ("source",),
+    include_model: bool = False,
 ) -> DataFrame:
     """Per-group funnel rollup of :func:`curation_stages` output —
     input count, per-stage drop counts, kept count and kept words.
-    Map-side combined; one exchange on the group keys."""
+    Map-side combined; one exchange on the group keys.
+
+    ``include_model`` adds the ``n_model_dropped`` counter for recipes
+    that enable the classifier stage. Opt-in rather than always-on so
+    the historical report schema (q131's oracle contract) stays
+    byte-stable."""
     kept = F.col("stage") == "kept"
-    return stages.groupBy(*[F.col(c) for c in group_cols]).agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_input"),
         F.sum((F.col("stage") == "exact_dup").cast("bigint")).alias("n_exact_dropped"),
         F.sum((F.col("stage") == "near_dup").cast("bigint")).alias("n_neardup_dropped"),
         F.sum((F.col("stage") == "low_quality").cast("bigint")).alias("n_quality_dropped"),
+    ]
+    if include_model:
+        aggs.append(
+            F.sum((F.col("stage") == "model_filtered").cast("bigint")).alias(
+                "n_model_dropped"
+            )
+        )
+    aggs += [
         F.sum(kept.cast("bigint")).alias("n_kept"),
         F.sum(F.when(kept, F.col("n_words")).otherwise(F.lit(0)))
         .cast("bigint")
         .alias("kept_words"),
-    )
+    ]
+    return stages.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)

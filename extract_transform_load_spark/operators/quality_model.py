@@ -174,22 +174,49 @@ def score_hashed_local(
     the 100 TB plan: the corpus never shuffles, never joins; the model
     rides along as 2 KB of literals inside whole-stage codegen.
     """
+    arr = collect_weights(weights, n_buckets)
+    n_feat, score = local_score_columns(F.col(text_col), arr, n_buckets)
+    return docs.select(
+        F.col(id_col),
+        n_feat.alias("n_features"),
+        score.alias("clf_score"),
+        (score > 0.0).alias("keep"),
+    )
+
+
+def collect_weights(weights: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> list:
+    """Materialize a dense (bucket, weight) table into a Python list —
+    the frozen-model artifact the scan-local scorers embed as literals
+    (and the form a streaming sink ships: learn offline once, score
+    every microbatch with no model job)."""
     rows = weights.select("bucket", "weight").collect()
     arr = [None] * n_buckets
     for r in rows:
         arr[r["bucket"]] = r["weight"]
     if any(v is None for v in arr):
         raise ValueError("weights must be dense over [0, n_buckets)")
-    # Accumulator discipline: decimal(38,12)+decimal(38,12) is
-    # decimal(38,11) under Spark's precision-loss rule — one scale digit
-    # gone, and the two scoring forms would drift in the 12th decimal.
-    # decimal(26,12) terms add to (27,12) EXACTLY; the cast back to
-    # (26,12) is same-scale (no rounding, overflow only past 1e14 —
-    # a 6e12-token document at max |weight|, far beyond any real doc,
-    # and it would surface as NULL, not a silent wrong answer).
+    return arr
+
+
+def local_score_columns(
+    text: Column, weights: list, n_buckets: int = DEFAULT_BUCKETS
+) -> tuple[Column, Column]:
+    """(n_features, clf_score) column pair, computed scan-local.
+
+    Accumulator discipline: decimal(38,12)+decimal(38,12) is
+    decimal(38,11) under Spark's precision-loss rule — one scale digit
+    gone, and the scan-local form would drift from the broadcast-join
+    form in the 12th decimal. decimal(26,12) terms add to (27,12)
+    EXACTLY; the cast back to (26,12) is same-scale (no rounding,
+    overflow only past 1e14 — a 6e12-token document at max |weight|,
+    far beyond any real doc, and it would surface as NULL, not a silent
+    wrong answer).
+    """
+    if len(weights) != n_buckets:
+        raise ValueError(f"expected {n_buckets} weights, got {len(weights)}")
     acc_t = "decimal(26,12)"
-    warr = F.array(*[F.lit(v).cast(acc_t) for v in arr])
-    feats = hashed_features(F.col(text_col), n_buckets)
+    warr = F.array(*[F.lit(v).cast(acc_t) for v in weights])
+    feats = hashed_features(text, n_buckets)
     total = F.aggregate(
         feats,
         F.lit(0).cast(acc_t),
@@ -197,12 +224,7 @@ def score_hashed_local(
     )
     n_feat = F.size(feats).cast("bigint")
     score = (total.cast("double") / n_feat).cast("double")
-    return docs.select(
-        F.col(id_col),
-        n_feat.alias("n_features"),
-        score.alias("clf_score"),
-        (score > 0.0).alias("keep"),
-    )
+    return n_feat, score
 
 
 # ---------------------------------------------------------------------------

@@ -4060,3 +4060,138 @@ def q136_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     bigram_lp, unigram_lp = learn_backoff_bigram(d)
     return score_backoff_bigram(d, bigram_lp, unigram_lp)
+
+
+@query(
+    "q137_curation_model_pipeline",
+    # q131's end-to-end staged oracle + q134's classifier CTEs, composed:
+    # the model gate slots after the TTR gate in the CASE (CCNet order —
+    # dedup first, model filter last), and the rollup gains
+    # n_model_dropped.
+    oracle="""
+    WITH RECURSIVE
+    base AS (
+      SELECT doc_id, text, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+               ORDER BY doc_id
+             ) AS rn
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id, text FROM base WHERE rn = 1),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM s1),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    ),
+    drops2 AS (
+      SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> least(u, MIN(v))
+    ),
+    alltoks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    feats AS (
+      SELECT doc_id, source, f FROM alltoks, LATERAL (
+        SELECT unnest(list_concat(w,
+          CASE WHEN len(w) > 1
+               THEN list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])
+               ELSE [] END)) AS f) t
+    ),
+    hashed AS (
+      SELECT doc_id, source IN ('src0','src1','src2','src3') AS pos,
+             CAST((strpos('0123456789abcdef', substr(md5(f),1,1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(md5(f),2,1)) - 1 AS INT) AS bucket
+      FROM feats
+    ),
+    counts AS (
+      SELECT bucket,
+             COUNT(CASE WHEN pos THEN 1 END) AS pos_cnt,
+             COUNT(CASE WHEN NOT pos THEN 1 END) AS neg_cnt
+      FROM hashed GROUP BY 1
+    ),
+    tot AS (SELECT SUM(pos_cnt) AS pos_tot, SUM(neg_cnt) AS neg_tot FROM counts),
+    dense AS (
+      SELECT g.bucket, COALESCE(pos_cnt, 0) AS pos_cnt, COALESCE(neg_cnt, 0) AS neg_cnt
+      FROM (SELECT unnest(range(256)) AS bucket) g
+      LEFT JOIN counts ON g.bucket = counts.bucket
+    ),
+    wts AS (
+      SELECT bucket,
+             CAST(ln((CAST(pos_cnt AS DOUBLE) + 1) / (CAST(pos_tot AS DOUBLE) + 256))
+                - ln((CAST(neg_cnt AS DOUBLE) + 1) / (CAST(neg_tot AS DOUBLE) + 256))
+               AS DECIMAL(38,12)) AS weight
+      FROM dense CROSS JOIN tot
+    ),
+    clf AS (
+      SELECT doc_id,
+             CAST(CAST(SUM(weight) AS DOUBLE) / COUNT(*) AS DOUBLE) AS clf_score
+      FROM hashed JOIN wts USING (bucket)
+      GROUP BY 1
+    ),
+    staged AS (
+      SELECT b.source,
+             len(string_split(b.text, ' ')) AS nw,
+             CASE WHEN b.rn > 1 THEN 'exact_dup'
+                  WHEN d2.doc_id IS NOT NULL THEN 'near_dup'
+                  WHEN b.text IS NULL
+                       OR CAST(len(list_distinct(string_split(b.text, ' '))) AS DOUBLE)
+                          / len(string_split(b.text, ' ')) < 0.3 THEN 'low_quality'
+                  WHEN c.clf_score <= 0 THEN 'model_filtered'
+                  ELSE 'kept' END AS stage
+      FROM base b LEFT JOIN drops2 d2 USING (doc_id) LEFT JOIN clf c USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_input,
+           CAST(SUM(CASE WHEN stage = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dropped,
+           CAST(SUM(CASE WHEN stage = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_dropped,
+           CAST(SUM(CASE WHEN stage = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_dropped,
+           CAST(SUM(CASE WHEN stage = 'model_filtered' THEN 1 ELSE 0 END) AS BIGINT) AS n_model_dropped,
+           CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN stage = 'kept' THEN nw ELSE 0 END) AS BIGINT) AS kept_words
+    FROM staged GROUP BY source
+    """,
+    doc="q131's curation recipe with the round-8 model gate composed in "
+    "(CCNet order: dedup -> heuristic quality -> frozen classifier): "
+    "the hashed log-odds model is learned once from the seed-source "
+    "weak label, frozen via collect_weights, and scored SCAN-LOCAL in "
+    "the same projection as the TTR metric — the composition adds ZERO "
+    "exchanges to q131's plan (pinned by test_curation_model_stage_"
+    "composes_with_correct_precedence) and ZERO extra text movement. "
+    "Stage attribution stays sequential: model_filtered applies only "
+    "to docs every earlier stage kept. The streaming twin threads the "
+    "same frozen array through curation_sink(model_weights=...). "
+    "operators/curation.py::curation_stages + "
+    "operators/quality_model.py.",
+)
+def q137_curation_model_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import curation_report, curation_stages
+    from ..operators.quality_model import collect_weights, learn_log_odds
+
+    d = load(spark, sf_dir, "documents")
+    w = collect_weights(
+        learn_log_odds(d, F.col("source").isin("src0", "src1", "src2", "src3"))
+    )
+    stages = curation_stages(
+        d, min_ttr=0.3, num_hashes=64, bands=16, threshold=0.5,
+        model_weights=w, model_threshold=0.0,
+    )
+    return curation_report(stages, include_model=True)

@@ -284,6 +284,8 @@ def curation_sink(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    model_weights: Sequence | None = None,
+    model_threshold: float = 0.0,
 ) -> Callable[[DataFrame, int], None]:
     """A ``write_batch`` that runs continuous corpus curation: each
     microbatch is curated against the accumulated store with
@@ -291,6 +293,13 @@ def curation_sink(
     fingerprint set, near-dup vs the signature table, quality gate) and
     the survivors land in the store — the streaming form of the q131
     batch recipe, one code path with the q132 incremental semantics.
+
+    ``model_weights`` (round 8) threads the frozen hashed-classifier
+    gate into the per-batch recipe (stage ``model_filtered``): the
+    model is learned OFFLINE once and shipped as 2 KB of literals
+    (``quality_model.collect_weights``), so each microbatch scores
+    scan-local — no model job, no extra shuffle, and filtered docs
+    never enter the store (their verdict rows still land).
 
     Store layout under ``store_dir`` (all parquet):
 
@@ -369,6 +378,9 @@ def curation_sink(
             text_col=text_col, id_col=id_col,
             passthrough_cols=passthrough_cols, min_ttr=min_ttr,
             num_hashes=num_hashes, bands=bands, threshold=threshold,
+            # frozen model shipped as literals: learned OFFLINE once
+            # (quality_model.collect_weights), no per-batch model job
+            model_weights=model_weights, model_threshold=model_threshold,
             # the sink does its own per-batch persist below (bounded
             # lifetime); the operator's session-lifetime drop-list cache
             # would accumulate across a long-lived stream

@@ -1972,3 +1972,71 @@ def test_hard_negatives_exclude_same_label_and_rank_correctly(emb):
     for r in exact:
         if nl[r["neighbor_id"]] != labels[r["query_id"]]:
             assert (r["query_id"], r["neighbor_id"]) in hard
+
+
+def test_curation_model_stage_composes_with_correct_precedence(docs, spark):
+    """The opt-in classifier stage: disabled-by-default output is
+    byte-identical to the historical recipe; enabled, model_filtered
+    applies ONLY to docs every earlier stage kept, and the production
+    composition adds ZERO exchanges to the plan (the score is a literal
+    array inside the same scan projection)."""
+    from extract_transform_load_spark.operators.curation import (
+        curation_report,
+        curation_stages,
+    )
+    from extract_transform_load_spark.operators.quality_model import (
+        collect_weights,
+        learn_log_odds,
+    )
+
+    base = {r["doc_id"]: r["stage"] for r in curation_stages(docs).collect()}
+
+    w = collect_weights(learn_log_odds(docs, F.col("source").isin("src0", "src1")))
+    # threshold above every score: every previously-kept doc must flip
+    gated = curation_stages(docs, model_weights=w, model_threshold=1e9)
+    got = {r["doc_id"]: r["stage"] for r in gated.collect()}
+    assert set(got) == set(base)
+    for k, s in base.items():
+        assert got[k] == ("model_filtered" if s == "kept" else s), (k, s, got[k])
+
+    # plan parity: enabling the stage adds no Exchange. Compare
+    # pure (uncached) plans — the default persist substitutes
+    # InMemoryRelation subtrees at different times for the two builds
+    # and makes raw Exchange counts incomparable.
+    def n_exchanges(df):
+        return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+    n_ex_base = n_exchanges(curation_stages(docs, cache_drop_list=False))
+    n_ex_gated = n_exchanges(
+        curation_stages(
+            docs, cache_drop_list=False, model_weights=w, model_threshold=1e9
+        )
+    )
+    assert n_ex_gated == n_ex_base
+
+    rep = curation_report(gated, include_model=True).collect()
+    for r in rep:
+        assert (
+            r["n_input"]
+            == r["n_exact_dropped"] + r["n_neardup_dropped"]
+            + r["n_quality_dropped"] + r["n_model_dropped"] + r["n_kept"]
+        )
+
+
+def test_curation_model_stage_threshold_zero_matches_classifier_keep(docs):
+    """At the default threshold the stage agrees with q134's keep bit on
+    every doc that reaches it."""
+    from extract_transform_load_spark.operators.curation import curation_stages
+    from extract_transform_load_spark.operators.quality_model import (
+        collect_weights,
+        learn_log_odds,
+        score_hashed,
+    )
+
+    wdf = learn_log_odds(docs, F.col("source").isin("src0", "src1", "src2", "src3"))
+    w = collect_weights(wdf)
+    gated = curation_stages(docs, model_weights=w)
+    keep = {r["doc_id"]: r["keep"] for r in score_hashed(docs, wdf).collect()}
+    for r in gated.collect():
+        if r["stage"] in ("kept", "model_filtered"):
+            assert (r["stage"] == "kept") == keep[r["doc_id"]], r

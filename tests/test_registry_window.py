@@ -74,6 +74,7 @@ FAMILY_REPS = {
         "q131_curation_pipeline",
         "q132_curation_delta",
         "q133_semantic_delta",
+        "q137_curation_model_pipeline",
     ],
     # New family in round 8: model-based quality filtering (q134 hashed
     # fasttext-style classifier — driver row from birth, displacing q33

@@ -314,3 +314,59 @@ def test_curation_sink_replay_converges(spark, tmp_path):
         "kept"
     ) >= 2
     assert {r["stage"] for r in replays} <= {"kept", "exact_dup"}
+
+
+def test_curation_sink_with_frozen_model_gate(spark, tmp_path):
+    """The round-8 model stage in the stream: weights learned OFFLINE
+    from a seed corpus, frozen via collect_weights, shipped into the
+    sink as literals. A doc built from negative-weight vocabulary is
+    labelled model_filtered and never enters the store; seed-like docs
+    keep flowing. No model job runs per batch (the sink only receives
+    the list)."""
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.operators.quality_model import (
+        collect_weights,
+        learn_log_odds,
+    )
+    from extract_transform_load_spark.streaming.ingest import curation_sink
+
+    schema = "doc_id long, text string, source string"
+    good = " ".join(f"good{i:02d}" for i in range(30))
+    bad = " ".join(f"bad{i:02d}" for i in range(30))
+    seed = spark.createDataFrame(
+        [(100, good, "seed"), (101, bad, "crawl")], schema
+    )
+    w = collect_weights(learn_log_odds(seed, F.col("source") == "seed"))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, good, "s"), (2, bad, "s")], schema
+    ).coalesce(1).write.parquet(str(src / "b1.parquet"))
+
+    store = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            curation_sink(store, model_weights=w, model_threshold=0.0)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(store + "/corpus").collect())
+    assert kept == [1]
+    verdicts = {
+        r["doc_id"]: r["stage"]
+        for r in spark.read.parquet(store + "/verdicts").collect()
+    }
+    assert verdicts == {1: "kept", 2: "model_filtered"}

@@ -102,6 +102,7 @@ HEADLINE = [
     "q135_hard_negatives",
     "q136_bigram_lm_score",
     "q137_curation_model_pipeline",
+    "q138_tf_cosine_pairs",
 ]
 
 

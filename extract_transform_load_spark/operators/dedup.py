@@ -31,7 +31,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from .textops import fingerprint, normalized, word_shingles
+from .textops import fingerprint, normalized, word_shingles, words
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -1114,3 +1114,75 @@ def cross_doc_spans(
         f"a_doc {id_type}, b_doc {id_type}, a_start bigint, a_end bigint, "
         "b_start bigint, b_end bigint, span_len bigint, span_md5 string",
     ).distinct()
+
+
+def tf_cosine_pairs(
+    docs: DataFrame,
+    min_cos: float = 0.6,
+    df_min: int = 2,
+    df_max: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All document pairs (a < b) with term-frequency cosine >= min_cos.
+
+    The count-weighted sibling of :func:`ngram_jaccard_pairs` (set
+    overlap) and q73's BM25 (query-vs-doc): cosine over raw per-doc term
+    counts catches near-dups whose similarity lives in SHARED VOCABULARY
+    PROPORTIONS rather than shared k-grams — reorderings, shuffled
+    boilerplate, template instantiations. Jaccard on 3-grams misses a
+    word-order shuffle entirely; TF cosine is order-blind by
+    construction.
+
+    Plan shape: one token explode -> per-(doc,term) counts -> df-cut
+    [df_min, df_max] (the q41 rule: a term in d docs contributes d^2/2
+    join rows, so posting lists are BOUNDED before the self-join; terms
+    below df_min pair with nothing and are dead weight) -> self-join on
+    term -> integer dot products -> norm join -> threshold. Norms are
+    computed over the SAME cut term space, so the score is the exact
+    cosine of the cut vectors (conservative like q41's: boilerplate
+    similarity is excluded by design, both engines agree exactly).
+    Cross-engine exactness needs NO decimal discipline: dot and
+    norm-squares are exact integer sums; the final expression is
+    +,*,/,sqrt on exact inputs — all correctly-rounded IEEE.
+
+    At 100 TB: the df-cut bounds every posting list at df_max, making
+    candidate generation linear in corpus tokens with a d^2-bounded
+    constant — the same contract q41/q42 run under; AQE skew-join
+    splits any residual imbalance.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= df_min) & (F.col("df") <= df_max))
+        .select("term")
+    )
+    kept = tf.join(dft, "term")
+    norms = kept.groupBy(id_col).agg(F.sum(F.col("tf") * F.col("tf")).alias("__ss"))
+    a = kept.select(F.col(id_col).alias("doc_a"), "term", F.col("tf").alias("__tf_a"))
+    b = kept.select(F.col(id_col).alias("doc_b"), "term", F.col("tf").alias("__tf_b"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("__tf_a") * F.col("__tf_b")).alias("__dot"))
+    )
+    cos = F.col("__dot").cast("double") / (
+        F.sqrt(F.col("__ss_a").cast("double")) * F.sqrt(F.col("__ss_b").cast("double"))
+    )
+    return (
+        dots.join(
+            norms.select(F.col(id_col).alias("doc_a"), F.col("__ss").alias("__ss_a")),
+            "doc_a",
+        )
+        .join(
+            norms.select(F.col(id_col).alias("doc_b"), F.col("__ss").alias("__ss_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_cos)
+    )

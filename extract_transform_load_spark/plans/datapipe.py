@@ -4195,3 +4195,49 @@ def q137_curation_model_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         model_weights=w, model_threshold=0.0,
     )
     return curation_report(stages, include_model=True)
+
+
+@query(
+    "q138_tf_cosine_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, u.term AS term
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           LATERAL (SELECT unnest(w) AS term) u
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dft AS (
+      SELECT term FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+      WHERE df BETWEEN 2 AND 64
+    ),
+    kept AS (SELECT tf.* FROM tf JOIN dft USING (term)),
+    norms AS (SELECT doc_id, SUM(tf*tf) AS ss FROM kept GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.tf*b.tf) AS dot
+      FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) AS cos_sim
+    FROM dots JOIN norms na ON na.doc_id = doc_a
+              JOIN norms nb ON nb.doc_id = doc_b
+    WHERE CAST(dot AS DOUBLE)
+            / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) >= 0.6
+    """,
+    doc="Term-frequency cosine near-dup pairs (inverted index + df-cut "
+    "[2,64], threshold 0.6): the count-weighted, ORDER-BLIND sibling "
+    "of q41's k-gram Jaccard — catches reorderings and template "
+    "instantiations whose 3-gram overlap is destroyed (property-pinned "
+    "in tests: a word-shuffled duplicate scores ~1.0 here and produces "
+    "NO q41 pair). Posting lists bounded at df_max BEFORE the "
+    "self-join (the q41 d^2/2 rule), so candidate generation stays "
+    "linear in corpus tokens at 100 TB; norms are over the same cut "
+    "space, making the score the exact cosine of the cut vectors. "
+    "Cross-engine exact with NO decimal discipline: integer dot/norm "
+    "sums, then +,*,/,sqrt only. operators/dedup.py::tf_cosine_pairs.",
+)
+def q138_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import tf_cosine_pairs
+
+    return tf_cosine_pairs(load(spark, sf_dir, "documents"))

@@ -55,6 +55,8 @@ QUERIES = [
     # the IVF/PQ candidate generators)
     "q134_quality_classifier",
     "q136_bigram_lm_score",
+    "q137_curation_model_pipeline",
+    "q138_tf_cosine_pairs",
 ]
 
 

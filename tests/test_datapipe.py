@@ -2040,3 +2040,43 @@ def test_curation_model_stage_threshold_zero_matches_classifier_keep(docs):
     for r in gated.collect():
         if r["stage"] in ("kept", "model_filtered"):
             assert (r["stage"] == "kept") == keep[r["doc_id"]], r
+
+
+def test_tf_cosine_catches_word_order_shuffles_jaccard_misses(spark):
+    """The q138 differentiator: a word-order-shuffled duplicate keeps an
+    identical TF vector (cosine 1.0) but destroys 3-gram shingles —
+    ngram_jaccard_pairs produces NO pair for it."""
+    from extract_transform_load_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        tf_cosine_pairs,
+    )
+
+    base = [f"w{i:02d}" for i in range(24)]
+    shuffled = base[::-1]
+    filler = [
+        (10 + i, " ".join(f"x{i}{j:02d}" for j in range(24)))
+        for i in range(3)
+    ]
+    docs = spark.createDataFrame(
+        [(1, " ".join(base * 2)), (2, " ".join(shuffled * 2)), *filler],
+        "doc_id bigint, text string",
+    )
+    cos = {(r["doc_a"], r["doc_b"]): r["cos_sim"]
+           for r in tf_cosine_pairs(docs, min_cos=0.6).collect()}
+    # 1.0 up to one sqrt rounding (dot/(sqrt(ss)*sqrt(ss)) can land one
+    # ulp above 1 when ss is not a perfect square)
+    assert cos.get((1, 2)) is not None and abs(cos[(1, 2)] - 1.0) < 1e-12, cos
+    jac = {(r["doc_a"], r["doc_b"])
+           for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) not in jac
+
+
+def test_tf_cosine_df_cut_bounds_posting_lists(spark, docs):
+    """Terms outside [df_min, df_max] never reach the self-join: with
+    df_max=1 no pairs at all; and pair scores are symmetric-bounded."""
+    from extract_transform_load_spark.operators.dedup import tf_cosine_pairs
+
+    assert tf_cosine_pairs(docs, df_min=2, df_max=1).count() == 0
+    rows = tf_cosine_pairs(docs).collect()
+    assert all(0.6 <= r["cos_sim"] <= 1.0 + 1e-12 for r in rows)
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)

@@ -33,6 +33,14 @@ FAMILY_REPS = {
         "q42_minhash_lsh_pairs",
         "q41_ngram_jaccard_pairs",
     ],
+    # Round 8: TF-cosine near-dup (order-blind counterpart of the
+    # banded families above); family row satisfied by the in-window
+    # near-dup reps, q138 stays strict-gate green past the window.
+    "tf_cosine_neardup": [
+        "q138_tf_cosine_pairs",
+        "q42_minhash_lsh_pairs",
+        "q40_dedup_exact",
+    ],
     "decontamination": [
         "q125_contamination_coverage",
         "q121_bloom_decontamination",

@@ -284,9 +284,11 @@ def learn_backoff_bigram(
     lexicographically — deterministic) with lp = ln(c12/c1) as
     DECIMAL(38,12). ``unigram_lp``: every word with
     blp = ln(backoff * c/N), same rounding. Two token-stream aggregates;
-    the top-M cut is one global top-k (WindowGroupLimit keeps it a
-    partial top-k per partition before the single-partition final —
-    M rows, not the bigram table, cross the exchange).
+    the top-M cut compiles to TakeOrderedAndProject(limit=M) — a
+    per-partition top-M with a driver-side merge of M rows, so M rows,
+    not the bigram table, leave the count aggregate (plan-asserted in
+    tests/test_plan_audit.py; the row_number Window then runs over
+    those M rows only).
     """
     toks = words(F.col(text_col))
     uni = (

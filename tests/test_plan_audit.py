@@ -620,3 +620,20 @@ def test_q136_bigram_lm_context_table_broadcasts(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q136_bigram_lm_score")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q136_top_context_cut_is_take_ordered_not_global_sort(spark, sf_dir):
+    """The top-512 context cut must compile to TakeOrderedAndProject
+    (per-partition top-M, driver merges M rows) — never a
+    single-partition sort of the full bigram count table, which at
+    100 TB is the difference between 512 rows and the whole model
+    crossing one executor."""
+    from extract_transform_load_spark.operators.quality_model import (
+        learn_backoff_bigram,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blp, _ = learn_backoff_bigram(docs)
+    plan = blp._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan

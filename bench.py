@@ -103,6 +103,7 @@ HEADLINE = [
     "q136_bigram_lm_score",
     "q137_curation_model_pipeline",
     "q138_tf_cosine_pairs",
+    "q139_hard_negatives_ivf",
 ]
 
 
@@ -248,6 +249,15 @@ def format_headline_line(telemetry: dict, telemetry_written: bool) -> str:
         "telemetry": "BENCH_TELEMETRY_latest.json" if telemetry_written else None,
     }
     line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > MAX_LINE:
+        # Degrade tier 1: shorten query keys to their unique qNNN prefix
+        # (full names + full precision stay in the telemetry file). The
+        # prefix is the registry's stable identifier, so per-query
+        # comparability survives; only readability of the LINE drops.
+        short = {k.split("_", 1)[0]: v for k, v in headline["queries"].items()}
+        if len(short) == len(headline["queries"]):  # prefixes are unique
+            headline["queries"] = short
+            line = json.dumps(headline, separators=(",", ":"))
     if len(line) > MAX_LINE:  # never outgrow the driver's tail capture
         headline.pop("queries")
         line = json.dumps(headline, separators=(",", ":"))

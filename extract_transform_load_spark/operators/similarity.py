@@ -472,6 +472,74 @@ def ivf_topk(
     )
 
 
+def ivf_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-accelerated hard-negative mining — the scale path
+    ``hard_negative_topk`` promises: each anchor probes its ``n_probe``
+    nearest cells and exact-reranks only different-label vectors there.
+
+    The label disequality is pushed into the cell-join candidate stream
+    BEFORE the O(dim) dot product, exactly as in the brute-force form —
+    NOT applied as a post-filter on an unlabeled top-k (which silently
+    starves anchors whose nearest neighbors mostly share their label).
+    Returns (query_id, neighbor_id, neighbor_label, cos_sim, rank).
+    Audit with ``ann_recall_audit`` against ``hard_negative_topk``.
+    """
+    centroids = train_ivf_centroids(corpus, dim, n_centroids, iterations, id_col, vec_col)
+    norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    c_cells = _assign_cells(
+        corpus.select(F.col(id_col), F.col(vec_col)), centroids, "neighbor_id"
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__cvec"),
+    ).join(c_cells, "neighbor_id")
+
+    q_cells = queries.select(F.col(query_id_col), F.col(vec_col)).mapInPandas(
+        _probe_rows(norm_c, n_probe),
+        schema=f"query_id {_id_type(queries, query_id_col)}, cell int",
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(label_col).alias("__qlabel"),
+        F.col(vec_col).alias("__qvec"),
+    ).join(q_cells, "query_id")
+
+    cand = c.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_label") != F.col("__qlabel")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        (
+            _dot(F.col("__qvec"), F.col("__cvec"))
+            / (_norm(F.col("__qvec")) * _norm(F.col("__cvec")))
+        ).alias("cos_sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "cos_sim", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # int8 scalar quantization — the compressed embedding store
 # ---------------------------------------------------------------------------

@@ -4241,3 +4241,34 @@ def q138_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import tf_cosine_pairs
 
     return tf_cosine_pairs(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "q139_hard_negatives_ivf",
+    oracle=_ANN_AUDIT_ORACLE,
+    doc="IVF-accelerated hard-negative mining (the scale path q135's "
+    "docstring promises): 16-cell coarse quantizer, n_probe=8, the "
+    "label disequality pushed into the cell-join stream BEFORE the "
+    "O(dim) dot product — not post-filtered from an unlabeled top-k, "
+    "which silently starves anchors whose nearest neighbors share "
+    "their label. Audited per-anchor against the exact q135 form "
+    "(recall floor 0.8, pinned TRUE by the derived oracle; recall and "
+    "result counts are what survive cross-engine — index internals "
+    "don't). operators/similarity.py::ivf_hard_negatives.",
+)
+def q139_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        ann_recall_audit,
+        hard_negative_topk,
+        ivf_hard_negatives,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    ann = ivf_hard_negatives(
+        emb, probes, dim=EMBED_DIM, k=10, n_centroids=16, n_probe=8
+    )
+    exact = hard_negative_topk(emb, probes, k=10, query_id_col="query_id")
+    return ann_recall_audit(ann, exact, min_recall=0.8)

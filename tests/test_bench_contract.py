@@ -49,11 +49,28 @@ def test_headline_line_drops_queries_rather_than_overflow():
 
 def test_headline_set_has_growth_headroom():
     """The current headline set must fit with room for future rounds to
-    add queries WITHOUT tripping the drop-queries fallback (each new
-    ~30-char entry costs ~40 chars; require >= 5 additions of room)."""
+    add queries WITHOUT losing per-query data from the LINE. Since
+    round 8 the degrade ladder is: full names -> unique qNNN prefixes
+    (full names stay in the telemetry file) -> drop the map. Headroom
+    contract: current set + 5 future queries must still carry a
+    per-query map (either tier), and the PREFIX tier alone must fit
+    ~45 more queries before the drop-the-map fallback can trigger."""
     names = list(bench.HEADLINE) + [
         f"q{900 + i}_future_round_added_query" for i in range(5)
     ]
     line = bench.format_headline_line(_telemetry(names), True)
     assert len(line) <= bench.MAX_LINE
     assert "queries" in json.loads(line)
+
+    big = names + [f"q{800 + i}_more_added_later" for i in range(40)]
+    line = bench.format_headline_line(_telemetry(big), True)
+    assert len(line) <= bench.MAX_LINE
+    assert "queries" in json.loads(line)
+
+
+def test_headline_prefix_fallback_keys_stay_unique():
+    """The prefix tier is only valid while qNNN prefixes are unique
+    across the headline set — pin that so a duplicate-numbered query
+    can't silently merge two timings."""
+    prefixes = [n.split("_", 1)[0] for n in bench.HEADLINE]
+    assert len(set(prefixes)) == len(prefixes)

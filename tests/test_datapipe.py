@@ -2080,3 +2080,33 @@ def test_tf_cosine_df_cut_bounds_posting_lists(spark, docs):
     rows = tf_cosine_pairs(docs).collect()
     assert all(0.6 <= r["cos_sim"] <= 1.0 + 1e-12 for r in rows)
     assert all(r["doc_a"] < r["doc_b"] for r in rows)
+
+
+def test_ivf_hard_negatives_recall_and_label_exclusion(emb):
+    """The IVF form never returns a same-label vector, returns full
+    result sets, and recalls >= 0.8 of the exact hard-negative top-10
+    per anchor at the q54 index settings."""
+    from extract_transform_load_spark.operators.similarity import (
+        hard_negative_topk,
+        ivf_hard_negatives,
+    )
+
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    ann = ivf_hard_negatives(emb, probes, dim=64, k=10, n_centroids=16, n_probe=8)
+    rows = ann.collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.filter(F.col("vec_id") < 5).collect()}
+    assert len(rows) == 50
+    assert all(r["neighbor_label"] != labels[r["query_id"]] for r in rows)
+
+    exact = hard_negative_topk(emb, probes, k=10, query_id_col="query_id").collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qid, exact_ids in ex.items():
+        recall = len(got[qid] & exact_ids) / len(exact_ids)
+        assert recall >= 0.8, (qid, recall)

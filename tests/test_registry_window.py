@@ -92,6 +92,7 @@ FAMILY_REPS = {
         "q134_quality_classifier",
         "q136_bigram_lm_score",
         "q135_hard_negatives",
+        "q139_hard_negatives_ivf",
     ],
     "monitors": ["q87_psi_drift", "q85_expectations", "q86_table_profile"],
     "scd2_cdc": ["q95_scd2_dimension"],

@@ -104,6 +104,7 @@ HEADLINE = [
     "q137_curation_model_pipeline",
     "q138_tf_cosine_pairs",
     "q139_hard_negatives_ivf",
+    "q140_epoch_shuffle",
 ]
 
 

@@ -115,6 +115,44 @@ def shuffled(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def epoch_shard_plan(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    n_shards: int = 256,
+) -> DataFrame:
+    """Per-epoch deterministic shuffle plan: (id, shard, pos).
+
+    Multi-epoch training wants a DIFFERENT pseudo-random permutation
+    each epoch, reproducible run-to-run (so a crashed job resumes
+    mid-epoch at shard/pos, and two data-parallel readers agree without
+    coordination). :func:`shuffled` gives one fixed permutation; this
+    salts the hash with the epoch — md5(epoch || ':' || id) — and
+    returns the loader-facing assignment: ``shard`` from the hash
+    prefix (``hash_bucket`` on the salted key, so shards are balanced
+    regardless of id skew) and ``pos`` the rank within the shard by the
+    full hash. One window per shard key — the sort is per-shard
+    (n_shards-way parallel), never a global single-partition sort; at
+    100 TB shards map to writer tasks and ``pos`` to in-file order.
+    """
+    from pyspark.sql import Window
+
+    salted = F.concat(
+        F.lit(str(epoch)), F.lit(":"), F.col(id_col).cast("string")
+    )
+    key = F.md5(salted)
+    w = Window.partitionBy("shard").orderBy("__key")
+    return (
+        df.select(
+            F.col(id_col),
+            hash_bucket(salted, n_shards).alias("shard"),
+            key.alias("__key"),
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("__key")
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

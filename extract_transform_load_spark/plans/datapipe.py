@@ -4272,3 +4272,40 @@ def q139_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = hard_negative_topk(emb, probes, k=10, query_id_col="query_id")
     return ann_recall_audit(ann, exact, min_recall=0.8)
+
+
+@query(
+    "q140_epoch_shuffle",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             md5('3:' || CAST(doc_id AS VARCHAR)) AS key
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((strpos('0123456789abcdef', substr(key, 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(key, 2, 1)) - 1 AS INT) % 64 AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST((strpos('0123456789abcdef', substr(key, 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(key, 2, 1)) - 1 AS INT) % 64
+             ORDER BY key
+           ) - 1 AS BIGINT) AS pos
+    FROM k
+    """,
+    doc="Per-epoch deterministic shuffle plan (epoch 3, 64 shards): the "
+    "loader-facing (doc, shard, pos) assignment multi-epoch training "
+    "needs — a DIFFERENT pseudo-random permutation each epoch "
+    "(md5-salted with the epoch), reproducible run-to-run so crashed "
+    "jobs resume mid-epoch and data-parallel readers agree without "
+    "coordination. q64's hash_split keys membership; this keys ORDER. "
+    "Shards from the salted-hash prefix (balanced under any id skew), "
+    "pos ranked within shard by the full hash — one per-shard window, "
+    "64-way parallel, never a global sort. "
+    "operators/sampling.py::epoch_shard_plan.",
+)
+def q140_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import epoch_shard_plan
+
+    return epoch_shard_plan(
+        load(spark, sf_dir, "documents"), "doc_id", epoch=3, n_shards=64
+    )

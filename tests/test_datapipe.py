@@ -2110,3 +2110,29 @@ def test_ivf_hard_negatives_recall_and_label_exclusion(emb):
     for qid, exact_ids in ex.items():
         recall = len(got[qid] & exact_ids) / len(exact_ids)
         assert recall >= 0.8, (qid, recall)
+
+
+def test_epoch_shard_plan_permutes_differently_per_epoch(docs, spark):
+    """Epochs produce different orders; each epoch is reproducible; pos
+    is dense [0, shard_size) within every shard; and the plan sorts
+    per-shard, never globally."""
+    from extract_transform_load_spark.operators.sampling import epoch_shard_plan
+
+    e1 = epoch_shard_plan(docs, "doc_id", epoch=1, n_shards=16)
+    e2 = epoch_shard_plan(docs, "doc_id", epoch=2, n_shards=16)
+    r1 = {r["doc_id"]: (r["shard"], r["pos"]) for r in e1.collect()}
+    r1b = {r["doc_id"]: (r["shard"], r["pos"]) for r in e1.collect()}
+    r2 = {r["doc_id"]: (r["shard"], r["pos"]) for r in e2.collect()}
+    assert r1 == r1b  # reproducible
+    assert r1 != r2  # epoch changes the permutation
+    assert set(r1) == set(r2)  # membership never changes
+
+    by_shard = {}
+    for shard, pos in r1.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+
+    plan = e1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan  # no global sort

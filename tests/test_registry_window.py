@@ -70,6 +70,7 @@ FAMILY_REPS = {
         "q75_sequence_packing",
         "q77_leakage_safe_split",
         "q108_temperature_mixture",
+        "q140_epoch_shuffle",
     ],
     "repetition_filters": ["q122_repetition_metrics", "q71_repetition_stats"],
     # Gained its driver row in round 8 (the round-7 verdict's ranked

@@ -427,3 +427,83 @@ def curation_sink(
             stages.unpersist()
 
     return write
+
+
+def semantic_sink(
+    store_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """A ``write_batch`` running continuous SEMANTIC dedup — the
+    streaming twin of q133 exactly as ``curation_sink`` is q132's:
+    each microbatch of vectors is curated against the accumulated
+    embedding store with ``operators.curation.semantic_delta`` and the
+    survivors land in the store.
+
+    Store layout under ``store_dir``: ``vectors/`` (admitted rows:
+    id, [block], embedding) and ``verdicts/`` (id, max_store_sim,
+    stage, batch_id — the audit trail; crash replays can duplicate its
+    rows with identical labels, dropDuplicates on (batch_id, id) when
+    consuming).
+
+    Replay convergence uses a DIFFERENT mechanism than curation_sink's
+    write-ordering argument, because the store side of semantic_delta
+    carries no ids to self-exclude on (a replayed admitted vector would
+    hit ITSELF at cosine 1.0 and flip to semantic_dup): the sink
+    subtracts the batch's own ids from the store view (one id-only
+    anti-join) before curating, so a re-evaluation at ANY point of a
+    replay sees the same store and produces the same labels — and the
+    vector append itself is PK-idempotent, so nothing double-admits.
+    Cost: the anti-join touches (id) columns only, pruned at the scan.
+    """
+    import pyspark.sql.functions as F
+
+    from ..operators.curation import semantic_delta
+    from ..sources.merge import path_exists
+
+    vectors = f"{store_dir.rstrip('/')}/vectors"
+    verdicts = f"{store_dir.rstrip('/')}/verdicts"
+    blocks = [block_col] if block_col else []
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        vec_type = batch.schema[vec_col].dataType.simpleString()
+        id_type = batch.schema[id_col].dataType.simpleString()
+        batch = batch.select(id_col, *blocks, vec_col)
+        if path_exists(spark, vectors):
+            store = spark.read.parquet(vectors).join(
+                batch.select(id_col), id_col, "left_anti"
+            )
+        else:
+            block_ddl = f", {block_col} string" if block_col else ""
+            store = spark.createDataFrame(
+                [], f"{id_col} {id_type}{block_ddl}, {vec_col} {vec_type}"
+            )
+        stages = semantic_delta(
+            batch, store,
+            id_col=id_col, vec_col=vec_col,
+            threshold=threshold, block_col=block_col,
+        )
+        from pyspark import StorageLevel
+
+        stages = stages.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            kept = batch.join(
+                stages.filter(F.col("stage") == "kept").select(id_col),
+                id_col,
+                "left_semi",
+            )
+            if path_exists(spark, vectors):
+                kept = kept.join(
+                    spark.read.parquet(vectors).select(id_col), id_col, "left_anti"
+                )
+            kept.write.mode("append").parquet(vectors)
+            stages.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(verdicts)
+        finally:
+            stages.unpersist()
+
+    return write

@@ -370,3 +370,66 @@ def test_curation_sink_with_frozen_model_gate(spark, tmp_path):
         for r in spark.read.parquet(store + "/verdicts").collect()
     }
     assert verdicts == {1: "kept", 2: "model_filtered"}
+
+
+def test_semantic_sink_continuous_embedding_dedup(spark, tmp_path):
+    """Streaming semantic dedup (q133's streaming twin): a later batch's
+    near-identical vector of an earlier batch's admitted vector is
+    rejected against the accumulated store; orthogonal vectors flow.
+    Replaying a batch converges (the sink subtracts the batch's own ids
+    from the store view, so an already-admitted vector does not flag
+    itself)."""
+    from extract_transform_load_spark.streaming.ingest import semantic_sink
+
+    schema = "vec_id long, embedding array<float>"
+    dim = 8
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e1_near = [0.99] + [0.01] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(1, e1)], schema).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    store = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(semantic_sink(store, threshold=0.9))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(10, e1_near), (11, e2)], schema
+        ).coalesce(1).write.parquet(str(src / "b2.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = sorted(r["vec_id"] for r in spark.read.parquet(store + "/vectors").collect())
+    assert kept == [1, 11]
+    verdicts = {
+        r["vec_id"]: r["stage"]
+        for r in spark.read.parquet(store + "/verdicts").collect()
+    }
+    assert verdicts == {1: "kept", 10: "semantic_dup", 11: "kept"}
+
+    # replay convergence: re-curating batch 2's rows against the store
+    # that now CONTAINS vector 11 must produce the same labels and admit
+    # nothing new (at-least-once foreachBatch)
+    sink = semantic_sink(store, threshold=0.9)
+    sink(spark.createDataFrame([(10, e1_near), (11, e2)], schema), 99)
+    kept2 = sorted(r["vec_id"] for r in spark.read.parquet(store + "/vectors").collect())
+    assert kept2 == [1, 11]
+    replays = {
+        (r["vec_id"], r["stage"])
+        for r in spark.read.parquet(store + "/verdicts").collect()
+        if r["batch_id"] == 99
+    }
+    assert replays == {(10, "semantic_dup"), (11, "kept")}

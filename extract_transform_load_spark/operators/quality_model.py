@@ -89,6 +89,7 @@ def learn_log_odds(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = DEFAULT_BUCKETS,
+    sample_out_of_256: int | None = None,
 ) -> DataFrame:
     """Per-bucket add-one-smoothed log-odds weights.
 
@@ -97,7 +98,21 @@ def learn_log_odds(
     decimal(38,12)) with EVERY bucket present (missing buckets get the
     pure-smoothing weight), so the scoring forms can index a dense
     array. One shuffle, pre-aggregated map-side to ≤ n_buckets rows.
+
+    ``sample_out_of_256`` learns from a deterministic hash-sample of
+    documents (keep where ``hash_bucket(id) < k``, i.e. k/256 of the
+    corpus) — the realistic 100 TB form: 256 weights don't need a
+    100 TB scan, and the id-hash sample is reproducible and stable
+    under corpus growth (the q64 splits argument). The registered q134
+    learns from the full fixture so its oracle stays a literal
+    replication; production callers pass e.g. 8 (≈3%).
     """
+    if sample_out_of_256 is not None:
+        if not 1 <= sample_out_of_256 <= 256:
+            raise ValueError("sample_out_of_256 must be in [1, 256]")
+        from .sampling import hash_bucket as _hb
+
+        docs = docs.filter(_hb(F.col(id_col), 256) < sample_out_of_256)
     labeled = docs.select(F.col(text_col), F.col(id_col), positive.alias("__pos"))
     feat = labeled.select(
         F.explode(hashed_features(F.col(text_col), n_buckets)).alias("bucket"),

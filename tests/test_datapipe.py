@@ -2136,3 +2136,35 @@ def test_epoch_shard_plan_permutes_differently_per_epoch(docs, spark):
     plan = e1._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan  # no global sort
+
+
+def test_learn_log_odds_hash_sample_form(docs):
+    """The 100 TB learn form: weights fitted from a deterministic
+    id-hash sample are dense, reproducible, and directionally agree
+    with the full-corpus model (positive-slice mean stays higher)."""
+    from extract_transform_load_spark.operators.quality_model import (
+        collect_weights,
+        learn_log_odds,
+        score_hashed,
+    )
+
+    pos = F.col("source").isin("src0", "src1", "src2", "src3")
+    w1 = learn_log_odds(docs, pos, sample_out_of_256=128)
+    w2 = learn_log_odds(docs, pos, sample_out_of_256=128)
+    a1, a2 = collect_weights(w1), collect_weights(w2)
+    assert a1 == a2  # deterministic sample -> identical model
+    assert len(a1) == 256
+
+    scored = score_hashed(docs, w1).join(
+        docs.select("doc_id", pos.alias("is_pos")), "doc_id"
+    )
+    by = {
+        r["is_pos"]: r["m"]
+        for r in scored.groupBy("is_pos").agg(F.avg("clf_score").alias("m")).collect()
+    }
+    assert by[True] > by[False], by
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        learn_log_odds(docs, pos, sample_out_of_256=0)

@@ -1,0 +1,148 @@
+"""Link-graph centrality — iterative PageRank as DataFrame rounds.
+
+Near-dup mining gives a *pair graph* (components.py collapses it);
+large-scale corpus curation also wants a *ranking* over a link graph —
+per-host authority for crawl prioritization, per-source importance for
+mixture weighting (the same role PageRank plays in production
+crawl/curation stacks; Page et al. 1999, public). Vanilla Spark SQL has
+no iterative-fixpoint operator, so each PageRank round is expressed as
+one broadcast join + one aggregation over the cached edge list — the
+Pregel message-passing step lowered onto DataFrames.
+
+Determinism discipline (the cross-engine oracle constraint): every
+arithmetic step is **64-bit integer fixed-point** (1 rank unit =
+1e-12). Integer sums are order-independent and engine-exact, integer
+floor-division is identical everywhere, so a Spark run and a DuckDB
+recursive re-derivation agree bit-for-bit — no float summation-order
+drift, no decimal-rounding-mode mismatch. The quantization error is
+≤ outdeg ulps per node per round (documented, bounded, and irrelevant
+at 1e-12 granularity).
+
+Scale notes (100 TB link graph, 1000 executors):
+- the edge list is aggregated once to ``(src, dst)`` distinct rows and
+  cached; every round reuses that one shuffle-partitioned frame —
+  iteration adds NO new edge shuffles beyond the per-round groupBy.
+- the rank vector is |V| rows — orders of magnitude smaller than |E|
+  (hosts vs links). It is broadcast into the join, so each round costs
+  one map-side hash join over edges plus one ``groupBy(dst)`` partial
+  aggregation; edges never re-shuffle.
+- lineage is truncated with ``localCheckpoint`` per round, the same
+  guard components.py uses — an unchecked 20-round plan otherwise
+  drowns Catalyst analysis time.
+- dangling nodes (outdeg 0) contribute no mass — the "mass leak"
+  PageRank variant. Callers who need a stochastic matrix should
+  symmetrize or add self-loops before calling (q143 feeds a
+  symmetrized bipartite graph, so every node has outdeg >= 1).
+
+Reference parity: the reference engine has no graph operator; this is
+part of the beyond-reference LLM-pipeline layer (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: 1.0 of rank mass, in fixed-point units (1e-12 granularity).
+UNIT = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    max_nodes_broadcast: int = 50_000_000,
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list.
+
+    Returns ``(node, rank_units, rank)`` — ``rank_units`` is the exact
+    BIGINT fixed-point mass (what the oracle re-derives), ``rank`` the
+    human-facing double ``rank_units / 1e12`` (one exact division).
+
+    ``damping_pct`` is an integer percentage so the damped update
+    ``d * contrib + (1 - d) / N`` stays in integer arithmetic:
+    ``(contrib_sum * damping_pct) DIV 100 + ((100 - damping_pct) *
+    (UNIT DIV 100)) DIV N``.
+
+    ``max_nodes_broadcast`` guards the broadcast of the rank vector the
+    same way asof.py guards its dimension broadcast: past ~5e7 nodes a
+    rank vector stops fitting executor memory and the caller should
+    switch to a shuffle-join variant — fail loudly, not silently spill.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=False)
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("bigint").alias("rank_units"),
+            F.lit(0.0).alias("rank"),
+        )
+    if n_nodes > max_nodes_broadcast:
+        raise ValueError(
+            f"pagerank: {n_nodes} nodes exceeds max_nodes_broadcast="
+            f"{max_nodes_broadcast}; the per-round rank broadcast would not fit — "
+            "use a shuffle-join variant (repartition edges and ranks by node) "
+            "for graphs this wide"
+        )
+
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # teleport mass per node, exact integer: (100-d)% of one UNIT / N
+    teleport = ((100 - damping_pct) * (UNIT // 100)) // n_nodes
+
+    ranks = nodes.select(
+        "node", F.lit(UNIT // n_nodes).cast("bigint").alias("rank_units")
+    )
+    for _ in range(iterations):
+        # per-src outgoing mass, integer floor division (DIV truncates
+        # toward zero == floor on the nonnegative units; DuckDB's //
+        # floors identically — the cross-engine-exact step a double
+        # intermediate would break, since Spark's double->bigint cast
+        # truncates where DuckDB's rounds)
+        give = F.broadcast(
+            ranks.join(outdeg, ranks.node == outdeg.src)
+            .select(
+                F.col("node").alias("g_src"),
+                F.expr("rank_units DIV outdeg").cast("bigint").alias("give"),
+            )
+        )
+        contrib = (
+            e.join(give, F.col("src") == F.col("g_src"))
+            .groupBy("dst")
+            .agg(F.sum("give").alias("got"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.expr(
+                        f"(coalesce(got, 0L) * {damping_pct}) DIV 100"
+                    )
+                    + F.lit(teleport)
+                )
+                .cast("bigint")
+                .alias("rank_units"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    return ranks.select(
+        "node",
+        "rank_units",
+        (F.col("rank_units") / F.lit(float(UNIT))).alias("rank"),
+    )

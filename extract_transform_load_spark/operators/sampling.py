@@ -479,3 +479,36 @@ def temperature_mixture_sample(
     )
     u = md5_uniform(F.col(id_col))
     return df.join(F.broadcast(fracs), group_col).filter(u < F.col("__p")).drop("__p")
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    cap: int,
+    rank_col: str = "group_rank",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group under an explicit quality
+    order — the per-host / per-source cap every crawl-curation stack
+    applies so one boilerplate-heavy domain cannot dominate the corpus
+    (C4 and Gopher both cap per-domain contribution; public).
+
+    ``stratified_sample`` is the hash-ordered special case (stable
+    pseudo-random pick); this is the QUALITY-ordered general form —
+    pass e.g. ``[F.col("distinct_words").desc(), F.col("doc_id")]`` to
+    keep the richest docs. The final order column must be a tiebreaker
+    unique within the group or the cap boundary is nondeterministic.
+
+    Scale: identical physical shape to stratified_sample — one shuffle
+    on the group key, with Spark's WindowGroupLimit pushing a
+    per-partition top-``cap`` below the exchange, so the shuffle
+    carries ~cap rows per input partition per group, not the table.
+    """
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= cap
+    )

@@ -4309,3 +4309,154 @@ def q140_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shard_plan(
         load(spark, sf_dir, "documents"), "doc_id", epoch=3, n_shards=64
     )
+
+
+@query(
+    "q141_source_caps",
+    oracle="""
+    SELECT doc_id, source, distinct_words, group_rank FROM (
+      SELECT doc_id, source,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS distinct_words,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY len(list_distinct(string_split(text, ' '))) DESC, doc_id
+             ) AS BIGINT) AS group_rank
+      FROM documents
+    ) ranked WHERE group_rank <= 5
+    """,
+    doc="Per-source contribution cap (C4/Gopher-style per-domain cap): "
+    "keep the 5 highest-quality docs per source under an explicit "
+    "quality order (distinct-word count, doc_id tiebreak) so no one "
+    "domain dominates the corpus. stratified_sample is the hash-order "
+    "special case; this is the quality-ordered general form. One "
+    "shuffle on source with WindowGroupLimit pushing top-5 below the "
+    "exchange. operators/sampling.py::cap_per_group.",
+)
+def q141_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import cap_per_group
+
+    d = load(spark, sf_dir, "documents")
+    dw = F.size(F.array_distinct(words(F.col("text")))).cast("bigint")
+    return cap_per_group(
+        d.select("doc_id", "source", dw.alias("distinct_words")),
+        ["source"],
+        [F.col("distinct_words").desc(), F.col("doc_id")],
+        cap=5,
+    ).select(
+        "doc_id", "source", "distinct_words", F.col("group_rank").cast("bigint").alias("group_rank")
+    )
+
+
+@query(
+    "q142_fuzzy_linkage",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS rid, lower(trim(c_name)) AS name,
+             substr(lower(trim(c_name)), 1, 15) AS block
+      FROM customer
+      WHERE c_name IS NOT NULL AND length(lower(trim(c_name))) > 0
+    )
+    SELECT a.rid AS id_a, b.rid AS id_b, a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+    FROM base a JOIN base b ON a.block = b.block AND a.rid < b.rid
+    WHERE abs(length(a.name) - length(b.name)) <= 1
+      AND levenshtein(a.name, b.name) <= 1
+    """,
+    doc="Fuzzy record linkage (entity resolution) over customer names: "
+    "prefix-blocked candidate generation, length-difference prefilter, "
+    "levenshtein<=1 verify — the Fellegi-Sunter blocking pattern that "
+    "turns an O(n^2) edit-distance join into sum-of-block-sizes^2 with "
+    "an explicit recall contract. All JVM-side (built-in levenshtein); "
+    "the skew audit fails loudly before any oversized block schedules "
+    "quadratic work. operators/linkage.py::fuzzy_pairs.",
+)
+def q142_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import fuzzy_pairs
+
+    return fuzzy_pairs(
+        load(spark, sf_dir, "customer"),
+        id_col="c_custkey",
+        name_col="c_name",
+        block_len=15,
+        max_dist=1,
+    )
+
+
+@query(
+    "q143_pagerank",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS src, 10000000 + l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    params AS (
+      SELECT COUNT(*) AS n,
+             CAST(150000000000 // COUNT(*) AS BIGINT) AS teleport
+      FROM nodes
+    ),
+    outdeg AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src),
+    r0 AS (
+      SELECT node,
+             CAST(1000000000000 // (SELECT n FROM params) AS BIGINT) AS ru
+      FROM nodes
+    ),
+    c1 AS (SELECT e.dst AS node, SUM(r.ru // o.odeg) AS got
+           FROM e JOIN r0 r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+           GROUP BY e.dst),
+    r1 AS (SELECT n.node, CAST((COALESCE(c.got, 0) * 85) // 100
+             + (SELECT teleport FROM params) AS BIGINT) AS ru
+           FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+    c2 AS (SELECT e.dst AS node, SUM(r.ru // o.odeg) AS got
+           FROM e JOIN r1 r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+           GROUP BY e.dst),
+    r2 AS (SELECT n.node, CAST((COALESCE(c.got, 0) * 85) // 100
+             + (SELECT teleport FROM params) AS BIGINT) AS ru
+           FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+    c3 AS (SELECT e.dst AS node, SUM(r.ru // o.odeg) AS got
+           FROM e JOIN r2 r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+           GROUP BY e.dst),
+    r3 AS (SELECT n.node, CAST((COALESCE(c.got, 0) * 85) // 100
+             + (SELECT teleport FROM params) AS BIGINT) AS ru
+           FROM nodes n LEFT JOIN c3 c ON n.node = c.node),
+    c4 AS (SELECT e.dst AS node, SUM(r.ru // o.odeg) AS got
+           FROM e JOIN r3 r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+           GROUP BY e.dst),
+    r4 AS (SELECT n.node, CAST((COALESCE(c.got, 0) * 85) // 100
+             + (SELECT teleport FROM params) AS BIGINT) AS ru
+           FROM nodes n LEFT JOIN c4 c ON n.node = c.node),
+    c5 AS (SELECT e.dst AS node, SUM(r.ru // o.odeg) AS got
+           FROM e JOIN r4 r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+           GROUP BY e.dst),
+    r5 AS (SELECT n.node, CAST((COALESCE(c.got, 0) * 85) // 100
+             + (SELECT teleport FROM params) AS BIGINT) AS ru
+           FROM nodes n LEFT JOIN c5 c ON n.node = c.node)
+    SELECT node, ru AS rank_units,
+           CAST(ru AS DOUBLE) / 1000000000000.0 AS rank
+    FROM r5 ORDER BY ru DESC, node LIMIT 20
+    """,
+    doc="PageRank (5 damped rounds, d=0.85) over the symmetrized "
+    "customer-supplier order graph; top-20 nodes by authority. Every "
+    "arithmetic step is 64-bit integer fixed-point (1e-12 units) so "
+    "the iterative result is bit-exact across engines and independent "
+    "of summation order — the oracle re-derives all 5 rounds unrolled. "
+    "Per round: rank vector (|V| rows) broadcast into the cached edge "
+    "list, one groupBy(dst) — edges shuffle once total. "
+    "operators/graph.py::pagerank.",
+)
+def q143_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(10_000_000) + F.col("l_suppkey")).cast("bigint").alias("dst"),
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=5)
+    return pr.orderBy(F.col("rank_units").desc(), "node").limit(20)

@@ -1,0 +1,144 @@
+"""Unit tests for operators/graph.py (PageRank) and operators/linkage.py
+(blocked fuzzy matching) + sampling.cap_per_group — the round-8 additions."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from extract_transform_load_spark.operators.graph import UNIT, pagerank
+from extract_transform_load_spark.operators.linkage import fuzzy_pairs
+from extract_transform_load_spark.operators.sampling import cap_per_group
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+class TestPagerank:
+    def test_two_cycle_is_uniform(self, spark):
+        # a <-> b: perfectly symmetric, ranks must be identical
+        pr = pagerank(_edges(spark, [(1, 2), (2, 1)]), iterations=4).collect()
+        by = {r["node"]: r["rank_units"] for r in pr}
+        assert by[1] == by[2]
+        # total mass conserved up to integer-floor leakage (< a few
+        # hundred units out of 1e12)
+        assert abs(sum(by.values()) - UNIT) < 1000
+
+    def test_star_center_dominates(self, spark):
+        # leaves 2,3,4 all point at 1 and back (symmetric star)
+        e = [(i, 1) for i in (2, 3, 4)] + [(1, i) for i in (2, 3, 4)]
+        pr = pagerank(_edges(spark, e), iterations=5).collect()
+        by = {r["node"]: r["rank_units"] for r in pr}
+        assert by[1] > by[2] == by[3] == by[4]
+
+    def test_deterministic_across_runs(self, spark):
+        e = _edges(spark, [(1, 2), (2, 3), (3, 1), (1, 3)])
+        a = sorted(map(tuple, pagerank(e, iterations=5).collect()))
+        b = sorted(map(tuple, pagerank(e, iterations=5).collect()))
+        assert a == b
+
+    def test_rank_is_units_scaled(self, spark):
+        row = pagerank(_edges(spark, [(7, 8), (8, 7)]), iterations=1).collect()[0]
+        assert row["rank"] == row["rank_units"] / float(UNIT)
+
+    def test_empty_graph(self, spark):
+        out = pagerank(_edges(spark, []), iterations=3)
+        assert out.count() == 0
+        assert out.columns == ["node", "rank_units", "rank"]
+
+    def test_broadcast_guard_fails_loud(self, spark):
+        with pytest.raises(ValueError, match="max_nodes_broadcast"):
+            pagerank(
+                _edges(spark, [(1, 2), (2, 1)]), iterations=1, max_nodes_broadcast=1
+            )
+
+    def test_dangling_mass_leaks_not_crashes(self, spark):
+        # 1 -> 2 only: node 2 is dangling (outdeg 0); its mass is not
+        # redistributed (documented variant) but every node still gets
+        # the teleport floor
+        pr = pagerank(_edges(spark, [(1, 2)]), iterations=3).collect()
+        by = {r["node"]: r["rank_units"] for r in pr}
+        teleport_floor = (15 * (UNIT // 100)) // 2
+        assert by[1] >= teleport_floor and by[2] >= teleport_floor
+        assert by[2] > by[1]  # 2 receives 1's mass, gives none back
+
+    def test_iterations_validation(self, spark):
+        with pytest.raises(ValueError, match="iterations"):
+            pagerank(_edges(spark, [(1, 2)]), iterations=0)
+
+
+def _names(spark, rows):
+    return spark.createDataFrame(rows, "rid bigint, name string")
+
+
+class TestFuzzyPairs:
+    def test_finds_typo_pair_within_block(self, spark):
+        df = _names(spark, [(1, "acme corp"), (2, "acme corq"), (3, "zzzz inc")])
+        got = fuzzy_pairs(df, "rid", "name", block_len=4, max_dist=1).collect()
+        assert [(r["id_a"], r["id_b"], r["dist"]) for r in got] == [(1, 2, 1)]
+
+    def test_insertion_survives_length_prefilter(self, spark):
+        # "ab" vs "abc": length differs by exactly max_dist — the cheap
+        # lower-bound filter must keep it
+        df = _names(spark, [(1, "abx corp"), (2, "abxy corp")])
+        got = fuzzy_pairs(df, "rid", "name", block_len=2, max_dist=1).collect()
+        assert len(got) == 1 and got[0]["dist"] == 1
+
+    def test_cross_block_pair_never_compared(self, spark):
+        # recall contract: differ at position 1 => different blocks
+        df = _names(spark, [(1, "aaaa"), (2, "baaa")])
+        assert not fuzzy_pairs(df, "rid", "name", block_len=2, max_dist=1).count()
+
+    def test_normalization_case_and_trim(self, spark):
+        df = _names(spark, [(1, "  ACME corp"), (2, "acme corp ")])
+        got = fuzzy_pairs(df, "rid", "name", block_len=4, max_dist=0).collect()
+        assert len(got) == 1 and got[0]["dist"] == 0
+
+    def test_null_and_empty_names_dropped(self, spark):
+        df = _names(spark, [(1, None), (2, ""), (3, "ok name"), (4, "ok nam")])
+        got = fuzzy_pairs(df, "rid", "name", block_len=3, max_dist=1).collect()
+        assert [(r["id_a"], r["id_b"]) for r in got] == [(3, 4)]
+
+    def test_skew_audit_fails_loud(self, spark):
+        df = _names(spark, [(i, f"same prefix {i}") for i in range(20)])
+        with pytest.raises(ValueError, match="max_block"):
+            fuzzy_pairs(df, "rid", "name", block_len=6, max_dist=1, max_block=10)
+
+    def test_audit_opt_out(self, spark):
+        df = _names(spark, [(i, f"pfx {i:02d}") for i in range(20)])
+        out = fuzzy_pairs(df, "rid", "name", block_len=5, max_dist=1, max_block=None)
+        assert out.count() > 0
+
+    def test_canonical_order(self, spark):
+        df = _names(spark, [(9, "pair x1"), (3, "pair x2")])
+        got = fuzzy_pairs(df, "rid", "name", block_len=4, max_dist=1).collect()
+        assert len(got) == 1 and got[0]["id_a"] == 3 and got[0]["id_b"] == 9
+
+
+class TestCapPerGroup:
+    def test_cap_and_order(self, spark):
+        df = spark.createDataFrame(
+            [("s1", 1, 10), ("s1", 2, 30), ("s1", 3, 20), ("s2", 4, 5)],
+            "source string, doc_id bigint, score bigint",
+        )
+        got = cap_per_group(
+            df, ["source"], [F.col("score").desc(), F.col("doc_id")], cap=2
+        ).collect()
+        kept = {(r["source"], r["doc_id"], r["group_rank"]) for r in got}
+        assert kept == {("s1", 2, 1), ("s1", 3, 2), ("s2", 4, 1)}
+
+    def test_tiebreak_is_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [("s", i, 7) for i in range(10)], "source string, doc_id bigint, score bigint"
+        )
+        for _ in range(2):
+            got = cap_per_group(
+                df, ["source"], [F.col("score").desc(), F.col("doc_id")], cap=3
+            ).collect()
+            assert sorted(r["doc_id"] for r in got) == [0, 1, 2]
+
+    def test_cap_validation(self, spark):
+        df = spark.createDataFrame([("s", 1)], "source string, doc_id bigint")
+        with pytest.raises(ValueError, match="cap"):
+            cap_per_group(df, ["source"], [F.col("doc_id")], cap=0)

@@ -105,6 +105,12 @@ HEADLINE = [
     "q138_tf_cosine_pairs",
     "q139_hard_negatives_ivf",
     "q140_epoch_shuffle",
+    # Round-8 additions, third leg (set stays a SUPERSET of the earlier
+    # r8 record): per-source caps, blocked fuzzy record linkage, and
+    # fixed-point PageRank (the new driver-window row).
+    "q141_source_caps",
+    "q142_fuzzy_linkage",
+    "q143_pagerank",
 ]
 
 

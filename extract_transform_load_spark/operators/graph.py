@@ -107,15 +107,25 @@ def pagerank(
     ranks = nodes.select(
         "node", F.lit(UNIT // n_nodes).cast("bigint").alias("rank_units")
     )
-    for _ in range(iterations):
+    for i in range(iterations):
+        if i:
+            # truncate lineage BETWEEN rounds (an unchecked k-round plan
+            # drowns Catalyst analysis); the LAST round stays a live
+            # plan so callers — and the plan-audit tests — see the
+            # real per-round physical shape, not a checkpoint scan
+            ranks = ranks.localCheckpoint(eager=False)
         # per-src outgoing mass, integer floor division (DIV truncates
         # toward zero == floor on the nonnegative units; DuckDB's //
         # floors identically — the cross-engine-exact step a double
         # intermediate would break, since Spark's double->bigint cast
-        # truncates where DuckDB's rounds)
+        # truncates where DuckDB's rounds). Every |V|-bounded side is
+        # broadcast EXPLICITLY (ranks, outdeg, contrib) — checkpointed
+        # RDDs carry no stats, so left to itself Catalyst would SMJ the
+        # small sides and, worse, could re-shuffle the edge list.
         give = F.broadcast(
-            ranks.join(outdeg, ranks.node == outdeg.src)
-            .select(
+            ranks.join(
+                F.broadcast(outdeg.withColumnRenamed("src", "node")), "node"
+            ).select(
                 F.col("node").alias("g_src"),
                 F.expr("rank_units DIV outdeg").cast("bigint").alias("give"),
             )
@@ -125,20 +135,16 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("give").alias("got"))
         )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.expr(
-                        f"(coalesce(got, 0L) * {damping_pct}) DIV 100"
-                    )
-                    + F.lit(teleport)
-                )
-                .cast("bigint")
-                .alias("rank_units"),
+        ranks = nodes.join(
+            F.broadcast(contrib), nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (
+                F.expr(f"(coalesce(got, 0L) * {damping_pct}) DIV 100")
+                + F.lit(teleport)
             )
-            .localCheckpoint(eager=False)
+            .cast("bigint")
+            .alias("rank_units"),
         )
 
     return ranks.select(

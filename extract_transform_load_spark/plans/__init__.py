@@ -49,7 +49,14 @@ _PRIORITY = [
     # family this round: q131/q132 + the streaming sink). Conditional
     # when/otherwise aggregation stays driver-covered via q19/q13/q46,
     # and q22 stays strict-gate green past the window.
-    "q23_first_in_group",       # B18
+    # q23_first_in_group (B18) displaced in round 8 for q143 — PageRank
+    # gives the NEW iterative-graph family a driver CORRECTNESS row
+    # from birth (its oracle re-derives all 5 fixed-point rounds
+    # unrolled, the strongest cross-engine pin in the registry).
+    # First-in-group stays driver-covered via q26_latest_per_key (the
+    # same top-1-per-group physical shape: rank-within-partition,
+    # WindowGroupLimit), and q23 stays strict-gate green past the
+    # window. The B11-B20 aggregation class keeps seven in-window rows.
     # q24_two_level_agg (B20) displaced in round 8 for q127 — the
     # B11-B20 aggregation class held EIGHT in-window rows (q08, q01,
     # q18, q19, q20, q22, q23, q24) while the gram-cardinality family
@@ -136,6 +143,7 @@ _PRIORITY = [
     "q127_gram_cardinality_hll",  # gram cardinality / Heaps law (r8; displaced q24)
     "q131_curation_pipeline",     # curation capstone family (r8; displaced q22)
     "q134_quality_classifier",    # model-based filtering family (r8; displaced q33)
+    "q143_pagerank",              # iterative graph centrality (r8; displaced q23)
 ]
 
 

@@ -637,3 +637,38 @@ def test_q136_top_context_cut_is_take_ordered_not_global_sort(spark, sf_dir):
     plan = blp._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_q141_source_cap_window_group_limit(spark, sf_dir):
+    """The per-source cap must push a top-5 below the exchange
+    (WindowGroupLimit), not sort whole groups."""
+    plan = plan_of(spark, sf_dir, "q141_source_caps")
+    assert "WindowGroupLimit" in plan
+
+
+def test_q142_linkage_broadcast_and_parallel_probe(spark, sf_dir):
+    """The within-block verify joins against a BROADCAST build side, and
+    the probe side is round-robin repartitioned so the quadratic stage
+    parallelizes past the dimension's input-split count (the measured
+    95s->12s defect at sf0.1)."""
+    plan = plan_of(spark, sf_dir, "q142_fuzzy_linkage")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "RoundRobinPartitioning" in plan
+    # levenshtein runs inside the join condition/filter, JVM-side —
+    # no Python evaluation anywhere in the operator
+    assert "levenshtein" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q143_pagerank_ranks_broadcast_edges_never_reshuffle(spark, sf_dir):
+    """Each PageRank round joins the rank vector into the edge list via
+    an explicit broadcast — the edge list (the 100 TB side) must never
+    be re-shuffled per round. localCheckpoint truncates lineage, so the
+    final plan shows only the LAST round: one broadcast join for the
+    rank/outdeg handoff and no SortMergeJoin anywhere."""
+    plan = plan_of(spark, sf_dir, "q143_pagerank")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # top-20 must be TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in plan

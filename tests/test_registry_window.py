@@ -106,6 +106,29 @@ FAMILY_REPS = {
         "q112_realized_pnl",
     ],
     "pl_state_rollup": ["q115_pl_state"],
+    # New family in round 8, second leg: iterative graph centrality
+    # (fixed-point PageRank) — driver row from birth, displacing q23
+    # (first-in-group stays covered by q26's identical
+    # top-1-per-group WindowGroupLimit shape).
+    "graph_centrality": ["q143_pagerank"],
+    # Round-8 second leg: fuzzy record linkage is pair mining over a
+    # short-string edit metric — the family row is satisfied by the
+    # in-window near-dup pair reps (q40/q42); q142 stays strict-gate
+    # green past the window.
+    "record_linkage": [
+        "q142_fuzzy_linkage",
+        "q42_minhash_lsh_pairs",
+        "q40_dedup_exact",
+    ],
+    # Round-8 second leg: per-source caps are the quality-ordered
+    # general form of the in-window sampling reps (stratified_sample is
+    # the hash-ordered special case); q141 stays strict-gate green past
+    # the window.
+    "source_caps": [
+        "q141_source_caps",
+        "q83_mixture_resample",
+        "q68_stratified_sample",
+    ],
 }
 
 

@@ -46,6 +46,30 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
+def _normalized_base(df: DataFrame, id_col: str, name_col: str, key) -> DataFrame:
+    norm = F.lower(F.trim(F.col(name_col)))
+    return df.select(
+        F.col(id_col).alias("rid"), norm.alias("name"), key(norm).alias("block")
+    ).filter(F.col("name").isNotNull() & (F.length("name") > 0))
+
+
+def _audit_blocks(base: DataFrame, max_block: int) -> None:
+    top = (
+        base.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc())
+        .limit(1)
+        .collect()
+    )
+    if top and top[0]["n"] > max_block:
+        raise ValueError(
+            f"fuzzy matching: block {top[0]['block']!r} holds {top[0]['n']} rows "
+            f"(> max_block={max_block}); the within-block join would schedule "
+            f"~{top[0]['n'] ** 2:,} comparisons — tighten block_expr (longer "
+            "prefix, add a second key column) or raise max_block deliberately"
+        )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str,
@@ -66,29 +90,14 @@ def fuzzy_pairs(
     """
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
-    norm = F.lower(F.trim(F.col(name_col)))
-    key = block_expr if block_expr is not None else F.substring(norm, 1, block_len)
-    base = df.select(
-        F.col(id_col).alias("rid"),
-        norm.alias("name"),
-        key.alias("block"),
-    ).filter(F.col("name").isNotNull() & (F.length("name") > 0))
-
+    key = (
+        (lambda _n: block_expr)
+        if block_expr is not None
+        else (lambda n: F.substring(n, 1, block_len))
+    )
+    base = _normalized_base(df, id_col, name_col, key)
     if max_block is not None:
-        top = (
-            base.groupBy("block")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.col("n").desc())
-            .limit(1)
-            .collect()
-        )
-        if top and top[0]["n"] > max_block:
-            raise ValueError(
-                f"fuzzy_pairs: block {top[0]['block']!r} holds {top[0]['n']} rows "
-                f"(> max_block={max_block}); the within-block join would schedule "
-                f"~{top[0]['n'] ** 2:,} comparisons — tighten block_expr (longer "
-                "prefix, add a second key column) or raise max_block deliberately"
-            )
+        _audit_blocks(base, max_block)
 
     # Parallelism of the quadratic stage: the build side broadcasts (a
     # dimension's worth of (id, name, block) is small even when the
@@ -122,6 +131,70 @@ def fuzzy_pairs(
             "name_a",
             "name_b",
             F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= F.lit(max_dist))
+    )
+
+
+def fuzzy_pairs_delta(
+    delta: DataFrame,
+    store: DataFrame,
+    id_col: str = "rid",
+    name_col: str = "name",
+    block_len: int = 8,
+    max_dist: int = 1,
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """Fuzzy matches between a FRESH batch and the stored entity table —
+    the incremental leg (the dedup_delta / minhash_delta /
+    semantic_delta shape, applied to entity resolution): a nightly
+    customer load must not re-link the whole master, only probe its new
+    rows against it.
+
+    Same normalize/block/prefilter/verify chain as :func:`fuzzy_pairs`,
+    but candidates come only from (delta x store) within a block —
+    never (store x store), so the cost is (delta size x block hit
+    rate), independent of master size. Output ``(delta_id, store_id,
+    delta_name, store_name, dist)``; ids come from different tables, so
+    no canonical ordering is imposed.
+
+    Scale: the delta is small and the store is the 100 TB side — so the
+    DELTA broadcasts (build side) and the store streams through the
+    verify with no shuffle at all when the store is pre-bucketed by
+    block; the skew audit runs on the store side, where the quadratic
+    risk lives.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    key = lambda n: F.substring(n, 1, block_len)  # noqa: E731
+    d = _normalized_base(delta, id_col, name_col, key)
+    s = _normalized_base(store, id_col, name_col, key)
+    if max_block is not None:
+        _audit_blocks(s, max_block)
+    return (
+        s.select(
+            F.col("rid").alias("store_id"), F.col("name").alias("store_name"), "block"
+        )
+        .join(
+            F.broadcast(
+                d.select(
+                    F.col("rid").alias("delta_id"),
+                    F.col("name").alias("delta_name"),
+                    "block",
+                )
+            ),
+            "block",
+        )
+        .filter(
+            F.abs(F.length("delta_name") - F.length("store_name"))
+            <= F.lit(max_dist)
+        )
+        .select(
+            "delta_id",
+            "store_id",
+            "delta_name",
+            "store_name",
+            F.levenshtein("delta_name", "store_name").cast("int").alias("dist"),
         )
         .filter(F.col("dist") <= F.lit(max_dist))
     )

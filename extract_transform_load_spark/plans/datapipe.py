@@ -4460,3 +4460,42 @@ def q143_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(edges, iterations=5)
     return pr.orderBy(F.col("rank_units").desc(), "node").limit(20)
+
+
+@query(
+    "q144_linkage_delta",
+    oracle="""
+    WITH norm AS (
+      SELECT c_custkey AS rid, lower(trim(c_name)) AS name,
+             substr(lower(trim(c_name)), 1, 15) AS block
+      FROM customer
+      WHERE c_name IS NOT NULL AND length(lower(trim(c_name))) > 0
+    ),
+    d AS (SELECT * FROM norm WHERE rid % 7 = 0),
+    s AS (SELECT * FROM norm WHERE rid % 7 <> 0)
+    SELECT d.rid AS delta_id, s.rid AS store_id,
+           d.name AS delta_name, s.name AS store_name,
+           CAST(levenshtein(d.name, s.name) AS INT) AS dist
+    FROM s JOIN d ON s.block = d.block
+    WHERE abs(length(d.name) - length(s.name)) <= 1
+      AND levenshtein(d.name, s.name) <= 1
+    """,
+    doc="Incremental entity resolution: a fresh batch (custkey % 7 = 0 "
+    "stands in for the nightly load) probed against the stored master "
+    "— the dedup_delta/minhash_delta/semantic_delta shape applied to "
+    "fuzzy linkage. Candidates are (delta x store) within a block, "
+    "never (store x store): cost is delta-size x block hit rate, "
+    "independent of master size; the small delta broadcasts and the "
+    "master streams through the verify. "
+    "operators/linkage.py::fuzzy_pairs_delta.",
+)
+def q144_linkage_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import fuzzy_pairs_delta
+
+    cust = load(spark, sf_dir, "customer")
+    delta = cust.filter(F.col("c_custkey") % 7 == 0)
+    store = cust.filter(F.col("c_custkey") % 7 != 0)
+    return fuzzy_pairs_delta(
+        delta, store, id_col="c_custkey", name_col="c_name",
+        block_len=15, max_dist=1,
+    )

@@ -142,3 +142,37 @@ class TestCapPerGroup:
         df = spark.createDataFrame([("s", 1)], "source string, doc_id bigint")
         with pytest.raises(ValueError, match="cap"):
             cap_per_group(df, ["source"], [F.col("doc_id")], cap=0)
+
+
+class TestFuzzyPairsDelta:
+    def test_delta_matches_store_only(self, spark):
+        delta = _names(spark, [(100, "acme corp")])
+        store = _names(
+            spark, [(1, "acme corq"), (2, "acme corp"), (3, "other co"),
+                    (4, "acme xxxx")]
+        )
+        from extract_transform_load_spark.operators.linkage import fuzzy_pairs_delta
+
+        got = fuzzy_pairs_delta(delta, store, block_len=4, max_dist=1).collect()
+        assert sorted((r["delta_id"], r["store_id"], r["dist"]) for r in got) == [
+            (100, 1, 1),
+            (100, 2, 0),
+        ]
+
+    def test_no_store_store_pairs(self, spark):
+        # two near-identical store rows must NOT pair with each other
+        delta = _names(spark, [(100, "zzz unique")])
+        store = _names(spark, [(1, "acme corp"), (2, "acme corq")])
+        from extract_transform_load_spark.operators.linkage import fuzzy_pairs_delta
+
+        assert fuzzy_pairs_delta(delta, store, block_len=4, max_dist=1).count() == 0
+
+    def test_store_side_skew_audit(self, spark):
+        delta = _names(spark, [(100, "pfx one")])
+        store = _names(spark, [(i, f"pfx {i}") for i in range(30)])
+        from extract_transform_load_spark.operators.linkage import fuzzy_pairs_delta
+
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="max_block"):
+            fuzzy_pairs_delta(delta, store, block_len=4, max_dist=1, max_block=10)

@@ -152,3 +152,80 @@ def pagerank(
         "rank_units",
         (F.col("rank_units") / F.lit(float(UNIT))).alias("rank"),
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation over an undirected edge list —
+    the local clustering signal (a dedup-pair graph whose nodes sit in
+    many triangles is a dense boilerplate cluster; one with few is
+    chains of borderline matches — different cleanup actions).
+
+    Algorithm: **degree orientation** (Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW 2011 — public).
+    Each undirected edge is oriented from the (degree, id)-smaller
+    endpoint to the larger; every triangle then has exactly ONE node
+    with two outgoing oriented edges, so joining oriented edges (u,v),
+    (u,w) and probing (v,w) counts each triangle once — and the join
+    fan-out per node is bounded by its ORIENTED out-degree, which the
+    orientation caps near sqrt(|E|) even for celebrity nodes. That
+    bound is the whole point at 100 TB: the naive (u,v)(v,w) join
+    explodes on the highest-degree node; the oriented one cannot.
+
+    Wedges are generated by a self-join on the oriented source, then
+    closed with ONE semi-ish inner join against the oriented edge set.
+    Returns (node, triangles) for every node of the graph, zero-filled.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        # the edge list is re-read by degree, orientation, closure and
+        # the node spine — without truncation the UPSTREAM edge
+        # producer (e.g. a quadratic fuzzy-pair join) re-executes for
+        # every reuse (measured: 172s -> 8s at sf0.01 on q145)
+        .localCheckpoint(eager=False)
+    )
+    both = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+
+    # orient by (degree, id): strict total order, so exactly one
+    # direction survives per edge
+    d1 = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
+    d2 = deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b"))
+    oriented = (
+        both.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .join(d1, "a")
+        .join(d2, "b")
+        .filter(
+            (F.col("deg_a") < F.col("deg_b"))
+            | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b")
+    )
+
+    w1 = oriented.select(F.col("a").alias("pivot"), F.col("b").alias("x"))
+    w2 = oriented.select(F.col("a").alias("pivot"), F.col("b").alias("y"))
+    wedges = w1.join(w2, "pivot").filter(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")).union(
+            oriented.select(F.col("b").alias("x"), F.col("a").alias("y"))
+        ),
+        ["x", "y"],
+    )
+
+    per_node = (
+        closed.select(F.col("pivot").alias("node"))
+        .union(closed.select(F.col("x").alias("node")))
+        .union(closed.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    nodes = both.select(F.col("u").alias("node")).distinct()
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles")
+    )

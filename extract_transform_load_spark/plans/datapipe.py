@@ -4499,3 +4499,68 @@ def q144_linkage_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta, store, id_col="c_custkey", name_col="c_name",
         block_len=15, max_dist=1,
     )
+
+
+@query(
+    "q145_triangles",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey AS rid, lower(trim(c_name)) AS name,
+             substr(lower(trim(c_name)), 1, 15) AS block
+      FROM customer
+      WHERE c_name IS NOT NULL AND length(lower(trim(c_name))) > 0
+    ),
+    pairs AS (
+      SELECT a.rid AS u, b.rid AS v
+      FROM base a JOIN base b ON a.block = b.block AND a.rid < b.rid
+      WHERE abs(length(a.name) - length(b.name)) <= 1
+        AND levenshtein(a.name, b.name) <= 1
+    ),
+    sym2 AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    deg AS (SELECT u, COUNT(*) AS deg FROM sym2 GROUP BY u),
+    oriented AS (
+      SELECT e.u AS a, e.v AS b
+      FROM sym2 e JOIN deg da ON da.u = e.u JOIN deg db ON db.u = e.v
+      WHERE da.deg < db.deg OR (da.deg = db.deg AND e.u < e.v)
+    ),
+    wedges AS (
+      SELECT w1.a AS piv, w1.b AS x, w2.b AS y
+      FROM oriented w1 JOIN oriented w2 ON w1.a = w2.a
+      WHERE w1.b < w2.b
+    ),
+    closed AS (
+      SELECT piv, x, y FROM wedges
+      JOIN sym2 ON sym2.u = wedges.x AND sym2.v = wedges.y
+    ),
+    tri AS (
+      SELECT node, COUNT(*) AS triangles FROM (
+        SELECT piv AS node FROM closed
+        UNION ALL SELECT x FROM closed
+        UNION ALL SELECT y FROM closed
+      ) t GROUP BY node
+    )
+    SELECT n.node, CAST(COALESCE(tri.triangles, 0) AS BIGINT) AS triangles
+    FROM (SELECT DISTINCT u AS node FROM sym2) n
+    LEFT JOIN tri ON tri.node = n.node
+    """,
+    doc="Per-node triangle participation over the fuzzy-linkage pair "
+    "graph — the local-clustering health metric for a dedup graph "
+    "(dense triangles = true duplicate cluster; triangle-free chains "
+    "= borderline matches needing review). Degree orientation (Suri "
+    "& Vassilvitskii WWW'11) bounds wedge fan-out near sqrt(|E|) so "
+    "the celebrity-node join explosion cannot happen; the oracle "
+    "re-derives the same orientation in SQL. "
+    "operators/graph.py::triangle_count.",
+)
+def q145_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+    from ..operators.linkage import fuzzy_pairs
+
+    pairs = fuzzy_pairs(
+        load(spark, sf_dir, "customer"),
+        id_col="c_custkey",
+        name_col="c_name",
+        block_len=15,
+        max_dist=1,
+    )
+    return triangle_count(pairs, src="id_a", dst="id_b")

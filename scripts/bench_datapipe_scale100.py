@@ -57,6 +57,10 @@ QUERIES = [
     "q136_bigram_lm_score",
     "q137_curation_model_pipeline",
     "q138_tf_cosine_pairs",
+    # round 8, third leg: the per-source contribution cap (one
+    # WindowGroupLimit shuffle on source; graph/linkage live in
+    # bench_graph_linkage_scale100.py — their tables aren't documents)
+    "q141_source_caps",
 ]
 
 

@@ -1,0 +1,166 @@
+"""100x scale measurement for the round-8 graph/linkage operators
+(PERFORMANCE.md "Measured scale-up: 100x" table rows):
+
+- ``pagerank`` over the 100x orders+lineitem replica (~6M distinct
+  customer-supplier edges from 60M ledger rows; reuses the
+  bench_pipeline_scale100 replica builder and its key-shift protocol).
+  Suppliers are offset by 1e9 here — the q143 wrapper's 10M offset
+  would collide with the replica's 10M-per-replica custkey shift.
+- ``fuzzy_pairs`` over a 100x customer replica (150k names). Names are
+  REGENERATED from the shifted key (the vocabulary-renaming lesson from
+  the docs replica): copying names verbatim would put 100 copies of
+  every name in one block and measure the skew guard, not the operator.
+- ``fuzzy_pairs_delta``: a 1x-sized fresh batch (15k renamed rows)
+  probed against the 100x store — the incremental leg whose cost must
+  track the DELTA, not the store.
+
+Run from the repo root: ``python scripts/bench_graph_linkage_scale100.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from _benchutil import measure  # noqa: E402
+from bench_pipeline_scale100 import REPLICA_PATH, build_replica  # noqa: E402
+from extract_transform_load_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CUST_PATH = "/tmp/customer100x"
+SHIFT = 10_000_000
+SUPPLIER_OFFSET = 1_000_000_000
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def build_customer_replica(spark, load) -> None:
+    dst = f"{CUST_PATH}/customer.parquet"
+    if os.path.exists(dst):
+        return
+    base = load(spark, SF_DIR, "customer")
+    for batch in range(10):
+        parts = []
+        for i in range(10):
+            r = batch * 10 + i
+            parts.append(
+                base.withColumn("c_custkey", F.col("c_custkey") + F.lit(r * SHIFT))
+            )
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        # regenerate the name from the shifted key — replica-degenerate
+        # blocks (100 copies of each name) would only exercise the guard
+        big = big.withColumn(
+            "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
+        )
+        big.repartition(8).write.mode(
+            "overwrite" if batch == 0 else "append"
+        ).parquet(dst)
+
+
+def main() -> None:
+    from extract_transform_load_spark.operators.graph import pagerank
+    from extract_transform_load_spark.operators.linkage import (
+        fuzzy_pairs,
+        fuzzy_pairs_delta,
+    )
+    from extract_transform_load_spark.sources.tables import load
+
+    spark = get_spark(extra_conf={"spark.ui.enabled": "true"})  # REST metrics
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    build_replica(spark, load)
+    build_customer_replica(spark, load)
+    for table, path in (
+        ("orders", REPLICA_PATH),
+        ("lineitem", REPLICA_PATH),
+        ("customer", CUST_PATH),
+    ):
+        nb = load(spark, SF_DIR, table).count()
+        nr = spark.read.parquet(f"{path}/{table}.parquet").count()
+        print(f"{table} 1x={nb} 100x={nr}")
+        if nr != 100 * nb:
+            raise SystemExit(
+                f"replica {table} holds {nr} rows, expected {100 * nb}"
+                " - delete the directory and rerun"
+            )
+    print(f"replica build/load {time.time() - t0:.0f}s")
+
+    def edges_from(sf_dir: str):
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        fwd = o.join(li, o.o_orderkey == li.l_orderkey).select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(SUPPLIER_OFFSET) + F.col("l_suppkey")).cast("bigint").alias("dst"),
+        )
+        return fwd.union(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    def run_pagerank(sf_dir: str) -> None:
+        noop(pagerank(edges_from(sf_dir), iterations=5))
+
+    def run_fuzzy(sf_dir: str) -> None:
+        noop(
+            fuzzy_pairs(
+                load(spark, sf_dir, "customer"),
+                id_col="c_custkey",
+                name_col="c_name",
+                block_len=15,
+                max_dist=1,
+            )
+        )
+
+    def run_delta(store_dir: str) -> None:
+        # fresh 1x-sized batch with ids/names disjoint from every store
+        store = load(spark, store_dir, "customer")
+        delta = (
+            load(spark, SF_DIR, "customer")
+            .withColumn("c_custkey", F.col("c_custkey") + F.lit(5_000_000))
+            .withColumn(
+                "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
+            )
+        )
+        noop(
+            fuzzy_pairs_delta(
+                delta,
+                store,
+                id_col="c_custkey",
+                name_col="c_name",
+                block_len=15,
+                max_dist=1,
+                # the 100x store legitimately holds 1000-row blocks; the
+                # audit budget scales with what we ask it to scan
+                max_block=100_000,
+            )
+        )
+
+    results = {}
+    for qname, fn, dirs in (
+        ("pagerank_5it", run_pagerank, (SF_DIR, REPLICA_PATH)),
+        ("fuzzy_pairs", run_fuzzy, (SF_DIR, CUST_PATH)),
+        ("fuzzy_pairs_delta", run_delta, (SF_DIR, CUST_PATH)),
+    ):
+        fn(SF_DIR)  # warm codegen
+        row = {}
+        for label, d in (("1x", dirs[0]), ("100x", dirs[1])):
+            row[label] = measure(spark, lambda: fn(d))
+        row["ratio"] = round(row["100x"]["wall_s"] / row["1x"]["wall_s"], 1)
+        results[qname] = row
+        print(f"{qname}: {json.dumps(row)}", flush=True)
+    print(json.dumps({"sf_dir": SF_DIR, "results": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -176,3 +176,31 @@ class TestFuzzyPairsDelta:
 
         with _pt.raises(ValueError, match="max_block"):
             fuzzy_pairs_delta(delta, store, block_len=4, max_dist=1, max_block=10)
+
+
+class TestTriangleCount:
+    def _tri(self, spark, pairs):
+        from extract_transform_load_spark.operators.graph import triangle_count
+
+        got = triangle_count(_edges(spark, pairs)).collect()
+        return {r["node"]: r["triangles"] for r in got}
+
+    def test_single_triangle(self, spark):
+        assert self._tri(spark, [(1, 2), (2, 3), (3, 1)]) == {1: 1, 2: 1, 3: 1}
+
+    def test_square_has_none(self, spark):
+        got = self._tri(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+        assert got == {1: 0, 2: 0, 3: 0, 4: 0}
+
+    def test_k4_every_node_in_three(self, spark):
+        k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        assert self._tri(spark, k4) == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_multiedges_selfloops_direction_ignored(self, spark):
+        # duplicates, reversed copies and self-loops must not inflate
+        pairs = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+        assert self._tri(spark, pairs) == {1: 1, 2: 1, 3: 1}
+
+    def test_triangle_plus_pendant(self, spark):
+        got = self._tri(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+        assert got == {1: 1, 2: 1, 3: 1, 4: 0}

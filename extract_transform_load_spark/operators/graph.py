@@ -54,6 +54,8 @@ def pagerank(
     iterations: int = 5,
     damping_pct: int = 85,
     max_nodes_broadcast: int = 50_000_000,
+    assume_distinct: bool = False,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list.
 
@@ -66,6 +68,15 @@ def pagerank(
     ``(contrib_sum * damping_pct) DIV 100 + ((100 - damping_pct) *
     (UNIT DIV 100)) DIV N``.
 
+    ``weight`` names a POSITIVE INTEGER edge-weight column (link
+    multiplicity, order counts): each edge then carries
+    ``(rank * w) DIV sum_w(src)`` instead of an equal split — still
+    pure int64, so still bit-exact cross-engine. Weights must stay
+    below ~9.2e6 (rank_units reaches 1e12, and 1e12 * w must fit
+    int64); ANSI mode makes an overflow throw rather than wrap, and
+    weighted edges are NOT deduped (multiplicity is the caller's
+    semantics — ``assume_distinct`` is implied).
+
     ``max_nodes_broadcast`` guards the broadcast of the rank vector the
     same way asof.py guards its dimension broadcast: past ~5e7 nodes a
     rank vector stops fitting executor memory and the caller should
@@ -76,7 +87,18 @@ def pagerank(
     if not 0 <= damping_pct <= 100:
         raise ValueError("damping_pct must be in [0, 100]")
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if weight is not None:
+        cols.append(F.col(weight).cast("bigint").alias("w"))
+    e = edges.select(*cols)
+    # ``assume_distinct`` lets a caller who already deduped skip the
+    # one big shuffle in here. It matters more than it looks: a raw
+    # fact-table feed (orders x lineitem at 100x = 120M rows) pays a
+    # hash aggregate that spilled 9.4 GB under the 24g clamp; the same
+    # graph pre-deduped BEFORE symmetrizing distincts 60M and flips the
+    # result — measured in scripts/bench_graph_linkage_scale100.py.
+    if not assume_distinct and weight is None:
+        e = e.distinct()
     e = e.localCheckpoint(eager=False)
 
     nodes = (
@@ -100,7 +122,11 @@ def pagerank(
             "for graphs this wide"
         )
 
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = e.groupBy("src").agg(
+        (
+            F.sum("w") if weight is not None else F.count(F.lit(1))
+        ).alias("outdeg")
+    )
     # teleport mass per node, exact integer: (100-d)% of one UNIT / N
     teleport = ((100 - damping_pct) * (UNIT // 100)) // n_nodes
 
@@ -122,19 +148,43 @@ def pagerank(
         # broadcast EXPLICITLY (ranks, outdeg, contrib) — checkpointed
         # RDDs carry no stats, so left to itself Catalyst would SMJ the
         # small sides and, worse, could re-shuffle the edge list.
-        give = F.broadcast(
-            ranks.join(
-                F.broadcast(outdeg.withColumnRenamed("src", "node")), "node"
-            ).select(
-                F.col("node").alias("g_src"),
-                F.expr("rank_units DIV outdeg").cast("bigint").alias("give"),
+        if weight is None:
+            give = F.broadcast(
+                ranks.join(
+                    F.broadcast(outdeg.withColumnRenamed("src", "node")), "node"
+                ).select(
+                    F.col("node").alias("g_src"),
+                    F.expr("rank_units DIV outdeg").cast("bigint").alias("give"),
+                )
             )
-        )
-        contrib = (
-            e.join(give, F.col("src") == F.col("g_src"))
-            .groupBy("dst")
-            .agg(F.sum("give").alias("got"))
-        )
+            contrib = (
+                e.join(give, F.col("src") == F.col("g_src"))
+                .groupBy("dst")
+                .agg(F.sum("give").alias("got"))
+            )
+        else:
+            # weighted: the split is per-EDGE ((rank * w) DIV sum_w),
+            # so the broadcast carries (rank, sum_w) and the division
+            # happens in the edge join's projection — still one
+            # broadcast + one groupBy(dst) per round
+            state = F.broadcast(
+                ranks.join(
+                    F.broadcast(outdeg.withColumnRenamed("src", "node")), "node"
+                ).select(
+                    F.col("node").alias("g_src"),
+                    "rank_units",
+                    F.col("outdeg").alias("sw"),
+                )
+            )
+            contrib = (
+                e.join(state, F.col("src") == F.col("g_src"))
+                .groupBy("dst")
+                .agg(
+                    F.sum(F.expr("(rank_units * w) DIV sw"))
+                    .cast("bigint")
+                    .alias("got")
+                )
+            )
         ranks = nodes.join(
             F.broadcast(contrib), nodes.node == contrib.dst, "left"
         ).select(

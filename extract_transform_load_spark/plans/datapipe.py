@@ -4451,14 +4451,22 @@ def q143_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    fwd = o.join(li, o.o_orderkey == li.l_orderkey).select(
-        F.col("o_custkey").alias("src"),
-        (F.lit(10_000_000) + F.col("l_suppkey")).cast("bigint").alias("dst"),
+    # distinct BEFORE symmetrizing: the flip of a distinct set is
+    # distinct and the two halves are disjoint (node id spaces don't
+    # overlap), so the union is distinct by construction — half the
+    # dedup-shuffle volume, and the fact join runs once, not twice
+    fwd = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10_000_000) + F.col("l_suppkey")).cast("bigint").alias("dst"),
+        )
+        .distinct()
     )
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    pr = pagerank(edges, iterations=5)
+    pr = pagerank(edges, iterations=5, assume_distinct=True)
     return pr.orderBy(F.col("rank_units").desc(), "node").limit(20)
 
 
@@ -4564,3 +4572,73 @@ def q145_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=1,
     )
     return triangle_count(pairs, src="id_a", dst="id_b")
+
+
+_Q146_ROUND = """
+    c{k} AS (SELECT e.dst AS node, SUM((r.ru * e.w) // o.sw) AS got
+           FROM e JOIN r{j} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+           GROUP BY e.dst),
+    r{k} AS (SELECT n.node, CAST((COALESCE(c.got, 0) * 85) // 100
+             + (SELECT teleport FROM params) AS BIGINT) AS ru
+           FROM nodes n LEFT JOIN c{k} c ON n.node = c.node)"""
+
+_Q146_ORACLE = (
+    """
+    WITH e0 AS (
+      SELECT o_custkey AS src, 10000000 + l_suppkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    params AS (
+      SELECT COUNT(*) AS n,
+             CAST(150000000000 // COUNT(*) AS BIGINT) AS teleport
+      FROM nodes
+    ),
+    outdeg AS (SELECT src, SUM(w) AS sw FROM e GROUP BY src),
+    r0 AS (
+      SELECT node,
+             CAST(1000000000000 // (SELECT n FROM params) AS BIGINT) AS ru
+      FROM nodes
+    ),"""
+    + ",".join(_Q146_ROUND.format(k=k, j=k - 1) for k in range(1, 6))
+    + """
+    SELECT node, ru AS rank_units,
+           CAST(ru AS DOUBLE) / 1000000000000.0 AS rank
+    FROM r5 ORDER BY ru DESC, node LIMIT 20
+    """
+)
+
+
+@query(
+    "q146_pagerank_weighted",
+    oracle=_Q146_ORACLE,
+    doc="Weighted PageRank: edge mass split by order multiplicity "
+    "((rank * w) DIV sum_w per edge) instead of an equal outdegree "
+    "split — the real crawl-graph shape, where link counts matter. "
+    "Still pure int64 fixed-point, so all 5 rounds stay bit-exact "
+    "cross-engine (the oracle unrolls them with the same weighted "
+    "split); per round one |V|-bounded broadcast + one groupBy(dst), "
+    "weights never dedupe (multiplicity IS the signal). "
+    "operators/graph.py::pagerank(weight=...).",
+)
+def q146_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10_000_000) + F.col("l_suppkey")).cast("bigint").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    pr = pagerank(edges, iterations=5, weight="w")
+    return pr.orderBy(F.col("rank_units").desc(), "node").limit(20)

@@ -100,16 +100,22 @@ def main() -> None:
     def edges_from(sf_dir: str):
         o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-        fwd = o.join(li, o.o_orderkey == li.l_orderkey).select(
-            F.col("o_custkey").alias("src"),
-            (F.lit(SUPPLIER_OFFSET) + F.col("l_suppkey")).cast("bigint").alias("dst"),
+        fwd = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(
+                F.col("o_custkey").alias("src"),
+                (F.lit(SUPPLIER_OFFSET) + F.col("l_suppkey"))
+                .cast("bigint")
+                .alias("dst"),
+            )
+            .distinct()  # distinct-then-flip: see q143's wrapper
         )
         return fwd.union(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
 
     def run_pagerank(sf_dir: str) -> None:
-        noop(pagerank(edges_from(sf_dir), iterations=5))
+        noop(pagerank(edges_from(sf_dir), iterations=5, assume_distinct=True))
 
     def run_fuzzy(sf_dir: str) -> None:
         noop(

@@ -204,3 +204,52 @@ class TestTriangleCount:
     def test_triangle_plus_pendant(self, spark):
         got = self._tri(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
         assert got == {1: 1, 2: 1, 3: 1, 4: 0}
+
+
+class TestWeightedPagerank:
+    def _wedges(self, spark, rows):
+        return spark.createDataFrame(rows, "src bigint, dst bigint, w bigint")
+
+    def test_heavier_edge_attracts_more_mass(self, spark):
+        # 1 splits 9:1 toward 2 over 3; symmetric back-edges keep the
+        # graph stochastic
+        e = [(1, 2, 9), (1, 3, 1), (2, 1, 1), (3, 1, 1)]
+        pr = pagerank(self._wedges(spark, e), iterations=5, weight="w").collect()
+        by = {r["node"]: r["rank_units"] for r in pr}
+        assert by[2] > by[3]
+
+    def test_uniform_weights_match_unweighted(self, spark):
+        pairs = [(1, 2), (2, 3), (3, 1), (1, 3)]
+        unw = {
+            r["node"]: r["rank_units"]
+            for r in pagerank(_edges(spark, pairs), iterations=4).collect()
+        }
+        w = {
+            r["node"]: r["rank_units"]
+            for r in pagerank(
+                self._wedges(spark, [(a, b, 1) for a, b in pairs]),
+                iterations=4,
+                weight="w",
+            ).collect()
+        }
+        assert unw == w
+
+    def test_multiplicity_not_deduped(self, spark):
+        # a duplicated (1,2) edge row adds a second share toward 2 —
+        # weighted edges must NOT be distinct()ed away. (Exact equality
+        # with a single w=2 row is NOT asserted: per-edge floor
+        # division quantizes each duplicate separately, a documented
+        # ±1-unit effect.)
+        base = [(1, 3, 1), (2, 1, 1), (3, 1, 1)]
+        single = self._wedges(spark, [(1, 2, 1)] + base)
+        doubled = self._wedges(spark, [(1, 2, 1), (1, 2, 1)] + base)
+        one = {
+            r["node"]: r["rank_units"]
+            for r in pagerank(single, iterations=3, weight="w").collect()
+        }
+        two = {
+            r["node"]: r["rank_units"]
+            for r in pagerank(doubled, iterations=3, weight="w").collect()
+        }
+        assert one[2] == one[3]  # equal shares when the edge appears once
+        assert two[2] > two[3]  # the duplicate row shifts mass toward 2

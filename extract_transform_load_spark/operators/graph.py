@@ -224,20 +224,28 @@ def triangle_count(
     explodes on the highest-degree node; the oriented one cannot.
 
     Wedges are generated by a self-join on the oriented source, then
-    closed with ONE semi-ish inner join against the oriented edge set.
-    Returns (node, triangles) for every node of the graph, zero-filled.
+    closed with ONE semi-ish inner join against the symmetric edge set.
+    Returns (node, triangles) for EVERY node that appears in ``edges``
+    — including nodes whose only edges are self-loops (loops can't
+    form triangles but their endpoints are still graph nodes) —
+    zero-filled.
     """
+    # checkpoint the INPUT once: it is re-read by the canonical edge
+    # set below AND the node spine at the end — without truncation the
+    # upstream edge producer (e.g. a quadratic fuzzy-pair join)
+    # re-executes for every reuse (measured: 172s -> 8s at sf0.01 on
+    # q145 when only `sym` was checkpointed and the spine read `both`)
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=False
+    )
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
-        # the edge list is re-read by degree, orientation, closure and
-        # the node spine — without truncation the UPSTREAM edge
-        # producer (e.g. a quadratic fuzzy-pair join) re-executes for
-        # every reuse (measured: 172s -> 8s at sf0.01 on q145)
+        # ...and the canonical set once more: degree, orientation and
+        # closure all branch from here
         .localCheckpoint(eager=False)
     )
     both = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -261,11 +269,12 @@ def triangle_count(
     w1 = oriented.select(F.col("a").alias("pivot"), F.col("b").alias("x"))
     w2 = oriented.select(F.col("a").alias("pivot"), F.col("b").alias("y"))
     wedges = w1.join(w2, "pivot").filter(F.col("x") < F.col("y"))
+    # close against `both` (one step from the checkpoint): oriented +
+    # its reverse IS the symmetric edge set, and rebuilding it from
+    # `oriented` would re-run the two orientation joins a third and
+    # fourth time (review find)
     closed = wedges.join(
-        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")).union(
-            oriented.select(F.col("b").alias("x"), F.col("a").alias("y"))
-        ),
-        ["x", "y"],
+        both.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
     )
 
     per_node = (
@@ -275,7 +284,14 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    nodes = both.select(F.col("u").alias("node")).distinct()
+    # node spine from the RAW edges, not the loop-filtered set: a node
+    # whose only edge is a self-loop is still a node and must appear
+    # zero-filled (review find)
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
+        .distinct()
+    )
     return nodes.join(per_node, "node", "left").select(
         "node", F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles")
     )

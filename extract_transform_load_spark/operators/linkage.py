@@ -144,6 +144,7 @@ def fuzzy_pairs_delta(
     block_len: int = 8,
     max_dist: int = 1,
     max_block: int | None = 10_000,
+    max_delta_broadcast: int = 10_000_000,
 ) -> DataFrame:
     """Fuzzy matches between a FRESH batch and the stored entity table —
     the incremental leg (the dedup_delta / minhash_delta /
@@ -169,6 +170,18 @@ def fuzzy_pairs_delta(
     key = lambda n: F.substring(n, 1, block_len)  # noqa: E731
     d = _normalized_base(delta, id_col, name_col, key)
     s = _normalized_base(store, id_col, name_col, key)
+    # the delta is FORCE-broadcast below, bypassing Spark's own size
+    # threshold — so guard it the way pagerank guards its rank vector
+    # and asof its dimension: a "delta" that is secretly a backfill of
+    # the whole master must fail loudly, not OOM the executors
+    n_delta = d.limit(max_delta_broadcast + 1).count()
+    if n_delta > max_delta_broadcast:
+        raise ValueError(
+            f"fuzzy_pairs_delta: delta holds > max_delta_broadcast="
+            f"{max_delta_broadcast} rows — this is a backfill, not an "
+            "incremental batch; run fuzzy_pairs over the unioned tables (or "
+            "raise max_delta_broadcast deliberately)"
+        )
     if max_block is not None:
         _audit_blocks(s, max_block)
     return (

@@ -202,13 +202,13 @@ def stratified_sample(
     carries ~n_per_stratum rows per input partition per stratum, not
     the full table — the same physical shape as any top-k-per-group.
     """
-    from pyspark.sql import Window
-
     key = F.col(id_col)
-    w = Window.partitionBy(*strata_cols).orderBy(F.md5(key.cast("string")), key)
-    return (
-        df.withColumn(rank_col, F.row_number().over(w))
-        .filter(F.col(rank_col) <= n_per_stratum)
+    return cap_per_group(
+        df,
+        strata_cols,
+        [F.md5(key.cast("string")), key],
+        n_per_stratum,
+        rank_col=rank_col,
     )
 
 

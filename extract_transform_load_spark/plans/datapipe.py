@@ -4387,7 +4387,7 @@ def q142_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q143_pagerank",
     oracle="""
     WITH e0 AS (
-      SELECT DISTINCT o_custkey AS src, 10000000 + l_suppkey AS dst
+      SELECT DISTINCT o_custkey AS src, 1000000000000 + l_suppkey AS dst
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ),
     e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
@@ -4454,12 +4454,16 @@ def q143_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct BEFORE symmetrizing: the flip of a distinct set is
     # distinct and the two halves are disjoint (node id spaces don't
     # overlap), so the union is distinct by construction — half the
-    # dedup-shuffle volume, and the fact join runs once, not twice
+    # dedup-shuffle volume, and the fact join runs once, not twice.
+    # Supplier offset is 1e12, NOT a warehouse-reachable key: custkey
+    # ~ 1.5e5 x SF stays under 1e12 through SF ~ 6.6e6 (far past
+    # 100 TB), so the disjointness premise survives scale — a 10M
+    # offset would collide with custkeys from SF ~ 67 (review find)
     fwd = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("src"),
-            (F.lit(10_000_000) + F.col("l_suppkey")).cast("bigint").alias("dst"),
+            (F.lit(1_000_000_000_000) + F.col("l_suppkey")).cast("bigint").alias("dst"),
         )
         .distinct()
     )
@@ -4585,7 +4589,7 @@ _Q146_ROUND = """
 _Q146_ORACLE = (
     """
     WITH e0 AS (
-      SELECT o_custkey AS src, 10000000 + l_suppkey AS dst,
+      SELECT o_custkey AS src, 1000000000000 + l_suppkey AS dst,
              CAST(COUNT(*) AS BIGINT) AS w
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY 1, 2
@@ -4633,7 +4637,7 @@ def q146_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(
             F.col("o_custkey").alias("src"),
-            (F.lit(10_000_000) + F.col("l_suppkey")).cast("bigint").alias("dst"),
+            (F.lit(1_000_000_000_000) + F.col("l_suppkey")).cast("bigint").alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )

@@ -4,8 +4,8 @@
 - ``pagerank`` over the 100x orders+lineitem replica (~6M distinct
   customer-supplier edges from 60M ledger rows; reuses the
   bench_pipeline_scale100 replica builder and its key-shift protocol).
-  Suppliers are offset by 1e9 here — the q143 wrapper's 10M offset
-  would collide with the replica's 10M-per-replica custkey shift.
+  Suppliers sit at the q143 wrapper's 1e12 offset — far above every
+  replica-shifted custkey.
 - ``fuzzy_pairs`` over a 100x customer replica (150k names). Names are
   REGENERATED from the shifted key (the vocabulary-renaming lesson from
   the docs replica): copying names verbatim would put 100 copies of
@@ -37,7 +37,7 @@ from extract_transform_load_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CUST_PATH = "/tmp/customer100x"
 SHIFT = 10_000_000
-SUPPLIER_OFFSET = 1_000_000_000
+SUPPLIER_OFFSET = 1_000_000_000_000
 
 
 def noop(df):
@@ -129,14 +129,17 @@ def main() -> None:
         )
 
     def run_delta(store_dir: str) -> None:
-        # fresh 1x-sized batch with ids/names disjoint from every store
+        # Fixed 15k-row batch, IDENTICAL on both legs: keys < 15000
+        # exist in the 1x store and in the 100x store's r=0 replica
+        # (shift 0), so the same rows are drawn either way. Ids are
+        # renumbered but names KEPT — every delta row therefore lands
+        # in a live store block and pays the dist-0 + dist-1 verify.
+        # (The first cut of this bench renamed the delta into blocks
+        # the store never populates — zero candidates, so it measured
+        # an empty probe; review find.)
         store = load(spark, store_dir, "customer")
-        delta = (
-            load(spark, SF_DIR, "customer")
-            .withColumn("c_custkey", F.col("c_custkey") + F.lit(5_000_000))
-            .withColumn(
-                "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
-            )
+        delta = store.filter(F.col("c_custkey") < 15_000).withColumn(
+            "c_custkey", F.col("c_custkey") + F.lit(7_000_000_000)
         )
         noop(
             fuzzy_pairs_delta(

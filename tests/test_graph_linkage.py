@@ -253,3 +253,14 @@ class TestWeightedPagerank:
         }
         assert one[2] == one[3]  # equal shares when the edge appears once
         assert two[2] > two[3]  # the duplicate row shifts mass toward 2
+
+def test_selfloop_only_node_still_zero_filled(spark):
+    # a node whose ONLY edge is a self-loop is still a graph node and
+    # must appear with 0 triangles (review find)
+    from extract_transform_load_spark.operators.graph import triangle_count
+
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(_edges(spark, [(1, 1), (2, 3)])).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0}

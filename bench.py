@@ -106,11 +106,15 @@ HEADLINE = [
     "q139_hard_negatives_ivf",
     "q140_epoch_shuffle",
     # Round-8 additions, third leg (set stays a SUPERSET of the earlier
-    # r8 record): per-source caps, blocked fuzzy record linkage, and
-    # fixed-point PageRank (the new driver-window row).
+    # r8 record): per-source caps, blocked fuzzy record linkage (+ the
+    # incremental delta), fixed-point PageRank (the new driver-window
+    # row; weighted form), and degree-oriented triangle counting.
     "q141_source_caps",
     "q142_fuzzy_linkage",
     "q143_pagerank",
+    "q144_linkage_delta",
+    "q145_triangles",
+    "q146_pagerank_weighted",
 ]
 
 

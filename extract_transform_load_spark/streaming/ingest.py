@@ -507,3 +507,124 @@ def semantic_sink(
             stages.unpersist()
 
     return write
+
+
+def linkage_sink(
+    store_dir: str,
+    id_col: str = "rid",
+    name_col: str = "name",
+    block_len: int = 8,
+    max_dist: int = 1,
+) -> Callable[[DataFrame, int], None]:
+    """A ``write_batch`` running continuous ENTITY RESOLUTION — the
+    streaming twin of q144 exactly as ``semantic_sink`` is q133's:
+    each microbatch of entity records is fuzzy-matched against the
+    accumulated master and only genuinely NEW entities are admitted.
+
+    Store layout under ``store_dir``: ``entities/`` (admitted rows:
+    id, name) and ``verdicts/`` (id, stage, matched_id, dist,
+    batch_id — the audit trail; crash replays can duplicate its rows
+    with identical labels, dropDuplicates on (batch_id, id) when
+    consuming).
+
+    Within-batch duplicates collapse FIRST: fuzzy pairs inside the
+    batch feed one connected-components pass (batches are
+    delta-broadcast-guarded small, so the driver fast path applies)
+    and only each group's min-id representative probes the master —
+    stage ``batch_dup`` for the collapsed rows, carrying their
+    representative as ``matched_id``. Representatives that match a
+    stored entity record ``store_dup`` with the matched store id;
+    the rest are ``kept`` and appended PK-idempotently.
+
+    Replay convergence is semantic_sink's mechanism, not
+    curation_sink's: a replayed admitted record would match ITSELF in
+    the master at dist 0 and flip from kept to store_dup, so the sink
+    subtracts the batch's own ids from the store view (one id-only
+    anti-join, scan-pruned) before matching — any replay then sees the
+    same store state and reproduces the same labels, and the append
+    itself is anti-joined so nothing double-admits.
+    """
+    import pyspark.sql.functions as F
+
+    from ..operators.components import connected_components
+    from ..operators.linkage import fuzzy_pairs, fuzzy_pairs_delta
+    from ..sources.merge import path_exists
+
+    entities = f"{store_dir.rstrip('/')}/entities"
+    verdicts = f"{store_dir.rstrip('/')}/verdicts"
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        id_type = batch.schema[id_col].dataType.simpleString()
+        batch = batch.select(id_col, name_col).filter(
+            F.col(name_col).isNotNull() & (F.length(F.trim(F.col(name_col))) > 0)
+        )
+
+        # 1. collapse within-batch duplicate groups to min-id reps
+        pairs = fuzzy_pairs(
+            batch, id_col, name_col, block_len=block_len, max_dist=max_dist
+        )
+        comps = connected_components(
+            pairs, src="id_a", dst="id_b"
+        )  # (node, component=min id of the group)
+        dups = comps.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col),
+            F.lit("batch_dup").alias("stage"),
+            F.col("component").alias("matched_id"),
+            F.lit(None).cast("int").alias("dist"),
+        )
+        reps = batch.join(
+            dups.select(id_col), id_col, "left_anti"
+        )
+
+        # 2. probe the master (batch's own ids subtracted for replay)
+        if path_exists(spark, entities):
+            store = spark.read.parquet(entities).join(
+                batch.select(id_col), id_col, "left_anti"
+            )
+        else:
+            store = spark.createDataFrame(
+                [], f"{id_col} {id_type}, {name_col} string"
+            )
+        matches = fuzzy_pairs_delta(
+            reps,
+            store,
+            id_col=id_col,
+            name_col=name_col,
+            block_len=block_len,
+            max_dist=max_dist,
+        )
+        # one store match per rep is enough to reject; keep the
+        # smallest (store_id, dist) for a deterministic audit row
+        best = (
+            matches.groupBy("delta_id")
+            .agg(F.min(F.struct("dist", "store_id")).alias("m"))
+            .select(
+                F.col("delta_id").alias(id_col),
+                F.lit("store_dup").alias("stage"),
+                F.col("m.store_id").alias("matched_id"),
+                F.col("m.dist").alias("dist"),
+            )
+        )
+        kept = reps.join(best.select(id_col), id_col, "left_anti")
+
+        # 3. PK-idempotent admission + audit trail
+        if path_exists(spark, entities):
+            kept = kept.join(
+                spark.read.parquet(entities).select(id_col), id_col, "left_anti"
+            )
+        kept.write.mode("append").parquet(entities)
+        audit = (
+            kept.select(
+                id_col,
+                F.lit("kept").alias("stage"),
+                F.lit(None).cast(id_type).alias("matched_id"),
+                F.lit(None).cast("int").alias("dist"),
+            )
+            .unionByName(dups)
+            .unionByName(best)
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        audit.write.mode("append").parquet(verdicts)
+
+    return write

@@ -110,13 +110,18 @@ FAMILY_REPS = {
     # (fixed-point PageRank) — driver row from birth, displacing q23
     # (first-in-group stays covered by q26's identical
     # top-1-per-group WindowGroupLimit shape).
-    "graph_centrality": ["q143_pagerank"],
+    "graph_centrality": ["q143_pagerank", "q146_pagerank_weighted"],
+    # q145 triangle counting shares the family's driver row via q143
+    # (same module, same edge-frame discipline); q145 stays strict-gate
+    # green past the window.
+    "graph_analytics": ["q143_pagerank", "q145_triangles"],
     # Round-8 second leg: fuzzy record linkage is pair mining over a
     # short-string edit metric — the family row is satisfied by the
-    # in-window near-dup pair reps (q40/q42); q142 stays strict-gate
-    # green past the window.
+    # in-window near-dup pair reps (q40/q42); q142/q144 stay
+    # strict-gate green past the window.
     "record_linkage": [
         "q142_fuzzy_linkage",
+        "q144_linkage_delta",
         "q42_minhash_lsh_pairs",
         "q40_dedup_exact",
     ],

@@ -433,3 +433,65 @@ def test_semantic_sink_continuous_embedding_dedup(spark, tmp_path):
         if r["batch_id"] == 99
     }
     assert replays == {(10, "semantic_dup"), (11, "kept")}
+
+
+def test_linkage_sink_continuous_entity_resolution(spark, tmp_path):
+    """q144's streaming twin: batches of entity records resolve against
+    the accumulated master; within-batch groups collapse to min-id reps
+    first, store matches reject, the rest admit."""
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.streaming.ingest import linkage_sink
+
+    store = str(tmp_path / "er")
+    write = linkage_sink(store, block_len=4, max_dist=1)
+    schema = "rid long, name string"
+
+    # batch 0: 1/2 are a within-batch dup group; 3 is distinct
+    write(
+        spark.createDataFrame(
+            [(1, "acme corp"), (2, "acme corq"), (3, "zzz inc")], schema
+        ),
+        0,
+    )
+    ents = {r["rid"] for r in spark.read.parquet(store + "/entities").collect()}
+    assert ents == {1, 3}  # group {1,2} collapsed to rep 1
+
+    # batch 1: 10 matches stored 1 (store_dup), 11 is new
+    write(
+        spark.createDataFrame([(10, "acme corp"), (11, "qqq ltd")], schema), 1
+    )
+    ents = {r["rid"] for r in spark.read.parquet(store + "/entities").collect()}
+    assert ents == {1, 3, 11}
+    v = {
+        (r["rid"], r["stage"], r["matched_id"])
+        for r in spark.read.parquet(store + "/verdicts")
+        .filter(F.col("batch_id") == 1)
+        .collect()
+    }
+    assert v == {(10, "store_dup", 1), (11, "kept", None)}
+
+
+def test_linkage_sink_replay_converges(spark, tmp_path):
+    """Replaying an admitted batch must not flip its rows to store_dup
+    against THEMSELVES (the semantic_sink self-exclusion mechanism),
+    and must not double-admit."""
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.streaming.ingest import linkage_sink
+
+    store = str(tmp_path / "er")
+    write = linkage_sink(store, block_len=4, max_dist=1)
+    batch = spark.createDataFrame([(7, "solo entity")], "rid long, name string")
+
+    write(batch, 0)
+    write(batch, 0)  # full replay
+    assert spark.read.parquet(store + "/entities").count() == 1
+    stages = [
+        r["stage"]
+        for r in spark.read.parquet(store + "/verdicts")
+        .filter(F.col("rid") == 7)
+        .collect()
+    ]
+    # every replay re-derives the same label: kept (never store_dup)
+    assert set(stages) == {"kept"}

@@ -104,16 +104,19 @@ def fuzzy_pairs(
     # base table is huge relative to block count), so the verify work
     # is distributed by the PROBE side's partitioning — and a dimension
     # read from one parquet split would run every comparison on ONE
-    # task (measured: 95s -> 3s at sf0.1). Round-robin repartition of
-    # the probe side fixes that regardless of how few distinct blocks
-    # exist; if the join ever degrades to SMJ past the broadcast
-    # threshold, Spark re-shuffles by block anyway and this extra pass
-    # over the narrow probe projection is noise (AQE skew-split then
-    # handles oversized blocks).
-    parallelism = base.sparkSession.sparkContext.defaultParallelism
-    a = base.select(
-        F.col("rid").alias("id_a"), F.col("name").alias("name_a"), "block"
-    ).repartition(parallelism)
+    # task (measured: 95s -> 12s at sf0.1). spread_small_scan
+    # repartitions ONLY an undersized probe (no-op at warehouse scale,
+    # where the table carries thousands of row groups); if the join
+    # ever degrades to SMJ past the broadcast threshold, Spark
+    # re-shuffles by block anyway (AQE skew-split then handles
+    # oversized blocks).
+    from .spread import spread_small_scan
+
+    a = spread_small_scan(
+        base.select(
+            F.col("rid").alias("id_a"), F.col("name").alias("name_a"), "block"
+        )
+    )
     b = base.select(
         F.col("rid").alias("id_b"), F.col("name").alias("name_b"), "block"
     )
@@ -184,9 +187,20 @@ def fuzzy_pairs_delta(
         )
     if max_block is not None:
         _audit_blocks(s, max_block)
+    # the STORE is the probe side of the broadcast verify: a small
+    # single-row-group store would serialize every comparison onto one
+    # task (measured: the 1x bench leg ran 64s single-task vs 10s for
+    # the 100x store, whose many files parallelize naturally) —
+    # spread_small_scan is a no-op exactly when the store is big
+    from .spread import spread_small_scan
+
     return (
-        s.select(
-            F.col("rid").alias("store_id"), F.col("name").alias("store_name"), "block"
+        spread_small_scan(
+            s.select(
+                F.col("rid").alias("store_id"),
+                F.col("name").alias("store_name"),
+                "block",
+            )
         )
         .join(
             F.broadcast(

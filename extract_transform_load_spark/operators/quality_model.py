@@ -267,6 +267,19 @@ def local_score_columns(
 BACKOFF_MASS = 0.4
 DEFAULT_CONTEXTS = 512
 
+# Model-level rounding for the backoff LM: one order COARSER than the
+# classifier's decimal(38,12), because the exposure scales differently.
+# A rounded ln only drifts cross-engine when the JVM-vs-libm last-ulp
+# disagreement straddles a quantum boundary, P ~ ulp/quantum per
+# argument; the classifier has 512 bounded args (P*512 negligible at
+# 1e-12), but the unigram backoff table is VOCAB-sized — at sf0.1
+# (~50k distinct ln args) the 1e-12 quantum was measured hitting 4
+# boundary cases (strict-gate red, 2026-08-16). At 1e-6 the per-arg
+# probability drops ~1e6x (ulp(ln p) ~ 4e-16 => ~4e-10), keeping even
+# a 100x-vocabulary replica below 1e-3 expected hits, and a 1e-6
+# per-term quantum is far below any quality-threshold resolution.
+_LM_DECIMAL = "decimal(38,6)"
+
 
 def bigram_stream(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, w1, w2) rows — one per adjacent word pair occurrence."""
@@ -329,7 +342,7 @@ def learn_backoff_bigram(
         "w1",
         "w2",
         F.log(F.col("c12").cast("double") / F.col("c_w1").cast("double"))
-        .cast(_WEIGHT_DECIMAL)
+        .cast(_LM_DECIMAL)
         .alias("lp"),
     )
     unigram_lp = uni.crossJoin(F.broadcast(ntot)).select(
@@ -338,7 +351,7 @@ def learn_backoff_bigram(
             F.lit(backoff)
             * (F.col("c1").cast("double") / F.col("n_tokens").cast("double"))
         )
-        .cast(_WEIGHT_DECIMAL)
+        .cast(_LM_DECIMAL)
         .alias("blp"),
     )
     return bigram_lp, unigram_lp

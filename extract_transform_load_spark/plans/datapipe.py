@@ -4018,12 +4018,12 @@ def q135_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     blp AS (
       SELECT w1, w2,
-             CAST(ln(CAST(c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) AS DECIMAL(38,12)) AS lp
+             CAST(ln(CAST(c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) AS DECIMAL(38,6)) AS lp
       FROM top JOIN uni u ON top.w1 = u.w
     ),
     ulp AS (
       SELECT w AS w2,
-             CAST(ln(0.4 * (CAST(c1 AS DOUBLE) / CAST(n_tokens AS DOUBLE))) AS DECIMAL(38,12)) AS blp
+             CAST(ln(0.4 * (CAST(c1 AS DOUBLE) / CAST(n_tokens AS DOUBLE))) AS DECIMAL(38,6)) AS blp
       FROM uni CROSS JOIN tot
     ),
     terms AS (
@@ -4045,7 +4045,7 @@ def q135_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "artifact that BROADCASTS (scoring never joins the corpus against "
     "its own O(corpus)-row bigram table), and every ln argument comes "
     "from a bounded set (512 ratios + one per distinct unigram count) "
-    "rounded to DECIMAL(38,12) once at the MODEL level — the q73 "
+    "rounded to DECIMAL(38,6) once at the MODEL level — the q73 "
     "last-ulp rule, an order tighter than q76's per-(doc,term) "
     "rounding. An unbounded interpolated form ln(l*p12+(1-l)*p2) "
     "CANNOT hash-match DuckDB at scale (measured this round: JVM "

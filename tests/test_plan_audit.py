@@ -672,3 +672,13 @@ def test_q143_pagerank_ranks_broadcast_edges_never_reshuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     # top-20 must be TakeOrderedAndProject, never a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q146_weighted_pagerank_same_physical_shape(spark, sf_dir):
+    """The weighted form must keep q143's round shape: broadcast
+    |V|-bounded state into the edge join, no SortMergeJoin, top-20 as
+    TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "q146_pagerank_weighted")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -56,6 +56,7 @@ def pagerank(
     max_nodes_broadcast: int = 50_000_000,
     assume_distinct: bool = False,
     weight: str | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list.
 
@@ -76,6 +77,12 @@ def pagerank(
     int64); ANSI mode makes an overflow throw rather than wrap, and
     weighted edges are NOT deduped (multiplicity is the caller's
     semantics — ``assume_distinct`` is implied).
+
+    ``seeds`` (a one-column frame of node ids) switches to PERSONALIZED
+    PageRank: teleport mass and the initial distribution concentrate on
+    the seed set (restricted to graph nodes; empty intersection fails
+    loudly), ranking every node by walk-proximity to the seeds — the
+    topic-sensitive / crawl-frontier form.
 
     ``max_nodes_broadcast`` guards the broadcast of the rank vector the
     same way asof.py guards its dimension broadcast: past ~5e7 nodes a
@@ -127,12 +134,57 @@ def pagerank(
             F.sum("w") if weight is not None else F.count(F.lit(1))
         ).alias("outdeg")
     )
-    # teleport mass per node, exact integer: (100-d)% of one UNIT / N
-    teleport = ((100 - damping_pct) * (UNIT // 100)) // n_nodes
-
-    ranks = nodes.select(
-        "node", F.lit(UNIT // n_nodes).cast("bigint").alias("rank_units")
-    )
+    # teleport mass, exact integer: (100-d)% of one UNIT. Uniform PageRank
+    # spreads it over all N nodes; PERSONALIZED PageRank (``seeds``: a
+    # one-column frame of node ids — topic pages, trusted hosts, a crawl
+    # frontier) concentrates teleport AND the initial mass on the seed
+    # set, ranking nodes by proximity to it (Page et al. §6; the
+    # crawl-prioritization form). Same integer discipline: the teleport
+    # becomes a per-node column on the node spine instead of a scalar.
+    total_teleport = (100 - damping_pct) * (UNIT // 100)
+    if seeds is None:
+        spine = nodes.select(
+            "node", F.lit(total_teleport // n_nodes).cast("bigint").alias("tele")
+        ).localCheckpoint(eager=False)
+        init = UNIT // n_nodes
+        ranks = spine.select(
+            "node", F.lit(init).cast("bigint").alias("rank_units")
+        )
+    else:
+        seed_ids = seeds.select(
+            F.col(seeds.columns[0]).alias("node")
+        ).distinct()
+        # seeds outside the graph would silently leak teleport mass —
+        # restrict to graph nodes and count what remains
+        seed_ids = seed_ids.join(nodes, "node", "left_semi")
+        n_seeds = seed_ids.count()
+        if n_seeds == 0:
+            raise ValueError(
+                "pagerank: seeds contain no node of the graph — "
+                "personalized teleport would have nowhere to land"
+            )
+        spine = (
+            nodes.join(seed_ids.withColumn("__s", F.lit(1)), "node", "left")
+            .select(
+                "node",
+                F.when(
+                    F.col("__s").isNotNull(),
+                    F.lit(total_teleport // n_seeds),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("tele"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        init = UNIT // n_seeds
+        ranks = spine.select(
+            "node",
+            F.when(F.col("tele") > 0, F.lit(init))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("rank_units"),
+        )
     for i in range(iterations):
         if i:
             # truncate lineage BETWEEN rounds (an unchecked k-round plan
@@ -185,13 +237,13 @@ def pagerank(
                     .alias("got")
                 )
             )
-        ranks = nodes.join(
-            F.broadcast(contrib), nodes.node == contrib.dst, "left"
+        ranks = spine.join(
+            F.broadcast(contrib), spine.node == contrib.dst, "left"
         ).select(
             "node",
             (
                 F.expr(f"(coalesce(got, 0L) * {damping_pct}) DIV 100")
-                + F.lit(teleport)
+                + F.col("tele")
             )
             .cast("bigint")
             .alias("rank_units"),

@@ -4646,3 +4646,81 @@ def q146_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(edges, iterations=5, weight="w")
     return pr.orderBy(F.col("rank_units").desc(), "node").limit(20)
+
+
+_Q147_ROUND = """
+    c{k} AS (SELECT e.dst AS node, SUM(r.ru // o.odeg) AS got
+           FROM e JOIN r{j} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+           GROUP BY e.dst),
+    r{k} AS (SELECT sp.node, CAST((COALESCE(c.got, 0) * 85) // 100
+             + sp.tele AS BIGINT) AS ru
+           FROM spine sp LEFT JOIN c{k} c ON sp.node = c.node)"""
+
+_Q147_ORACLE = (
+    """
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS src, 1000000000000 + l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    seeds AS (SELECT node FROM nodes WHERE node < 100),
+    params AS (
+      SELECT COUNT(*) AS ns,
+             CAST(150000000000 // COUNT(*) AS BIGINT) AS tele_seed,
+             CAST(1000000000000 // COUNT(*) AS BIGINT) AS init_seed
+      FROM seeds
+    ),
+    spine AS (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN (SELECT tele_seed FROM params) ELSE 0 END AS tele
+      FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+    ),
+    outdeg AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src),
+    r0 AS (
+      SELECT node,
+             CASE WHEN tele > 0
+                  THEN (SELECT init_seed FROM params) ELSE 0 END AS ru
+      FROM spine
+    ),"""
+    + ",".join(_Q147_ROUND.format(k=k, j=k - 1) for k in range(1, 6))
+    + """
+    SELECT node, ru AS rank_units,
+           CAST(ru AS DOUBLE) / 1000000000000.0 AS rank
+    FROM r5 ORDER BY ru DESC, node LIMIT 20
+    """
+)
+
+
+@query(
+    "q147_personalized_pagerank",
+    oracle=_Q147_ORACLE,
+    doc="Personalized (topic-sensitive) PageRank: teleport mass and the "
+    "initial distribution concentrate on a seed set (customers 0-99 "
+    "here; trusted hosts / a crawl frontier in production), ranking "
+    "every node by walk-proximity to the seeds — the crawl-"
+    "prioritization form of q143. Same int64 fixed-point discipline, "
+    "teleport lowered from a scalar to a per-node column on the node "
+    "spine; the oracle unrolls all 5 seeded rounds. "
+    "operators/graph.py::pagerank(seeds=...).",
+)
+def q147_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1_000_000_000_000) + F.col("l_suppkey")).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = o.select(F.col("o_custkey").alias("node")).filter(F.col("node") < 100)
+    pr = pagerank(edges, iterations=5, assume_distinct=True, seeds=seeds)
+    return pr.orderBy(F.col("rank_units").desc(), "node").limit(20)

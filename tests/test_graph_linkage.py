@@ -264,3 +264,50 @@ def test_selfloop_only_node_still_zero_filled(spark):
         for r in triangle_count(_edges(spark, [(1, 1), (2, 3)])).collect()
     }
     assert got == {1: 0, 2: 0, 3: 0}
+
+
+class TestPersonalizedPagerank:
+    def test_seed_proximity_ordering(self, spark):
+        # path 1-2-3-4, seed {1}. Two traps pinned here: (a) a
+        # degree-1 seed pours ALL its mass into its hub neighbor, so
+        # converged PPR puts node 2 ABOVE node 1 — seed-proximity is
+        # not seed-maximality; (b) the path is BIPARTITE, so low
+        # iteration counts oscillate between the two sides (at 6
+        # rounds nodes {1,3} spuriously dominate) — 25 rounds damp the
+        # parity swing to ~0.85^25 and match the numpy fixpoint
+        # (pi = .30/.36/.23/.10 for nodes 1-4).
+        e = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)]
+        seeds = spark.createDataFrame([(1,)], "node bigint")
+        pr = pagerank(_edges(spark, e), iterations=25, seeds=seeds).collect()
+        by = {r["node"]: r["rank_units"] for r in pr}
+        assert by[2] > by[1] > by[3] > by[4]
+
+    def test_non_seed_gets_zero_teleport_but_flow(self, spark):
+        e = [(1, 2), (2, 1)]
+        seeds = spark.createDataFrame([(1,)], "node bigint")
+        pr = pagerank(_edges(spark, e), iterations=1, seeds=seeds).collect()
+        by = {r["node"]: r["rank_units"] for r in pr}
+        # round 1: node 2 holds ONLY flowed mass (85% of seed's UNIT),
+        # node 1 only teleport (15%)
+        from extract_transform_load_spark.operators.graph import UNIT
+
+        assert by[2] == (UNIT * 85) // 100
+        assert by[1] == 15 * (UNIT // 100)
+
+    def test_seeds_outside_graph_fail_loud(self, spark):
+        seeds = spark.createDataFrame([(99,)], "node bigint")
+        with pytest.raises(ValueError, match="seeds"):
+            pagerank(_edges(spark, [(1, 2), (2, 1)]), iterations=1, seeds=seeds)
+
+    def test_uniform_seed_set_matches_unseeded(self, spark):
+        # seeding with ALL nodes == uniform PageRank
+        pairs = [(1, 2), (2, 3), (3, 1)]
+        seeds = spark.createDataFrame([(1,), (2,), (3,)], "node bigint")
+        a = sorted(map(tuple, pagerank(_edges(spark, pairs), iterations=3).collect()))
+        b = sorted(
+            map(
+                tuple,
+                pagerank(_edges(spark, pairs), iterations=3, seeds=seeds).collect(),
+            )
+        )
+        assert a == b

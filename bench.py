@@ -115,6 +115,7 @@ HEADLINE = [
     "q144_linkage_delta",
     "q145_triangles",
     "q146_pagerank_weighted",
+    "q147_personalized_pagerank",
 ]
 
 

@@ -110,7 +110,11 @@ FAMILY_REPS = {
     # (fixed-point PageRank) — driver row from birth, displacing q23
     # (first-in-group stays covered by q26's identical
     # top-1-per-group WindowGroupLimit shape).
-    "graph_centrality": ["q143_pagerank", "q146_pagerank_weighted"],
+    "graph_centrality": [
+        "q143_pagerank",
+        "q146_pagerank_weighted",
+        "q147_personalized_pagerank",
+    ],
     # q145 triangle counting shares the family's driver row via q143
     # (same module, same edge-frame discipline); q145 stays strict-gate
     # green past the window.

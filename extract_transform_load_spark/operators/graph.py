@@ -6,8 +6,8 @@ per-host authority for crawl prioritization, per-source importance for
 mixture weighting (the same role PageRank plays in production
 crawl/curation stacks; Page et al. 1999, public). Vanilla Spark SQL has
 no iterative-fixpoint operator, so each PageRank round is expressed as
-one broadcast join + one aggregation over the cached edge list — the
-Pregel message-passing step lowered onto DataFrames.
+one join + one aggregation over the cached edge list — the Pregel
+message-passing step lowered onto DataFrames.
 
 Determinism discipline (the cross-engine oracle constraint): every
 arithmetic step is **64-bit integer fixed-point** (1 rank unit =
@@ -16,9 +16,13 @@ floor-division is identical everywhere, so a Spark run and a DuckDB
 recursive re-derivation agree bit-for-bit — no float summation-order
 drift, no decimal-rounding-mode mismatch. The quantization error is
 ≤ outdeg ulps per node per round (documented, bounded, and irrelevant
-at 1e-12 granularity).
+at 1e-12 granularity). The SAME integer math runs under both physical
+engines below, so ``engine="broadcast"`` and ``engine="shuffle"`` are
+byte-equal by construction (pinned in tests/test_graph_linkage.py).
 
-Scale notes (100 TB link graph, 1000 executors):
+Two physical engines (100 TB link graph, 1000 executors):
+
+``engine="broadcast"`` — host-level graphs (|V| up to ~5e7):
 - the edge list is aggregated once to ``(src, dst)`` distinct rows and
   cached; every round reuses that one shuffle-partitioned frame —
   iteration adds NO new edge shuffles beyond the per-round groupBy.
@@ -26,9 +30,35 @@ Scale notes (100 TB link graph, 1000 executors):
   (hosts vs links). It is broadcast into the join, so each round costs
   one map-side hash join over edges plus one ``groupBy(dst)`` partial
   aggregation; edges never re-shuffle.
+
+``engine="shuffle"`` — page-level graphs (|V| beyond the broadcast
+ceiling; a per-round 1 GB+ rank broadcast stops fitting executors):
+- edges are hash-partitioned ONCE by ``src`` (the one |E| shuffle);
+  ranks, outdeg, the node spine and every per-round contribution frame
+  are |V|-row frames hash-partitioned on the node key with the same
+  partition count, so every per-round join is co-partitioned — Catalyst
+  inserts NO exchange on the edge side, ever.
+- per round exactly ONE exchange moves data: the ``groupBy(dst)``
+  message aggregation (|E| in, |V| out, map-side combined). The
+  |V|-bounded joins use SHUFFLE_HASH hints: a sort-merge plan would
+  re-sort the |E| frame every round; a hash build over the |V| side
+  streams the edges untouched.
+- nothing is ever broadcast, so the operator has NO width ceiling: the
+  working set per round is |E|/P + 2|V|/P per partition — scale P with
+  the cluster, not with executor memory.
+
+``engine="auto"`` (default) dispatches on a node count that is needed
+anyway (the teleport denominator): broadcast below
+``max_nodes_broadcast``, shuffle above — the asof.py statistics-dispatch
+discipline applied to graph width.
+
+Common to both:
 - lineage is truncated with ``localCheckpoint`` per round, the same
   guard components.py uses — an unchecked 20-round plan otherwise
-  drowns Catalyst analysis time.
+  drowns Catalyst analysis time. (``Dataset.localCheckpoint`` preserves
+  the physical output partitioning into the LogicalRDD, so the shuffle
+  engine's co-partitioning SURVIVES the truncation — the property the
+  whole round-over-round reuse rests on.)
 - dangling nodes (outdeg 0) contribute no mass — the "mass leak"
   PageRank variant. Callers who need a stochastic matrix should
   symmetrize or add self-loops before calling (q143 feeds a
@@ -46,6 +76,19 @@ from pyspark.sql import DataFrame
 #: 1.0 of rank mass, in fixed-point units (1e-12 granularity).
 UNIT = 10**12
 
+_ENGINES = ("auto", "broadcast", "shuffle")
+
+
+def _shuffle_partitions(spark) -> int:
+    """The session's shuffle fan-out, for the explicit edge repartition
+    in shuffle mode. Matching ``spark.sql.shuffle.partitions`` keeps the
+    edge frame co-partitioned with every groupBy/distinct output, so no
+    join in the round loop re-shuffles the |E| side."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # "auto" under some AQE configs
+        return spark.sparkContext.defaultParallelism
+
 
 def pagerank(
     edges: DataFrame,
@@ -57,6 +100,7 @@ def pagerank(
     assume_distinct: bool = False,
     weight: str | None = None,
     seeds: DataFrame | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list.
 
@@ -82,17 +126,23 @@ def pagerank(
     PageRank: teleport mass and the initial distribution concentrate on
     the seed set (restricted to graph nodes; empty intersection fails
     loudly), ranking every node by walk-proximity to the seeds — the
-    topic-sensitive / crawl-frontier form.
+    topic-sensitive / crawl-frontier form. The initial distribution is
+    keyed off seed MEMBERSHIP, not off a nonzero teleport, so the
+    degenerate ``damping_pct=100`` (teleport 0) still seeds the walk.
 
-    ``max_nodes_broadcast`` guards the broadcast of the rank vector the
-    same way asof.py guards its dimension broadcast: past ~5e7 nodes a
-    rank vector stops fitting executor memory and the caller should
-    switch to a shuffle-join variant — fail loudly, not silently spill.
+    ``engine`` picks the physical plan (same math, byte-equal results):
+    ``"broadcast"`` re-broadcasts the |V|-row rank vector each round
+    (fastest while it fits; raises past ``max_nodes_broadcast``),
+    ``"shuffle"`` co-partitions ranks and edges by node and reuses that
+    partitioning across rounds (no width ceiling; one extra |E| shuffle
+    up front), ``"auto"`` dispatches on the node count.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     if not 0 <= damping_pct <= 100:
         raise ValueError("damping_pct must be in [0, 100]")
+    if engine not in _ENGINES:
+        raise ValueError(f"engine must be one of {_ENGINES}, got {engine!r}")
 
     cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
     if weight is not None:
@@ -106,6 +156,11 @@ def pagerank(
     # result — measured in scripts/bench_graph_linkage_scale100.py.
     if not assume_distinct and weight is None:
         e = e.distinct()
+    # checkpoint BEFORE deriving the node spine, so the (possibly
+    # expensive) upstream dedup runs once and both the spine and every
+    # round read its blocks; the shuffle engine re-checkpoints its
+    # repartitioned copy below, which is one cheap shuffle over these
+    # same blocks, not a second dedup.
     e = e.localCheckpoint(eager=False)
 
     nodes = (
@@ -114,20 +169,110 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n_nodes = nodes.count()
+    # ONE counting job resolves everything the plan needs eagerly: the
+    # node count (teleport denominator + engine dispatch) and, for the
+    # personalized form, the in-graph seed count — the seed flag join is
+    # lazily checkpointed first so the count job materializes it and the
+    # spine below reuses the same blocks (no second join, no second
+    # scheduler round-trip; review r8 nit).
+    flagged = None
+    if seeds is not None:
+        seed_ids = seeds.select(
+            F.col(seeds.columns[0]).alias("node")
+        ).distinct()
+        # seeds outside the graph would silently leak teleport mass —
+        # restrict to graph nodes via the left join's membership flag
+        flagged = nodes.join(
+            seed_ids.withColumn("__s", F.lit(1)), "node", "left"
+        ).localCheckpoint(eager=False)
+        counts = flagged.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("__s").alias("s")
+        ).first()
+        n_nodes, n_seeds = counts["n"], int(counts["s"] or 0)
+        if n_nodes and n_seeds == 0:
+            raise ValueError(
+                "pagerank: seeds contain no node of the graph — "
+                "personalized teleport would have nowhere to land"
+            )
+    else:
+        n_nodes, n_seeds = nodes.count(), 0
+
     if n_nodes == 0:
         return nodes.select(
             "node",
             F.lit(0).cast("bigint").alias("rank_units"),
             F.lit(0.0).alias("rank"),
         )
-    if n_nodes > max_nodes_broadcast:
+    if engine == "auto":
+        engine = "broadcast" if n_nodes <= max_nodes_broadcast else "shuffle"
+    elif engine == "broadcast" and n_nodes > max_nodes_broadcast:
         raise ValueError(
             f"pagerank: {n_nodes} nodes exceeds max_nodes_broadcast="
             f"{max_nodes_broadcast}; the per-round rank broadcast would not fit — "
-            "use a shuffle-join variant (repartition edges and ranks by node) "
-            "for graphs this wide"
+            "pass engine='shuffle' (or 'auto') for graphs this wide"
         )
+
+    spark_ = edges.sparkSession
+    aqe_prev: str | None = None
+    if engine == "shuffle":
+        # Compile every round plan with AQE OFF: under AQE a
+        # localCheckpoint captures UnknownPartitioning (the adaptive
+        # plan's final layout isn't known at checkpoint-creation time,
+        # eager or not — measured), which would re-insert an |E|-sized
+        # exchange above the edge scan EVERY round and defeat the
+        # engine's whole point. localCheckpoint compiles its physical
+        # plan eagerly at call time, so the toggle covers only plan
+        # CONSTRUCTION here — execution (whenever the caller acts) and
+        # every other query are unaffected, and the conf is restored in
+        # the finally. What AQE would have contributed per round — skew
+        # splitting on the groupBy(dst) hot keys — is absorbed by
+        # map-side partial aggregation instead.
+        aqe_prev = spark_.conf.get("spark.sql.adaptive.enabled", "true")
+        spark_.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _pagerank_rounds(
+            e, nodes, flagged, n_nodes, n_seeds,
+            iterations, damping_pct, weight, engine,
+        )
+    finally:
+        if aqe_prev is not None:
+            spark_.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
+
+def _pagerank_rounds(
+    e: DataFrame,
+    nodes: DataFrame,
+    flagged: DataFrame | None,
+    n_nodes: int,
+    n_seeds: int,
+    iterations: int,
+    damping_pct: int,
+    weight: str | None,
+    engine: str,
+) -> DataFrame:
+    """The round loop, shared by both engines — identical int64 math,
+    different physical strategy for the |V|-bounded sides."""
+    # maybe-broadcast / maybe-hint: the |V|-bounded sides are broadcast
+    # EXPLICITLY in broadcast mode (checkpointed RDDs carry no stats, so
+    # left to itself Catalyst would SMJ the small sides and, worse,
+    # could re-shuffle the edge list); in shuffle mode the same sides
+    # get a SHUFFLE_HASH hint instead — co-partitioned inputs make the
+    # join exchange-free either way, and the hash build avoids SMJ
+    # re-sorting the |E| frame every round.
+    if engine == "broadcast":
+        _small = F.broadcast
+    else:
+        _small = lambda df: df.hint("shuffle_hash")  # noqa: E731
+
+    num = _shuffle_partitions(e.sparkSession) if engine == "shuffle" else None
+    if engine == "shuffle":
+        # the ONE |E| shuffle of this engine: hash-partition edges by
+        # src at the session's shuffle fan-out (matching what every
+        # groupBy below produces), and freeze that layout for all
+        # rounds — with AQE off (see caller) the checkpoint preserves
+        # HashPartitioning(src) into the LogicalRDD, so no round ever
+        # re-exchanges the edge frame.
+        e = e.repartition(num, "src").localCheckpoint(eager=False)
 
     outdeg = e.groupBy("src").agg(
         (
@@ -142,45 +287,37 @@ def pagerank(
     # crawl-prioritization form). Same integer discipline: the teleport
     # becomes a per-node column on the node spine instead of a scalar.
     total_teleport = (100 - damping_pct) * (UNIT // 100)
-    if seeds is None:
+    if flagged is None:
         spine = nodes.select(
             "node", F.lit(total_teleport // n_nodes).cast("bigint").alias("tele")
-        ).localCheckpoint(eager=False)
-        init = UNIT // n_nodes
-        ranks = spine.select(
-            "node", F.lit(init).cast("bigint").alias("rank_units")
         )
     else:
-        seed_ids = seeds.select(
-            F.col(seeds.columns[0]).alias("node")
-        ).distinct()
-        # seeds outside the graph would silently leak teleport mass —
-        # restrict to graph nodes and count what remains
-        seed_ids = seed_ids.join(nodes, "node", "left_semi")
-        n_seeds = seed_ids.count()
-        if n_seeds == 0:
-            raise ValueError(
-                "pagerank: seeds contain no node of the graph — "
-                "personalized teleport would have nowhere to land"
-            )
-        spine = (
-            nodes.join(seed_ids.withColumn("__s", F.lit(1)), "node", "left")
-            .select(
-                "node",
-                F.when(
-                    F.col("__s").isNotNull(),
-                    F.lit(total_teleport // n_seeds),
-                )
-                .otherwise(F.lit(0))
-                .cast("bigint")
-                .alias("tele"),
-            )
-            .localCheckpoint(eager=False)
+        # the spine keeps the seed flag itself (not ``tele > 0``): with
+        # damping_pct=100 the teleport is 0 everywhere, and an initial
+        # distribution keyed off a nonzero teleport would be all zeros —
+        # the walk must start FROM THE SEEDS regardless of teleport
+        # (ADVICE r8 fix, pinned by test_damping_100_still_seeds).
+        spine = flagged.select(
+            "node",
+            F.when(F.col("__s").isNotNull(), F.lit(total_teleport // n_seeds))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("tele"),
+            F.col("__s").isNotNull().alias("__seed"),
         )
-        init = UNIT // n_seeds
+    if engine == "shuffle":
+        # node-hash the spine once, so the per-round contrib join and
+        # the ranks derived from it stay co-partitioned on the node key
+        spine = spine.repartition(num, "node")
+    spine = spine.localCheckpoint(eager=False)
+    if flagged is None:
+        ranks = spine.select(
+            "node", F.lit(UNIT // n_nodes).cast("bigint").alias("rank_units")
+        )
+    else:
         ranks = spine.select(
             "node",
-            F.when(F.col("tele") > 0, F.lit(init))
+            F.when(F.col("__seed"), F.lit(UNIT // n_seeds))
             .otherwise(F.lit(0))
             .cast("bigint")
             .alias("rank_units"),
@@ -196,14 +333,11 @@ def pagerank(
         # toward zero == floor on the nonnegative units; DuckDB's //
         # floors identically — the cross-engine-exact step a double
         # intermediate would break, since Spark's double->bigint cast
-        # truncates where DuckDB's rounds). Every |V|-bounded side is
-        # broadcast EXPLICITLY (ranks, outdeg, contrib) — checkpointed
-        # RDDs carry no stats, so left to itself Catalyst would SMJ the
-        # small sides and, worse, could re-shuffle the edge list.
+        # truncates where DuckDB's rounds).
         if weight is None:
-            give = F.broadcast(
+            give = _small(
                 ranks.join(
-                    F.broadcast(outdeg.withColumnRenamed("src", "node")), "node"
+                    _small(outdeg.withColumnRenamed("src", "node")), "node"
                 ).select(
                     F.col("node").alias("g_src"),
                     F.expr("rank_units DIV outdeg").cast("bigint").alias("give"),
@@ -216,12 +350,12 @@ def pagerank(
             )
         else:
             # weighted: the split is per-EDGE ((rank * w) DIV sum_w),
-            # so the broadcast carries (rank, sum_w) and the division
+            # so the build side carries (rank, sum_w) and the division
             # happens in the edge join's projection — still one
-            # broadcast + one groupBy(dst) per round
-            state = F.broadcast(
+            # |V|-side join + one groupBy(dst) per round
+            state = _small(
                 ranks.join(
-                    F.broadcast(outdeg.withColumnRenamed("src", "node")), "node"
+                    _small(outdeg.withColumnRenamed("src", "node")), "node"
                 ).select(
                     F.col("node").alias("g_src"),
                     "rank_units",
@@ -238,7 +372,7 @@ def pagerank(
                 )
             )
         ranks = spine.join(
-            F.broadcast(contrib), spine.node == contrib.dst, "left"
+            _small(contrib), spine.node == contrib.dst, "left"
         ).select(
             "node",
             (

@@ -4383,9 +4383,7 @@ def q142_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q143_pagerank",
-    oracle="""
+_Q143_ORACLE = """
     WITH e0 AS (
       SELECT DISTINCT o_custkey AS src, 1000000000000 + l_suppkey AS dst
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -4436,7 +4434,12 @@ def q142_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node, ru AS rank_units,
            CAST(ru AS DOUBLE) / 1000000000000.0 AS rank
     FROM r5 ORDER BY ru DESC, node LIMIT 20
-    """,
+    """
+
+
+@query(
+    "q143_pagerank",
+    oracle=_Q143_ORACLE,
     doc="PageRank (5 damped rounds, d=0.85) over the symmetrized "
     "customer-supplier order graph; top-20 nodes by authority. Every "
     "arithmetic step is 64-bit integer fixed-point (1e-12 units) so "
@@ -4723,4 +4726,43 @@ def q147_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = o.select(F.col("o_custkey").alias("node")).filter(F.col("node") < 100)
     pr = pagerank(edges, iterations=5, assume_distinct=True, seeds=seeds)
+    return pr.orderBy(F.col("rank_units").desc(), "node").limit(20)
+
+
+@query(
+    "q149_pagerank_shuffle",
+    # SAME oracle as q143: the shuffle engine runs the identical int64
+    # fixed-point math under a different physical plan (ranks and edges
+    # co-partitioned by node and reused across rounds, ZERO broadcasts),
+    # so one oracle pins both engines byte-equal cross-engine — the
+    # strongest possible equivalence evidence for the 100 TB path.
+    oracle=_Q143_ORACLE,
+    doc="q143's PageRank under engine='shuffle' — the page-level-width "
+    "path (|V| beyond the ~5e7 rank-broadcast ceiling): edges are "
+    "hash-partitioned by src ONCE, ranks/outdeg/spine stay node-hashed "
+    "with the same fan-out, every per-round join is co-partitioned "
+    "SHUFFLE_HASH (no broadcast, no SMJ re-sort of |E|), and the only "
+    "per-round data movement is the groupBy(dst) message exchange — "
+    "plan-audited in tests/test_graph_linkage.py (exactly one "
+    "hashpartitioning Exchange, zero Broadcast) and byte-equal to the "
+    "broadcast engine by the shared oracle. "
+    "operators/graph.py::pagerank(engine='shuffle').",
+)
+def q149_pagerank_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1_000_000_000_000) + F.col("l_suppkey")).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=5, assume_distinct=True, engine="shuffle")
     return pr.orderBy(F.col("rank_units").desc(), "node").limit(20)

@@ -48,9 +48,14 @@ class TestPagerank:
         assert out.columns == ["node", "rank_units", "rank"]
 
     def test_broadcast_guard_fails_loud(self, spark):
+        # forced broadcast past the cap refuses (auto would dispatch to
+        # the shuffle engine instead — TestPagerankEngines)
         with pytest.raises(ValueError, match="max_nodes_broadcast"):
             pagerank(
-                _edges(spark, [(1, 2), (2, 1)]), iterations=1, max_nodes_broadcast=1
+                _edges(spark, [(1, 2), (2, 1)]),
+                iterations=1,
+                max_nodes_broadcast=1,
+                engine="broadcast",
             )
 
     def test_dangling_mass_leaks_not_crashes(self, spark):
@@ -254,6 +259,72 @@ class TestWeightedPagerank:
         assert one[2] == one[3]  # equal shares when the edge appears once
         assert two[2] > two[3]  # the duplicate row shifts mass toward 2
 
+class TestPagerankEngines:
+    """Round 9: the shuffle-join engine (ranks and edges co-partitioned
+    by node, reused across rounds) must be BYTE-EQUAL to the broadcast
+    engine — same int64 fixed-point math, different physical plan."""
+
+    # a planted graph with every structural feature the rounds touch:
+    # a hub, a cycle, a dangling-ish leaf, asymmetric degrees
+    PAIRS = [
+        (1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 4), (4, 1), (4, 2),
+        (5, 1), (1, 5), (5, 3),
+    ]
+
+    def _by(self, df):
+        return sorted((r["node"], r["rank_units"]) for r in df.collect())
+
+    def test_plain_engines_byte_equal(self, spark):
+        e = _edges(spark, self.PAIRS)
+        b = self._by(pagerank(e, iterations=5, engine="broadcast"))
+        s = self._by(pagerank(e, iterations=5, engine="shuffle"))
+        assert b == s
+
+    def test_weighted_engines_byte_equal(self, spark):
+        rows = [(a, b, (a * 7 + b) % 5 + 1) for a, b in self.PAIRS]
+        e = spark.createDataFrame(rows, "src bigint, dst bigint, w bigint")
+        b = self._by(pagerank(e, iterations=4, weight="w", engine="broadcast"))
+        s = self._by(pagerank(e, iterations=4, weight="w", engine="shuffle"))
+        assert b == s
+
+    def test_personalized_engines_byte_equal(self, spark):
+        e = _edges(spark, self.PAIRS)
+        seeds = spark.createDataFrame([(1,), (4,)], "node bigint")
+        b = self._by(pagerank(e, iterations=4, seeds=seeds, engine="broadcast"))
+        s = self._by(pagerank(e, iterations=4, seeds=seeds, engine="shuffle"))
+        assert b == s
+
+    def test_auto_dispatches_to_shuffle_past_cap(self, spark):
+        # a width the broadcast engine refuses must run — and agree —
+        # under auto (which dispatches to shuffle)
+        e = _edges(spark, self.PAIRS)
+        auto = self._by(
+            pagerank(e, iterations=3, max_nodes_broadcast=1, engine="auto")
+        )
+        ref = self._by(pagerank(e, iterations=3, engine="broadcast"))
+        assert auto == ref
+
+    def test_shuffle_plan_has_no_broadcast(self, spark):
+        # the plan-audit the r8 verdict asked for: in shuffle mode the
+        # rank vector must NOT be broadcast — no BroadcastExchange (or
+        # BroadcastHashJoin) anywhere in the initial physical plan —
+        # and the per-round cost is exactly ONE exchange (the
+        # groupBy(dst) message shuffle): ranks, outdeg, spine and the
+        # edge frame are all co-partitioned on the node key, which the
+        # AQE-off checkpoint compilation preserves across rounds
+        import re
+
+        out = pagerank(_edges(spark, self.PAIRS), iterations=2, engine="shuffle")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" not in plan
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+        assert "SortMergeJoin" not in plan  # SHJ streams edges unsorted
+
+    def test_engine_validation(self, spark):
+        with pytest.raises(ValueError, match="engine"):
+            pagerank(_edges(spark, [(1, 2)]), iterations=1, engine="pregel")
+
+
 def test_selfloop_only_node_still_zero_filled(spark):
     # a node whose ONLY edge is a self-loop is still a graph node and
     # must appear with 0 triangles (review find)
@@ -298,6 +369,21 @@ class TestPersonalizedPagerank:
         seeds = spark.createDataFrame([(99,)], "node bigint")
         with pytest.raises(ValueError, match="seeds"):
             pagerank(_edges(spark, [(1, 2), (2, 1)]), iterations=1, seeds=seeds)
+
+    def test_damping_100_still_seeds(self, spark):
+        # damping_pct=100 => teleport 0 everywhere; the initial
+        # distribution must come from seed MEMBERSHIP, not `tele > 0` —
+        # an all-zero init returned all-zero ranks (ADVICE r8 fix)
+        e = [(1, 2), (2, 1)]
+        seeds = spark.createDataFrame([(1,)], "node bigint")
+        pr = pagerank(
+            _edges(spark, e), iterations=1, damping_pct=100, seeds=seeds
+        ).collect()
+        by = {r["node"]: r["rank_units"] for r in pr}
+        # round 1: the whole UNIT flows 1 -> 2, no teleport anywhere
+        assert by[2] == UNIT
+        assert by[1] == 0
+        assert sum(by.values()) == UNIT  # mass conserved, not vanished
 
     def test_uniform_seed_set_matches_unseeded(self, spark):
         # seeding with ALL nodes == uniform PageRank

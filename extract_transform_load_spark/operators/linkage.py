@@ -23,9 +23,15 @@ Pipeline shape (all JVM-side, zero Python in the hot path):
 
 Recall semantics (documented, not hidden): a pair whose names differ
 inside the block prefix is NEVER compared — that is the blocking
-tradeoff. Run multiple passes with complementary keys (prefix + suffix
-+ phonetic) and union the pair sets when higher recall is needed; each
-pass is this same operator with a different ``block_expr``.
+tradeoff. :func:`fuzzy_pairs_multi` is the recall fix: it runs multiple
+passes with complementary keys (prefix + suffix + a consonant-skeleton
+"phonetic-ish" key by default) and unions the pair sets — a typo that
+moves a record out of one pass's block leaves at least one other key
+untouched for most single-edit positions, and every pass keeps its own
+skew audit. Multi-pass raises recall; it does not complete it (a
+middle-of-the-name edit on a short string can escape every key — the
+residual is the operator's stated contract, same as Christen's
+canonical multi-pass blocking).
 
 Skew guard: one cheap aggregate audits the largest block BEFORE the
 quadratic join; a block past ``max_block`` fails loudly with the block
@@ -70,31 +76,16 @@ def _audit_blocks(base: DataFrame, max_block: int) -> None:
         )
 
 
-def fuzzy_pairs(
+def _keyed_pairs(
     df: DataFrame,
     id_col: str,
     name_col: str,
-    block_len: int = 8,
-    max_dist: int = 1,
-    block_expr: Column | None = None,
-    max_block: int | None = 10_000,
+    key,
+    max_dist: int,
+    max_block: int | None,
 ) -> DataFrame:
-    """Candidate pairs ``(id_a, id_b, name_a, name_b, dist)`` with
-    ``dist = levenshtein(norm_a, norm_b) <= max_dist``, compared only
-    within blocks of equal ``block_expr`` (default: first ``block_len``
-    chars of the lower/trimmed name). ``id_a < id_b`` canonical order.
-
-    ``max_block=None`` skips the skew audit (callers who already bound
-    block size upstream); otherwise the audit is one tiny aggregate
-    job over (block, count) before any quadratic work is scheduled.
-    """
-    if max_dist < 0:
-        raise ValueError("max_dist must be >= 0")
-    key = (
-        (lambda _n: block_expr)
-        if block_expr is not None
-        else (lambda n: F.substring(n, 1, block_len))
-    )
+    """One blocking pass: normalize, block by ``key(norm)``, audit,
+    self-join within block, length-prefilter, levenshtein verify."""
     base = _normalized_base(df, id_col, name_col, key)
     if max_block is not None:
         _audit_blocks(base, max_block)
@@ -137,6 +128,113 @@ def fuzzy_pairs(
         )
         .filter(F.col("dist") <= F.lit(max_dist))
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_len: int = 8,
+    max_dist: int = 1,
+    block_expr: Column | None = None,
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """Candidate pairs ``(id_a, id_b, name_a, name_b, dist)`` with
+    ``dist = levenshtein(norm_a, norm_b) <= max_dist``, compared only
+    within blocks of equal ``block_expr`` (default: first ``block_len``
+    chars of the lower/trimmed name). ``id_a < id_b`` canonical order.
+
+    ``max_block=None`` skips the skew audit (callers who already bound
+    block size upstream); otherwise the audit is one tiny aggregate
+    job over (block, count) before any quadratic work is scheduled.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    key = (
+        (lambda _n: block_expr)
+        if block_expr is not None
+        else (lambda n: F.substring(n, 1, block_len))
+    )
+    return _keyed_pairs(df, id_col, name_col, key, max_dist, max_block)
+
+
+def fuzzy_pairs_multi(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    keys=("prefix", "suffix", "skeleton"),
+    block_len: int = 8,
+    max_dist: int = 1,
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """Multi-pass blocked fuzzy matching — the recall composition over
+    :func:`fuzzy_pairs` (Christen's standard multi-pass blocking): one
+    pass per entry of ``keys``, pair sets unioned and deduplicated on
+    ``(id_a, id_b)``. ``dist`` is a pure function of the two normalized
+    names, so the dedup is value-stable whichever pass found the pair.
+
+    ``keys`` entries are either built-in names — ``"prefix"`` (first
+    ``block_len`` chars), ``"suffix"`` (last ``block_len`` chars),
+    ``"skeleton"`` (first ``block_len`` chars with vowels/spaces
+    stripped) — or callables ``normalized_name_col -> block_col`` for
+    custom keys (phonetic codes, sorted-token keys).
+
+    Recall contract: a single edit at position p changes the prefix key
+    iff p <= block_len and the suffix key iff p > len - block_len, so
+    any edit on a name longer than ``2*block_len`` is caught by at
+    least one of the two positional passes; vowel/space edits are
+    additionally caught by the skeleton pass regardless of position.
+    Residual misses (consonant edits in the middle of short names) are
+    the documented tradeoff — add a custom key rather than widening
+    ``max_block``.
+
+    Scale shape: each pass is the same one-shuffle blocked self-join as
+    :func:`fuzzy_pairs` WITH ITS OWN skew audit (an oversized block in
+    any pass fails loudly before quadratic work schedules); the union
+    adds one distinct-style exchange over the (small) verified pair
+    set, never over the input table.
+    """
+    if not keys:
+        raise ValueError("fuzzy_pairs_multi needs at least one block key")
+    # Built-in keys, all expressible identically in DuckDB for the
+    # oracle twin (right() keeps the whole string when shorter than
+    # block_len in BOTH engines; DuckDB's regexp_replace needs the 'g'
+    # flag to match Spark's replace-all):
+    #   prefix   — first block_len chars (the fuzzy_pairs default);
+    #   suffix   — LAST block_len chars (catches edits near the head);
+    #   skeleton — first block_len chars after stripping vowels and
+    #              spaces (a cheap phonetic-ish key: vowel typos,
+    #              missing/extra spaces and vowel insertions collapse
+    #              to the same consonant skeleton).
+    builtin = {
+        "prefix": lambda n: F.substring(n, 1, block_len),
+        "suffix": lambda n: F.right(n, F.lit(block_len)),
+        "skeleton": lambda n: F.substring(
+            F.regexp_replace(n, "[aeiou ]", ""), 1, block_len
+        ),
+    }
+    passes = []
+    for k in keys:
+        if callable(k):
+            key_fn = k
+        elif k in builtin:
+            key_fn = builtin[k]
+        else:
+            raise ValueError(
+                f"unknown block key {k!r}: use one of "
+                f"{sorted(builtin)} or pass a callable"
+            )
+        passes.append(
+            _keyed_pairs(df, id_col, name_col, key_fn, max_dist, max_block)
+        )
+    out = passes[0]
+    for p in passes[1:]:
+        out = out.unionByName(p)
+    # (id_a, id_b) determines (name_a, name_b, dist) — names come from
+    # the same normalized rows and dist is a function of the names — so
+    # a full-row distinct IS the pair dedup, and it keeps the plan
+    # oracle-twin-able as a plain SELECT DISTINCT over the pass union.
+    return out.distinct()
 
 
 def fuzzy_pairs_delta(

@@ -4766,3 +4766,55 @@ def q149_pagerank_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(edges, iterations=5, assume_distinct=True, engine="shuffle")
     return pr.orderBy(F.col("rank_units").desc(), "node").limit(20)
+
+
+@query(
+    "q148_linkage_multipass",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey AS rid, c_name AS name FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000, 'k' || substr(c_name, 2) FROM customer
+    ),
+    base AS (
+      SELECT rid, lower(trim(name)) AS name FROM src
+      WHERE name IS NOT NULL AND length(lower(trim(name))) > 0
+    ),
+    keyed AS (
+      SELECT 1 AS p, rid, name, substr(name, 1, 15) AS block FROM base
+      UNION ALL
+      SELECT 2, rid, name, right(name, 15) FROM base
+      UNION ALL
+      SELECT 3, rid, name,
+             substr(regexp_replace(name, '[aeiou ]', '', 'g'), 1, 15) FROM base
+    )
+    SELECT DISTINCT a.rid AS id_a, b.rid AS id_b,
+           a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+    FROM keyed a JOIN keyed b
+      ON a.p = b.p AND a.block = b.block AND a.rid < b.rid
+    WHERE abs(length(a.name) - length(b.name)) <= 1
+      AND levenshtein(a.name, b.name) <= 1
+    """,
+    doc="Multi-pass blocked linkage (Christen's recall composition, the "
+    "r8 verdict's ranked task 2): three complementary block keys — "
+    "prefix-15, suffix-15, consonant skeleton — each pass its own "
+    "skew-audited blocked self-join, pair sets unioned + distinct'd. "
+    "The fixture plants a HEAD typo ('k' replacing the first letter) "
+    "on a shifted-id copy of every customer: invisible to q142's "
+    "prefix blocking by construction, caught here by the suffix pass "
+    "(positions 4..18 unchanged), so the recall gain is real on the "
+    "fixture, not vacuous. operators/linkage.py::fuzzy_pairs_multi.",
+)
+def q148_linkage_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import fuzzy_pairs_multi
+
+    c = load(spark, sf_dir, "customer")
+    orig = c.select(F.col("c_custkey").alias("rid"), F.col("c_name").alias("name"))
+    mut = c.select(
+        (F.col("c_custkey") + 10_000_000).alias("rid"),
+        F.concat(F.lit("k"), F.expr("substring(c_name, 2)")).alias("name"),
+    )
+    return fuzzy_pairs_multi(
+        orig.unionByName(mut), "rid", "name", block_len=15, max_dist=1
+    )

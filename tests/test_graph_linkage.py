@@ -121,6 +121,87 @@ class TestFuzzyPairs:
         assert len(got) == 1 and got[0]["id_a"] == 3 and got[0]["id_b"] == 9
 
 
+class TestFuzzyPairsMulti:
+    """Round 9: multi-pass blocking (prefix + suffix + consonant
+    skeleton) — the recall composition the r8 verdict asked for."""
+
+    def _multi(self, spark, rows, **kw):
+        from extract_transform_load_spark.operators.linkage import fuzzy_pairs_multi
+
+        return fuzzy_pairs_multi(_names(spark, rows), "rid", "name", **kw)
+
+    def test_head_typo_invisible_to_prefix_caught_by_suffix(self, spark):
+        # typo at position 1: different prefix block in EVERY prefix
+        # length, but the last-6 chars agree — only the suffix pass can
+        # find it (the planted-recall contract)
+        rows = [(1, "acme corp"), (2, "bcme corp")]
+        assert fuzzy_pairs(
+            _names(spark, rows), "rid", "name", block_len=6, max_dist=1
+        ).count() == 0
+        got = self._multi(spark, rows, block_len=6, max_dist=1).collect()
+        assert [(r["id_a"], r["id_b"], r["dist"]) for r in got] == [(1, 2, 1)]
+
+    def test_vowel_typo_caught_only_by_skeleton(self, spark):
+        # "acme corp" vs "acmi corp": position 4 — inside prefix-6 AND
+        # inside suffix-6, so both positional passes miss; the vowel
+        # strip collapses both to the same consonant skeleton
+        rows = [(1, "acme corp"), (2, "acmi corp")]
+        got = self._multi(spark, rows, block_len=6, max_dist=1).collect()
+        assert [(r["id_a"], r["id_b"], r["dist"]) for r in got] == [(1, 2, 1)]
+        got_two = self._multi(
+            spark, rows, keys=("prefix", "suffix"), block_len=6, max_dist=1
+        )
+        assert got_two.count() == 0
+
+    def test_pair_found_by_many_passes_appears_once(self, spark):
+        # identical normalized names share every block key — the union
+        # must still emit ONE row per pair
+        rows = [(1, "Same Name"), (2, "same name ")]
+        got = self._multi(spark, rows, block_len=4, max_dist=0).collect()
+        assert len(got) == 1 and got[0]["dist"] == 0
+
+    def test_skew_audit_runs_per_pass(self, spark):
+        # shared SUFFIX floods one block of the suffix pass even though
+        # every prefix block is tiny — the per-pass audit must fire
+        rows = [(i, f"{i:06d} shared tail") for i in range(25)]
+        with pytest.raises(ValueError, match="max_block"):
+            self._multi(spark, rows, block_len=8, max_dist=1, max_block=10)
+
+    def test_custom_callable_key(self, spark):
+        # sorted-token key: catches word-order swaps no positional key
+        # can (dist here is levenshtein, so allow the real distance)
+        key = lambda n: F.array_join(F.array_sort(F.split(n, " ")), " ")  # noqa: E731
+        rows = [(1, "corp acme"), (2, "acme corp")]
+        got = self._multi(spark, rows, keys=(key,), block_len=4, max_dist=8)
+        assert got.count() == 1
+
+    def test_unknown_key_fails_loud(self, spark):
+        with pytest.raises(ValueError, match="unknown block key"):
+            self._multi(spark, [(1, "x")], keys=("metaphone",))
+
+    def test_empty_keys_fail_loud(self, spark):
+        with pytest.raises(ValueError, match="at least one"):
+            self._multi(spark, [(1, "x")], keys=())
+
+    def test_superset_of_single_pass(self, spark):
+        rows = [
+            (1, "acme corp"), (2, "acme corq"), (3, "bcme corp"),
+            (4, "zeta inc"), (5, "zeta ink"),
+        ]
+        single = {
+            (r["id_a"], r["id_b"])
+            for r in fuzzy_pairs(
+                _names(spark, rows), "rid", "name", block_len=6, max_dist=1
+            ).collect()
+        }
+        multi = {
+            (r["id_a"], r["id_b"])
+            for r in self._multi(spark, rows, block_len=6, max_dist=1).collect()
+        }
+        assert single <= multi
+        assert (1, 3) in multi and (1, 3) not in single  # head typo gain
+
+
 class TestCapPerGroup:
     def test_cap_and_order(self, spark):
         df = spark.createDataFrame(

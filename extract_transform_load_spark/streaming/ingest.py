@@ -543,6 +543,18 @@ def linkage_sink(
     anti-join, scan-pruned) before matching — any replay then sees the
     same store state and reproduces the same labels, and the append
     itself is anti-joined so nothing double-admits.
+
+    Write ordering (ADVICE r8 fix): ``kept`` is MATERIALIZED (one
+    bounded localCheckpoint — batches are delta-broadcast-guarded
+    small) before anything is written, and the VERDICTS append runs
+    BEFORE the entities append. The old order re-executed the lazy
+    ``kept`` plan after the entities append — a crash between the two
+    writes then lost the 'kept' audit rows forever, because the replay
+    re-derived ``kept`` as empty against the already-updated master.
+    Now a crash between the writes duplicates verdict rows on replay
+    (the documented, dedupable failure mode) instead of silently
+    dropping them, and the entities append reads the materialized
+    frame, not a re-derivation.
     """
     import pyspark.sql.functions as F
 
@@ -608,12 +620,16 @@ def linkage_sink(
         )
         kept = reps.join(best.select(id_col), id_col, "left_anti")
 
-        # 3. PK-idempotent admission + audit trail
+        # 3. audit trail FIRST, then PK-idempotent admission — from one
+        # MATERIALIZED frame, so the admission writes exactly the rows
+        # the audit recorded and a crash between the appends can only
+        # duplicate verdicts on replay (dedupable), never lose 'kept'
+        # rows to a post-append re-derivation (ADVICE r8 fix)
         if path_exists(spark, entities):
             kept = kept.join(
                 spark.read.parquet(entities).select(id_col), id_col, "left_anti"
             )
-        kept.write.mode("append").parquet(entities)
+        kept = kept.localCheckpoint(eager=True)
         audit = (
             kept.select(
                 id_col,
@@ -626,5 +642,6 @@ def linkage_sink(
             .withColumn("batch_id", F.lit(batch_id))
         )
         audit.write.mode("append").parquet(verdicts)
+        kept.write.mode("append").parquet(entities)
 
     return write

@@ -495,3 +495,28 @@ def test_linkage_sink_replay_converges(spark, tmp_path):
     ]
     # every replay re-derives the same label: kept (never store_dup)
     assert set(stages) == {"kept"}
+
+
+def test_linkage_sink_verdicts_written_before_entities(spark, tmp_path):
+    """The crash-window contract (ADVICE r8 fix): the audit is written
+    from one MATERIALIZED frame BEFORE the master append — a crash
+    between the two appends can then only duplicate verdict rows on
+    replay (dedupable), never lose the 'kept' audit to a post-append
+    re-derivation. Pinned via file mtimes: every verdicts part-file
+    must land no later than the first entities part-file."""
+    import glob
+    import os
+
+    from extract_transform_load_spark.streaming.ingest import linkage_sink
+
+    store = str(tmp_path / "er")
+    write = linkage_sink(store, block_len=4, max_dist=1)
+    write(
+        spark.createDataFrame([(1, "first entity")], "rid long, name string"), 0
+    )
+    v_files = glob.glob(store + "/verdicts/*.parquet")
+    e_files = glob.glob(store + "/entities/*.parquet")
+    assert v_files and e_files
+    assert max(os.path.getmtime(f) for f in v_files) <= min(
+        os.path.getmtime(f) for f in e_files
+    )

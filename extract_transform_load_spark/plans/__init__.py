@@ -41,7 +41,14 @@ _PRIORITY = [
     "q17_multiway_chain",       # B9
     "q18_monthly_active_users", # B13
     "q19_value_stats",          # B14
-    "q20_weighted_avg",         # B15
+    # q20_weighted_avg (B15) displaced in round 9 for q144 — the r8
+    # verdict's ranked task 5 asked for a linkage-family driver row
+    # ("swap q142 or q144, the more novel incremental contract, into
+    # the 50-window"), naming the B11-B20 aggregation reps as the
+    # displacement pool. The weighted average is the thinnest member of
+    # that pool (sum(r*w)/sum(w), a one-expression composition whose
+    # grouped-aggregation physics stays driver-covered via q01/q19);
+    # q20 stays strict-gate green past the window.
     # q22_conditional_agg (B17) displaced in round 8 for q131 — the
     # judge's round-7 displacement shortlist named q22/q24 because the
     # B11-B20 aggregation class held eight in-window rows; q24 made
@@ -144,6 +151,7 @@ _PRIORITY = [
     "q131_curation_pipeline",     # curation capstone family (r8; displaced q22)
     "q134_quality_classifier",    # model-based filtering family (r8; displaced q33)
     "q143_pagerank",              # iterative graph centrality (r8; displaced q23)
+    "q144_linkage_delta",         # fuzzy record linkage family (r9; displaced q20)
 ]
 
 

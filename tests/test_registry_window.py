@@ -119,15 +119,14 @@ FAMILY_REPS = {
     # (same module, same edge-frame discipline); q145 stays strict-gate
     # green past the window.
     "graph_analytics": ["q143_pagerank", "q145_triangles"],
-    # Round-8 second leg: fuzzy record linkage is pair mining over a
-    # short-string edit metric — the family row is satisfied by the
-    # in-window near-dup pair reps (q40/q42); q142/q144 stay
-    # strict-gate green past the window.
+    # Round 9: the linkage family earned its own driver row (the r8
+    # verdict's ranked task 5) — q144, the incremental contract, sits
+    # in-window (displacing q20 per the judge's B11-B20 shortlist);
+    # q142/q148 stay strict-gate green past the window.
     "record_linkage": [
-        "q142_fuzzy_linkage",
         "q144_linkage_delta",
-        "q42_minhash_lsh_pairs",
-        "q40_dedup_exact",
+        "q142_fuzzy_linkage",
+        "q148_linkage_multipass",
     ],
     # Round-8 second leg: per-source caps are the quality-ordered
     # general form of the in-window sampling reps (stratified_sample is

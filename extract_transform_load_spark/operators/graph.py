@@ -390,6 +390,78 @@ def _pagerank_rounds(
     )
 
 
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 10,
+    check_converged: bool = True,
+) -> DataFrame:
+    """Iterative k-core peeling over an undirected edge list — the
+    density filter of the graph family: the k-core is the maximal
+    subgraph where every node keeps degree >= k. On a near-dup pair
+    graph it separates dense boilerplate/spam farms (deep cores) from
+    chains of borderline matches (peeled immediately); on a
+    customer-supplier graph it isolates the entrenched trading core.
+    Returns ``(node, degree)`` for surviving nodes, with ``degree``
+    measured INSIDE the final core.
+
+    Each peeling round is one degree aggregation over the surviving
+    symmetric edge set plus two semi-joins against the (|V|-bounded,
+    broadcast) survivor list — edges shuffle only in the per-round
+    groupBy, over a monotonically SHRINKING frame. Peeling is
+    confluent: the k-core is unique regardless of removal order
+    (Seidman 1983, public), and a round applied to a converged core
+    removes nothing — so extra rounds are idempotent and ``rounds`` is
+    an upper bound, not a semantic knob. ``check_converged`` adds one
+    tiny aggregate (min surviving degree >= k) and fails loudly if the
+    peel needs more rounds — never silently returns a non-core.
+
+    Scale: the survivor broadcast carries bare node ids (the pagerank
+    rank-vector ceiling applies at ~5e7+ nodes; the shuffle-engine
+    co-partition pattern from :func:`pagerank` is the escalation path).
+    Lineage is truncated per round, components.py-style.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    alive = sym.union(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        alive = (
+            alive.join(F.broadcast(keep), "u", "left_semi")
+            .join(
+                F.broadcast(keep.select(F.col("u").alias("v"))), "v", "left_semi"
+            )
+            .localCheckpoint(eager=False)
+        )
+    final_deg = alive.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    if check_converged:
+        lo = final_deg.agg(F.min("degree")).first()[0]
+        if lo is not None and lo < k:
+            raise ValueError(
+                f"kcore: a surviving node still has degree {lo} < k={k} "
+                f"after {rounds} rounds — the peel has not converged; "
+                "raise rounds (extra rounds past convergence are idempotent "
+                "and cheap: each is one aggregate over the shrunken core)"
+            )
+    return final_deg.select(F.col("u").alias("node"), "degree")
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

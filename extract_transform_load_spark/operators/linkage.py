@@ -265,6 +265,17 @@ def fuzzy_pairs_delta(
     verify with no shuffle at all when the store is pre-bucketed by
     block; the skew audit runs on the store side, where the quadratic
     risk lives.
+
+    Probe-side parallelism contract (the asof.py probe-memo style of
+    documentation): the store is passed through ``spread_small_scan``,
+    which repartitions IFF the planned scan carries fewer partitions
+    than ``sparkContext.defaultParallelism`` — i.e. exactly when the
+    store is a small/few-row-group table whose broadcast-join probe
+    would otherwise serialize every levenshtein onto one task (measured:
+    64s single-task at 1x vs 10s at 100x, whose many files parallelize
+    naturally). At warehouse scale the predicate is false and the store
+    NEVER shuffles; the no-op condition is
+    ``store_scan_partitions >= defaultParallelism``.
     """
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")

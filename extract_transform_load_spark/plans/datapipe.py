@@ -4818,3 +4818,58 @@ def q148_linkage_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs_multi(
         orig.unionByName(mut), "rid", "name", block_len=15, max_dist=1
     )
+
+
+# every e{j} is referenced THREE times per round (degree, and twice via
+# the survivor filter) — without MATERIALIZED, DuckDB inlines the CTE
+# chain into 3^10 copies of the base scan (measured: fd exhaustion on
+# lineitem.parquet before any row is produced)
+_Q150_ROUND = """
+    d{k} AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM e{j} GROUP BY u),
+    a{k} AS MATERIALIZED (SELECT u FROM d{k} WHERE deg >= 30),
+    e{k} AS MATERIALIZED (SELECT e.u, e.v FROM e{j} e
+             JOIN a{k} x ON e.u = x.u JOIN a{k} y ON e.v = y.u)"""
+
+_Q150_ORACLE = (
+    """
+    WITH sym AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS u, 1000000000000 + l_suppkey AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e0 AS MATERIALIZED (SELECT u, v FROM sym UNION ALL SELECT v, u FROM sym),"""
+    + ",".join(_Q150_ROUND.format(k=k, j=k - 1) for k in range(1, 11))
+    + """
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e10 GROUP BY u
+    """
+)
+
+
+@query(
+    "q150_kcore",
+    oracle=_Q150_ORACLE,
+    doc="k-core peeling (k=30, 10 idempotent rounds) over the "
+    "customer-supplier order graph: the maximal subgraph where every "
+    "node keeps >= 30 distinct trading partners — the graph family's "
+    "density filter (dense boilerplate/spam farms vs borderline-match "
+    "chains on a dedup pair graph). Peeling is confluent (Seidman "
+    "1983) so the unrolled oracle's round count only needs to reach "
+    "the fixpoint, which the operator's convergence check asserts "
+    "loudly. Per round one degree aggregate over the SHRINKING edge "
+    "set + two broadcast semi-joins against the survivor list. "
+    "operators/graph.py::kcore.",
+)
+def q150_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1_000_000_000_000) + F.col("l_suppkey")).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    return kcore(edges, k=30, rounds=10)

@@ -14,6 +14,23 @@
   probed against the 100x store — the incremental leg whose cost must
   track the DELTA, not the store.
 
+Round-9 additions (the r8 verdict's ranked task 4):
+
+- ``pagerank(engine="shuffle")`` over the same 100x edge replica — the
+  width-scaling engine's cost relative to broadcast AT A WIDTH WHERE
+  BROADCAST STILL WINS (its advantage is surviving |V| > 5e7, not
+  speed here; the row pins the co-partitioned round cost and shuffle
+  bytes so the crossover is predictable).
+- weighted and personalized PageRank over the 100x replica — q146/q147
+  previously inherited q143's row.
+- ``triangle_count`` over the 100x fuzzy-pair graph. Edge-count
+  scaling rule: the replica regenerates names from 9-digit shifted
+  keys, so prefix-15 blocks stay <= 1000 rows (the last 3 digits vary
+  within a block) and each name pairs with a CONSTANT ~27 dist-1
+  neighbors (one-digit edits among the last 3) — |E| therefore scales
+  LINEARLY with customers (~100x), and the degree-oriented wedge bound
+  stays ~sqrt(|E|) per node.
+
 Run from the repo root: ``python scripts/bench_graph_linkage_scale100.py``.
 """
 
@@ -117,6 +134,62 @@ def main() -> None:
     def run_pagerank(sf_dir: str) -> None:
         noop(pagerank(edges_from(sf_dir), iterations=5, assume_distinct=True))
 
+    def run_pagerank_shuffle(sf_dir: str) -> None:
+        noop(
+            pagerank(
+                edges_from(sf_dir),
+                iterations=5,
+                assume_distinct=True,
+                engine="shuffle",
+            )
+        )
+
+    def weighted_edges_from(sf_dir: str):
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        fwd = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy(
+                F.col("o_custkey").alias("src"),
+                (F.lit(SUPPLIER_OFFSET) + F.col("l_suppkey"))
+                .cast("bigint")
+                .alias("dst"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        )
+        return fwd.union(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+
+    def run_pagerank_weighted(sf_dir: str) -> None:
+        noop(pagerank(weighted_edges_from(sf_dir), iterations=5, weight="w"))
+
+    def run_pagerank_personalized(sf_dir: str) -> None:
+        # seeds: custkeys < 100 — present in every replica's r=0 shift,
+        # so the seed SET is identical on both legs (q147's shape)
+        seeds = (
+            load(spark, sf_dir, "orders")
+            .select(F.col("o_custkey").alias("node"))
+            .filter(F.col("node") < 100)
+        )
+        noop(
+            pagerank(
+                edges_from(sf_dir), iterations=5, assume_distinct=True, seeds=seeds
+            )
+        )
+
+    def run_triangles(sf_dir: str) -> None:
+        from extract_transform_load_spark.operators.graph import triangle_count
+
+        pairs = fuzzy_pairs(
+            load(spark, sf_dir, "customer"),
+            id_col="c_custkey",
+            name_col="c_name",
+            block_len=15,
+            max_dist=1,
+        )
+        noop(triangle_count(pairs, src="id_a", dst="id_b"))
+
     def run_fuzzy(sf_dir: str) -> None:
         noop(
             fuzzy_pairs(
@@ -155,12 +228,19 @@ def main() -> None:
             )
         )
 
+    only = set(sys.argv[1:])  # optional: measure a subset by name
     results = {}
     for qname, fn, dirs in (
         ("pagerank_5it", run_pagerank, (SF_DIR, REPLICA_PATH)),
+        ("pagerank_shuffle_5it", run_pagerank_shuffle, (SF_DIR, REPLICA_PATH)),
+        ("pagerank_weighted_5it", run_pagerank_weighted, (SF_DIR, REPLICA_PATH)),
+        ("pagerank_personalized_5it", run_pagerank_personalized, (SF_DIR, REPLICA_PATH)),
+        ("triangle_count", run_triangles, (SF_DIR, CUST_PATH)),
         ("fuzzy_pairs", run_fuzzy, (SF_DIR, CUST_PATH)),
         ("fuzzy_pairs_delta", run_delta, (SF_DIR, CUST_PATH)),
     ):
+        if only and qname not in only:
+            continue
         fn(SF_DIR)  # warm codegen
         row = {}
         for label, d in (("1x", dirs[0]), ("100x", dirs[1])):

@@ -340,6 +340,53 @@ class TestWeightedPagerank:
         assert one[2] == one[3]  # equal shares when the edge appears once
         assert two[2] > two[3]  # the duplicate row shifts mass toward 2
 
+class TestKCore:
+    """Round 9: iterative k-core peeling (graph.py::kcore)."""
+
+    def _core(self, spark, pairs, k, **kw):
+        from extract_transform_load_spark.operators.graph import kcore
+
+        got = kcore(_edges(spark, pairs), k, **kw).collect()
+        return {r["node"]: r["degree"] for r in got}
+
+    def test_triangle_survives_pendant_peels(self, spark):
+        got = self._core(spark, [(1, 2), (2, 3), (3, 1), (3, 4)], k=2)
+        assert got == {1: 2, 2: 2, 3: 2}  # 4 peeled, 3's degree drops to 2
+
+    def test_star_two_core_is_empty(self, spark):
+        assert self._core(spark, [(1, i) for i in range(2, 6)], k=2) == {}
+
+    def test_k4_three_core_keeps_all(self, spark):
+        k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        assert self._core(spark, k4, k=3) == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_one_core_keeps_every_edge_endpoint(self, spark):
+        got = self._core(spark, [(1, 2), (3, 4), (5, 5)], k=1)
+        # self-loop-only node 5 has no non-loop edge -> peeled
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    def test_path_cascade_needs_rounds_and_check_fires(self, spark):
+        path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        # full cascade: ends peel inward until nothing is left
+        assert self._core(spark, path, k=2, rounds=3) == {}
+        # one round is not enough: nodes 2/4 drop to degree 1 < k after
+        # the ends peel — the convergence check must fail loudly
+        with pytest.raises(ValueError, match="not converged"):
+            self._core(spark, path, k=2, rounds=1)
+
+    def test_extra_rounds_idempotent(self, spark):
+        tri = [(1, 2), (2, 3), (3, 1), (3, 4)]
+        assert self._core(spark, tri, k=2, rounds=2) == self._core(
+            spark, tri, k=2, rounds=6
+        )
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError, match="k must"):
+            self._core(spark, [(1, 2)], k=0)
+        with pytest.raises(ValueError, match="rounds"):
+            self._core(spark, [(1, 2)], k=1, rounds=0)
+
+
 class TestPagerankEngines:
     """Round 9: the shuffle-join engine (ranks and edges co-partitioned
     by node, reused across rounds) must be BYTE-EQUAL to the broadcast

@@ -158,6 +158,41 @@ def fuzzy_pairs(
     return _keyed_pairs(df, id_col, name_col, key, max_dist, max_block)
 
 
+def _resolve_keys(keys, block_len: int) -> list:
+    """Built-in block keys, all expressible identically in DuckDB for
+    the oracle twins (right() keeps the whole string when shorter than
+    block_len in BOTH engines; DuckDB's regexp_replace needs the 'g'
+    flag to match Spark's replace-all):
+      prefix   — first block_len chars (the fuzzy_pairs default);
+      suffix   — LAST block_len chars (catches edits near the head);
+      skeleton — first block_len chars after stripping vowels and
+                 spaces (a cheap phonetic-ish key: vowel typos,
+                 missing/extra spaces and vowel insertions collapse to
+                 the same consonant skeleton).
+    Callables pass through: normalized_name_col -> block_col."""
+    if not keys:
+        raise ValueError("multi-pass blocking needs at least one block key")
+    builtin = {
+        "prefix": lambda n: F.substring(n, 1, block_len),
+        "suffix": lambda n: F.right(n, F.lit(block_len)),
+        "skeleton": lambda n: F.substring(
+            F.regexp_replace(n, "[aeiou ]", ""), 1, block_len
+        ),
+    }
+    out = []
+    for k in keys:
+        if callable(k):
+            out.append(k)
+        elif k in builtin:
+            out.append(builtin[k])
+        else:
+            raise ValueError(
+                f"unknown block key {k!r}: use one of "
+                f"{sorted(builtin)} or pass a callable"
+            )
+    return out
+
+
 def fuzzy_pairs_multi(
     df: DataFrame,
     id_col: str,
@@ -194,39 +229,10 @@ def fuzzy_pairs_multi(
     adds one distinct-style exchange over the (small) verified pair
     set, never over the input table.
     """
-    if not keys:
-        raise ValueError("fuzzy_pairs_multi needs at least one block key")
-    # Built-in keys, all expressible identically in DuckDB for the
-    # oracle twin (right() keeps the whole string when shorter than
-    # block_len in BOTH engines; DuckDB's regexp_replace needs the 'g'
-    # flag to match Spark's replace-all):
-    #   prefix   — first block_len chars (the fuzzy_pairs default);
-    #   suffix   — LAST block_len chars (catches edits near the head);
-    #   skeleton — first block_len chars after stripping vowels and
-    #              spaces (a cheap phonetic-ish key: vowel typos,
-    #              missing/extra spaces and vowel insertions collapse
-    #              to the same consonant skeleton).
-    builtin = {
-        "prefix": lambda n: F.substring(n, 1, block_len),
-        "suffix": lambda n: F.right(n, F.lit(block_len)),
-        "skeleton": lambda n: F.substring(
-            F.regexp_replace(n, "[aeiou ]", ""), 1, block_len
-        ),
-    }
-    passes = []
-    for k in keys:
-        if callable(k):
-            key_fn = k
-        elif k in builtin:
-            key_fn = builtin[k]
-        else:
-            raise ValueError(
-                f"unknown block key {k!r}: use one of "
-                f"{sorted(builtin)} or pass a callable"
-            )
-        passes.append(
-            _keyed_pairs(df, id_col, name_col, key_fn, max_dist, max_block)
-        )
+    passes = [
+        _keyed_pairs(df, id_col, name_col, key_fn, max_dist, max_block)
+        for key_fn in _resolve_keys(keys, block_len)
+    ]
     out = passes[0]
     for p in passes[1:]:
         out = out.unionByName(p)
@@ -282,6 +288,11 @@ def fuzzy_pairs_delta(
     key = lambda n: F.substring(n, 1, block_len)  # noqa: E731
     d = _normalized_base(delta, id_col, name_col, key)
     s = _normalized_base(store, id_col, name_col, key)
+    _guard_delta(d, max_delta_broadcast, "fuzzy_pairs_delta")
+    return _keyed_delta(d, s, max_dist, max_block)
+
+
+def _guard_delta(d: DataFrame, max_delta_broadcast: int, who: str) -> None:
     # the delta is FORCE-broadcast below, bypassing Spark's own size
     # threshold — so guard it the way pagerank guards its rank vector
     # and asof its dimension: a "delta" that is secretly a backfill of
@@ -289,11 +300,18 @@ def fuzzy_pairs_delta(
     n_delta = d.limit(max_delta_broadcast + 1).count()
     if n_delta > max_delta_broadcast:
         raise ValueError(
-            f"fuzzy_pairs_delta: delta holds > max_delta_broadcast="
+            f"{who}: delta holds > max_delta_broadcast="
             f"{max_delta_broadcast} rows — this is a backfill, not an "
             "incremental batch; run fuzzy_pairs over the unioned tables (or "
             "raise max_delta_broadcast deliberately)"
         )
+
+
+def _keyed_delta(
+    d: DataFrame, s: DataFrame, max_dist: int, max_block: int | None
+) -> DataFrame:
+    """One (delta x store) blocked pass over pre-normalized, pre-keyed
+    (rid, name, block) frames — audit, broadcast-probe, verify."""
     if max_block is not None:
         _audit_blocks(s, max_block)
     # the STORE is the probe side of the broadcast verify: a small
@@ -334,3 +352,52 @@ def fuzzy_pairs_delta(
         )
         .filter(F.col("dist") <= F.lit(max_dist))
     )
+
+
+def fuzzy_pairs_delta_multi(
+    delta: DataFrame,
+    store: DataFrame,
+    id_col: str = "rid",
+    name_col: str = "name",
+    keys=("prefix", "suffix", "skeleton"),
+    block_len: int = 8,
+    max_dist: int = 1,
+    max_block: int | None = 10_000,
+    max_delta_broadcast: int = 10_000_000,
+) -> DataFrame:
+    """Multi-pass :func:`fuzzy_pairs_delta` — the recall composition
+    applied to the incremental leg: the same nightly batch probes the
+    master once per complementary block key (``keys`` as in
+    :func:`fuzzy_pairs_multi`), match sets unioned and deduplicated.
+    The case that motivates it: a feed whose upstream re-keyed or
+    corrupted the HEAD of the name field matches nothing under prefix
+    blocking, so the single-pass delta would happily re-admit the whole
+    batch as new entities — the suffix pass catches exactly that.
+
+    Each pass keeps the single-pass scale shape (delta broadcasts,
+    store streams, store-side skew audit); the delta-size guard runs
+    ONCE, the store is re-scanned once per key (cheap relative to the
+    verify, and the scans prune to (id, name)). Dedup on the full row
+    is the (delta_id, store_id) dedup, since names and dist are
+    functions of the id pair.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    key_fns = _resolve_keys(keys, block_len)
+    ident = lambda n: F.lit("")  # noqa: E731 — normalize once, key per pass
+    d = _normalized_base(delta, id_col, name_col, ident).drop("block")
+    s = _normalized_base(store, id_col, name_col, ident).drop("block")
+    _guard_delta(d, max_delta_broadcast, "fuzzy_pairs_delta_multi")
+    passes = [
+        _keyed_delta(
+            d.withColumn("block", key_fn(F.col("name"))),
+            s.withColumn("block", key_fn(F.col("name"))),
+            max_dist,
+            max_block,
+        )
+        for key_fn in key_fns
+    ]
+    out = passes[0]
+    for p in passes[1:]:
+        out = out.unionByName(p)
+    return out.distinct()

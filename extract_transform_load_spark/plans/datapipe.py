@@ -4873,3 +4873,57 @@ def q150_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return kcore(edges, k=30, rounds=10)
+
+
+@query(
+    "q151_linkage_multipass_delta",
+    oracle="""
+    WITH d AS (
+      SELECT c_custkey + 10000000 AS rid,
+             lower(trim('k' || substr(c_name, 2))) AS name
+      FROM customer
+      WHERE c_name IS NOT NULL
+        AND length(lower(trim('k' || substr(c_name, 2)))) > 0
+    ),
+    s AS (
+      SELECT c_custkey AS rid, lower(trim(c_name)) AS name FROM customer
+      WHERE c_name IS NOT NULL AND length(lower(trim(c_name))) > 0
+    ),
+    dk AS (
+      SELECT 1 AS p, rid, name, substr(name, 1, 15) AS block FROM d
+      UNION ALL SELECT 2, rid, name, right(name, 15) FROM d
+      UNION ALL SELECT 3, rid, name,
+             substr(regexp_replace(name, '[aeiou ]', '', 'g'), 1, 15) FROM d
+    ),
+    sk AS (
+      SELECT 1 AS p, rid, name, substr(name, 1, 15) AS block FROM s
+      UNION ALL SELECT 2, rid, name, right(name, 15) FROM s
+      UNION ALL SELECT 3, rid, name,
+             substr(regexp_replace(name, '[aeiou ]', '', 'g'), 1, 15) FROM s
+    )
+    SELECT DISTINCT dk.rid AS delta_id, sk.rid AS store_id,
+           dk.name AS delta_name, sk.name AS store_name,
+           CAST(levenshtein(dk.name, sk.name) AS INT) AS dist
+    FROM sk JOIN dk ON sk.p = dk.p AND sk.block = dk.block
+    WHERE abs(length(dk.name) - length(sk.name)) <= 1
+      AND levenshtein(dk.name, sk.name) <= 1
+    """,
+    doc="Multi-pass incremental linkage: a nightly batch whose upstream "
+    "corrupted the HEAD of every name ('k' over the first letter) "
+    "probes the clean master. Prefix blocking (q144's contract) finds "
+    "ZERO matches for this batch — the single-pass delta would re-admit "
+    "every row as a new entity; the suffix pass catches every planted "
+    "pair at dist 1. Same per-pass scale shape as q144 (delta "
+    "broadcasts, store streams, store-side skew audit per pass), guard "
+    "runs once. operators/linkage.py::fuzzy_pairs_delta_multi.",
+)
+def q151_linkage_multipass_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import fuzzy_pairs_delta_multi
+
+    c = load(spark, sf_dir, "customer")
+    delta = c.select(
+        (F.col("c_custkey") + 10_000_000).alias("rid"),
+        F.concat(F.lit("k"), F.expr("substring(c_name, 2)")).alias("name"),
+    )
+    store = c.select(F.col("c_custkey").alias("rid"), F.col("c_name").alias("name"))
+    return fuzzy_pairs_delta_multi(delta, store, block_len=15, max_dist=1)

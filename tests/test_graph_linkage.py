@@ -202,6 +202,54 @@ class TestFuzzyPairsMulti:
         assert (1, 3) in multi and (1, 3) not in single  # head typo gain
 
 
+class TestFuzzyPairsDeltaMulti:
+    def _multi(self, spark, delta_rows, store_rows, **kw):
+        from extract_transform_load_spark.operators.linkage import (
+            fuzzy_pairs_delta_multi,
+        )
+
+        return fuzzy_pairs_delta_multi(
+            _names(spark, delta_rows), _names(spark, store_rows), **kw
+        )
+
+    def test_head_typo_batch_invisible_to_single_pass(self, spark):
+        from extract_transform_load_spark.operators.linkage import fuzzy_pairs_delta
+
+        delta = [(100, "bcme corp")]  # head-corrupted feed
+        store = [(1, "acme corp"), (2, "zzzz inc")]
+        assert (
+            fuzzy_pairs_delta(
+                _names(spark, delta), _names(spark, store), block_len=6, max_dist=1
+            ).count()
+            == 0
+        )
+        got = self._multi(spark, delta, store, block_len=6, max_dist=1).collect()
+        assert [(r["delta_id"], r["store_id"], r["dist"]) for r in got] == [(100, 1, 1)]
+
+    def test_match_in_many_passes_emitted_once(self, spark):
+        got = self._multi(
+            spark, [(100, "acme corp")], [(1, "acme corp")], block_len=4, max_dist=0
+        ).collect()
+        assert len(got) == 1 and got[0]["dist"] == 0
+
+    def test_delta_guard_runs_once_and_fires(self, spark):
+        delta = [(i, f"name {i}") for i in range(10)]
+        with pytest.raises(ValueError, match="max_delta_broadcast"):
+            self._multi(
+                spark, delta, [(1, "name 1")], block_len=4, max_dist=1,
+                max_delta_broadcast=5,
+            )
+
+    def test_store_audit_per_pass(self, spark):
+        # the store's suffix blocks flood even though prefixes are fine
+        store = [(i, f"{i:06d} same tail") for i in range(25)]
+        with pytest.raises(ValueError, match="max_block"):
+            self._multi(
+                spark, [(100, "000001 same tail")], store,
+                block_len=8, max_dist=1, max_block=10,
+            )
+
+
 class TestCapPerGroup:
     def test_cap_and_order(self, spark):
         df = spark.createDataFrame(

@@ -124,6 +124,8 @@ HEADLINE = [
     # in PERFORMANCE.md.
     "q148_linkage_multipass",
     "q149_pagerank_shuffle",
+    "q150_kcore",
+    "q151_linkage_multipass_delta",
 ]
 
 

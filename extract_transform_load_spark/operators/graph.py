@@ -437,15 +437,16 @@ def kcore(
     alive = sym.union(
         sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)
-    for _ in range(rounds):
+    for i in range(rounds):
+        if i:
+            # truncate lineage BETWEEN rounds; the LAST round stays a
+            # live plan so plan audits see the real per-round physical
+            # shape (the pagerank discipline)
+            alive = alive.localCheckpoint(eager=False)
         deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("u")
-        alive = (
-            alive.join(F.broadcast(keep), "u", "left_semi")
-            .join(
-                F.broadcast(keep.select(F.col("u").alias("v"))), "v", "left_semi"
-            )
-            .localCheckpoint(eager=False)
+        alive = alive.join(F.broadcast(keep), "u", "left_semi").join(
+            F.broadcast(keep.select(F.col("u").alias("v"))), "v", "left_semi"
         )
     final_deg = alive.groupBy("u").agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")

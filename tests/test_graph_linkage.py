@@ -249,6 +249,18 @@ class TestFuzzyPairsDeltaMulti:
                 block_len=8, max_dist=1, max_block=10,
             )
 
+    def test_plan_delta_broadcasts_store_never_smj(self, spark):
+        # every pass keeps the single-pass physics: the delta is the
+        # broadcast build side, the store streams — no sort-merge join
+        # anywhere in the three-pass union
+        out = self._multi(
+            spark, [(100, "acme corp")], [(1, "acme corq")],
+            block_len=4, max_dist=1,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 3  # one verify per pass
+        assert "SortMergeJoin" not in plan
+
 
 class TestCapPerGroup:
     def test_cap_and_order(self, spark):
@@ -433,6 +445,18 @@ class TestKCore:
             self._core(spark, [(1, 2)], k=0)
         with pytest.raises(ValueError, match="rounds"):
             self._core(spark, [(1, 2)], k=1, rounds=0)
+
+    def test_plan_survivor_lists_broadcast_edges_never_smj(self, spark):
+        # per-round physics: the survivor list is broadcast into two
+        # semi-joins and the edge frame is never sort-merge-joined —
+        # the last round stays a live plan for exactly this audit
+        from extract_transform_load_spark.operators.graph import kcore
+
+        k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        out = kcore(_edges(spark, k4), k=2, rounds=2, check_converged=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
 
 
 class TestPagerankEngines:

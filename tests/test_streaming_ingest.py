@@ -434,6 +434,11 @@ def test_semantic_sink_continuous_embedding_dedup(spark, tmp_path):
     }
     assert replays == {(10, "semantic_dup"), (11, "kept")}
 
+    # soak contract (r8 judge find): after every batch — including the
+    # manual replay above — no pinned frame remains in the SQL cache;
+    # a long-lived semantic_sink session must not accrete storage
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
 
 def test_linkage_sink_continuous_entity_resolution(spark, tmp_path):
     """q144's streaming twin: batches of entity records resolve against

@@ -511,13 +511,19 @@ def triangle_count(
     deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
 
     # orient by (degree, id): strict total order, so exactly one
-    # direction survives per edge
+    # direction survives per edge. Every join in the wedge pipeline is
+    # SHUFFLE_HASH-hinted: SMJ would SORT the streamed side, and at
+    # 100x that side is the ~|E|*sqrt(|E|)-row wedge frame — measured
+    # 13.1 GB of sort spill on the closure join alone before the hints
+    # (420 s wall); the hash build sides (degrees, oriented edges, the
+    # symmetric edge set) are all |E|-bounded or smaller and partition
+    # cleanly, so the big frame streams unsorted.
     d1 = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
     d2 = deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b"))
     oriented = (
         both.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        .join(d1, "a")
-        .join(d2, "b")
+        .join(d1.hint("shuffle_hash"), "a")
+        .join(d2.hint("shuffle_hash"), "b")
         .filter(
             (F.col("deg_a") < F.col("deg_b"))
             | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
@@ -527,13 +533,18 @@ def triangle_count(
 
     w1 = oriented.select(F.col("a").alias("pivot"), F.col("b").alias("x"))
     w2 = oriented.select(F.col("a").alias("pivot"), F.col("b").alias("y"))
-    wedges = w1.join(w2, "pivot").filter(F.col("x") < F.col("y"))
+    wedges = w1.join(w2.hint("shuffle_hash"), "pivot").filter(F.col("x") < F.col("y"))
     # close against `both` (one step from the checkpoint): oriented +
     # its reverse IS the symmetric edge set, and rebuilding it from
     # `oriented` would re-run the two orientation joins a third and
-    # fourth time (review find)
+    # fourth time (review find). Build on the edge set, STREAM the
+    # wedges — the asymmetric side sizes are the whole point of the
+    # hint here.
     closed = wedges.join(
-        both.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+        both.select(F.col("u").alias("x"), F.col("v").alias("y")).hint(
+            "shuffle_hash"
+        ),
+        ["x", "y"],
     )
 
     per_node = (

@@ -157,11 +157,16 @@ def pagerank(
     if not assume_distinct and weight is None:
         e = e.distinct()
     # checkpoint BEFORE deriving the node spine, so the (possibly
-    # expensive) upstream dedup runs once and both the spine and every
+    # expensive) upstream build runs once and both the spine and every
     # round read its blocks; the shuffle engine re-checkpoints its
     # repartitioned copy below, which is one cheap shuffle over these
-    # same blocks, not a second dedup.
-    e = e.localCheckpoint(eager=False)
+    # same blocks, not a second build. EAGER on purpose: the node count
+    # below consumes it immediately anyway, and a lazy checkpoint here
+    # let the round-1 broadcast-exchange thread race the main job into
+    # materializing the full upstream build TWICE (measured at 100x on
+    # the weighted feed: two 10.8 GB fact-join stages, 1.7-5.9 GB of
+    # sort spill in the broadcast copy; eager => one build, no spill).
+    e = e.localCheckpoint(eager=True)
 
     nodes = (
         e.select(F.col("src").alias("node"))

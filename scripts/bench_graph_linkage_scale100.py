@@ -127,6 +127,7 @@ def main() -> None:
             )
             .distinct()  # distinct-then-flip: see q143's wrapper
         )
+        fwd = fwd.localCheckpoint(eager=False)  # one build for both branches
         return fwd.union(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
@@ -157,6 +158,7 @@ def main() -> None:
             )
             .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
         )
+        fwd = fwd.localCheckpoint(eager=False)  # one build for both branches
         return fwd.union(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
         )

@@ -126,6 +126,7 @@ HEADLINE = [
     "q149_pagerank_shuffle",
     "q150_kcore",
     "q151_linkage_multipass_delta",
+    "q152_zorder_key",
 ]
 
 

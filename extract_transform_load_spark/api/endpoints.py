@@ -798,3 +798,24 @@ def currency_by_ticker(tables: Tables, ticker: str | None = None, **_: Any) -> D
     """Point lookup (`protocols.rs:293`)."""
     c = tables["currency_registry"]
     return c.filter(F.col("ticker") == ticker) if ticker else c
+
+
+@endpoint("version")
+def version(tables: Tables, **_: Any) -> DataFrame:
+    """Build metadata (`controller/misc.rs:263`): the reference returns
+    its crate version string; here the engine version plus the Spark
+    session version it runs under — a one-row static frame (the only
+    A24-adjacent route with any engine-side content; subscribe/test-push
+    remain serving/push concerns, out of engine scope per SURVEY)."""
+    from importlib.metadata import PackageNotFoundError, version as _pkg_version
+
+    spark = next(iter(tables.values())).sparkSession if tables else None
+    try:
+        eng = _pkg_version("extract-transform-load-spark")
+    except PackageNotFoundError:
+        eng = "0.dev"
+    rows = [(eng, spark.version if spark else "unknown")]
+    from pyspark.sql import SparkSession
+
+    s = spark or SparkSession.getActiveSession()
+    return s.createDataFrame(rows, "version string, spark_version string")

@@ -4945,3 +4945,65 @@ def q151_linkage_multipass_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store = c.select(F.col("c_custkey").alias("rid"), F.col("c_name").alias("name"))
     return fuzzy_pairs_delta_multi(delta, store, block_len=15, max_dist=1)
+
+
+_Q152_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _q152_oracle() -> str:
+    """Morton-key oracle: identical expression SHAPE to zorder_key so
+    the double quantization is IEEE-bit-equal cross-engine, then the
+    same shift/or interleave in integer SQL."""
+    stats = ", ".join(
+        f"MIN(CAST({c} AS DOUBLE)) AS mn{i}, MAX(CAST({c} AS DOUBLE)) AS mx{i}"
+        for i, c in enumerate(_Q152_COLS)
+    )
+    buckets = ", ".join(
+        "CAST(coalesce(least(255, greatest(0, floor("
+        f"(CAST({c} AS DOUBLE) - mn{i}) / (mx{i} - mn{i}) * 256.0"
+        f"))), 0) AS BIGINT) AS b{i}"
+        for i, c in enumerate(_Q152_COLS)
+    )
+    n = len(_Q152_COLS)
+    morton = " | ".join(
+        f"(((b{i} >> {j}) & 1) << {j * n + i})"
+        for i in range(n)
+        for j in range(8)
+    )
+    return f"""
+    WITH stats AS (SELECT {stats} FROM lineitem),
+    b AS (
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, {buckets}
+      FROM lineitem, stats
+    )
+    SELECT l_orderkey, l_linenumber, CAST({morton} AS BIGINT) AS zval FROM b
+    """
+
+
+@query(
+    "q152_zorder_key",
+    oracle=_q152_oracle(),
+    doc="Z-order (Morton) keys over three lineitem dimensions — the "
+    "multi-column data-layout clustering key (Delta OPTIMIZE ZORDER / "
+    "Iceberg clustering, public): each column linearly quantized to 8 "
+    "bits against its exact [min,max], bits interleaved by shift/or. "
+    "One tiny min/max aggregate, then a SCAN-LOCAL projection — no "
+    "exchange, no window (rank/ntile quantization would need a "
+    "single-partition global window, the thing that cannot run at "
+    "100 TB). write_zordered pairs it with a sampled range exchange + "
+    "in-partition sort so every file covers a narrow range of EVERY "
+    "clustered column. Double quantization is IEEE-bit-equal across "
+    "engines by expression shape. operators/zorder.py::zorder_key.",
+)
+def q152_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.zorder import zorder_key
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", *_Q152_COLS
+    )
+    out = zorder_key(li, _Q152_COLS, bits=8)
+    return out.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        "zval",
+    )

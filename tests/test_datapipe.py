@@ -2209,3 +2209,107 @@ def test_learn_log_odds_hash_sample_form(docs):
 
     with pytest.raises(ValueError):
         learn_log_odds(docs, pos, sample_out_of_256=0)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout keys (round 9): operators/zorder.py
+# ---------------------------------------------------------------------------
+
+
+class TestZorder:
+    def _keyed(self, spark, rows, cols, bits):
+        from extract_transform_load_spark.operators.zorder import zorder_key
+
+        schema = ", ".join(f"{c} double" for c in ["x", "y", "w"][: len(cols)])
+        df = spark.createDataFrame(rows, f"rid bigint, {schema}")
+        return {
+            r["rid"]: r["zval"]
+            for r in zorder_key(df, cols, bits=bits).collect()
+        }
+
+    def test_two_bit_curve_hand_checked(self, spark):
+        # bits=1, 2 cols: the four corners land on the canonical
+        # 1-level z curve (x contributes bit 0, y bit 1)
+        rows = [(0, 0.0, 0.0), (1, 1.0, 0.0), (2, 0.0, 1.0), (3, 1.0, 1.0)]
+        got = self._keyed(spark, rows, ["x", "y"], bits=1)
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_dominance_is_monotone(self, spark):
+        # a row >= another in EVERY dimension never gets a smaller key
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, float(rng.randint(0, 100)), float(rng.randint(0, 100)))
+            for i in range(60)
+        ]
+        got = self._keyed(spark, rows, ["x", "y"], bits=6)
+        by = {r[0]: (r[1], r[2]) for r in rows}
+        for a in by:
+            for b in by:
+                if by[a][0] <= by[b][0] and by[a][1] <= by[b][1]:
+                    assert got[a] <= got[b]
+
+    def test_null_and_constant_columns(self, spark):
+        from extract_transform_load_spark.operators.zorder import zorder_key
+
+        df = spark.createDataFrame(
+            [(1, None, 5.0), (2, 0.0, 5.0), (3, 3.0, 5.0)],
+            "rid bigint, x double, y double",
+        )
+        out = {r["rid"]: r["zval"] for r in zorder_key(df, ["x", "y"], bits=4).collect()}
+        # y is constant -> contributes bucket 0 everywhere; NULL x -> bucket 0
+        assert out[1] == 0 and out[2] == 0 and out[3] > 0
+
+    def test_validation(self, spark):
+        import pytest
+
+        from extract_transform_load_spark.operators.zorder import zorder_key
+
+        df = spark.createDataFrame([(1, 2.0)], "rid bigint, x double")
+        with pytest.raises(ValueError, match="at least one"):
+            zorder_key(df, [])
+        with pytest.raises(ValueError, match="int64"):
+            zorder_key(df, ["x"], bits=63)
+
+    def test_plan_is_scan_local(self, spark):
+        # after the one min/max job, the key is a pure projection:
+        # no Exchange anywhere in the returned plan
+        from extract_transform_load_spark.operators.zorder import zorder_key
+
+        df = spark.range(100).selectExpr(
+            "id as rid", "cast(id % 10 as double) as x", "cast(id as double) as y"
+        )
+        out = zorder_key(df, ["x", "y"], bits=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_write_zordered_locality(self, spark, tmp_path):
+        # a 32x32 grid written in 8 z-ranges: every file covers a
+        # narrow range of BOTH dimensions (the pruning property a
+        # single-column sort cannot give) — range sampling is
+        # approximate, so assert the average, generously
+        from extract_transform_load_spark.operators.zorder import write_zordered
+
+        rows = [(i, float(i % 32), float(i // 32)) for i in range(1024)]
+        df = spark.createDataFrame(rows, "rid bigint, x double, y double")
+        path = str(tmp_path / "zorder")
+        write_zordered(df, path, ["x", "y"], bits=5, partitions=8)
+
+        import pyspark.sql.functions as F
+
+        got = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("rx"),
+                (F.max("y") - F.min("y")).alias("ry"),
+            )
+            .collect()
+        )
+        assert len(got) >= 4  # actually split across files
+        avg_rx = sum(r["rx"] for r in got) / len(got)
+        avg_ry = sum(r["ry"] for r in got) / len(got)
+        assert avg_rx < 0.75 * 31 and avg_ry < 0.75 * 31
+        # zval itself is dropped from the files
+        assert "zval" not in spark.read.parquet(path).columns

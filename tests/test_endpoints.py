@@ -251,12 +251,14 @@ def test_gold_incremental_refresh_matches_full(spark, tables, tmp_path):
 
 def test_reference_route_completeness():
     """Every in-scope route from the reference's server.rs:54-122 (SURVEY
-    §2.C, 46 endpoints) must resolve to a registered endpoint. The four
-    out-of-scope routes are serving-infrastructure, not queries: version
-    (build metadata), subscribe GET/POST + test-push (the A24 web-push
-    notifier). A new reference route added without an engine twin fails
-    here by name."""
+    §2.C, 46 endpoints) must resolve to a registered endpoint. The three
+    remaining out-of-scope routes are serving-infrastructure with no
+    query content: subscribe GET/POST + test-push (the A24 web-push
+    notifier). version (`misc.rs:263`) gained an engine twin in round 9
+    (build-metadata frame). A new reference route added without an
+    engine twin fails here by name."""
     route_to_endpoint = {
+        "misc/version": "version",
         "treasury/revenue": "treasury/revenue",
         "treasury/revenue-series": "treasury/revenue-series",
         "treasury/distributed": "treasury/distributed",
@@ -316,6 +318,13 @@ def test_reference_route_completeness():
     assert not missing, f"routes without a registered endpoint: {missing}"
     # and interest-overview exists beyond the mapped routes
     assert "leases/interest-overview" in ENDPOINTS
+
+
+def test_version_endpoint(tables, spark):
+    row = ENDPOINTS["version"](tables).collect()
+    assert len(row) == 1
+    assert row[0]["spark_version"] == spark.version
+    assert isinstance(row[0]["version"], str) and row[0]["version"]
 
 
 def test_keyset_cursor_equals_offset_paging(tables):

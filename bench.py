@@ -127,6 +127,7 @@ HEADLINE = [
     "q150_kcore",
     "q151_linkage_multipass_delta",
     "q152_zorder_key",
+    "q153_label_propagation",
 ]
 
 

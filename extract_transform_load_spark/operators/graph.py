@@ -395,6 +395,112 @@ def _pagerank_rounds(
     )
 
 
+def min_label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+    engine: str = "auto",
+    max_nodes_broadcast: int = 50_000_000,
+) -> DataFrame:
+    """Bounded-radius min-label propagation over the UNDIRECTED edge
+    set: after R synchronous rounds every node carries the minimum node
+    id within R hops — ``(node, label)``. This is the fixed-cost
+    complement to ``components.connected_components``: exact CC runs
+    until convergence (diameter-many rounds, unbounded on a web-scale
+    link graph), while R-hop labels give a deterministic R-round budget
+    — the community-seed / crawl-frontier-expansion pass (label == the
+    R-hop neighborhood's representative; two nodes sharing a label are
+    provably <= 2R hops apart). On a graph whose diameter <= R the
+    labels ARE the connected components.
+
+    Same physical discipline as :func:`pagerank`, both engines: labels
+    are the |V|-row frame, one ``groupBy(dst) MIN`` message exchange
+    per round; ``engine="broadcast"`` broadcasts labels into the edge
+    join (guarded by ``max_nodes_broadcast``), ``engine="shuffle"``
+    co-partitions labels and edges by node with the AQE-off checkpoint
+    compilation so nothing re-exchanges the |E| frame; ``auto``
+    dispatches on the node count. MIN is idempotent/associative, so the
+    result is byte-equal across engines and summation-order-free by
+    construction (no fixed-point discipline even needed).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if engine not in _ENGINES:
+        raise ValueError(f"engine must be one of {_ENGINES}, got {engine!r}")
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    e = sym.union(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    # eager, for the same reason as pagerank: the node count consumes
+    # it now, and a lazy checkpoint lets the round-1 broadcast thread
+    # race the main job into building the upstream twice
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()
+    if engine == "auto":
+        engine = "broadcast" if n_nodes <= max_nodes_broadcast else "shuffle"
+    elif engine == "broadcast" and n_nodes > max_nodes_broadcast:
+        raise ValueError(
+            f"min_label_propagation: {n_nodes} nodes exceeds "
+            f"max_nodes_broadcast={max_nodes_broadcast} — pass "
+            "engine='shuffle' (or 'auto') for graphs this wide"
+        )
+    spark_ = edges.sparkSession
+    aqe_prev: str | None = None
+    if engine == "shuffle":
+        aqe_prev = spark_.conf.get("spark.sql.adaptive.enabled", "true")
+        spark_.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        if engine == "broadcast":
+            _small = F.broadcast
+        else:
+            _small = lambda df: df.hint("shuffle_hash")  # noqa: E731
+        if engine == "shuffle":
+            num = _shuffle_partitions(spark_)
+            e = e.repartition(num, "src").localCheckpoint(eager=False)
+            nodes = nodes.repartition(num, "node").localCheckpoint(eager=False)
+        labels = nodes.select("node", F.col("node").alias("label"))
+        for i in range(rounds):
+            if i:
+                labels = labels.localCheckpoint(eager=False)
+            msgs = (
+                e.join(
+                    _small(
+                        labels.select(
+                            F.col("node").alias("g_src"),
+                            F.col("label").alias("lbl"),
+                        )
+                    ),
+                    F.col("src") == F.col("g_src"),
+                )
+                .groupBy("dst")
+                .agg(F.min("lbl").alias("m"))
+            )
+            labels = labels.join(
+                _small(msgs), labels.node == msgs.dst, "left"
+            ).select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("m"), F.col("label"))
+                ).alias("label"),
+            )
+        return labels
+    finally:
+        if aqe_prev is not None:
+            spark_.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
+
 def kcore(
     edges: DataFrame,
     k: int,

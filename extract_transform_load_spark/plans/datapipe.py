@@ -5007,3 +5007,65 @@ def q152_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
         "zval",
     )
+
+
+_Q153_ROUND = """
+    m{k} AS MATERIALIZED (SELECT s.v AS node, MIN(l.label) AS m
+           FROM sym s JOIN l{j} l ON s.u = l.node GROUP BY s.v),
+    l{k} AS MATERIALIZED (SELECT l.node,
+             least(l.label, coalesce(m.m, l.label)) AS label
+           FROM l{j} l LEFT JOIN m{k} m ON l.node = m.node)"""
+
+_Q153_ORACLE = (
+    """
+    WITH base AS (
+      SELECT c_custkey AS rid, lower(trim(c_name)) AS name,
+             substr(lower(trim(c_name)), 1, 15) AS block
+      FROM customer
+      WHERE c_name IS NOT NULL AND length(lower(trim(c_name))) > 0
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.rid AS u, b.rid AS v
+      FROM base a JOIN base b ON a.block = b.block AND a.rid < b.rid
+      WHERE abs(length(a.name) - length(b.name)) <= 1
+        AND levenshtein(a.name, b.name) <= 1
+    ),
+    sym AS MATERIALIZED (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    l0 AS MATERIALIZED (
+      SELECT node, node AS label FROM (
+        SELECT DISTINCT u AS node FROM sym
+      ) n
+    ),"""
+    + ",".join(_Q153_ROUND.format(k=k, j=k - 1) for k in range(1, 4))
+    + """
+    SELECT node, label FROM l3
+    """
+)
+
+
+@query(
+    "q153_label_propagation",
+    oracle=_Q153_ORACLE,
+    doc="Bounded-radius min-label propagation (3 synchronous rounds) "
+    "over the fuzzy-linkage pair graph: every node carries the minimum "
+    "id within 3 hops — the fixed-cost community-seed pass that "
+    "complements exact connected components (whose round count is the "
+    "graph DIAMETER, unbounded at web scale; here the budget is "
+    "deterministic and two nodes sharing a label are provably <= 6 "
+    "hops apart). Same dual-engine physics as q143/q149 — one "
+    "groupBy(dst) MIN exchange per round; MIN is order-free, so both "
+    "engines are byte-equal with no fixed-point discipline needed. "
+    "operators/graph.py::min_label_propagation.",
+)
+def q153_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import min_label_propagation
+    from ..operators.linkage import fuzzy_pairs
+
+    pairs = fuzzy_pairs(
+        load(spark, sf_dir, "customer"),
+        id_col="c_custkey",
+        name_col="c_name",
+        block_len=15,
+        max_dist=1,
+    )
+    return min_label_propagation(pairs, src="id_a", dst="id_b", rounds=3)

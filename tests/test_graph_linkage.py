@@ -459,6 +459,60 @@ class TestKCore:
         assert "SortMergeJoin" not in plan
 
 
+class TestMinLabelPropagation:
+    def _lp(self, spark, pairs, rounds, **kw):
+        from extract_transform_load_spark.operators.graph import (
+            min_label_propagation,
+        )
+
+        got = min_label_propagation(
+            _edges(spark, pairs), rounds=rounds, **kw
+        ).collect()
+        return {r["node"]: r["label"] for r in got}
+
+    def test_one_round_is_one_hop(self, spark):
+        path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        assert self._lp(spark, path, rounds=1) == {1: 1, 2: 1, 3: 2, 4: 3, 5: 4}
+
+    def test_enough_rounds_reach_component_min(self, spark):
+        path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        assert self._lp(spark, path, rounds=4) == {i: 1 for i in range(1, 6)}
+
+    def test_labels_never_cross_components(self, spark):
+        pairs = [(1, 2), (2, 3), (10, 11)]
+        got = self._lp(spark, pairs, rounds=5)
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_diameter_bounded_equals_connected_components(self, spark):
+        from extract_transform_load_spark.operators.components import (
+            connected_components,
+        )
+
+        pairs = [(1, 2), (2, 3), (3, 1), (7, 8), (8, 9), (20, 21)]
+        lp = self._lp(spark, pairs, rounds=3)
+        cc = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                _edges(spark, pairs), src="src", dst="dst"
+            ).collect()
+        }
+        assert lp == cc
+
+    def test_engines_byte_equal(self, spark):
+        pairs = TestPagerankEngines.PAIRS
+        b = self._lp(spark, pairs, rounds=3, engine="broadcast")
+        s = self._lp(spark, pairs, rounds=3, engine="shuffle")
+        assert b == s
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="rounds"):
+            self._lp(spark, [(1, 2)], rounds=0)
+        with _pt.raises(ValueError, match="engine"):
+            self._lp(spark, [(1, 2)], rounds=1, engine="gossip")
+
+
 class TestPagerankEngines:
     """Round 9: the shuffle-join engine (ranks and edges co-partitioned
     by node, reused across rounds) must be BYTE-EQUAL to the broadcast

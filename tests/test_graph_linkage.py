@@ -512,6 +512,24 @@ class TestMinLabelPropagation:
         with _pt.raises(ValueError, match="engine"):
             self._lp(spark, [(1, 2)], rounds=1, engine="gossip")
 
+    def test_shuffle_plan_one_exchange_no_broadcast(self, spark):
+        # same audit as pagerank's shuffle engine: the final round's
+        # plan carries exactly ONE hashpartitioning exchange (the
+        # groupBy(dst) MIN message shuffle), zero broadcasts, no SMJ
+        import re
+
+        from extract_transform_load_spark.operators.graph import (
+            min_label_propagation,
+        )
+
+        out = min_label_propagation(
+            _edges(spark, TestPagerankEngines.PAIRS), rounds=2, engine="shuffle"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" not in plan
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+        assert "SortMergeJoin" not in plan
+
 
 class TestPagerankEngines:
     """Round 9: the shuffle-join engine (ranks and edges co-partitioned

@@ -137,7 +137,30 @@ FAMILY_REPS = {
         "q83_mixture_resample",
         "q68_stratified_sample",
     ],
+    # Round 10: the shuffle-join graph engine (the 100 TB width path)
+    # earned its own driver row per the r9 verdict's ranked task 7 —
+    # q149 shares q143's oracle, so its green row pins the
+    # broadcast/shuffle cross-engine byte-equality contract.
+    "graph_scale_engine": ["q149_pagerank_shuffle"],
 }
+
+# Round-10 rotation (the r9 verdict's ranked task 1): the eight queries
+# whose only driver-visible result was a stale round-1 FAIL. They have
+# passed the strict order-sensitive gate every round since round 2
+# (the judge's own 153/153 re-run in r9 included them); this rotation
+# puts a green row on the driver's own ledger. Pinned here so a
+# refactor can't silently evict them before CORRECTNESS_r10 records it.
+ROTATED_IN_R10 = [
+    "q34_period_window",
+    "q37_decimal_shift",
+    "q38_moving_average",
+    "q39_day_over_day",
+    "q50_rollup_totals",
+    "q59_sessionization",
+    "q60_approx_distinct_mau",
+    "q62_approx_percentiles",
+    "q149_pagerank_shuffle",
+]
 
 
 def test_priority_fills_the_driver_window_exactly():
@@ -157,6 +180,12 @@ def test_every_family_has_an_in_window_representative():
         if not window.intersection(reps)
     }
     assert not missing, f"families with no driver-window representative: {missing}"
+
+
+def test_round10_rotation_sits_in_the_window():
+    window = set(list(REGISTRY)[:WINDOW])
+    missing = [n for n in ROTATED_IN_R10 if n not in window]
+    assert not missing, f"round-10 rotation queries fell out of the window: {missing}"
 
 
 def test_every_window_query_has_an_oracle():

@@ -70,6 +70,9 @@ part of the beyond-reference LLM-pipeline layer (SURVEY.md §6).
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -77,6 +80,55 @@ from pyspark.sql import DataFrame
 UNIT = 10**12
 
 _ENGINES = ("auto", "broadcast", "shuffle")
+
+_AQE_LOCK = threading.Lock()
+#: id(SparkSession) -> [depth, saved "spark.sql.adaptive.enabled"].
+_AQE_DEPTH: dict[int, list] = {}
+
+
+@contextmanager
+def _aqe_compile_off(spark):
+    """Reentrant, serialized 'AQE off while compiling' window.
+
+    The shuffle engines compile their per-round plans (and the
+    localCheckpoints that freeze them) with AQE disabled, because under
+    AQE a localCheckpoint captures UnknownPartitioning — the adaptive
+    plan's final layout isn't known at checkpoint-creation time, eager
+    or not (measured) — which would re-insert an |E|-sized exchange
+    above the edge scan EVERY round. The toggle covers only plan
+    CONSTRUCTION: execution (whenever the caller acts) and every other
+    query are unaffected.
+
+    The naive save/set/restore was not reentrancy-safe (ADVICE r9):
+    two overlapping shuffle-engine calls on one session raced — the
+    second snapshotted the already-disabled value and its restore left
+    AQE off session-wide. This helper serializes the state transitions
+    under a module lock and keys a depth counter per session: the FIRST
+    entry snapshots and disables, the LAST exit restores, nested/
+    concurrent entries only bump the counter. Inherent residual (a
+    session-global conf has no narrower scope): an UNRELATED query
+    compiled inside someone else's window still sees AQE off for that
+    compile — callers who interleave plan construction with graph
+    rounds on one session should expect that, and execution-time
+    behavior is never affected.
+    """
+    key = id(spark)
+    with _AQE_LOCK:
+        state = _AQE_DEPTH.get(key)
+        if state is None:
+            saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            state = _AQE_DEPTH[key] = [0, saved]
+        state[0] += 1
+    try:
+        yield
+    finally:
+        with _AQE_LOCK:
+            state = _AQE_DEPTH[key]
+            state[0] -= 1
+            if state[0] == 0:
+                spark.conf.set("spark.sql.adaptive.enabled", state[1])
+                del _AQE_DEPTH[key]
 
 
 def _shuffle_partitions(spark) -> int:
@@ -218,30 +270,22 @@ def pagerank(
         )
 
     spark_ = edges.sparkSession
-    aqe_prev: str | None = None
     if engine == "shuffle":
-        # Compile every round plan with AQE OFF: under AQE a
-        # localCheckpoint captures UnknownPartitioning (the adaptive
-        # plan's final layout isn't known at checkpoint-creation time,
-        # eager or not — measured), which would re-insert an |E|-sized
-        # exchange above the edge scan EVERY round and defeat the
-        # engine's whole point. localCheckpoint compiles its physical
-        # plan eagerly at call time, so the toggle covers only plan
-        # CONSTRUCTION here — execution (whenever the caller acts) and
-        # every other query are unaffected, and the conf is restored in
-        # the finally. What AQE would have contributed per round — skew
-        # splitting on the groupBy(dst) hot keys — is absorbed by
-        # map-side partial aggregation instead.
-        aqe_prev = spark_.conf.get("spark.sql.adaptive.enabled", "true")
-        spark_.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return _pagerank_rounds(
-            e, nodes, flagged, n_nodes, n_seeds,
-            iterations, damping_pct, weight, engine,
-        )
-    finally:
-        if aqe_prev is not None:
-            spark_.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+        # Compile every round plan with AQE OFF (see _aqe_compile_off:
+        # under AQE a localCheckpoint captures UnknownPartitioning and
+        # every round would re-exchange the |E| frame). What AQE would
+        # have contributed per round — skew splitting on the
+        # groupBy(dst) hot keys — is absorbed by map-side partial
+        # aggregation instead.
+        with _aqe_compile_off(spark_):
+            return _pagerank_rounds(
+                e, nodes, flagged, n_nodes, n_seeds,
+                iterations, damping_pct, weight, engine,
+            )
+    return _pagerank_rounds(
+        e, nodes, flagged, n_nodes, n_seeds,
+        iterations, damping_pct, weight, engine,
+    )
 
 
 def _pagerank_rounds(
@@ -457,48 +501,50 @@ def min_label_propagation(
             "engine='shuffle' (or 'auto') for graphs this wide"
         )
     spark_ = edges.sparkSession
-    aqe_prev: str | None = None
     if engine == "shuffle":
-        aqe_prev = spark_.conf.get("spark.sql.adaptive.enabled", "true")
-        spark_.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        if engine == "broadcast":
-            _small = F.broadcast
-        else:
-            _small = lambda df: df.hint("shuffle_hash")  # noqa: E731
-        if engine == "shuffle":
-            num = _shuffle_partitions(spark_)
-            e = e.repartition(num, "src").localCheckpoint(eager=False)
-            nodes = nodes.repartition(num, "node").localCheckpoint(eager=False)
-        labels = nodes.select("node", F.col("node").alias("label"))
-        for i in range(rounds):
-            if i:
-                labels = labels.localCheckpoint(eager=False)
-            msgs = (
-                e.join(
-                    _small(
-                        labels.select(
-                            F.col("node").alias("g_src"),
-                            F.col("label").alias("lbl"),
-                        )
-                    ),
-                    F.col("src") == F.col("g_src"),
-                )
-                .groupBy("dst")
-                .agg(F.min("lbl").alias("m"))
+        with _aqe_compile_off(spark_):
+            return _label_rounds(e, nodes, rounds, engine, spark_)
+    return _label_rounds(e, nodes, rounds, engine, spark_)
+
+
+def _label_rounds(
+    e: DataFrame, nodes: DataFrame, rounds: int, engine: str, spark_
+) -> DataFrame:
+    """min_label_propagation's round loop, shared by both engines."""
+    if engine == "broadcast":
+        _small = F.broadcast
+    else:
+        _small = lambda df: df.hint("shuffle_hash")  # noqa: E731
+    if engine == "shuffle":
+        num = _shuffle_partitions(spark_)
+        e = e.repartition(num, "src").localCheckpoint(eager=False)
+        nodes = nodes.repartition(num, "node").localCheckpoint(eager=False)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for i in range(rounds):
+        if i:
+            labels = labels.localCheckpoint(eager=False)
+        msgs = (
+            e.join(
+                _small(
+                    labels.select(
+                        F.col("node").alias("g_src"),
+                        F.col("label").alias("lbl"),
+                    )
+                ),
+                F.col("src") == F.col("g_src"),
             )
-            labels = labels.join(
-                _small(msgs), labels.node == msgs.dst, "left"
-            ).select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("m"), F.col("label"))
-                ).alias("label"),
-            )
-        return labels
-    finally:
-        if aqe_prev is not None:
-            spark_.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("m"))
+        )
+        labels = labels.join(
+            _small(msgs), labels.node == msgs.dst, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("m"), F.col("label"))
+            ).alias("label"),
+        )
+    return labels
 
 
 def kcore(
@@ -508,6 +554,8 @@ def kcore(
     dst: str = "dst",
     rounds: int = 10,
     check_converged: bool = True,
+    engine: str = "auto",
+    max_nodes_broadcast: int = 50_000_000,
 ) -> DataFrame:
     """Iterative k-core peeling over an undirected edge list — the
     density filter of the graph family: the k-core is the maximal
@@ -518,26 +566,61 @@ def kcore(
     Returns ``(node, degree)`` for surviving nodes, with ``degree``
     measured INSIDE the final core.
 
-    Each peeling round is one degree aggregation over the surviving
-    symmetric edge set plus two semi-joins against the (|V|-bounded,
-    broadcast) survivor list — edges shuffle only in the per-round
-    groupBy, over a monotonically SHRINKING frame. Peeling is
-    confluent: the k-core is unique regardless of removal order
-    (Seidman 1983, public), and a round applied to a converged core
-    removes nothing — so extra rounds are idempotent and ``rounds`` is
-    an upper bound, not a semantic knob. ``check_converged`` adds one
-    tiny aggregate (min surviving degree >= k) and fails loudly if the
-    peel needs more rounds — never silently returns a non-core.
+    Peeling is confluent: the k-core is unique regardless of removal
+    order (Seidman 1983, public), and a round applied to a converged
+    core removes nothing — so extra rounds are idempotent and
+    ``rounds`` is an upper bound, not a semantic knob.
+    ``check_converged`` adds one tiny aggregate (min surviving degree
+    >= k) and fails loudly if the peel needs more rounds — never
+    silently returns a non-core.
 
-    Scale: the survivor broadcast carries bare node ids (the pagerank
-    rank-vector ceiling applies at ~5e7+ nodes; the shuffle-engine
-    co-partition pattern from :func:`pagerank` is the escalation path).
-    Lineage is truncated per round, components.py-style.
+    Two physical engines (same layer-synchronous peel, identical
+    (node, degree) output — pinned byte-equal in
+    tests/test_graph_linkage.py):
+
+    ``engine="broadcast"`` (|V| up to ``max_nodes_broadcast``): each
+    round is one degree aggregation over the surviving symmetric edge
+    set plus two broadcast semi-joins against the |V|-bounded survivor
+    list — edges shuffle only in the per-round groupBy, over a
+    monotonically SHRINKING frame. Refuses loudly past the width guard
+    (the pagerank discipline; ADVICE r9 — previously this engine would
+    OOM executors silently instead of raising with advice).
+
+    ``engine="shuffle"`` (no width ceiling): **delta peeling.** The
+    symmetric edge frame is hash-partitioned ONCE by ``u`` and frozen;
+    the round state is the |V|-row live-degree table, co-partitioned
+    on the same key. Per round, only the NEWLY dead nodes (live degree
+    just dropped below k) send messages: their edges are selected with
+    a co-partitioned semi-join (exchange-free), aggregated by the far
+    endpoint (``groupBy(v)`` — the ONE per-round exchange, bounded by
+    the edges incident to this round's deaths, not |E|), and the
+    decrements land on the live-degree table through another
+    co-partitioned SHUFFLE_HASH join. Nothing is broadcast, nothing
+    |E|-sized moves after the initial partition, and across the WHOLE
+    peel each edge is shuffled at most twice (once per endpoint death)
+    — cheaper asymptotics than the broadcast engine's per-round |E|
+    scan, at the price of one up-front |E| exchange. Decrements
+    addressed to nodes that died the same round fall out naturally
+    (the join target is the live table). Layer-synchronous equality
+    with the broadcast engine holds by induction: round i's newly-dead
+    set is exactly the broadcast engine's round-i removal set, so
+    after R rounds both hold the same survivors with the same
+    in-core degrees.
+
+    ``engine="auto"`` dispatches on the node count (one distinct-count
+    job, |V|-bounded): broadcast at or below ``max_nodes_broadcast``,
+    shuffle above.
+
+    Lineage is truncated per round, components.py-style; the last
+    round stays a live plan so plan audits see the real per-round
+    physical shape.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    if engine not in _ENGINES:
+        raise ValueError(f"engine must be one of {_ENGINES}, got {engine!r}")
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = (
         raw.filter(F.col("u") != F.col("v"))
@@ -545,23 +628,30 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    alive = sym.union(
-        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
-    for i in range(rounds):
-        if i:
-            # truncate lineage BETWEEN rounds; the LAST round stays a
-            # live plan so plan audits see the real per-round physical
-            # shape (the pagerank discipline)
-            alive = alive.localCheckpoint(eager=False)
-        deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("u")
-        alive = alive.join(F.broadcast(keep), "u", "left_semi").join(
-            F.broadcast(keep.select(F.col("u").alias("v"))), "v", "left_semi"
-        )
-    final_deg = alive.groupBy("u").agg(
-        F.count(F.lit(1)).cast("bigint").alias("degree")
-    )
+    both = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    if engine != "shuffle":
+        # the guard/dispatch needs |V|; the count job also materializes
+        # the sym checkpoint both engines iterate over, so it is not a
+        # throwaway pass
+        n_nodes = both.select("u").distinct().count()
+        if engine == "auto":
+            engine = "broadcast" if n_nodes <= max_nodes_broadcast else "shuffle"
+        elif n_nodes > max_nodes_broadcast:
+            raise ValueError(
+                f"kcore: {n_nodes} nodes exceeds max_nodes_broadcast="
+                f"{max_nodes_broadcast}; the per-round survivor broadcast "
+                "would not fit executors — pass engine='shuffle' (or "
+                "'auto') for graphs this wide"
+            )
+
+    if engine == "shuffle":
+        spark_ = edges.sparkSession
+        with _aqe_compile_off(spark_):
+            final_deg = _kcore_delta_rounds(both, k, rounds, spark_)
+    else:
+        final_deg = _kcore_broadcast_rounds(both, k, rounds)
+
     if check_converged:
         lo = final_deg.agg(F.min("degree")).first()[0]
         if lo is not None and lo < k:
@@ -571,7 +661,70 @@ def kcore(
                 "raise rounds (extra rounds past convergence are idempotent "
                 "and cheap: each is one aggregate over the shrunken core)"
             )
-    return final_deg.select(F.col("u").alias("node"), "degree")
+    return final_deg.select("node", "degree")
+
+
+def _kcore_broadcast_rounds(both: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Broadcast engine: re-filter the shrinking edge set each round."""
+    alive = both.localCheckpoint(eager=False)
+    for i in range(rounds):
+        if i:
+            alive = alive.localCheckpoint(eager=False)
+        deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        alive = alive.join(F.broadcast(keep), "u", "left_semi").join(
+            F.broadcast(keep.select(F.col("u").alias("v"))), "v", "left_semi"
+        )
+    return alive.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    ).select(F.col("u").alias("node"), "degree")
+
+
+def _kcore_delta_rounds(
+    both: DataFrame, k: int, rounds: int, spark_
+) -> DataFrame:
+    """Shuffle engine: Pregel-style delta peeling over a frozen,
+    u-partitioned edge frame — only newly-dead nodes send degree
+    decrements, so the per-round exchange is bounded by the deaths'
+    incident edges and each edge moves at most twice across the peel."""
+    num = _shuffle_partitions(spark_)
+    _small = lambda df: df.hint("shuffle_hash")  # noqa: E731
+    # the ONE |E| shuffle of this engine; with AQE off at compile time
+    # the checkpoint preserves HashPartitioning(u), so the per-round
+    # semi-join and the degree aggregation below are exchange-free
+    e = both.repartition(num, "u").localCheckpoint(eager=False)
+    # live-degree table: |V| rows, co-partitioned with e on the node
+    # key (groupBy("u") over a u-partitioned frame inserts no exchange
+    # and emits the same HashPartitioning)
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    for i in range(rounds):
+        if i:
+            deg = deg.localCheckpoint(eager=False)
+        dead = deg.filter(F.col("deg") < k).select("u")
+        live = deg.filter(F.col("deg") >= k)
+        # edges whose near endpoint just died, keyed by the far one:
+        # the semi-join is co-partitioned on u (free); the groupBy(v)
+        # is THE per-round exchange, carrying only the dead nodes'
+        # incident edges (map-side combined to <= |V| rows out)
+        msgs = (
+            e.join(_small(dead), "u", "left_semi")
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("dec"))
+        )
+        # land the decrements on the live table; both sides hash on the
+        # node key at the same fan-out (ProjectExec is alias-aware, so
+        # the v->u rename keeps msgs' partitioning visible), so the
+        # SHUFFLE_HASH join is exchange-free — and decrements addressed
+        # to same-round deaths vanish here because the left side is the
+        # LIVE table only
+        deg = live.join(
+            _small(msgs.select(F.col("v").alias("u"), "dec")), "u", "left"
+        ).select(
+            "u", (F.col("deg") - F.coalesce("dec", F.lit(0))).alias("deg")
+        )
+    return deg.select(
+        F.col("u").alias("node"), F.col("deg").cast("bigint").alias("degree")
+    )
 
 
 def triangle_count(

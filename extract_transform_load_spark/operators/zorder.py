@@ -10,29 +10,51 @@ ALL participating columns: rows close in z are close in every
 dimension, so per-file min/max stats stay narrow on each column and a
 predicate on any of them prunes most files.
 
+This is the ONE Z-order implementation in the repo (round 10 merged the
+former ``sources/layout.py`` twin into here — one operator, one
+``write_zordered``). Two quantization modes, because the right one
+depends on the column's distribution:
+
+- ``quantize="quantile"`` (DEFAULT — skew-robust): per-column bucket
+  edges from a driver-side ``approxQuantile`` pass (Greenwald-Khanna
+  over sampled stats — NOT a window, NOT an exchange; the bucket is
+  then "count of edges <= value", a vectorized array scan over <= 255
+  constants inside codegen). Rank-based buckets give every bucket
+  ~equal row mass regardless of the value distribution, which is what
+  file-level locality needs: on a power-law column (heights, amounts,
+  degree counts — the common case) linear scaling clumps most rows
+  into a handful of buckets and z-locality collapses
+  (tests/test_datapipe.py pins this failure mode and the fix).
+- ``quantize="linear"`` (the cross-engine oracle twin — skew-FRAGILE):
+  linear quantization against the exact [min, max] from one min/max
+  aggregate. The expression shape (floor((x-min)/(max-min)*2^bits)
+  over doubles) evaluates IEEE-bit-equal in Spark and DuckDB, which is
+  what q152's oracle pins — but equal-WIDTH buckets concentrate skewed
+  mass, so prefer the default for real layout work and use this mode
+  when bit-exact reproducibility across engines matters more than
+  locality under skew.
+
 Two pieces, deliberately separated:
 
-- :func:`zorder_key` — adds the ``zval`` column. One tiny min/max
-  aggregate per call (a single scan job, exact integer/double math),
-  then a scan-local projection: linear quantization of each column to
-  ``bits`` bits against its [min, max] range, then bit interleave via
-  shift/or — pure JVM expressions, NO exchange, NO window (the naive
-  rank/ntile quantization would need a single-partition global window,
-  which is exactly what cannot run at scale; value-based quantization
-  costs one agg and parallelizes perfectly).
+- :func:`zorder_key` — adds the ``zval`` column. One bounded driver
+  pass (min/max aggregate or approxQuantile sketch), then a scan-local
+  projection — pure JVM expressions, NO exchange, NO window (true
+  rank/ntile quantization would need a global window; the quantile
+  EDGES give the same skew robustness for a bounded driver pass).
 - :func:`write_zordered` — the layout writer: range-partition by
   ``zval`` (sampled range exchange — the scalable global ordering
   mechanism, never a single-task sort) and sort within partitions, so
   every output file covers a narrow z-range and therefore a narrow
   range of every clustered column.
 
-Determinism (the oracle contract): quantization is
+Determinism: in linear mode, quantization is
 ``least(2^bits - 1, greatest(0, floor((x - min) / (max - min) *
 2^bits)))`` over doubles — IEEE arithmetic with an identical expression
 shape evaluates bit-equal in Spark and DuckDB, and the interleave is
-integer shifts/ors. NULLs quantize to bucket 0 (they sort first, like
-NULLS FIRST); a constant column (max == min) contributes bucket 0
-everywhere rather than dividing by zero.
+integer shifts/ors. NULLs quantize to bucket 0 in both modes (they
+sort first, like NULLS FIRST); a constant column (max == min, or a
+single quantile edge) contributes bucket 0 everywhere rather than
+dividing by zero.
 
 Reference parity: the reference stores rows in Postgres with B-tree
 indexes (SURVEY §4) — single-column locality. This operator is the
@@ -47,8 +69,10 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+_QUANTIZE_MODES = ("quantile", "linear")
 
-def _bucket(col: Column, lo: float, hi: float, levels: int) -> Column:
+
+def _bucket_linear(col: Column, lo: float, hi: float, levels: int) -> Column:
     """Quantize to [0, levels-1] — exact double math, NULL/constant -> 0."""
     if hi <= lo:  # constant or empty column: one bucket
         return F.lit(0).cast("bigint")
@@ -62,15 +86,34 @@ def _bucket(col: Column, lo: float, hi: float, levels: int) -> Column:
     ).cast("bigint")
 
 
+def _bucket_quantile(col: Column, edges: Sequence[float]) -> Column:
+    """Rank bucket = count of quantile edges <= value — a vectorized
+    array scan over <= 2^bits-1 constants inside codegen, no join, no
+    window. NULL comparisons drop out of the filter -> bucket 0."""
+    if not edges:  # all-NULL or empty column: one bucket
+        return F.lit(0).cast("bigint")
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    return F.size(F.filter(arr, lambda e: e <= col.cast("double"))).cast(
+        "bigint"
+    )
+
+
 def zorder_key(
     df: DataFrame,
     cols: Sequence[str],
     bits: int = 8,
     out_col: str = "zval",
+    quantize: str = "quantile",
 ) -> DataFrame:
-    """Add a Morton key over ``cols`` (each linearly quantized to
-    ``bits`` bits against its observed [min, max]). ``len(cols) * bits``
-    must fit a signed 64-bit key (<= 62)."""
+    """Add a Morton key over ``cols``. ``len(cols) * bits`` must fit a
+    signed 64-bit key (<= 62).
+
+    ``quantize="quantile"`` (default) buckets each column by rank
+    against approxQuantile edges — equal row mass per bucket, robust to
+    skew; ``quantize="linear"`` buckets against the exact [min, max] —
+    bit-reproducible cross-engine, fragile under skew (see module
+    docstring for when each is right).
+    """
     if not cols:
         raise ValueError("zorder_key needs at least one column")
     if bits < 1 or len(cols) * bits > 62:
@@ -78,23 +121,50 @@ def zorder_key(
             f"bits={bits} over {len(cols)} columns needs {len(cols) * bits} "
             "key bits; the Morton key must fit int64 (<= 62)"
         )
-    # one exact min/max scan — the only job this operator runs eagerly;
-    # everything after is a scan-local projection
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
-        ]
-    stats = df.agg(*aggs).first()
+    if quantize not in _QUANTIZE_MODES:
+        raise ValueError(
+            f"quantize must be one of {_QUANTIZE_MODES}, got {quantize!r}"
+        )
     levels = 1 << bits
 
+    # one bounded driver pass — the only eager work this operator does;
+    # everything after is a scan-local projection
+    buckets: list[Column | None] = []
+    if quantize == "linear":
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+            ]
+        stats = df.agg(*aggs).first()
+        for c in cols:
+            lo, hi = stats[f"__min_{c}"], stats[f"__max_{c}"]
+            if lo is None:  # all-NULL column: contributes bucket 0
+                buckets.append(None)
+            else:
+                buckets.append(_bucket_linear(F.col(c), lo, hi, levels))
+    else:
+        probes = [i / levels for i in range(1, levels)]
+        for c in cols:
+            # the double cast keeps integer columns out of
+            # approxQuantile's strict-type path and matches the
+            # comparison cast inside _bucket_quantile
+            edges = sorted(
+                set(
+                    df.select(F.col(c).cast("double").alias("__q")).stat.approxQuantile(
+                        "__q", probes, 0.01
+                    )
+                )
+            )
+            buckets.append(
+                _bucket_quantile(F.col(c), edges) if edges else None
+            )
+
     z = F.lit(0).cast("bigint")
-    for i, c in enumerate(cols):
-        lo, hi = stats[f"__min_{c}"], stats[f"__max_{c}"]
-        if lo is None:  # all-NULL column: contributes bucket 0
+    for i, b in enumerate(buckets):
+        if b is None:
             continue
-        b = _bucket(F.col(c), lo, hi, levels)
         # interleave: bit j of column i lands at position j*ncols + i —
         # the canonical Morton layout, so equal prefixes = close in
         # every dimension
@@ -114,18 +184,23 @@ def write_zordered(
     cols: Sequence[str],
     bits: int = 8,
     partitions: int | None = None,
+    quantize: str = "quantile",
+    mode: str = "overwrite",
 ) -> None:
     """Materialize ``df`` range-partitioned and sorted by its Morton
     key: every output file then covers a narrow range of EVERY column
     in ``cols``, so min/max file pruning works for predicates on any of
     them. The range exchange samples boundaries (never a single-task
-    global sort); the key column itself is dropped from the files."""
-    keyed = zorder_key(df, cols, bits=bits)
+    global sort); the key column itself is dropped from the files.
+    Default quantization is the skew-robust quantile mode — equal-mass
+    buckets are what keep per-FILE value spans narrow when a clustered
+    column is power-law distributed."""
+    keyed = zorder_key(df, cols, bits=bits, quantize=quantize)
     parted = (
         keyed.repartitionByRange(partitions, "zval")
         if partitions
         else keyed.repartitionByRange("zval")
     )
-    parted.sortWithinPartitions("zval").drop("zval").write.mode(
-        "overwrite"
-    ).parquet(path)
+    parted.sortWithinPartitions("zval").drop("zval").write.mode(mode).parquet(
+        path
+    )

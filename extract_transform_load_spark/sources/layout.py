@@ -10,10 +10,15 @@ equivalents, provided here:
 - **Sort-within-partitions on the access key** before write → parquet
   min/max row-group statistics make key lookups skip row groups, the
   analogue of the key index.
-- **Z-ordering** (`write_zordered`): Morton-interleave of rank buckets
-  so each file covers a small rectangle of a multi-column key space —
-  min/max footer pruning works for every listed column, not just a
-  single sort key (the OPTIMIZE ZORDER layout, from public primitives).
+- **Z-ordering**: lives in ``operators/zorder.py`` (``zorder_key`` +
+  ``write_zordered``) — Morton-interleave of per-column buckets so each
+  file covers a small rectangle of a multi-column key space; min/max
+  footer pruning then works for every listed column, not just a single
+  sort key. Round 10 merged this module's former rank-bucket twin into
+  that operator as its default ``quantize="quantile"`` mode (this
+  module's design note stands: linear min/max scaling clumps skewed
+  columns into few buckets and z-locality collapses — that mode is kept
+  there only as the cross-engine oracle twin).
 - **Bucketing** (`write_bucketed`): pre-shuffle the big join/agg keys
   (contract id, address) into a fixed bucket count so repeated
   joins/groupBys between co-bucketed tables skip their exchange
@@ -42,68 +47,6 @@ def write_partitioned(
     if sort_keys:
         out = out.sortWithinPartitions(*sort_keys)
     out.write.partitionBy("__date").mode(mode).parquet(path)
-
-
-def zorder_value(df: DataFrame, cols: Sequence[str], bits: int = 8) -> DataFrame:
-    """Attach ``__z``: the Z-order (Morton) interleave of the columns'
-    rank-bucket positions.
-
-    Sorting a table by one key gives perfect min/max skipping on that
-    key and none on any other; Z-ordering interleaves the bit positions
-    of each column's bucket rank so a file covers a small *rectangle* of
-    the multi-dimensional key space — every listed column gets useful
-    file- and row-group-level min/max pruning. This is the layout trick
-    behind Delta/Iceberg OPTIMIZE ZORDER, built here from public
-    primitives: per-column range buckets (approxQuantile edges, one
-    driver-side pass over sampled stats) + JVM-side bit interleave.
-
-    ``bits`` per dimension (default 8 → 256 buckets/dim) bounds the
-    quantile pass and is plenty to steer file clustering; files hold
-    many rows, so finer z-resolution buys nothing.
-    """
-    n_buckets = 1 << bits
-    probes = [i / n_buckets for i in range(1, n_buckets)]
-    z = None
-    for d, c in enumerate(cols):
-        # rank buckets (not linear min/max scaling: skewed columns would
-        # clump into few buckets and z-locality would collapse): the
-        # bucket is the count of quantile edges <= value — a vectorized
-        # array scan over <=255 constants inside codegen, no join.
-        edges = sorted(set(df.stat.approxQuantile(c, probes, 0.01)))
-        arr = F.array(*[F.lit(float(e)) for e in edges])
-        bucket = F.size(
-            F.filter(arr, lambda e: e <= F.col(c).cast("double"))
-        ).cast("long")
-        # interleave this dimension's bits into the z value
-        contrib = None
-        for b in range(bits):
-            piece = (F.shiftright(bucket, b) % 2) * (1 << (b * len(cols) + d))
-            contrib = piece if contrib is None else contrib + piece
-        z = contrib if z is None else z + contrib
-    return df.withColumn("__z", z.cast("long"))
-
-
-def write_zordered(
-    df: DataFrame,
-    path: str,
-    cols: Sequence[str],
-    bits: int = 8,
-    num_files: int = 32,
-    mode: str = "overwrite",
-) -> None:
-    """Write parquet files clustered by the Z-order of ``cols``:
-    range-partition on ``__z`` (so each output file owns a contiguous
-    z-range = a small rectangle of the key space), sort within files,
-    drop the helper column. Point/range predicates on ANY of the listed
-    columns then skip most files on parquet min/max footers alone."""
-    zdf = zorder_value(df, cols, bits)
-    (
-        zdf.repartitionByRange(num_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode(mode)
-        .parquet(path)
-    )
 
 
 def write_bucketed(

@@ -503,7 +503,7 @@ def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
     exactly what parquet footer pruning skips on."""
     import pyspark.sql.functions as F
 
-    from extract_transform_load_spark.sources.layout import write_zordered
+    from extract_transform_load_spark.operators.zorder import write_zordered
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey", "l_quantity"
@@ -521,7 +521,7 @@ def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
         return float(per_file) / float(total)
 
     zpath = str(tmp_path / "z")
-    write_zordered(li, zpath, ["l_orderkey", "l_partkey"], num_files=16)
+    write_zordered(li, zpath, ["l_orderkey", "l_partkey"], partitions=16)
     spath = str(tmp_path / "s")
     li.repartitionByRange(16, "l_orderkey").sortWithinPartitions(
         "l_orderkey"

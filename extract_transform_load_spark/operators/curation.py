@@ -328,6 +328,102 @@ def curation_delta(
     )
 
 
+def _banded_with_vec(
+    df: DataFrame,
+    carry_cols: list,
+    vec_col: str,
+    dim: int,
+    bits: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """Banded sign-LSH keys with the vector CARRIED THROUGH — the
+    similarity.py::sign_signatures shape, minus the join-back an
+    id-only signature frame would force (the store side here has no
+    usable id contract). Arrow-batched mapInPandas, no shuffle; each
+    input row fans out to ``bands`` rows keyed (band, signature)."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits * bands, seed)
+    sel = df.select(*carry_cols, vec_col)
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in sel.schema.fields
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(
+                    band=pd.Series(dtype="int32"),
+                    signature=pd.Series(dtype="int64"),
+                )
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            proj = mat @ planes.T
+            bit_arr = (proj > 0).astype(np.int64)
+            frames = []
+            for band in range(bands):
+                sig = np.zeros(len(mat), dtype=np.int64)
+                for j in range(bits):
+                    sig |= bit_arr[:, band * bits + j] << j
+                f = pdf.copy()
+                f["band"] = band
+                f["signature"] = sig
+                frames.append(f)
+            yield pd.concat(frames, ignore_index=True)
+
+    return sel.mapInPandas(compute, schema=f"{ddl}, band int, signature long")
+
+
+def _celled_with_vec(
+    df: DataFrame,
+    carry_cols: list,
+    vec_col: str,
+    centroids,
+    n_probe: int,
+) -> DataFrame:
+    """Nearest-centroid cell keys with the vector carried through —
+    the similarity.py::_assign_cells shape plus multi-probe (each row
+    fans out to its ``n_probe`` nearest cells)."""
+    import numpy as np
+    import pandas as pd
+
+    norm_c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    sel = df.select(*carry_cols, vec_col)
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in sel.schema.fields
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(cell=pd.Series(dtype="int32"))
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            order = np.argsort(-(mat @ norm_c.T), axis=1)[:, :n_probe]
+            frames = []
+            for p in range(order.shape[1]):
+                f = pdf.copy()
+                f["cell"] = order[:, p].astype("int32")
+                frames.append(f)
+            yield pd.concat(frames, ignore_index=True)
+
+    return sel.mapInPandas(compute, schema=f"{ddl}, cell int")
+
+
+_PREFILTERS = (None, "lsh", "ivf")
+
+
 def semantic_delta(
     delta_vecs: DataFrame,
     store_vecs: DataFrame,
@@ -336,6 +432,13 @@ def semantic_delta(
     threshold: float = 0.5,
     block_col: str | None = None,
     max_unblocked_delta: int = 5_000,
+    prefilter: str | None = None,
+    dim: int | None = None,
+    lsh_bits: int = 8,
+    lsh_bands: int = 4,
+    lsh_seed: int = 7,
+    ivf_centroids: int = 16,
+    ivf_probe: int = 2,
 ) -> DataFrame:
     """Semantic (embedding-space) incremental dedup — the third member
     of the delta family (exact = ``dedup_delta_exact`` fingerprints,
@@ -355,17 +458,37 @@ def semantic_delta(
     ``block_col`` restricts candidate pairs to equal block values (the
     q53 label-blocking choice — pair space linear per block). Scale
     shape: the DELTA side broadcasts and the store streams (one scan,
-    partial max per partition), so cost is linear in store size; when
-    the delta outgrows a broadcast or the store outgrows a scan budget,
-    prefilter with the q45 LSH bands / q54 IVF cells and rerank exactly
-    — the same escalation path as q102.
+    partial max per partition), so cost is linear in store size.
 
-    With ``block_col=None`` the within-batch stage is an honest
-    O(|delta|²) crossJoin AND every delta row probes every store row —
-    so the delta is capped at ``max_unblocked_delta`` rows (the
-    pagerank/fuzzy_pairs cap discipline: fail loudly with advice, never
-    silently schedule the quadratic stage). Blocked calls skip the cap:
-    their pair space is bounded by the blocking contract instead.
+    ``prefilter`` ("lsh" or "ivf"; requires ``dim``) is the escalation
+    path when no block column exists and the delta outgrows the
+    unblocked cap: candidate pairs are restricted to shared sign-LSH
+    band buckets (q45's banding; ``lsh_bits``/``lsh_bands``/
+    ``lsh_seed``) or shared IVF cells (q54's coarse quantizer, trained
+    on the store — requires ``id_col`` on ``store_vecs`` for the
+    deterministic k-means seeding; ``ivf_centroids``/``ivf_probe``
+    multi-probe on the delta side), then reranked with the EXACT
+    cosine. Pair space is bounded by the bucket structure instead of
+    the cap, so prefiltered calls skip ``max_unblocked_delta``.
+    Semantics under prefilter: ``max_store_sim`` is the exact max over
+    the CANDIDATE set — a lower bound of the true max (NULL when no
+    candidate) — and ``stage`` equals the exact form's whenever the
+    prefilter recalls every pair at >= ``threshold``. Identical
+    vectors collide in EVERY band and land in the same cell by
+    construction, so exact-duplicate recall is structurally 1.0 (the
+    q155 oracle pins this equality on a fixture where all
+    >= threshold pairs are identical); for looser thresholds, audit
+    recall the q139/ann_recall_audit way before trusting the stage
+    labels. ``prefilter`` and ``block_col`` are mutually exclusive —
+    blocking already bounds the pair space.
+
+    With ``block_col=None`` and no prefilter the within-batch stage is
+    an honest O(|delta|²) crossJoin AND every delta row probes every
+    store row — so the delta is capped at ``max_unblocked_delta`` rows
+    (the pagerank/fuzzy_pairs cap discipline: fail loudly with advice,
+    never silently schedule the quadratic stage). Blocked calls skip
+    the cap: their pair space is bounded by the blocking contract
+    instead.
 
     Returns a MATERIALIZED frame (one row per delta vector, computed
     before return): the internal store-similarity cache feeds both the
@@ -388,11 +511,22 @@ def semantic_delta(
             "the store sentinel node is -1 and must sort below every real id"
         )
     _check_nonnegative_ids(delta_vecs, id_col, "semantic_delta")
+    if prefilter not in _PREFILTERS:
+        raise ValueError(
+            f"prefilter must be one of {_PREFILTERS}, got {prefilter!r}"
+        )
+    if prefilter is not None and block_col is not None:
+        raise ValueError(
+            "semantic_delta: pass block_col OR prefilter, not both — "
+            "blocking already bounds the pair space"
+        )
+    if prefilter is not None and dim is None:
+        raise ValueError("semantic_delta: prefilter requires dim")
     blocks = [block_col] if block_col else []
     d = delta_vecs.select(
         F.col(id_col), *[F.col(c) for c in blocks], F.col(vec_col)
     )
-    if not blocks:
+    if not blocks and prefilter is None:
         # the unblocked batch-pair stage is |delta|² and the store probe
         # |delta|x|store| — bound the delta BEFORE scheduling either
         # (limit+count touches at most cap+1 rows, never the full scan)
@@ -402,23 +536,56 @@ def semantic_delta(
                 f"semantic_delta: unblocked delta holds > "
                 f"{max_unblocked_delta} rows — the within-batch crossJoin "
                 f"would schedule > {max_unblocked_delta ** 2:,} cosine "
-                "pairs. Pass block_col (label/language/shard), prefilter "
-                "with LSH bands or IVF cells (q45/q54) and rerank "
-                "exactly, or raise max_unblocked_delta deliberately"
+                "pairs. Pass block_col (label/language/shard), pass "
+                "prefilter='lsh' or 'ivf' (+dim) to bucket candidates "
+                "and rerank exactly, or raise max_unblocked_delta "
+                "deliberately"
             )
-    d_b = d.select(
-        F.col(id_col).alias("__did"),
-        *[F.col(c).alias(f"__d_{c}") for c in blocks],
-        F.col(vec_col).alias("__dv"),
-    )
-    s = store_vecs.select(*[F.col(c) for c in blocks], F.col(vec_col).alias("__sv"))
-    cross = s.crossJoin(F.broadcast(d_b))
-    for c in blocks:
-        cross = cross.filter(F.col(c) == F.col(f"__d_{c}"))
     cos_store = _dot(F.col("__sv"), F.col("__dv")) / (
         _norm(F.col("__sv")) * _norm(F.col("__dv"))
     )
-    sims = cross.select(F.col("__did").alias(id_col), cos_store.alias("__cos")).groupBy(
+    d_keyed = None  # prefilter-keyed delta frame, reused for batch pairs
+    if prefilter == "lsh":
+        d_keyed = _banded_with_vec(
+            d.select(F.col(id_col).alias("__did"), F.col(vec_col).alias("__dv")),
+            ["__did"], "__dv", dim, lsh_bits, lsh_bands, lsh_seed,
+        )
+        s_keyed = _banded_with_vec(
+            store_vecs.select(F.col(vec_col).alias("__sv")),
+            [], "__sv", dim, lsh_bits, lsh_bands, lsh_seed,
+        )
+        # duplicate (delta, store-vector) collisions across bands feed
+        # the same cosine into MAX — idempotent, so no dedup needed
+        cand = s_keyed.join(d_keyed, ["band", "signature"])
+    elif prefilter == "ivf":
+        from .similarity import train_ivf_centroids
+
+        centroids = train_ivf_centroids(
+            store_vecs, dim, n_centroids=ivf_centroids,
+            id_col=id_col, vec_col=vec_col,
+        )
+        d_keyed = _celled_with_vec(
+            d.select(F.col(id_col).alias("__did"), F.col(vec_col).alias("__dv")),
+            ["__did"], "__dv", centroids, ivf_probe,
+        )
+        s_keyed = _celled_with_vec(
+            store_vecs.select(F.col(vec_col).alias("__sv")),
+            [], "__sv", centroids, 1,
+        )
+        cand = s_keyed.join(d_keyed, ["cell"])
+    else:
+        d_b = d.select(
+            F.col(id_col).alias("__did"),
+            *[F.col(c).alias(f"__d_{c}") for c in blocks],
+            F.col(vec_col).alias("__dv"),
+        )
+        s = store_vecs.select(
+            *[F.col(c) for c in blocks], F.col(vec_col).alias("__sv")
+        )
+        cand = s.crossJoin(F.broadcast(d_b))
+        for c in blocks:
+            cand = cand.filter(F.col(c) == F.col(f"__d_{c}"))
+    sims = cand.select(F.col("__did").alias(id_col), cos_store.alias("__cos")).groupBy(
         id_col
     ).agg(F.max("__cos").alias("max_store_sim"))
     # sims feeds BOTH the store-hit edges (materialized eagerly inside
@@ -432,24 +599,49 @@ def semantic_delta(
 
     sims = sims.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        a = d.select(
-            F.col(id_col).alias("doc_a"),
-            *[F.col(c) for c in blocks],
-            F.col(vec_col).alias("__va"),
-        )
-        b = d.select(
-            F.col(id_col).alias("doc_b"),
-            *[F.col(c) for c in blocks],
-            F.col(vec_col).alias("__vb"),
-        )
         cos_batch = _dot(F.col("__va"), F.col("__vb")) / (
             _norm(F.col("__va")) * _norm(F.col("__vb"))
         )
-        batch_pairs = (
-            a.join(b, blocks) if blocks else a.crossJoin(b)
-        ).filter(F.col("doc_a") < F.col("doc_b")).filter(cos_batch >= threshold).select(
-            "doc_a", "doc_b"
-        )
+        if d_keyed is not None:
+            # within-batch candidates share a band bucket / a probed
+            # cell — the same keyed frame as the store probe, self-
+            # joined; multi-band/multi-probe duplicates of a pair are
+            # harmless (duplicate edges in the component pass)
+            bucket_keys = (
+                ["band", "signature"] if prefilter == "lsh" else ["cell"]
+            )
+            a = d_keyed.select(
+                F.col("__did").alias("doc_a"),
+                F.col("__dv").alias("__va"),
+                *bucket_keys,
+            )
+            b = d_keyed.select(
+                F.col("__did").alias("doc_b"),
+                F.col("__dv").alias("__vb"),
+                *bucket_keys,
+            )
+            batch_pairs = (
+                a.join(b, bucket_keys)
+                .filter(F.col("doc_a") < F.col("doc_b"))
+                .filter(cos_batch >= threshold)
+                .select("doc_a", "doc_b")
+            )
+        else:
+            a = d.select(
+                F.col(id_col).alias("doc_a"),
+                *[F.col(c) for c in blocks],
+                F.col(vec_col).alias("__va"),
+            )
+            b = d.select(
+                F.col(id_col).alias("doc_b"),
+                *[F.col(c) for c in blocks],
+                F.col(vec_col).alias("__vb"),
+            )
+            batch_pairs = (
+                a.join(b, blocks) if blocks else a.crossJoin(b)
+            ).filter(F.col("doc_a") < F.col("doc_b")).filter(
+                cos_batch >= threshold
+            ).select("doc_a", "doc_b")
         store_hits = (
             sims.filter(F.col("max_store_sim") >= threshold)
             .select(

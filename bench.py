@@ -128,6 +128,16 @@ HEADLINE = [
     "q151_linkage_multipass_delta",
     "q152_zorder_key",
     "q153_label_propagation",
+    # Round-10 additions (set stays a SUPERSET of BENCH_r09's): the
+    # shuffle (delta-peeling) k-core engine — like q149, timed at a
+    # width where broadcast wins so the row tracks the engine's fixed
+    # per-round cost; its scale case is the 100x table —, the
+    # LSH-prefiltered semantic delta (the unblocked cap's now-real
+    # escalation path), and the skew contract of the new default
+    # quantile Z-order quantization.
+    "q154_kcore_shuffle",
+    "q155_semantic_delta_lsh",
+    "q156_zorder_quantile",
 ]
 
 

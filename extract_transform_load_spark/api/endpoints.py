@@ -818,4 +818,12 @@ def version(tables: Tables, **_: Any) -> DataFrame:
     from pyspark.sql import SparkSession
 
     s = spark or SparkSession.getActiveSession()
+    if s is None:
+        # empty tables dict AND no active session: s.createDataFrame
+        # would be an opaque AttributeError (ADVICE r9) — name the
+        # actual contract instead
+        raise RuntimeError(
+            "version endpoint needs a SparkSession: pass a non-empty "
+            "tables dict or call inside an active session"
+        )
     return s.createDataFrame(rows, "version string, spark_version string")

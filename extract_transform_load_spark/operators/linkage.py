@@ -377,7 +377,13 @@ def fuzzy_pairs_delta_multi(
     Each pass keeps the single-pass scale shape (delta broadcasts,
     store streams, store-side skew audit); the delta-size guard runs
     ONCE, the store is re-scanned once per key (cheap relative to the
-    verify, and the scans prune to (id, name)). Dedup on the full row
+    verify, and the scans prune to (id, name)). The guarded delta
+    frame is checkpointed once, eagerly, before the passes fan out —
+    it is bounded by ``max_delta_broadcast``, and without the
+    truncation each pass's broadcast would re-execute the delta
+    normalization plan (ADVICE r9); eager, because a lazy checkpoint
+    lets the first pass's broadcast thread race the others into
+    building it twice (the pagerank lesson). Dedup on the full row
     is the (delta_id, store_id) dedup, since names and dist are
     functions of the id pair.
     """
@@ -388,6 +394,7 @@ def fuzzy_pairs_delta_multi(
     d = _normalized_base(delta, id_col, name_col, ident).drop("block")
     s = _normalized_base(store, id_col, name_col, ident).drop("block")
     _guard_delta(d, max_delta_broadcast, "fuzzy_pairs_delta_multi")
+    d = d.localCheckpoint(eager=True)
     passes = [
         _keyed_delta(
             d.withColumn("block", key_fn(F.col("name"))),

@@ -609,7 +609,15 @@ def kcore(
 
     ``engine="auto"`` dispatches on the node count (one distinct-count
     job, |V|-bounded): broadcast at or below ``max_nodes_broadcast``,
-    shuffle above.
+    shuffle above. That dispatch is the MEMORY guard, not a cost
+    model: measured at 100x (PERFORMANCE.md r10 table) the delta
+    engine is ~30x faster (71 vs 2155 s, both spill-free) because the
+    broadcast engine re-materializes the full shrinking frame every
+    round while delta rounds move only the deaths' incident edges —
+    deep peels on large graphs should pass ``engine="shuffle"``
+    explicitly even below the width ceiling; broadcast wins only when
+    the whole graph is small (1x: 8.0 vs 11.0 s, the up-front |E|
+    repartition dominating).
 
     Lineage is truncated per round, components.py-style; the last
     round stays a live plan so plan audits see the real per-round

@@ -138,6 +138,7 @@ HEADLINE = [
     "q154_kcore_shuffle",
     "q155_semantic_delta_lsh",
     "q156_zorder_quantile",
+    "q157_semantic_delta_ivf",
 ]
 
 

@@ -729,6 +729,28 @@ def q133_semantic_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q155_ORACLE = f"""
+    WITH s AS (SELECT vec_id, embedding FROM embeddings),
+    d AS (
+      SELECT vec_id + 10000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 5 = 0
+      UNION ALL
+      SELECT vec_id + 20000 AS vec_id,
+             list_transform(embedding, x -> -x) AS embedding
+      FROM embeddings WHERE vec_id % 5 = 1
+    ),
+    hits AS (
+      SELECT a.vec_id
+      FROM d a JOIN s b ON {_cos_sql("a.embedding", "b.embedding")} >= 0.9
+      GROUP BY 1
+    )
+    SELECT d.vec_id,
+           CASE WHEN h.vec_id IS NOT NULL THEN 'semantic_dup'
+                ELSE 'kept' END AS stage
+    FROM d LEFT JOIN hits h ON h.vec_id = d.vec_id
+    """
+
+
 @query(
     "q155_semantic_delta_lsh",
     # Oracle strategy: the EXACT form's stage derivation, on a fixture
@@ -748,26 +770,7 @@ def q133_semantic_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate-dependent under a prefilter (chance sub-threshold
     # collisions), so the registered form projects (vec_id, stage) —
     # the stage labels are the candidate-ROBUST contract.
-    oracle=f"""
-    WITH s AS (SELECT vec_id, embedding FROM embeddings),
-    d AS (
-      SELECT vec_id + 10000 AS vec_id, embedding
-      FROM embeddings WHERE vec_id % 5 = 0
-      UNION ALL
-      SELECT vec_id + 20000 AS vec_id,
-             list_transform(embedding, x -> -x) AS embedding
-      FROM embeddings WHERE vec_id % 5 = 1
-    ),
-    hits AS (
-      SELECT a.vec_id
-      FROM d a JOIN s b ON {_cos_sql("a.embedding", "b.embedding")} >= 0.9
-      GROUP BY 1
-    )
-    SELECT d.vec_id,
-           CASE WHEN h.vec_id IS NOT NULL THEN 'semantic_dup'
-                ELSE 'kept' END AS stage
-    FROM d LEFT JOIN hits h ON h.vec_id = d.vec_id
-    """,
+    oracle=_Q155_ORACLE,
     doc="semantic_delta under prefilter='lsh' — the escalation path the "
     "unblocked cap advertises (r9 verdict ranked task 6, now real): "
     "candidate pairs restricted to shared sign-LSH band buckets "
@@ -781,6 +784,21 @@ def q133_semantic_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q155_semantic_delta_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import semantic_delta
 
+    delta, store = _q155_fixture(spark, sf_dir)
+    out = semantic_delta(
+        delta,
+        store,
+        threshold=0.9,
+        prefilter="lsh",
+        dim=EMBED_DIM,
+    )
+    return out.select("vec_id", "stage")
+
+
+def _q155_fixture(spark: SparkSession, sf_dir: str):
+    """The provable-recall delta fixture shared by q155/q157: exact
+    copies (always candidates under any bucketing of identical
+    vectors) + negations (below every threshold vs everything)."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
@@ -789,12 +807,40 @@ def q155_semantic_delta_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 20_000).alias("vec_id"),
         F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
     )
+    return copies.unionByName(flips), emb
+
+
+@query(
+    "q157_semantic_delta_ivf",
+    # SAME oracle as q155 (the q149/q143 and q154/q150 equivalence
+    # pattern applied to the prefilter pair): identical vectors assign
+    # to the same coarse cell for ANY centroid draw (argmax over
+    # identical projections), and the delta side multi-probes 2 cells,
+    # so exact-duplicate recall is structurally 1.0 — the exact form's
+    # SQL pins the IVF-prefiltered stages on the same fixture. The
+    # Lloyd means' float summation order can vary run-to-run, which
+    # moves only sub-threshold CANDIDATE sets, never the stage labels
+    # this row projects.
+    oracle=_Q155_ORACLE,
+    doc="semantic_delta under prefilter='ivf' — q155's coarse-quantizer "
+    "twin: candidates restricted to shared IVF cells (centroids "
+    "trained on the store with the q54 deterministic-seed k-means, "
+    "multi-probe on the delta side), exact-cosine rerank. One oracle "
+    "pins both prefilter engines equal to the exact form. "
+    "operators/curation.py::semantic_delta(prefilter='ivf').",
+)
+def q157_semantic_delta_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import semantic_delta
+
+    delta, store = _q155_fixture(spark, sf_dir)
     out = semantic_delta(
-        copies.unionByName(flips),
-        emb,
+        delta,
+        store,
         threshold=0.9,
-        prefilter="lsh",
+        prefilter="ivf",
         dim=EMBED_DIM,
+        ivf_centroids=16,
+        ivf_probe=2,
     )
     return out.select("vec_id", "stage")
 

@@ -467,6 +467,13 @@ def min_label_propagation(
     dispatches on the node count. MIN is idempotent/associative, so the
     result is byte-equal across engines and summation-order-free by
     construction (no fixed-point discipline even needed).
+
+    Measured at 100x (PERFORMANCE.md r10 table): the shuffle engine is
+    ~1.6x faster than broadcast (111 vs 178 s, both spill-free) — the
+    broadcast engine rebuilds the |V|-row label broadcast each round
+    while the shuffle engine's exchange carries only the per-round MIN
+    messages. ``auto``'s node-count dispatch is the memory guard, not
+    a cost model; prefer ``engine="shuffle"`` on large graphs.
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")

@@ -325,6 +325,25 @@ def test_version_endpoint(tables, spark):
     assert len(row) == 1
     assert row[0]["spark_version"] == spark.version
     assert isinstance(row[0]["version"], str) and row[0]["version"]
+    # empty tables + an active session still works (the session
+    # fallback path)...
+    assert ENDPOINTS["version"]({}).count() == 1
+
+
+def test_version_endpoint_no_session_fails_descriptively(spark, monkeypatch):
+    # ...but with NO resolvable session it must raise the named
+    # contract, not an AttributeError off None (ADVICE r9)
+    import pytest
+
+    from extract_transform_load_spark.api import endpoints as ep
+
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(
+        SparkSession, "getActiveSession", classmethod(lambda cls: None)
+    )
+    with pytest.raises(RuntimeError, match="SparkSession"):
+        ep.version({})
 
 
 def test_keyset_cursor_equals_offset_paging(tables):

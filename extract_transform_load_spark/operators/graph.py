@@ -446,6 +446,7 @@ def min_label_propagation(
     rounds: int = 3,
     engine: str = "auto",
     max_nodes_broadcast: int = 50_000_000,
+    max_edges_broadcast: int = 10_000_000,
 ) -> DataFrame:
     """Bounded-radius min-label propagation over the UNDIRECTED edge
     set: after R synchronous rounds every node carries the minimum node
@@ -472,8 +473,12 @@ def min_label_propagation(
     ~1.6x faster than broadcast (111 vs 178 s, both spill-free) — the
     broadcast engine rebuilds the |V|-row label broadcast each round
     while the shuffle engine's exchange carries only the per-round MIN
-    messages. ``auto``'s node-count dispatch is the memory guard, not
-    a cost model; prefer ``engine="shuffle"`` on large graphs.
+    messages. ``auto`` therefore dispatches on BOTH dimensions, like
+    :func:`kcore`: shuffle past ``max_nodes_broadcast`` (the memory
+    guard) OR past ``max_edges_broadcast`` (the measured cost
+    crossover); byte-equal engines make the dispatch invisible to
+    results. An explicit ``engine="broadcast"`` applies only the
+    memory guard.
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
@@ -500,7 +505,14 @@ def min_label_propagation(
     )
     n_nodes = nodes.count()
     if engine == "auto":
-        engine = "broadcast" if n_nodes <= max_nodes_broadcast else "shuffle"
+        # e is an eager checkpoint: this count reads its blocks — cheap
+        # relative to even one propagation round (2|E| symmetric rows)
+        n_edges = e.count() // 2
+        engine = (
+            "broadcast"
+            if n_nodes <= max_nodes_broadcast and n_edges <= max_edges_broadcast
+            else "shuffle"
+        )
     elif engine == "broadcast" and n_nodes > max_nodes_broadcast:
         raise ValueError(
             f"min_label_propagation: {n_nodes} nodes exceeds "
@@ -563,6 +575,7 @@ def kcore(
     check_converged: bool = True,
     engine: str = "auto",
     max_nodes_broadcast: int = 50_000_000,
+    max_edges_broadcast: int = 10_000_000,
 ) -> DataFrame:
     """Iterative k-core peeling over an undirected edge list — the
     density filter of the graph family: the k-core is the maximal
@@ -614,17 +627,21 @@ def kcore(
     after R rounds both hold the same survivors with the same
     in-core degrees.
 
-    ``engine="auto"`` dispatches on the node count (one distinct-count
-    job, |V|-bounded): broadcast at or below ``max_nodes_broadcast``,
-    shuffle above. That dispatch is the MEMORY guard, not a cost
-    model: measured at 100x (PERFORMANCE.md r10 table) the delta
-    engine is ~30x faster (71 vs 2155 s, both spill-free) because the
+    ``engine="auto"`` dispatches on BOTH graph dimensions (one
+    distinct-count job plus one checkpoint-block count, both cheap
+    relative to a peel): shuffle when ``n_nodes >
+    max_nodes_broadcast`` (the MEMORY guard — past it the broadcast
+    engine raises instead of OOMing) **or** when ``n_edges >
+    max_edges_broadcast`` (the COST dispatch: measured at 100x —
+    PERFORMANCE.md r10 table — the delta engine is ~30x faster on a
+    ~50M-edge graph, 71 vs 2155 s both spill-free, because the
     broadcast engine re-materializes the full shrinking frame every
-    round while delta rounds move only the deaths' incident edges —
-    deep peels on large graphs should pass ``engine="shuffle"``
-    explicitly even below the width ceiling; broadcast wins only when
-    the whole graph is small (1x: 8.0 vs 11.0 s, the up-front |E|
-    repartition dominating).
+    round while delta rounds move only the deaths' incident edges;
+    broadcast wins only when the whole graph is small — 1x: 8.0 vs
+    11.0 s, the up-front |E| repartition dominating). Dispatch can
+    never change results: the engines are byte-equal by construction.
+    An explicit ``engine="broadcast"`` honors the user's cost choice
+    and applies only the memory guard.
 
     Lineage is truncated per round, components.py-style; the last
     round stays a live plan so plan audits see the real per-round
@@ -648,10 +665,17 @@ def kcore(
     if engine != "shuffle":
         # the guard/dispatch needs |V|; the count job also materializes
         # the sym checkpoint both engines iterate over, so it is not a
-        # throwaway pass
+        # throwaway pass. The |E| count after it reads the materialized
+        # checkpoint blocks — cheap relative to a single peel round.
         n_nodes = both.select("u").distinct().count()
         if engine == "auto":
-            engine = "broadcast" if n_nodes <= max_nodes_broadcast else "shuffle"
+            n_edges = sym.count()
+            engine = (
+                "broadcast"
+                if n_nodes <= max_nodes_broadcast
+                and n_edges <= max_edges_broadcast
+                else "shuffle"
+            )
         elif n_nodes > max_nodes_broadcast:
             raise ValueError(
                 f"kcore: {n_nodes} nodes exceeds max_nodes_broadcast="

@@ -483,6 +483,23 @@ class TestKCore:
         auto = self._core(spark, tri, k=2, max_nodes_broadcast=1, engine="auto")
         assert auto == self._core(spark, tri, k=2, engine="broadcast")
 
+    def test_auto_dispatches_on_edge_count_too(self, spark):
+        # the r10 cost dispatch: a 30x-measured crossover means auto
+        # must ALSO route to shuffle when |E| exceeds the edge cap,
+        # even while |V| fits the memory guard — byte-equal engines
+        # make the routing invisible to results
+        tri = [(1, 2), (2, 3), (3, 1), (3, 4)]
+        auto = self._core(spark, tri, k=2, max_edges_broadcast=1, engine="auto")
+        assert auto == self._core(spark, tri, k=2, engine="broadcast")
+        # an explicit broadcast choice ignores the COST cap (only the
+        # memory guard applies)
+        assert (
+            self._core(
+                spark, tri, k=2, engine="broadcast", max_edges_broadcast=1
+            )
+            == auto
+        )
+
     def test_broadcast_guard_fails_loud(self, spark):
         # ADVICE r9 / VERDICT r9 "What's wrong" #1: past the width cap
         # the broadcast engine must RAISE with advice, not OOM silently
@@ -576,6 +593,11 @@ class TestMinLabelPropagation:
         b = self._lp(spark, pairs, rounds=3, engine="broadcast")
         s = self._lp(spark, pairs, rounds=3, engine="shuffle")
         assert b == s
+
+    def test_auto_dispatches_on_edge_count(self, spark):
+        pairs = [(1, 2), (2, 3), (10, 11)]
+        auto = self._lp(spark, pairs, rounds=2, max_edges_broadcast=1)
+        assert auto == self._lp(spark, pairs, rounds=2, engine="broadcast")
 
     def test_validation(self, spark):
         import pytest as _pt

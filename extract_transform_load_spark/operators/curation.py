@@ -554,9 +554,6 @@ def semantic_delta(
             store_vecs.select(F.col(vec_col).alias("__sv")),
             [], "__sv", dim, lsh_bits, lsh_bands, lsh_seed,
         )
-        # duplicate (delta, store-vector) collisions across bands feed
-        # the same cosine into MAX — idempotent, so no dedup needed
-        cand = s_keyed.join(d_keyed, ["band", "signature"])
     elif prefilter == "ivf":
         from .similarity import train_ivf_centroids
 
@@ -572,7 +569,19 @@ def semantic_delta(
             store_vecs.select(F.col(vec_col).alias("__sv")),
             [], "__sv", centroids, 1,
         )
-        cand = s_keyed.join(d_keyed, ["cell"])
+    if d_keyed is not None:
+        # the keyed delta feeds TWO consumers (the store-candidate join
+        # below and the within-batch self-join) — checkpoint so the
+        # delta's upstream plan and the banding/cell matmul run once,
+        # the fuzzy_pairs_delta_multi lesson (ADVICE r9); bounded:
+        # |delta| x bands (or x n_probe) rows
+        d_keyed = d_keyed.localCheckpoint(eager=False)
+        # duplicate (delta, store-vector) collisions across bands feed
+        # the same cosine into MAX — idempotent, so no dedup needed
+        cand = s_keyed.join(
+            d_keyed,
+            ["band", "signature"] if prefilter == "lsh" else ["cell"],
+        )
     else:
         d_b = d.select(
             F.col(id_col).alias("__did"),

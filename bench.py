@@ -139,6 +139,9 @@ HEADLINE = [
     "q155_semantic_delta_lsh",
     "q156_zorder_quantile",
     "q157_semantic_delta_ivf",
+    # A24's engine-expressible half: web-push dispatch (level mapping,
+    # JSON body, active-subscription fan-out).
+    "q158_push_outbox",
 ]
 
 

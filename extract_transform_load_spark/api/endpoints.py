@@ -800,6 +800,45 @@ def currency_by_ticker(tables: Tables, ticker: str | None = None, **_: Any) -> D
     return c.filter(F.col("ticker") == ticker) if ticker else c
 
 
+@endpoint("subscribe")
+def subscribe(
+    tables: Tables, address: str | None = None, auth: str | None = None, **_: Any
+) -> DataFrame:
+    """GET /subscribe exists-check (`controller/misc.rs:366-378`): one
+    row ``{result: bool}`` — the DAO counts rows for (address, auth)
+    regardless of the active flag (`dao/postgre/subscription.rs:
+    113-131`). POST's state transition lives engine-side in
+    pipeline/notify.py::apply_subscription; the request-context pieces
+    (headers, peer ip) are serving concerns."""
+    s = tables["subscription"]
+    return s.filter(
+        (F.col("address") == address) & (F.col("auth") == auth)
+    ).agg((F.count(F.lit(1)) > 0).alias("result"))
+
+
+@endpoint("test-push")
+def test_push(
+    tables: Tables,
+    address: str | None = None,
+    push_type: str = "Funding",
+    **_: Any,
+) -> DataFrame:
+    """GET /test-push minus the transport (`controller/misc.rs:
+    397-421`): builds the type's canned payload and returns the
+    delivery outbox for the address's ACTIVE subscriptions — what
+    push::send would deliver. The shared-secret auth gate
+    (misc.rs:403-405) and the VAPID/ECE POST are serving concerns;
+    deliver via pipeline/notify.py::deliver_outbox(transport=...)."""
+    from ..pipeline.notify import notification_outbox, test_push_data
+
+    ptype, body = test_push_data(push_type)
+    s = tables["subscription"]
+    one = s.sparkSession.createDataFrame(
+        [(address, ptype, body)], "address string, push_type string, body string"
+    )
+    return notification_outbox(one, s)
+
+
 @endpoint("version")
 def version(tables: Tables, **_: Any) -> DataFrame:
     """Build metadata (`controller/misc.rs:263`): the reference returns

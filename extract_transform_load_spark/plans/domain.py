@@ -864,3 +864,81 @@ def q120_lp_lender_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = lp_lender_state_snapshot(dep, wd, T1)
     out = lp_lender_state_incremental(prev, dep, wd, T1, T2)
     return _bigint(out, "LP_Lender_receipts")
+
+
+@query(
+    "q158_push_outbox",
+    # Cross-engine contract: the level->PUSH_TYPES mapping, the JSON
+    # body built by format_string (byte-identical printf semantics in
+    # both engines for ints/strings), the active-only filter, and the
+    # per-subscription fan-out join. Warnings are synthesized from the
+    # events stream ('error' events as alerts, level cycling 1..4 so
+    # the Unsupported branch is exercised); subscriptions from customer
+    # (10 per address over 150 addresses, every third inactive).
+    oracle="""
+    WITH warn AS (
+      SELECT 'addr-' || user_id AS address,
+             CAST(1 + event_id % 4 AS INT) AS level,
+             CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS ltv,
+             'position-' || event_id AS contract
+      FROM events WHERE event_type = 'error'
+    ),
+    pd AS (
+      SELECT address,
+             CASE level WHEN 1 THEN 'Funding'
+                        WHEN 2 THEN 'FundingRecommended'
+                        WHEN 3 THEN 'FundNow'
+                        ELSE 'Unsupported' END AS push_type,
+             CASE WHEN level IN (1, 2, 3)
+                  THEN '{"level": ' || level || ', "ltv": ' || ltv
+                       || ', "position": "' || contract || '"}'
+                  ELSE '{}' END AS body
+      FROM warn
+    ),
+    subs AS (
+      SELECT 'addr-' || (c_custkey % 150) AS address,
+             'https://push.example/' || c_custkey AS endpoint,
+             'p256dh-' || c_custkey AS p256dh,
+             'auth-' || c_custkey AS auth,
+             c_custkey % 3 <> 0 AS active
+      FROM customer
+    )
+    SELECT pd.address, s.endpoint, s.p256dh, s.auth,
+           pd.push_type, pd.body,
+           CAST(86400 AS BIGINT) AS ttl, 'high' AS urgency
+    FROM pd JOIN subs s ON s.address = pd.address AND s.active
+    """,
+    doc="A24's engine-expressible half (round 10): web-push DISPATCH — "
+    "liquidation-warning level mapped to the funding-escalation push "
+    "type with the reference's JSON body shape "
+    "(types/push.rs:138-147, wasm_ls_liquidation_warning.rs:47-73), "
+    "fanned out to each address's ACTIVE subscriptions "
+    "(subscription.rs:27-39) with TTL 24h / urgency high "
+    "(push.rs:24-27). The transport half (VAPID/ECE/HTTP) stays "
+    "stubbed behind an injectable callable — "
+    "pipeline/notify.py::deliver_outbox. The subscription dim "
+    "broadcasts; the event stream never shuffles for dispatch.",
+)
+def q158_push_outbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.notify import notification_outbox, warning_push_data
+
+    ev = load(spark, sf_dir, "events")
+    warnings = ev.filter(F.col("event_type") == "error").select(
+        F.concat(F.lit("addr-"), F.col("user_id")).alias("address"),
+        (F.lit(1) + F.col("event_id") % 4).cast("int").alias("level"),
+        # floor, not a bare bigint cast: Spark's double->bigint cast
+        # truncates where DuckDB's rounds — floor is exact in both
+        F.floor(F.col("value")).cast("bigint").cast("string").alias("ltv"),
+        F.concat(F.lit("position-"), F.col("event_id")).alias("contract"),
+    )
+    c = load(spark, sf_dir, "customer")
+    subs = c.select(
+        F.concat(F.lit("addr-"), F.col("c_custkey") % 150).alias("address"),
+        F.concat(F.lit("https://push.example/"), F.col("c_custkey")).alias(
+            "endpoint"
+        ),
+        F.concat(F.lit("p256dh-"), F.col("c_custkey")).alias("p256dh"),
+        F.concat(F.lit("auth-"), F.col("c_custkey")).alias("auth"),
+        (F.col("c_custkey") % 3 != 0).alias("active"),
+    )
+    return notification_outbox(warning_push_data(warnings), subs)

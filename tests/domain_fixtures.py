@@ -216,4 +216,15 @@ def add_registry_tables(spark, t):
         ],
         "ticker string, bank_symbol string, decimal_digits int, currency_group string, is_active boolean",
     )
+    # push subscriptions (V001:346-356; A24's dispatch half, round 10):
+    # addr0 holds two active subs + one inactive, addr1 one active
+    t["subscription"] = spark.createDataFrame(
+        [
+            ("addr0", "https://push.example/0", "p0", "s0", True),
+            ("addr0", "https://push.example/1", "p1", "s1", True),
+            ("addr0", "https://push.example/2", "p2", "s2", False),
+            ("addr1", "https://push.example/3", "p3", "s3", True),
+        ],
+        "address string, endpoint string, p256dh string, auth string, active boolean",
+    )
     return t

@@ -251,14 +251,17 @@ def test_gold_incremental_refresh_matches_full(spark, tables, tmp_path):
 
 def test_reference_route_completeness():
     """Every in-scope route from the reference's server.rs:54-122 (SURVEY
-    §2.C, 46 endpoints) must resolve to a registered endpoint. The three
-    remaining out-of-scope routes are serving-infrastructure with no
-    query content: subscribe GET/POST + test-push (the A24 web-push
-    notifier). version (`misc.rs:263`) gained an engine twin in round 9
-    (build-metadata frame). A new reference route added without an
-    engine twin fails here by name."""
+    §2.C, 46 endpoints) must resolve to a registered endpoint. version
+    (`misc.rs:263`) gained an engine twin in round 9 (build-metadata
+    frame); subscribe and test-push gained theirs in round 10 (the A24
+    dispatch half — exists-check, subscription state transition, canned
+    test payload + outbox; only the VAPID/ECE/HTTP transport and
+    request-context extraction stay serving-side). A new reference
+    route added without an engine twin fails here by name."""
     route_to_endpoint = {
         "misc/version": "version",
+        "misc/subscribe": "subscribe",
+        "misc/test-push": "test-push",
         "treasury/revenue": "treasury/revenue",
         "treasury/revenue-series": "treasury/revenue-series",
         "treasury/distributed": "treasury/distributed",
@@ -420,3 +423,69 @@ def test_cli_list_and_run(spark, sf_dir, tmp_path, capsys):
     assert len(got) == 1 and got[0]["n_events"] > 0
 
     assert main(["run", "nope"]) == 2
+
+
+def test_subscribe_exists_check(tables):
+    """GET /subscribe counts (address, auth) rows regardless of active
+    (subscription.rs:113-131) — the inactive addr0/s2 row still
+    answers true."""
+    assert ENDPOINTS["subscribe"](tables, address="addr0", auth="s2").first()[
+        "result"
+    ]
+    assert not ENDPOINTS["subscribe"](tables, address="addr9", auth="s0").first()[
+        "result"
+    ]
+
+
+def test_test_push_builds_outbox_for_active_subs(tables):
+    """GET /test-push returns the canned payload fanned to the
+    address's ACTIVE subscriptions only (misc.rs:397-421 minus the
+    transport)."""
+    rows = ENDPOINTS["test-push"](
+        tables, address="addr0", push_type="FundNow"
+    ).collect()
+    assert sorted(r["endpoint"] for r in rows) == [
+        "https://push.example/0",
+        "https://push.example/1",
+    ]
+    assert all(r["push_type"] == "FundNow" for r in rows)
+    assert all('"level": 3' in r["body"] for r in rows)
+    import pytest
+
+    from extract_transform_load_spark.pipeline.notify import test_push_data
+
+    with pytest.raises(ValueError, match="not supported"):
+        test_push_data("Nonsense")
+
+
+def test_apply_subscription_toggle_and_steal(tables, spark):
+    """POST /subscribe's three-way transition (misc.rs:286-364): a new
+    (address, auth) inserts active; re-posting the same pair TOGGLES it
+    off (subscribe is its own unsubscribe); and the same auth arriving
+    under a NEW address deactivates the old address's row."""
+    from extract_transform_load_spark.pipeline.notify import apply_subscription
+
+    subs = tables["subscription"]
+    # new pair -> insert, Subscribed
+    st1, status1 = apply_subscription(
+        subs, address="addr2", auth="s9", p256dh="p9", endpoint="https://push.example/9"
+    )
+    assert status1 == "Subscribed"
+    assert st1.count() == subs.count() + 1
+    row = st1.filter("address = 'addr2'").first()
+    assert row["active"] and row["endpoint"] == "https://push.example/9"
+    # same pair again -> toggle off, Unsubscribed; no new row
+    st2, status2 = apply_subscription(
+        st1, address="addr2", auth="s9", p256dh="p9", endpoint="https://push.example/9"
+    )
+    assert status2 == "Unsubscribed"
+    assert st2.count() == st1.count()
+    assert not st2.filter("address = 'addr2'").first()["active"]
+    # auth s0 re-registers under addr5 -> addr0's s0 row deactivates
+    st3, status3 = apply_subscription(
+        subs, address="addr5", auth="s0", p256dh="p0", endpoint="https://push.example/5"
+    )
+    assert status3 == "Subscribed"
+    old = st3.filter("address = 'addr0' and auth = 's0'").first()
+    assert not old["active"]
+    assert st3.filter("address = 'addr5'").first()["active"]

@@ -636,3 +636,111 @@ def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
     rows = strict.collect()
     assert len(rows) == 2
     assert sum(1 for r in rows if all(v is None for v in r)) == 1
+
+
+# ---------------------------------------------------------------------------
+# A24 web-push dispatch (round 10): pipeline/notify.py
+# ---------------------------------------------------------------------------
+
+
+def _subs(spark):
+    return spark.createDataFrame(
+        [
+            ("a1", "https://p/1", "k1", "s1", True),
+            ("a1", "https://p/2", "k2", "s2", True),
+            ("a1", "https://p/3", "k3", "s3", False),  # inactive
+            ("a2", "https://p/4", "k4", "s4", True),
+        ],
+        "address string, endpoint string, p256dh string, auth string, active boolean",
+    )
+
+
+def test_warning_push_levels_and_body(spark):
+    """Level 1/2/3 map to the funding-escalation types with the
+    reference's JSON body; any other level is Unsupported with an
+    empty body (wasm_ls_liquidation_warning.rs:47-73)."""
+    from extract_transform_load_spark.pipeline.notify import warning_push_data
+
+    w = spark.createDataFrame(
+        [("a1", 1, "57", "c-7"), ("a1", 2, "62", "c-8"),
+         ("a2", 3, "80", "c-9"), ("a2", 9, "99", "c-x")],
+        "address string, level int, ltv string, contract string",
+    )
+    got = {r["push_type"]: r["body"] for r in warning_push_data(w).collect()}
+    assert got["Funding"] == '{"level": 1, "ltv": 57, "position": "c-7"}'
+    assert got["FundingRecommended"] == '{"level": 2, "ltv": 62, "position": "c-8"}'
+    assert got["FundNow"] == '{"level": 3, "ltv": 80, "position": "c-9"}'
+    assert got["Unsupported"] == "{}"
+
+
+def test_liquidation_push_causes(spark):
+    from extract_transform_load_spark.pipeline.notify import (
+        liquidation_push_data,
+    )
+
+    liq = spark.createDataFrame(
+        [("a1", "Overdue Interest", "c-1"), ("a2", "high liability", "c-2")],
+        "address string, cause string, contract string",
+    )
+    got = {r["push_type"]: r["body"] for r in liquidation_push_data(liq).collect()}
+    assert got == {
+        "PartiallyLiquidated": '{"position": "c-1"}',
+        "FullyLiquidated": '{"position": "c-2"}',
+    }
+
+
+def test_outbox_fans_out_active_only(spark):
+    """One delivery row per (notification x ACTIVE subscription) — the
+    inactive endpoint never appears (subscription.rs:33); TTL/urgency
+    ride every row (push.rs:24-27)."""
+    from extract_transform_load_spark.pipeline.notify import (
+        notification_outbox,
+        warning_push_data,
+    )
+
+    w = spark.createDataFrame(
+        [("a1", 1, "57", "c-7"), ("a2", 3, "80", "c-9")],
+        "address string, level int, ltv string, contract string",
+    )
+    out = notification_outbox(warning_push_data(w), _subs(spark)).collect()
+    by_ep = sorted(r["endpoint"] for r in out)
+    assert by_ep == ["https://p/1", "https://p/2", "https://p/4"]
+    assert all(r["ttl"] == 86400 and r["urgency"] == "high" for r in out)
+
+
+def test_deliver_requires_transport_and_deactivates_expired(spark):
+    from extract_transform_load_spark.pipeline.notify import (
+        deliver_outbox,
+        expired_deactivations,
+        notification_outbox,
+        warning_push_data,
+    )
+
+    w = spark.createDataFrame(
+        [("a1", 1, "57", "c-7"), ("a2", 3, "80", "c-9")],
+        "address string, level int, ltv string, contract string",
+    )
+    outbox = notification_outbox(warning_push_data(w), _subs(spark))
+    with pytest.raises(NotImplementedError, match="transport"):
+        deliver_outbox(outbox)
+    # a fake transport: endpoint /2 is gone (410), the rest deliver
+    results = deliver_outbox(
+        outbox,
+        transport=lambda ep, p, a, body, ttl, urg: 410 if ep.endswith("/2") else 201,
+    )
+    dead = [r["endpoint"] for r in expired_deactivations(results).collect()]
+    assert dead == ["https://p/2"]
+
+
+def test_outbox_plan_broadcasts_subscription_dim(spark):
+    from extract_transform_load_spark.pipeline.notify import (
+        notification_outbox,
+        warning_push_data,
+    )
+
+    w = spark.createDataFrame(
+        [("a1", 1, "57", "c-7")], "address string, level int, ltv string, contract string"
+    )
+    out = notification_outbox(warning_push_data(w), _subs(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

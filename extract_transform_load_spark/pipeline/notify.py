@@ -89,17 +89,26 @@ def liquidation_push_data(
     cause_col: str = "cause",
     contract_col: str = "contract",
 ) -> DataFrame:
-    """(address, push_type, body) rows for LIQUIDATIONS — an
-    overdue-interest cause is a partial liquidation, high liability a
-    full one (wasm_ls_liquidation.rs:122-129); body carries the
-    position only."""
-    push_type = F.when(
-        F.lower(F.col(cause_col)).contains("overdue"), "PartiallyLiquidated"
-    ).otherwise("FullyLiquidated")
+    """(address, push_type, body) rows for LIQUIDATIONS — the
+    reference's THREE-way cause mapping (model/models.rs:226-234 +
+    wasm_ls_liquidation.rs:121-134): 'overdue interest' is a partial
+    liquidation, 'high liability' a full one, and any other/garbled
+    cause is Unsupported with an EMPTY body (the known causes carry the
+    position only)."""
+    cause = F.lower(F.col(cause_col))
+    push_type = (
+        F.when(cause == "overdue interest", "PartiallyLiquidated")
+        .when(cause == "high liability", "FullyLiquidated")
+        .otherwise("Unsupported")
+    )
+    body = F.when(
+        cause.isin("overdue interest", "high liability"),
+        F.format_string('{"position": "%s"}', F.col(contract_col)),
+    ).otherwise(F.lit("{}"))
     return liquidations.select(
         F.col(address_col).alias("address"),
         push_type.alias("push_type"),
-        F.format_string('{"position": "%s"}', F.col(contract_col)).alias("body"),
+        body.alias("body"),
     )
 
 
@@ -137,12 +146,23 @@ def notification_outbox(
 def deliver_outbox(
     outbox: DataFrame,
     transport: Callable[..., int] | None = None,
+    max_concurrency: int = 8,
 ) -> DataFrame:
     """Apply ``transport(endpoint, p256dh, auth, body, ttl, urgency) ->
     int HTTP status`` to every outbox row, Arrow-batched — returns
     (endpoint, status). The engine ships NO transport: VAPID signing,
     ECE encryption and the HTTP POST are push.rs:63-99's job, not a
-    query engine's — inject one (tests use a recording fake)."""
+    query engine's — inject one (tests use a recording fake).
+
+    Delivery parallelism is two-level: across partitions (Spark tasks)
+    AND, within each Arrow batch, a bounded thread pool of
+    ``max_concurrency`` in-flight transport calls — the engine twin of
+    the reference's ``buffer_unordered(concurrency)``
+    (push.rs:46-55). Transport calls are I/O-bound HTTP POSTs, so
+    threads overlap them despite the GIL; ``max_concurrency=1``
+    restores strictly serial per-partition delivery (and skips the
+    pool entirely). Result order within a batch is preserved
+    regardless of completion order."""
     if transport is None:
         raise NotImplementedError(
             "web-push transport (VAPID ES256 JWT + ECE encryption + HTTP "
@@ -150,22 +170,35 @@ def deliver_outbox(
             "libraries are not vendored; pass transport=callable("
             "endpoint, p256dh, auth, body, ttl, urgency) -> int status"
         )
+    if max_concurrency < 1:
+        raise ValueError(f"max_concurrency must be >= 1, got {max_concurrency}")
 
     import pandas as pd
 
+    def _one(r) -> int:
+        return int(
+            transport(r.endpoint, r.p256dh, r.auth, r.body, r.ttl, r.urgency)
+        )
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            statuses = [
-                int(
-                    transport(
-                        r.endpoint, r.p256dh, r.auth, r.body, r.ttl, r.urgency
-                    )
+        from concurrent.futures import ThreadPoolExecutor
+
+        if max_concurrency == 1:
+            for pdf in batches:
+                statuses = [_one(r) for r in pdf.itertuples()]
+                yield pd.DataFrame(
+                    {"endpoint": pdf["endpoint"], "status": statuses}
                 )
-                for r in pdf.itertuples()
-            ]
-            yield pd.DataFrame(
-                {"endpoint": pdf["endpoint"], "status": statuses}
-            )
+            return
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            for pdf in batches:
+                # executor.map preserves input order; the pool bounds
+                # in-flight calls at max_workers (buffer_unordered's
+                # bound, ordered results).
+                statuses = list(pool.map(_one, pdf.itertuples()))
+                yield pd.DataFrame(
+                    {"endpoint": pdf["endpoint"], "status": statuses}
+                )
 
     return outbox.select(
         "endpoint", "p256dh", "auth", "body", "ttl", "urgency"

@@ -470,6 +470,19 @@ class TestKCore:
         assert b == s
         assert b  # non-vacuous: the 2-core here is non-empty
 
+    def test_engines_agree_when_all_neighbors_die_last_round(self, spark):
+        # ADVICE r10: a survivor whose neighbors ALL die in the final
+        # round drops to live degree 0 — the delta engine used to keep
+        # its (node, 0) row while the broadcast engine (degree
+        # recomputed from surviving edges) omitted it. Star, k=2,
+        # rounds=1, unconverged view: the leaves die, the hub's degree
+        # hits 0 — both engines must return the same EMPTY table.
+        star = [(1, i) for i in range(2, 6)]
+        kw = dict(k=2, rounds=1, check_converged=False)
+        b = self._core(spark, star, engine="broadcast", **kw)
+        s = self._core(spark, star, engine="shuffle", **kw)
+        assert b == s == {}
+
     def test_shuffle_cascade_and_convergence_check(self, spark):
         path = [(1, 2), (2, 3), (3, 4), (4, 5)]
         # the delta peel cascades layer-synchronously like broadcast...

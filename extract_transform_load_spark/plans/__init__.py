@@ -114,14 +114,29 @@ _PRIORITY = [
     # CORRECTNESS_r01.json vs scripts/verify_driver_gate.py). Each has
     # passed the strict order-sensitive DuckDB compare every round
     # since; this rotation puts that fact on the driver's own ledger.
-    "q34_period_window",        # ?period window anchored at MAX(ts)
+    # Round-11 rotation (the r10 verdict's ranked task 1): the five
+    # round-10 operators (q154-q158) earn driver rows at birth-plus-one
+    # — all five were strict-gate green in the judge's 158/158 re-run
+    # but none had held a driver row. Displaced to make room: five of
+    # the r10 stale-FAIL rotation block (q34, q38, q39, q50, q60),
+    # whose PURPOSE was to put a green row on the driver's own ledger —
+    # CORRECTNESS_r10 recorded exactly that, so their last driver word
+    # is now green and they rotate back out (strict-gate green past the
+    # window, like every prior displacement). Family coverage holds:
+    # window-function physics stays driver-owned via q25 (LEAD) and
+    # q26 (rank/WindowGroupLimit), grouped aggregation via q01,
+    # mergeable sketches via q97 (+ incoming q62 stays in-window), and
+    # the period-window/scalar class via q37 (which stays).
     "q37_decimal_shift",        # price decimal normalization (A11)
-    "q38_moving_average",       # bounded-frame window aggregation
-    "q39_day_over_day",         # LAG percent-change
-    "q50_rollup_totals",        # GROUPING SETS / ROLLUP totals
     "q59_sessionization",       # gap-based session assignment
-    "q60_approx_distinct_mau",  # HLL approx-distinct (q18's sketch twin)
     "q62_approx_percentiles",   # KLL approx percentiles
+    "q154_kcore_shuffle",       # delta-peeling k-core — the measured
+                                # 30x 100 TB engine (r10; VERDICT r10
+                                # next-round #1 names it first)
+    "q155_semantic_delta_lsh",  # LSH-prefiltered semantic delta (r10)
+    "q156_zorder_quantile",     # skew-robust quantile Z-order (r10)
+    "q157_semantic_delta_ivf",  # IVF-prefiltered semantic delta (r10)
+    "q158_push_outbox",         # A24 web-push dispatch half (r10)
     # q33_json_extract displaced in round 8 for q134 — the judge's
     # round-7 displacement shortlist named q33 next ("a single
     # scalar-function class also covered by q05/q06"); the JSON/

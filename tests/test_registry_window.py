@@ -142,24 +142,31 @@ FAMILY_REPS = {
     # q149 shares q143's oracle, so its green row pins the
     # broadcast/shuffle cross-engine byte-equality contract.
     "graph_scale_engine": ["q149_pagerank_shuffle"],
+    # Round 11: the five round-10 operators rotate in at birth-plus-one
+    # (the r10 verdict's ranked task 1) — each is its family's first
+    # driver row.
+    "kcore_peeling": ["q154_kcore_shuffle", "q150_kcore"],
+    "zorder_layout": ["q156_zorder_quantile", "q152_zorder_key"],
+    "semantic_prefilter": ["q155_semantic_delta_lsh", "q157_semantic_delta_ivf"],
+    "push_dispatch": ["q158_push_outbox"],
 }
 
-# Round-10 rotation (the r9 verdict's ranked task 1): the eight queries
-# whose only driver-visible result was a stale round-1 FAIL. They have
-# passed the strict order-sensitive gate every round since round 2
-# (the judge's own 153/153 re-run in r9 included them); this rotation
-# puts a green row on the driver's own ledger. Pinned here so a
-# refactor can't silently evict them before CORRECTNESS_r10 records it.
-ROTATED_IN_R10 = [
-    "q34_period_window",
-    "q37_decimal_shift",
-    "q38_moving_average",
-    "q39_day_over_day",
-    "q50_rollup_totals",
-    "q59_sessionization",
-    "q60_approx_distinct_mau",
-    "q62_approx_percentiles",
-    "q149_pagerank_shuffle",
+# Round-11 rotation (the r10 verdict's ranked task 1): the five
+# round-10 operators earn driver rows at birth-plus-one — all five were
+# strict-gate green in the judge's 158/158 re-run but had never held a
+# driver row. Pinned here so a refactor can't silently evict them
+# before CORRECTNESS_r11 records it. The round-10 stale-FAIL rotation
+# block (q34/q37/q38/q39/q50/q59/q60/q62 + q149) fulfilled its purpose
+# — CORRECTNESS_r10 holds green rows for all nine, so no query's last
+# driver word is FAIL — and five of them (q34, q38, q39, q50, q60)
+# rotated back out to make room, staying strict-gate green past the
+# window; q37, q59, q62 and q149 remain in-window.
+ROTATED_IN_R11 = [
+    "q154_kcore_shuffle",
+    "q155_semantic_delta_lsh",
+    "q156_zorder_quantile",
+    "q157_semantic_delta_ivf",
+    "q158_push_outbox",
 ]
 
 
@@ -182,10 +189,10 @@ def test_every_family_has_an_in_window_representative():
     assert not missing, f"families with no driver-window representative: {missing}"
 
 
-def test_round10_rotation_sits_in_the_window():
+def test_round11_rotation_sits_in_the_window():
     window = set(list(REGISTRY)[:WINDOW])
-    missing = [n for n in ROTATED_IN_R10 if n not in window]
-    assert not missing, f"round-10 rotation queries fell out of the window: {missing}"
+    missing = [n for n in ROTATED_IN_R11 if n not in window]
+    assert not missing, f"round-11 rotation queries fell out of the window: {missing}"
 
 
 def test_every_window_query_has_an_oracle():

@@ -142,6 +142,14 @@ HEADLINE = [
     # A24's engine-expressible half: web-push dispatch (level mapping,
     # JSON body, active-subscription fan-out).
     "q158_push_outbox",
+    # Round-11 additions (set stays a SUPERSET of BENCH_r10's): the
+    # prefilter recall audit (runs the exact quadratic form TWICE by
+    # design — it is an offline measurement job, and the row tracks
+    # that cost honestly) and the two-pass exact heavy hitter (MG
+    # candidates + exact verify; its cardinality-scale case is
+    # scripts/bench_heavy_hitters_scale.py).
+    "q159_prefilter_recall_audit",
+    "q160_heavy_hitters",
 ]
 
 

@@ -111,6 +111,138 @@ def merge_quantile_estimates(
     return merged.select(*cols)
 
 
+def misra_gries_candidates(
+    df: DataFrame,
+    item_col: str,
+    k: int,
+) -> DataFrame:
+    """Pass 1 of the two-pass exact heavy-hitter: per-partition
+    Misra-Gries summaries (Misra & Gries 1982; merge rule and error
+    bound from Agarwal et al., "Mergeable Summaries", PODS 2012 — both
+    public), summed per item across partitions.
+
+    Returns (item, est, is_meta): ``est`` is a LOWER bound on the true
+    count, under-counting by at most N/(k+1) in total (N = number of
+    non-null items); rows with ``is_meta`` true carry per-partition row
+    counts (item NULL), so one scan yields candidates AND N. Every item
+    with true frequency > N/(k+1) is guaranteed present — that is the
+    candidate-completeness contract :func:`heavy_hitters_exact` builds
+    on.
+
+    Scale shape: memory is k counters per partition REGARDLESS of the
+    item column's cardinality — the whole point vs ``groupBy(item)``,
+    whose exchange carries every distinct item (a token column at
+    100 TB has billions). The only shuffle here moves
+    <= partitions x (k+1) rows. Batches are processed vectorized
+    (``value_counts`` + index-aligned adds on the bounded counter
+    frame), never per row; the per-batch merge is itself an MG merge,
+    so the PODS'12 bound applies to the whole partition stream.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    import pandas as pd
+
+    sel = df.select(F.col(item_col).cast("string").alias("item"))
+
+    def summarize(batches):
+        counters = pd.Series(dtype="int64")
+        n_rows = 0
+        for pdf in batches:
+            vals = pdf["item"].dropna()
+            n_rows += len(vals)
+            if vals.empty:
+                continue
+            counters = counters.add(vals.value_counts(), fill_value=0)
+            if len(counters) > k:
+                # PODS'12 merge: subtract the (k+1)-th largest count
+                # from everything, drop the non-positive — <= k
+                # counters survive, and each subtraction event removes
+                # >= (k+1) x d total mass, which is what bounds the
+                # global under-count at N/(k+1)
+                kth = counters.nlargest(k + 1).iloc[-1]
+                counters = counters[counters > kth] - kth
+        out = pd.DataFrame(
+            {
+                "item": counters.index.astype(object),
+                "est": counters.to_numpy(dtype="int64"),
+                "is_meta": False,
+            }
+        )
+        meta = pd.DataFrame(
+            {"item": [None], "est": [n_rows], "is_meta": [True]}
+        )
+        yield pd.concat([out, meta], ignore_index=True)
+
+    partials = sel.mapInPandas(
+        summarize, schema="item string, est long, is_meta boolean"
+    )
+    return partials.groupBy("item", "is_meta").agg(
+        F.sum("est").alias("est")
+    ).select("item", "est", "is_meta")
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    item_col: str,
+    phi: float,
+    out_item_col: str = "item",
+) -> DataFrame:
+    """Exact phi-heavy hitters in two bounded passes — every item whose
+    frequency is >= ``phi`` x N (N = non-null rows), with its EXACT
+    count and share. Deterministic output (unlike a raw sketch read):
+    the candidate pass can only add sub-threshold candidates, never
+    miss a true hitter, and the verify pass filters on exact counts —
+    so results are partitioning-independent and a plain SQL
+    ``GROUP BY ... HAVING count >= phi * N`` twin (registry row q160).
+
+    Pass 1 (:func:`misra_gries_candidates` with ``k = ceil(1/phi)``,
+    so N/(k+1) < phi x N strictly — candidate completeness): one scan,
+    k counters per partition, a <= partitions x (k+1)-row shuffle.
+    Pass 2: one more scan, semi-joined against the BROADCAST candidate
+    list, exact counts over <= partitions x k distinct items. Neither
+    pass ever exchanges on the raw item column — the 100 TB contrast
+    with ``groupBy(item).count().filter(...)``, whose shuffle carries
+    the full distinct-item set.
+
+    The candidate frame is checkpointed eagerly (it is tiny and feeds
+    both the N read and the verify join).
+    """
+    if not 0.0 < phi < 1.0:
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    import math
+
+    k = math.ceil(1.0 / phi)
+    sel = df.select(F.col(item_col).cast("string").alias("item"))
+    partials = misra_gries_candidates(sel, "item", k).localCheckpoint(
+        eager=True
+    )
+    n_total = (
+        partials.filter(F.col("is_meta")).agg(F.sum("est")).first()[0] or 0
+    )
+    if n_total == 0:
+        return sel.sparkSession.createDataFrame(
+            [], f"{out_item_col} string, n_occurrences bigint, share double"
+        )
+    cands = partials.filter(~F.col("is_meta") & (F.col("est") > 0)).select(
+        "item"
+    )
+    exact = (
+        sel.join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return exact.filter(
+        F.col("n_occurrences").cast("double")
+        >= F.lit(float(phi)) * F.lit(float(n_total))
+    ).select(
+        F.col("item").alias(out_item_col),
+        F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+        (
+            F.col("n_occurrences").cast("double") / F.lit(float(n_total))
+        ).alias("share"),
+    )
+
+
 def build_theta_sketches(
     df: DataFrame,
     group_cols: Sequence[str],

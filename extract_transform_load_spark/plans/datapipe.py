@@ -846,6 +846,154 @@ def q157_semantic_delta_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q159_prefilter_recall_audit",
+    # Oracle strategy (the q139 derived-property pattern, applied to
+    # the prefilter pair per the r10 verdict's ranked task 4): the
+    # exact form's positive count is SQL-derivable; the prefilters'
+    # measured recall depends on index internals (hyperplane draws,
+    # Lloyd means) that no SQL can recompute, so the cross-engine
+    # contract is the audit's BOOLEANS — subset_ok (structural: the
+    # prefiltered positives are a subset of the exact positives, FALSE
+    # = implementation bug) and recall_ok (measured recall >= the
+    # row's floor) — which the oracle pins TRUE.
+    #
+    # Fixture: NON-identical near-duplicates at an ORGANIC threshold —
+    # every 5th store vector with its first 12 of 64 coordinates
+    # zeroed (pure slice/concat, no float arithmetic, so the fixture
+    # is bit-identical cross-engine). Measured at sf0.01: source
+    # cosines span 0.79-0.98 (avg 0.90) — genuinely non-identical, so
+    # unlike q155/q157 recall is NOT structurally 1.0; the nearest
+    # pair sits 0.087 from the 0.7 threshold (no float-flip risk);
+    # the within-batch pair max is 0.47 (0.54 at sf0.1), so the
+    # sentinel-component pass degenerates to the store-hit test the
+    # oracle derives below.
+    oracle=f"""
+    WITH d AS (
+      SELECT vec_id + 10000 AS vec_id,
+             list_transform(range(1, {EMBED_DIM + 1}),
+               i -> CASE WHEN i <= 12 THEN CAST(0.0 AS FLOAT)
+                         ELSE embedding[i] END) AS embedding
+      FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    hits AS (
+      SELECT a.vec_id
+      FROM d a JOIN embeddings b
+        ON {_cos_sql("a.embedding", "b.embedding")} >= 0.7
+      GROUP BY 1
+    ),
+    agg AS (
+      SELECT (SELECT COUNT(*) FROM d) AS n_delta,
+             (SELECT COUNT(*) FROM hits) AS n_exact_dup
+    )
+    SELECT 'ivf' AS prefilter, n_delta, n_exact_dup,
+           TRUE AS subset_ok, TRUE AS recall_ok FROM agg
+    UNION ALL
+    SELECT 'lsh' AS prefilter, n_delta, n_exact_dup,
+           TRUE AS subset_ok, TRUE AS recall_ok FROM agg
+    """,
+    doc="Prefilter recall audit at an organic threshold "
+    "(operators/curation.py::semantic_delta_recall_audit) — the "
+    "measurement a production caller needs before trusting "
+    "prefiltered semantic_delta stage labels at 0.7, where recall is "
+    "genuinely < 1 (r10 verdict ranked task 4): both escalation paths "
+    "(LSH banding at the audit-tuned 5 bits x 8 bands, IVF 16 cells "
+    "x 2 probes) against the exact form on a perturbed-copy fixture. "
+    "Measured recall: LSH 1.0000 at sf0.01 / 0.9875 at sf0.1, IVF "
+    "0.9200 / 0.8950 — floors 0.9 / 0.8 sit under those with margin. "
+    "The audit itself runs the exact quadratic form — a bounded "
+    "offline job, which is the point: measure once, then trust the "
+    "prefilter at scale.",
+)
+def q159_prefilter_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import semantic_delta_recall_audit
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    delta = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.concat(
+            F.array(*[F.lit(0.0).cast("float")] * 12),
+            F.slice(F.col("embedding"), 13, EMBED_DIM - 12),
+        ).alias("embedding"),
+    )
+    # floors sit under the measured values with deliberate margin:
+    # LSH (5 bits x 8 bands) measured 1.0000 at sf0.01 / 0.9875 at
+    # sf0.1 -> floor 0.9; IVF (16 cells, 2 probes) measured 0.9200 /
+    # 0.8950 -> floor 0.8 (wider margin because the Lloyd means'
+    # float-summation order can jitter cell boundaries run-to-run)
+    ivf = semantic_delta_recall_audit(
+        delta,
+        emb,
+        threshold=0.7,
+        dim=EMBED_DIM,
+        prefilter="ivf",
+        min_recall=0.8,
+        ivf_centroids=16,
+        ivf_probe=2,
+    )
+    lsh = semantic_delta_recall_audit(
+        delta,
+        emb,
+        threshold=0.7,
+        dim=EMBED_DIM,
+        prefilter="lsh",
+        min_recall=0.9,
+        lsh_bits=5,
+        lsh_bands=8,
+    )
+    # the raw `recall` double is index-internal (not SQL-derivable) —
+    # production callers read it off the operator; the driver surface
+    # carries the derived-property booleans
+    return ivf.unionByName(lsh).select(
+        "prefilter", "n_delta", "n_exact_dup", "subset_ok", "recall_ok"
+    )
+
+
+@query(
+    "q160_heavy_hitters",
+    # EXACT oracle (no derived-property indirection needed): the
+    # two-pass operator's output is deterministic by construction —
+    # Misra-Gries candidates can never MISS a true phi-hitter
+    # (under-count bounded by N/(k+1) < phi*N at k=ceil(1/phi); Misra &
+    # Gries 1982, merge bound Agarwal et al. PODS 2012), and the
+    # verify pass filters on exact re-counts — so the result equals a
+    # plain GROUP BY ... HAVING, independent of partitioning. The
+    # fixture's nearest item sits 28 counts from the 0.005*N boundary
+    # at sf0.01 (286 at sf0.1): no float-flip risk.
+    oracle="""
+    WITH t AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS item FROM documents
+    ),
+    f AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM t WHERE item <> '' GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t WHERE item <> '')
+    SELECT item, n_occurrences,
+           n_occurrences / (SELECT n FROM n) AS share
+    FROM f WHERE n_occurrences >= 0.005 * (SELECT n FROM n)
+    """,
+    doc="Exact phi-heavy hitters over the corpus vocabulary "
+    "(operators/sketches.py::heavy_hitters_exact) — two bounded "
+    "passes: per-partition Misra-Gries candidate summaries (k "
+    "counters per partition regardless of item cardinality; the one "
+    "shuffle moves <= partitions x (k+1) rows) then an exact verify "
+    "of the broadcast candidate list. The 100 TB contrast is with "
+    "groupBy(item).count(): a token column's distinct set is "
+    "billions of rows through the exchange; this never exchanges on "
+    "the raw item. New mergeable-summary family member (round 11) "
+    "beside HLL (q97), KLL (q106) and theta (q107).",
+)
+def q160_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import heavy_hitters_exact
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return heavy_hitters_exact(words, "w", phi=0.005)
+
+
+@query(
     "q131_curation_pipeline",
     # End-to-end oracle: replays every stage in DuckDB — exact-dup
     # window, the q41 exact-pair graph + recursive closure over the

@@ -1,5 +1,8 @@
-"""Mergeable distinct-count sketches (Apache DataSketches HLL, built in
-to Spark 4: ``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``).
+"""Mergeable summaries: distinct-count sketches (Apache DataSketches
+HLL, built in to Spark 4: ``hll_sketch_agg`` / ``hll_union_agg`` /
+``hll_sketch_estimate``), KLL quantiles, theta set algebra — and the
+Misra-Gries frequency summary behind the two-pass exact heavy hitter
+(:func:`heavy_hitters_exact`).
 
 ``approx_count_distinct`` (q60) answers ONE fixed grouping per scan. A
 100 TB events table asked for month-over-rolling-month active users,

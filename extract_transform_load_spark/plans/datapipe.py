@@ -994,6 +994,94 @@ def q160_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q161_bm25_topk",
+    # FULL-derivation oracle: every stage of the scoring pipeline is
+    # deterministic SQL — tokenization (the corpus convention), tf/dl/
+    # df tables, the Lucene idf, and the per-term score whose
+    # expression SHAPE is kept identical on both sides (same literal
+    # association, so the doubles agree bit-for-bit; ln() parity has
+    # the q76/q136 precedent). Per-term scores aggregate in
+    # DECIMAL(28,12) — the functions/decimals.py policy — so the
+    # (query, doc) sum is order-independent and exact in both engines,
+    # and ranks cannot flap; ties break by doc_id in both.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+      ) WHERE term <> ''
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM tok GROUP BY 1, 2
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY 1
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl FROM dl
+    ),
+    idf AS (
+      SELECT term,
+             ln(CAST(1.0 AS DOUBLE)
+                + ((SELECT n_docs FROM st) - df + CAST(0.5 AS DOUBLE))
+                  / (df + CAST(0.5 AS DOUBLE))) AS idf
+      FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+    ),
+    qt AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT doc_id AS query_id,
+               unnest(string_split(lower(text), ' ')) AS term
+        FROM documents WHERE doc_id % 97 = 0
+      ) WHERE term <> ''
+    ),
+    con AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(i.idf * (t.tf * CAST(2.2 AS DOUBLE))
+                  / (t.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * d.dl
+                          / (SELECT sum_dl / n_docs FROM st)))
+                  AS DECIMAL(28,12)) AS s
+      FROM tf t
+      JOIN idf i USING (term)
+      JOIN dl d USING (doc_id)
+      JOIN qt q USING (term)
+      WHERE t.doc_id <> q.query_id
+    ),
+    sc AS (
+      SELECT query_id, doc_id, CAST(SUM(s) AS DOUBLE) AS score
+      FROM con GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM sc
+    ) WHERE rank <= 5
+    """,
+    doc="BM25 top-k retrieval (operators/ranking.py::bm25_topk) — "
+    "query-anchored lexical ranking of the corpus, the exact-token "
+    "complement of cosine_topk/ANN for targeted data selection and "
+    "decontamination triage. Anchor queries = every 97th document; "
+    "k=5, Lucene idf, k1=1.2 / b=0.75, self-matches excluded. "
+    "Postings build is one (doc, term) exchange with map-side "
+    "combine; the query-term side broadcasts; max_df_frac (unused "
+    "here — the fixture vocabulary is 31 words) bounds stopword "
+    "posting lists at real cardinalities. Scores sum in "
+    "DECIMAL(28,12) so ranking is order-independent cross-engine.",
+)
+def q161_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import bm25_topk
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(docs, queries, k=5)
+
+
+@query(
     "q131_curation_pipeline",
     # End-to-end oracle: replays every stage in DuckDB — exact-dup
     # window, the q41 exact-pair graph + recursive closure over the

@@ -482,6 +482,90 @@ def test_misra_gries_candidates_lower_bound_and_completeness(spark):
             )
 
 
+def test_bm25_topk_hand_checked(spark):
+    """q161's operator against a by-hand Okapi/Lucene computation on a
+    four-doc corpus: scores, ranking, self-exclusion, and the
+    distinct-query-terms convention."""
+    import math
+
+    from extract_transform_load_spark.operators.ranking import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+            (4, "durian apple"),
+        ],
+        "doc_id long, text string",
+    )
+    # query 1 is ALSO doc 1 (self-excluded); 'apple apple' collapses to
+    # the distinct term {'apple'}
+    queries = spark.createDataFrame(
+        [(1, "apple apple banana")], "query_id long, text string"
+    )
+    out = bm25_topk(docs, queries, k=10, k1=1.2, b=0.75)
+    got = {r["doc_id"]: (r["score"], r["rank"]) for r in out.collect()}
+
+    # hand computation with the same formula
+    corpus = {1: "apple banana apple", 2: "banana cherry",
+              3: "cherry cherry cherry durian", 4: "durian apple"}
+    toks = {d: t.split() for d, t in corpus.items()}
+    n = len(corpus)
+    dl = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dl.values()) / n
+    df = {}
+    for t in toks.values():
+        for w in set(t):
+            df[w] = df.get(w, 0) + 1
+    def idf(w):
+        return math.log(1.0 + (n - df[w] + 0.5) / (df[w] + 0.5))
+    def score(d, qws):
+        s = 0.0
+        for w in qws:
+            tf = toks[d].count(w)
+            if tf == 0:
+                continue
+            s += idf(w) * (tf * 2.2) / (
+                tf + 1.2 * (0.25 + 0.75 * dl[d] / avgdl)
+            )
+        return s
+    expected = {d: score(d, {"apple", "banana"}) for d in (2, 4)}
+    assert 1 not in got  # self-match excluded
+    assert 3 not in got  # no shared term -> no row
+    assert set(got) == {2, 4}
+    for d in (2, 4):
+        assert abs(got[d][0] - expected[d]) < 1e-9, (d, got[d], expected[d])
+    ranked = sorted(got.items(), key=lambda kv: kv[1][1])
+    assert [d for d, _ in ranked] == sorted(
+        expected, key=lambda d: (-expected[d], d)
+    )
+
+
+def test_bm25_df_cut_and_validation(spark):
+    import pytest
+
+    from extract_transform_load_spark.operators.ranking import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "the apple"), (2, "the banana"), (3, "the cherry"),
+         (4, "the apple pie")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(99, "the apple")], "query_id long, text string")
+    # 'the' is in 4/4 docs; max_df_frac=0.5 cuts it, so doc 2/3 (which
+    # share ONLY 'the' with the query) drop out entirely
+    out = bm25_topk(docs, q, k=10, max_df_frac=0.5)
+    assert {r["doc_id"] for r in out.collect()} == {1, 4}
+    # without the cut they score (on 'the' alone)
+    full = bm25_topk(docs, q, k=10, max_df_frac=1.0)
+    assert {r["doc_id"] for r in full.collect()} == {1, 2, 3, 4}
+    with pytest.raises(ValueError, match="k must"):
+        bm25_topk(docs, q, k=0)
+    with pytest.raises(ValueError, match="max_df_frac"):
+        bm25_topk(docs, q, max_df_frac=0.0)
+
+
 def test_hll_sketch_estimates_and_lossless_merge(spark, sf_dir):
     """Sketch accuracy vs exact distincts, and the property the whole
     design rests on: folding per-day sketches == sketching the range

@@ -87,14 +87,16 @@ def bm25_topk(
         raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
 
     toks = _tokens(docs, doc_id_col, text_col, "doc_id")
-    # postings (doc, term, tf) + doc length in one tokenization
+    # postings (doc, term, tf): ONE tokenization scan, checkpointed —
+    # doc lengths, corpus stats, df and the score join all derive from
+    # this frame (dl = sum of tf per doc), so the corpus text is read
+    # exactly once however many consumers follow
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
-    )
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("double").alias("dl")
-    )
-    # N and avgdl: exact integer sums -> one identical double division
+    ).localCheckpoint(eager=False)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # N and avgdl: sums of integer-valued doubles are exact (and
+    # order-free) below 2^53 -> one identical double division
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     ).first()

@@ -47,8 +47,11 @@ def feed(spark, n: int):
     """1% of rows -> 20 hot items, 99% -> ~1M-distinct hashed tail."""
     base = spark.range(n)
     hot = (F.col("id") % 100) == 0  # 1% of rows
+    # hot index from id//100, NOT id%20 — id%100==0 forces id%20==0,
+    # which would collapse every hot row onto one item
     item = F.when(
-        hot, F.concat(F.lit("hot"), (F.col("id") % 20).cast("string"))
+        hot,
+        F.concat(F.lit("hot"), ((F.col("id") / 100) % 20).cast("int").cast("string")),
     ).otherwise(
         F.concat(
             F.lit("t"),

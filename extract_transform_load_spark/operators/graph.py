@@ -131,6 +131,44 @@ def _aqe_compile_off(spark):
                 del _AQE_DEPTH[key]
 
 
+@contextmanager
+def _shuffle_fanout(spark, num: int | None):
+    """Pin ``spark.sql.shuffle.partitions`` to the engine's
+    scale-adaptive fan-out while the round plans (and the
+    localCheckpoints that freeze them) are compiled, so the per-round
+    groupBy exchanges land at the SAME partition count as the frozen
+    edge/state frames and the co-partitioned joins stay exchange-free.
+    Save/restore is serialized under the module lock (the
+    _aqe_compile_off discipline); like that window it covers only plan
+    CONSTRUCTION — execution and other queries are unaffected, with the
+    same documented residual for plans another thread compiles inside
+    this window."""
+    if num is None:
+        yield
+        return
+    key = ("shuffle_partitions", id(spark))
+    with _AQE_LOCK:
+        stack = _FANOUT_STACK.setdefault(key, [])
+        stack.append(spark.conf.get("spark.sql.shuffle.partitions", None))
+        spark.conf.set("spark.sql.shuffle.partitions", str(num))
+    try:
+        yield
+    finally:
+        with _AQE_LOCK:
+            saved = _FANOUT_STACK[key].pop()
+            if not _FANOUT_STACK[key]:
+                del _FANOUT_STACK[key]
+            if saved is None:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+#: (tag, id(SparkSession)) -> stack of saved conf values for
+#: _shuffle_fanout's save/restore.
+_FANOUT_STACK: dict[tuple, list] = {}
+
+
 def _shuffle_partitions(spark) -> int:
     """The session's shuffle fan-out, for the explicit edge repartition
     in shuffle mode. Matching ``spark.sql.shuffle.partitions`` keeps the
@@ -140,6 +178,31 @@ def _shuffle_partitions(spark) -> int:
         return int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):  # "auto" under some AQE configs
         return spark.sparkContext.defaultParallelism
+
+
+#: Edge rows per frozen-frame partition in the shuffle engines. An edge
+#: row is two or three int64s (~25-50 B shuffled), so 2M rows ≈
+#: 50-100 MB — the guide's fewer-larger-partitions band (§2.2) for the
+#: per-round exchanges that AQE cannot coalesce here (round plans
+#: compile with AQE off; see _aqe_compile_off).
+_EDGE_ROWS_PER_PARTITION = 2_000_000
+
+
+def _scaled_partitions(spark, n_rows: int) -> int:
+    """Scale-adaptive fan-out for the shuffle engines' frozen frames:
+    ``spark.sql.shuffle.partitions`` stays the CEILING (a cluster
+    operator sizes it for the cluster, and a 100 TB edge list always
+    saturates it), but a small graph gets proportionally fewer, larger
+    partitions instead of conf-many near-empty ones. The round plans
+    compile with AQE off, so the usual partition coalescing never sees
+    them — without this, every one of the R per-round exchanges and
+    hash joins schedules conf-many tiny tasks regardless of |E|
+    (measured at sf0.1: the fan-out, not the data, dominates the round
+    cost), and the fixed overhead scales with the conf instead of the
+    input at every core count the driver benches."""
+    cap = _shuffle_partitions(spark)
+    need = -(-max(1, n_rows) // _EDGE_ROWS_PER_PARTITION)  # ceil div
+    return max(1, min(cap, need))
 
 
 def pagerank(
@@ -313,15 +376,28 @@ def pagerank(
         # every round would re-exchange the |E| frame). What AQE would
         # have contributed per round — skew splitting on the
         # groupBy(dst) hot keys — is absorbed by map-side partial
-        # aggregation instead.
-        with _aqe_compile_off(spark_):
-            return _pagerank_rounds(
+        # aggregation instead. The fan-out is scale-adaptive
+        # (_scaled_partitions; e is an eager checkpoint so the sizing
+        # count reads cached blocks), and _shuffle_fanout pins the
+        # session conf to it during compilation so the per-round
+        # groupBy exchanges co-partition with the frozen frames.
+        num = _scaled_partitions(spark_, e.count())
+        with _aqe_compile_off(spark_), _shuffle_fanout(spark_, num):
+            out = _pagerank_rounds(
                 e, nodes, flagged, n_nodes, n_seeds,
-                iterations, damping_pct, weight, engine,
+                iterations, damping_pct, weight, engine, num,
             )
+            # freeze the FINAL round's physical plan inside the window
+            # too: direct consumers (collect, the plan audits) reuse
+            # this cached plan — one exchange per round at the adaptive
+            # fan-out. A consumer that composes further (orderBy/limit)
+            # re-plans at the session conf, which costs at most one
+            # extra |V|-row exchange on the last round, under AQE.
+            out._jdf.queryExecution().executedPlan()
+            return out
     return _pagerank_rounds(
         e, nodes, flagged, n_nodes, n_seeds,
-        iterations, damping_pct, weight, engine,
+        iterations, damping_pct, weight, engine, None,
     )
 
 
@@ -335,6 +411,7 @@ def _pagerank_rounds(
     damping_pct: int,
     weight: str | None,
     engine: str,
+    num: int | None,
 ) -> DataFrame:
     """The round loop, shared by both engines — identical int64 math,
     different physical strategy for the |V|-bounded sides."""
@@ -350,14 +427,14 @@ def _pagerank_rounds(
     else:
         _small = lambda df: df.hint("shuffle_hash")  # noqa: E731
 
-    num = _shuffle_partitions(e.sparkSession) if engine == "shuffle" else None
     if engine == "shuffle":
         # the ONE |E| shuffle of this engine: hash-partition edges by
-        # src at the session's shuffle fan-out (matching what every
-        # groupBy below produces), and freeze that layout for all
-        # rounds — with AQE off (see caller) the checkpoint preserves
-        # HashPartitioning(src) into the LogicalRDD, so no round ever
-        # re-exchanges the edge frame.
+        # src at the scale-adaptive fan-out (the session conf caps it;
+        # every groupBy/repartition below lands at the SAME number via
+        # _shuffle_fanout, so the round loop stays co-partitioned), and
+        # freeze that layout for all rounds — with AQE off (see caller)
+        # the checkpoint preserves HashPartitioning(src) into the
+        # LogicalRDD, so no round ever re-exchanges the edge frame.
         e = e.repartition(num, "src").localCheckpoint(eager=False)
 
     outdeg = e.groupBy("src").agg(
@@ -393,28 +470,43 @@ def _pagerank_rounds(
         )
     if engine == "shuffle":
         # node-hash the spine once, so the per-round contrib join and
-        # the ranks derived from it stay co-partitioned on the node key
+        # the state derived from it stay co-partitioned on the node key
         spine = spine.repartition(num, "node")
-    spine = spine.localCheckpoint(eager=False)
+
+    # Fold the STATIC outdeg onto the spine once, instead of re-joining
+    # ranks against it every round (guide §2.4: two operations keyed the
+    # same way share one exchange — here the join disappears entirely).
+    # The old loop paid one |V| ranks-x-outdeg join (a broadcast build
+    # in broadcast mode, a hash build in shuffle mode) per round to
+    # recover a value that never changes; the state frame now carries
+    # (node, tele, outdeg, rank_units) across rounds, so each round is
+    # exactly one edge join + one groupBy(dst) + one state update.
+    # Dangling nodes keep a NULL outdeg: the give projection filters
+    # them out, which is byte-identical to the old inner join.
+    state = spine.join(
+        _small(outdeg.withColumnRenamed("src", "node")), "node", "left"
+    )
     if flagged is None:
-        ranks = spine.select(
-            "node", F.lit(UNIT // n_nodes).cast("bigint").alias("rank_units")
+        state = state.select(
+            "node", "tele", "outdeg",
+            F.lit(UNIT // n_nodes).cast("bigint").alias("rank_units"),
         )
     else:
-        ranks = spine.select(
-            "node",
+        state = state.select(
+            "node", "tele", "outdeg",
             F.when(F.col("__seed"), F.lit(UNIT // n_seeds))
             .otherwise(F.lit(0))
             .cast("bigint")
             .alias("rank_units"),
         )
+    state = state.localCheckpoint(eager=False)
     for i in range(iterations):
         if i:
             # truncate lineage BETWEEN rounds (an unchecked k-round plan
             # drowns Catalyst analysis); the LAST round stays a live
             # plan so callers — and the plan-audit tests — see the
             # real per-round physical shape, not a checkpoint scan
-            ranks = ranks.localCheckpoint(eager=False)
+            state = state.localCheckpoint(eager=False)
         # per-src outgoing mass, integer floor division (DIV truncates
         # toward zero == floor on the nonnegative units; DuckDB's //
         # floors identically — the cross-engine-exact step a double
@@ -422,9 +514,7 @@ def _pagerank_rounds(
         # truncates where DuckDB's rounds).
         if weight is None:
             give = _small(
-                ranks.join(
-                    _small(outdeg.withColumnRenamed("src", "node")), "node"
-                ).select(
+                state.filter(F.col("outdeg").isNotNull()).select(
                     F.col("node").alias("g_src"),
                     F.expr("rank_units DIV outdeg").cast("bigint").alias("give"),
                 )
@@ -438,18 +528,16 @@ def _pagerank_rounds(
             # weighted: the split is per-EDGE ((rank * w) DIV sum_w),
             # so the build side carries (rank, sum_w) and the division
             # happens in the edge join's projection — still one
-            # |V|-side join + one groupBy(dst) per round
-            state = _small(
-                ranks.join(
-                    _small(outdeg.withColumnRenamed("src", "node")), "node"
-                ).select(
+            # groupBy(dst) per round
+            give = _small(
+                state.filter(F.col("outdeg").isNotNull()).select(
                     F.col("node").alias("g_src"),
                     "rank_units",
                     F.col("outdeg").alias("sw"),
                 )
             )
             contrib = (
-                e.join(state, F.col("src") == F.col("g_src"))
+                e.join(give, F.col("src") == F.col("g_src"))
                 .groupBy("dst")
                 .agg(
                     F.sum(F.expr("(rank_units * w) DIV sw"))
@@ -457,10 +545,10 @@ def _pagerank_rounds(
                     .alias("got")
                 )
             )
-        ranks = spine.join(
-            _small(contrib), spine.node == contrib.dst, "left"
+        state = state.join(
+            _small(contrib), state.node == contrib.dst, "left"
         ).select(
-            "node",
+            "node", "tele", "outdeg",
             (
                 F.expr(f"(coalesce(got, 0L) * {damping_pct}) DIV 100")
                 + F.col("tele")
@@ -469,7 +557,7 @@ def _pagerank_rounds(
             .alias("rank_units"),
         )
 
-    return ranks.select(
+    return state.select(
         "node",
         "rank_units",
         (F.col("rank_units") / F.lit(float(UNIT))).alias("rank"),
@@ -541,13 +629,14 @@ def min_label_propagation(
         .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
+    n_sym = None
     if engine == "auto":
         # e is an eager checkpoint: this count reads its blocks — cheap
         # relative to even one propagation round (2|E| symmetric rows)
-        n_edges = e.count() // 2
+        n_sym = e.count()
         engine = (
             "broadcast"
-            if n_nodes <= max_nodes_broadcast and n_edges <= max_edges_broadcast
+            if n_nodes <= max_nodes_broadcast and n_sym // 2 <= max_edges_broadcast
             else "shuffle"
         )
     elif engine == "broadcast" and n_nodes > max_nodes_broadcast:
@@ -558,13 +647,20 @@ def min_label_propagation(
         )
     spark_ = edges.sparkSession
     if engine == "shuffle":
-        with _aqe_compile_off(spark_):
-            return _label_rounds(e, nodes, rounds, engine, spark_)
-    return _label_rounds(e, nodes, rounds, engine, spark_)
+        num = _scaled_partitions(spark_, n_sym if n_sym is not None else e.count())
+        with _aqe_compile_off(spark_), _shuffle_fanout(spark_, num):
+            out = _label_rounds(e, nodes, rounds, engine, spark_, num)
+            # freeze the final round's plan inside the window (the
+            # pagerank discipline): direct consumers see one exchange
+            # per round at the adaptive fan-out
+            out._jdf.queryExecution().executedPlan()
+            return out
+    return _label_rounds(e, nodes, rounds, engine, spark_, None)
 
 
 def _label_rounds(
-    e: DataFrame, nodes: DataFrame, rounds: int, engine: str, spark_
+    e: DataFrame, nodes: DataFrame, rounds: int, engine: str, spark_,
+    num: int | None,
 ) -> DataFrame:
     """min_label_propagation's round loop, shared by both engines."""
     if engine == "broadcast":
@@ -572,7 +668,6 @@ def _label_rounds(
     else:
         _small = lambda df: df.hint("shuffle_hash")  # noqa: E731
     if engine == "shuffle":
-        num = _shuffle_partitions(spark_)
         e = e.repartition(num, "src").localCheckpoint(eager=False)
         nodes = nodes.repartition(num, "node").localCheckpoint(eager=False)
     labels = nodes.select("node", F.col("node").alias("label"))
@@ -699,6 +794,7 @@ def kcore(
     )
     both = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
+    n_edges = None
     if engine != "shuffle":
         # the guard/dispatch needs |V|; the count job also materializes
         # the sym checkpoint both engines iterate over, so it is not a
@@ -723,8 +819,18 @@ def kcore(
 
     if engine == "shuffle":
         spark_ = edges.sparkSession
-        with _aqe_compile_off(spark_):
-            final_deg = _kcore_delta_rounds(both, k, rounds, spark_)
+        if n_edges is None:
+            # explicit-shuffle callers skip the dispatch counts: the
+            # sizing count materializes the sym checkpoint, work the
+            # first peel round would have triggered anyway
+            n_edges = sym.count()
+        num = _scaled_partitions(spark_, 2 * n_edges)
+        with _aqe_compile_off(spark_), _shuffle_fanout(spark_, num):
+            final_deg = _kcore_delta_rounds(both, k, rounds, spark_, num)
+            # freeze the final plan inside the window (the pagerank
+            # discipline): direct consumers see the per-round shape at
+            # the adaptive fan-out
+            final_deg._jdf.queryExecution().executedPlan()
     else:
         final_deg = _kcore_broadcast_rounds(both, k, rounds)
 
@@ -741,12 +847,29 @@ def kcore(
 
 
 def _kcore_broadcast_rounds(both: DataFrame, k: int, rounds: int) -> DataFrame:
-    """Broadcast engine: re-filter the shrinking edge set each round."""
+    """Broadcast engine: re-filter the shrinking edge set each round.
+
+    Early exit (r11): peeling is confluent and a round that removes
+    nothing proves every later round removes nothing — so each round
+    counts this round's deaths (one tiny job over the checkpointed
+    |V|-row degree table, which the chained lazy checkpoints would have
+    materialized at the final action anyway) and STOPS at the fixpoint
+    instead of paying ``rounds - depth`` no-op rounds, each of which
+    still re-materializes the full surviving edge frame. ``rounds``
+    stays the upper bound and the non-converged contract is unchanged.
+    On early exit the degree table already computed IS the result, so
+    the final aggregate is free too."""
     alive = both.localCheckpoint(eager=False)
     for i in range(rounds):
         if i:
             alive = alive.localCheckpoint(eager=False)
-        deg = alive.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        deg = alive.groupBy("u").agg(
+            F.count(F.lit(1)).alias("deg")
+        ).localCheckpoint(eager=False)
+        if deg.filter(F.col("deg") < k).count() == 0:
+            return deg.select(
+                F.col("u").alias("node"), F.col("deg").cast("bigint").alias("degree")
+            )
         keep = deg.filter(F.col("deg") >= k).select("u")
         alive = alive.join(F.broadcast(keep), "u", "left_semi").join(
             F.broadcast(keep.select(F.col("u").alias("v"))), "v", "left_semi"
@@ -757,13 +880,17 @@ def _kcore_broadcast_rounds(both: DataFrame, k: int, rounds: int) -> DataFrame:
 
 
 def _kcore_delta_rounds(
-    both: DataFrame, k: int, rounds: int, spark_
+    both: DataFrame, k: int, rounds: int, spark_, num: int
 ) -> DataFrame:
     """Shuffle engine: Pregel-style delta peeling over a frozen,
     u-partitioned edge frame — only newly-dead nodes send degree
     decrements, so the per-round exchange is bounded by the deaths'
-    incident edges and each edge moves at most twice across the peel."""
-    num = _shuffle_partitions(spark_)
+    incident edges and each edge moves at most twice across the peel.
+
+    Early exit (r11), same argument as the broadcast engine: a round
+    with zero deaths proves the fixpoint — the per-round death count
+    is one tiny job over the checkpointed |V|-row live-degree table,
+    and it saves every later no-op round's stages."""
     _small = lambda df: df.hint("shuffle_hash")  # noqa: E731
     # the ONE |E| shuffle of this engine; with AQE off at compile time
     # the checkpoint preserves HashPartitioning(u), so the per-round
@@ -774,9 +901,10 @@ def _kcore_delta_rounds(
     # and emits the same HashPartitioning)
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     for i in range(rounds):
-        if i:
-            deg = deg.localCheckpoint(eager=False)
+        deg = deg.localCheckpoint(eager=False)
         dead = deg.filter(F.col("deg") < k).select("u")
+        if dead.count() == 0:
+            break
         live = deg.filter(F.col("deg") >= k)
         # edges whose near endpoint just died, keyed by the far one:
         # the semi-join is co-partitioned on u (free); the groupBy(v)

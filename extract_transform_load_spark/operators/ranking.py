@@ -107,13 +107,49 @@ def bm25_topk(
         )
     avgdl = float(stats["sum_dl"]) / float(n_docs)
 
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        _tokens(queries, query_id_col, query_text_col, "query_id")
+        .distinct()
+    )
+    # Cut the postings to QUERY TERMS before any exchange (guide §2.3 /
+    # §3: reduce the big side before shuffling it). Only terms that
+    # occur in some query can ever contribute a score, and restricting
+    # tf to those terms keeps EVERY corpus occurrence of them — so the
+    # per-term df (and hence idf) computed from the restricted frame is
+    # exactly the corpus-wide df. Before this reorder the full postings
+    # frame was exchanged twice (by term for the idf join, then by
+    # doc_id for the dl join) before the broadcast query filter pruned
+    # it; now the broadcast semi-join prunes in-scan and both df_t and
+    # the score join see only query-term postings. The checkpoint is
+    # shared, so the distinct-term broadcast costs no extra corpus scan.
+    tf_q = tf.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+    )
+    # The (postings x query-terms) broadcast join below FANS OUT — one
+    # row per (posting, matching query) — and a broadcast join runs in
+    # the probe side's own partitions. A small corpus AQE-coalesces the
+    # postings to one partition, so the whole expansion plus its
+    # map-side decimal combine would run on ONE core (measured at
+    # sf0.1: the expansion task dominated the query). Gate on the
+    # n_docs scalar already in hand — .rdd-based partition probes would
+    # force the adaptive plan — and spread only the (tiny, query-term-
+    # pruned) postings; a warehouse-scale corpus skips the shuffle and
+    # already carries scan parallelism.
+    if n_docs < 1_000_000:
+        tf_q = tf_q.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism
+        )
+    tf_q = tf_q.localCheckpoint(eager=False)
+
+    df_t = tf_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_df_frac < 1.0:
         df_t = df_t.filter(
             F.col("df").cast("double") <= F.lit(max_df_frac * n_docs)
         )
     # Lucene-style idf: ln(1 + (N - df + .5)/(df + .5)) — positive for
-    # every df, so the df-cut only ever removes near-zero-mass terms
+    # every df, so the df-cut only ever removes near-zero-mass terms.
+    # The idf table is bounded by the DISTINCT QUERY VOCABULARY (small
+    # by construction), so it broadcasts into the score join.
     idf = df_t.select(
         "term",
         F.log(
@@ -123,14 +159,11 @@ def bm25_topk(
         ).alias("idf"),
     )
 
-    qterms = (
-        _tokens(queries, query_id_col, query_text_col, "query_id")
-        .distinct()
-    )
-    # per-(query, doc, term) score contribution; the query side
-    # broadcasts — it is the small side by construction
+    # per-(query, doc, term) score contribution; the query-vocabulary
+    # sides broadcast — only the dl attachment exchanges the (already
+    # query-term-pruned) postings, keyed by doc_id
     contrib = (
-        tf.join(idf, "term")
+        tf_q.join(F.broadcast(idf), "term")
         .join(dl, "doc_id")
         .join(F.broadcast(qterms), "term")
         .filter(F.col("doc_id") != F.col("query_id"))

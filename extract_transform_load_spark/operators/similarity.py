@@ -382,10 +382,23 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Deterministic mini k-means: seed with the ``n_centroids`` lowest
-    ids, refine with Lloyd iterations computed distributively (assignment
-    via broadcast matmul, means via per-dimension groupBy aggregation).
+    ids, refine with Lloyd iterations computed distributively.
     Centroid matrix is tiny (K×dim) and lives on the driver — the same
     shape FAISS IVF stores in its coarse quantizer.
+
+    Each iteration is ONE fused Arrow pass (r11, guide §2.2/§4): the
+    per-partition closure assigns cells (broadcast-matmul argmax, the
+    exact `_assign_cells` arithmetic) AND accumulates per-cell raw-sum
+    / count partials in the same batch loop, emitting K rows per
+    partition. The tiny partial frame (K×partitions rows, corpus-size
+    independent) is the only thing that crosses an exchange — the
+    previous shape joined the assignment frame BACK to the corpus on
+    ``id_col`` (a shuffle join re-fetching vectors the Arrow batch
+    already held) and posexploded N×dim element rows through a full
+    aggregation exchange per iteration. Mean = sum/count in float64
+    as before; only the summation ORDER changes, which the oracle
+    rows already tolerate (Spark's avg order varies run-to-run).
+    Cells with no members keep their previous centroid, as before.
     """
     seeds = (
         corpus.orderBy(id_col)
@@ -394,25 +407,43 @@ def train_ivf_centroids(
         .collect()
     )
     centroids = np.asarray([np.asarray(r[0], dtype=np.float64) for r in seeds])
-    sel = corpus.select(F.col(id_col), F.col(vec_col))
+    k = len(centroids)
+    vecs = corpus.select(F.col(vec_col))
     for _ in range(iterations):
-        assigned = _assign_cells(sel, centroids, "vec_id").join(
-            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")),
-            "vec_id",
-        )
-        means = (
-            assigned.select("cell", F.posexplode(F.col("__v").cast("array<double>")))
+        cents = centroids
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            norm_c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+            acc_s = np.zeros((k, dim), dtype=np.float64)
+            acc_n = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, 0]]
+                )
+                normed = mat / np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+                )
+                cells = (normed @ norm_c.T).argmax(axis=1)
+                np.add.at(acc_s, cells, mat)
+                acc_n += np.bincount(cells, minlength=k)
+            nz = np.nonzero(acc_n)[0]
+            if len(nz):
+                yield pd.DataFrame(
+                    {"cell": nz.astype("int32"), "s": list(acc_s[nz]), "n": acc_n[nz]}
+                )
+
+        agg = (
+            vecs.mapInPandas(partials, schema="cell int, s array<double>, n long")
+            .select("cell", "n", F.posexplode("s"))
             .groupBy("cell", "pos")
-            .agg(F.avg("col").alias("m"))
+            .agg(F.sum("col").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         new = centroids.copy()
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
-        for cell, dims in by_cell.items():
-            for pos, m in dims.items():
-                new[cell, pos] = m
+        for r in agg:
+            new[r["cell"], r["pos"]] = r["s"] / r["n"]
         centroids = new
     return centroids
 

@@ -412,17 +412,27 @@ def test_cli_list_and_run(spark, sf_dir, tmp_path, capsys):
     run writes the registered query's result."""
     from extract_transform_load_spark.__main__ import main
 
-    assert main(["list", "--grep", "pricing"]) == 0
-    out = capsys.readouterr().out
-    assert "q01_pricing_summary" in out
+    # main() calls get_spark(); on a JVM with a live session,
+    # getOrCreate() applies the builder's runtime SQL confs to THAT
+    # session — including get_spark's core-count-derived
+    # shuffle.partitions default, which differs from the suite's pinned
+    # value and would leak into every later test's lazily-compiled
+    # plans (first casualty: the kcore co-partitioning plan audit).
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        assert main(["list", "--grep", "pricing"]) == 0
+        out = capsys.readouterr().out
+        assert "q01_pricing_summary" in out
 
-    dst = str(tmp_path / "out")
-    assert main(["run", "q07_ledger_summary", "--data", sf_dir,
-                 "--format", "json", "--out", dst]) == 0
-    got = spark.read.json(dst).collect()
-    assert len(got) == 1 and got[0]["n_events"] > 0
+        dst = str(tmp_path / "out")
+        assert main(["run", "q07_ledger_summary", "--data", sf_dir,
+                     "--format", "json", "--out", dst]) == 0
+        got = spark.read.json(dst).collect()
+        assert len(got) == 1 and got[0]["n_events"] > 0
 
-    assert main(["run", "nope"]) == 2
+        assert main(["run", "nope"]) == 2
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
 def test_subscribe_exists_check(tables):

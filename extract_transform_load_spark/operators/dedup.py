@@ -494,13 +494,37 @@ def minhash_lsh_verified_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    # NOTE (r3, measured): writing the signature mins and the verify
-    # shingle sets as one shared groupBy is a plan-level no-op — Catalyst
-    # column-prunes the combined aggregate back into separate per-branch
-    # aggregates (same 7 exchanges, 3 corpus scans, 1 ReusedExchange as
-    # the two-helper form), and the A/B benched neutral-to-slower. Keep
-    # the composable helpers.
-    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col)
+    # ONE corpus scan (r11). The signature mins and the exact-verify
+    # shingle sets both derive from the same exploded (doc,
+    # shingle-hash) stream, so compute them in ONE groupBy and freeze
+    # the |docs|-row result with a lazy checkpoint. The r3 A/B found
+    # the shared groupBy ALONE to be a plan-level no-op — Catalyst
+    # column-prunes the combined aggregate back into separate
+    # per-branch aggregates, one corpus scan each — but the checkpoint
+    # makes the sharing physical: the corpus is tokenized + hashed
+    # exactly once, and the banding, the verify set-attach joins and
+    # their re-reads all scan |docs| checkpointed rows (one 64-long
+    # vector + one distinct-hash set per doc) instead of re-running
+    # the explode. Semantics are unchanged: MIN over duplicate
+    # shingle hashes is idempotent and collect_set dedups, so neither
+    # aggregate needs the pre-distinct the two-helper form paid for.
+    sh0 = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    ).select("doc_id", F.xxhash64("shingle").alias("base"))
+    combined_mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("base"))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    combined = (
+        sh0.groupBy("doc_id")
+        .agg(*combined_mins, F.collect_set("base").alias("shset"))
+        .localCheckpoint(eager=False)
+    )
+    sigs = combined.select(
+        "doc_id",
+        F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("signature"),
+    )
 
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sigs.select("doc_id", "signature", band_idx).select(
@@ -523,13 +547,12 @@ def minhash_lsh_verified_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sets_df = (
-        shingle_sets(docs, text_col, id_col, k)
-        .groupBy("doc_id")
-        .agg(F.collect_set(F.xxhash64("shingle")).alias("shset"))
+    sa = combined.select(
+        F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a")
     )
-    sa = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
-    sb = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"))
+    sb = combined.select(
+        F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b")
+    )
     n_common = F.size(F.array_intersect("set_a", "set_b"))
     jaccard = n_common.cast("double") / (
         F.size("set_a") + F.size("set_b") - n_common

@@ -1021,10 +1021,17 @@ def triangle_count(
         ["x", "y"],
     )
 
+    # ONE pass over the closed triangles: explode the three corners
+    # instead of unioning three projections of `closed` — the union
+    # form re-plans (and re-executes) the wedge+closure join pipeline,
+    # the most expensive subtree in the operator, once PER CORNER
+    # (r11 plan audit: three copies under the final aggregate).
+    # explode triples the row count of a frame that already exists
+    # instead of tripling the joins; counts are identical.
     per_node = (
-        closed.select(F.col("pivot").alias("node"))
-        .union(closed.select(F.col("x").alias("node")))
-        .union(closed.select(F.col("y").alias("node")))
+        closed.select(
+            F.explode(F.array("pivot", "x", "y")).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )

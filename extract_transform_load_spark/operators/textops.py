@@ -485,15 +485,29 @@ def repetition_profile(
         F.explode(F.flatten(F.array(*[tagged(n) for n in ns]))).alias("t"),
     )
     counts = ex.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
-    per_n = counts.groupBy(id_col, F.col("t.n").alias("n")).agg(
-        F.max("c").alias("top"),
-        F.sum("c").alias("total"),
-        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias("dup"),
-    )
-    wide = per_n.groupBy(id_col).pivot("n", list(ns)).agg(
-        F.first("top").alias("top"),
-        F.first("total").alias("total"),
-        F.first("dup").alias("dup"),
+    # ONE doc-keyed aggregate instead of groupBy(doc, n) + pivot(doc)
+    # (r11): each (doc, gram) row belongs to exactly one n, so the
+    # per-n stats are conditional aggregates over the same rows — the
+    # (doc, n) exchange and the pivot's second |docs| exchange both
+    # disappear (3 exchanges -> 2 after the gram count). NULL semantics
+    # match the pivot exactly: a doc with no n-grams for some n has no
+    # matching rows, so max/sum over the all-NULL branch yield NULL —
+    # the same NULL the missing pivot cell produced.
+    wide = counts.groupBy(id_col).agg(
+        *[
+            agg
+            for n in ns
+            for agg in (
+                F.max(F.when(F.col("t.n") == n, F.col("c"))).alias(f"{n}_top"),
+                F.sum(F.when(F.col("t.n") == n, F.col("c"))).alias(f"{n}_total"),
+                F.sum(
+                    F.when(
+                        F.col("t.n") == n,
+                        F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)),
+                    )
+                ).alias(f"{n}_dup"),
+            )
+        ]
     )
     gram_word = {1: "word", 2: "bigram", 3: "trigram"}
     out_cols = [F.col(id_col), F.size(w).cast("bigint").alias("n_words")]

@@ -1444,6 +1444,26 @@ def test_repetition_profile_never_shuffles_text(spark):
             assert "text" not in line
 
 
+def test_repetition_profile_one_doc_keyed_rollup(spark):
+    """r11: the per-n stats are conditional aggregates in ONE doc-keyed
+    groupBy straight after the (doc, gram) count — no groupBy(doc, n)
+    hop and no pivot, so the plan holds exactly TWO hashpartitioning
+    exchanges (gram counts; the doc rollup) and no pivotfirst."""
+    import re
+
+    from extract_transform_load_spark.operators.textops import repetition_profile
+
+    df = spark.createDataFrame([(0, "a b a b c")], "doc_id int, text string")
+    plan = repetition_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "pivotfirst" not in plan
+    # two aggregate exchanges plus ONE for the docs side of the spine
+    # join — the stats-less local fixture plans SMJ there (the parquet
+    # query broadcasts the |docs|-row wide frame and never shuffles
+    # docs; q122's committed plan file shows BroadcastHashJoin). The
+    # old pivot shape had four: (doc,gram), (doc,n), pivot(doc), join.
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3
+
+
 def test_oov_rate_hand_checked(spark):
     from extract_transform_load_spark.operators.textops import build_vocab
 

@@ -59,17 +59,24 @@ def _normalized_base(df: DataFrame, id_col: str, name_col: str, key) -> DataFram
     ).filter(F.col("name").isNotNull() & (F.length("name") > 0))
 
 
-def _audit_blocks(base: DataFrame, max_block: int) -> None:
+def _audit_blocks(base: DataFrame, max_block: int, per_pass: bool = False) -> None:
+    """Skew audit: ONE tiny aggregate job finds the largest block before
+    any quadratic work schedules. With ``per_pass`` the frame carries a
+    ``p`` pass column and the audit groups by (p, block) — the fused
+    multi-pass form checks every pass's worst block in the same single
+    job (r11: was one eager audit job PER pass)."""
+    keys = ["p", "block"] if per_pass else ["block"]
     top = (
-        base.groupBy("block")
+        base.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc())
         .limit(1)
         .collect()
     )
     if top and top[0]["n"] > max_block:
+        where = f"pass {top[0]['p']} block" if per_pass else "block"
         raise ValueError(
-            f"fuzzy matching: block {top[0]['block']!r} holds {top[0]['n']} rows "
+            f"fuzzy matching: {where} {top[0]['block']!r} holds {top[0]['n']} rows "
             f"(> max_block={max_block}); the within-block join would schedule "
             f"~{top[0]['n'] ** 2:,} comparisons — tighten block_expr (longer "
             "prefix, add a second key column) or raise max_block deliberately"
@@ -223,19 +230,65 @@ def fuzzy_pairs_multi(
     the documented tradeoff — add a custom key rather than widening
     ``max_block``.
 
-    Scale shape: each pass is the same one-shuffle blocked self-join as
-    :func:`fuzzy_pairs` WITH ITS OWN skew audit (an oversized block in
-    any pass fails loudly before quadratic work schedules); the union
-    adds one distinct-style exchange over the (small) verified pair
-    set, never over the input table.
+    Scale shape (r11 fusion): the passes share ONE physical pipeline —
+    the input is normalized and keyed in a single scan that explodes
+    each row into one (p, block) row per key, the skew audit checks
+    every pass's worst block in ONE aggregate job (an oversized block
+    in any pass still fails loudly before quadratic work schedules),
+    and the within-block self-join runs ONCE on (p, block) — blocks of
+    different passes never meet, so the join equals the old per-pass
+    union exactly, row for row, before the shared distinct. The
+    pre-fusion form paid one audit job plus two input scans PER PASS
+    (q148 plan: 3 self-joins over 6 scans -> 1 join over 2). ``keys``
+    must produce one common block type (the built-ins are all strings);
+    a mixed-type custom key set fails loudly at analysis.
     """
-    passes = [
-        _keyed_pairs(df, id_col, name_col, key_fn, max_dist, max_block)
-        for key_fn in _resolve_keys(keys, block_len)
-    ]
-    out = passes[0]
-    for p in passes[1:]:
-        out = out.unionByName(p)
+    key_fns = _resolve_keys(keys, block_len)
+    ident = lambda n: F.lit("")  # noqa: E731 — normalize once, key below
+    base = _normalized_base(df, id_col, name_col, ident).drop("block")
+    keyed = base.select(
+        "rid",
+        "name",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("p"),
+                        key_fn(F.col("name")).alias("block"),
+                    )
+                    for i, key_fn in enumerate(key_fns)
+                ]
+            )
+        ).alias("__k"),
+    ).select("rid", "name", F.col("__k.p").alias("p"), F.col("__k.block").alias("block"))
+    if max_block is not None:
+        _audit_blocks(keyed, max_block, per_pass=True)
+    # Parallelism of the quadratic stage: same contract as _keyed_pairs
+    # — the build side broadcasts, the probe side is spread iff its
+    # scan is undersized (no-op at warehouse scale).
+    from .spread import spread_small_scan
+
+    a = spread_small_scan(
+        keyed.select(
+            F.col("rid").alias("id_a"), F.col("name").alias("name_a"), "p", "block"
+        )
+    )
+    b = keyed.select(
+        F.col("rid").alias("id_b"), F.col("name").alias("name_b"), "p", "block"
+    )
+    out = (
+        a.join(b, ["p", "block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(max_dist))
+        .select(
+            "id_a",
+            "id_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= F.lit(max_dist))
+    )
     # (id_a, id_b) determines (name_a, name_b, dist) — names come from
     # the same normalized rows and dist is a function of the names — so
     # a full-row distinct IS the pair dedup, and it keeps the plan
@@ -374,37 +427,85 @@ def fuzzy_pairs_delta_multi(
     blocking, so the single-pass delta would happily re-admit the whole
     batch as new entities — the suffix pass catches exactly that.
 
-    Each pass keeps the single-pass scale shape (delta broadcasts,
-    store streams, store-side skew audit); the delta-size guard runs
-    ONCE, the store is re-scanned once per key (cheap relative to the
-    verify, and the scans prune to (id, name)). The guarded delta
-    frame is checkpointed once, eagerly, before the passes fan out —
-    it is bounded by ``max_delta_broadcast``, and without the
-    truncation each pass's broadcast would re-execute the delta
-    normalization plan (ADVICE r9); eager, because a lazy checkpoint
-    lets the first pass's broadcast thread race the others into
-    building it twice (the pagerank lesson). Dedup on the full row
-    is the (delta_id, store_id) dedup, since names and dist are
-    functions of the id pair.
+    The passes keep the single-pass scale shape (delta broadcasts,
+    store streams, store-side skew audit) but share ONE physical
+    pipeline (r11 fusion, same as :func:`fuzzy_pairs_multi`): both
+    sides are keyed in a single scan that explodes each row into one
+    (p, block) row per key, the store-side skew audit checks every
+    pass's worst block in ONE aggregate job, and the broadcast verify
+    join runs ONCE on (p, block) — blocks of different passes never
+    meet, so the join equals the old per-pass union exactly before the
+    shared distinct (pre-fusion: one audit job and one store scan PER
+    pass). The delta-size guard runs ONCE; the guarded delta frame is
+    still checkpointed eagerly before keying — it is bounded by
+    ``max_delta_broadcast``, and without the truncation the broadcast
+    would re-execute the delta normalization plan (ADVICE r9). Dedup
+    on the full row is the (delta_id, store_id) dedup, since names
+    and dist are functions of the id pair.
     """
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
     key_fns = _resolve_keys(keys, block_len)
-    ident = lambda n: F.lit("")  # noqa: E731 — normalize once, key per pass
+    ident = lambda n: F.lit("")  # noqa: E731 — normalize once, key below
     d = _normalized_base(delta, id_col, name_col, ident).drop("block")
     s = _normalized_base(store, id_col, name_col, ident).drop("block")
     _guard_delta(d, max_delta_broadcast, "fuzzy_pairs_delta_multi")
     d = d.localCheckpoint(eager=True)
-    passes = [
-        _keyed_delta(
-            d.withColumn("block", key_fn(F.col("name"))),
-            s.withColumn("block", key_fn(F.col("name"))),
-            max_dist,
-            max_block,
+
+    def _explode_keys(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "rid",
+            "name",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("int").alias("p"),
+                            key_fn(F.col("name")).alias("block"),
+                        )
+                        for i, key_fn in enumerate(key_fns)
+                    ]
+                )
+            ).alias("__k"),
+        ).select(
+            "rid", "name", F.col("__k.p").alias("p"), F.col("__k.block").alias("block")
         )
-        for key_fn in key_fns
-    ]
-    out = passes[0]
-    for p in passes[1:]:
-        out = out.unionByName(p)
+
+    keyed_s = _explode_keys(s)
+    if max_block is not None:
+        _audit_blocks(keyed_s, max_block, per_pass=True)
+    from .spread import spread_small_scan
+
+    out = (
+        spread_small_scan(
+            keyed_s.select(
+                F.col("rid").alias("store_id"),
+                F.col("name").alias("store_name"),
+                "p",
+                "block",
+            )
+        )
+        .join(
+            F.broadcast(
+                _explode_keys(d).select(
+                    F.col("rid").alias("delta_id"),
+                    F.col("name").alias("delta_name"),
+                    "p",
+                    "block",
+                )
+            ),
+            ["p", "block"],
+        )
+        .filter(
+            F.abs(F.length("delta_name") - F.length("store_name")) <= F.lit(max_dist)
+        )
+        .select(
+            "delta_id",
+            "store_id",
+            "delta_name",
+            "store_name",
+            F.levenshtein("delta_name", "store_name").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= F.lit(max_dist))
+    )
     return out.distinct()

@@ -183,6 +183,23 @@ class TestFuzzyPairsMulti:
         with pytest.raises(ValueError, match="at least one"):
             self._multi(spark, [(1, "x")], keys=())
 
+    def test_plan_one_fused_join_one_audit_shape(self, spark):
+        # r11 fusion: the three passes run as ONE self-join on
+        # (p, block) — no per-pass join duplication in the plan
+        import re
+
+        out = self._multi(
+            spark,
+            [(1, "acme corp"), (2, "acme corq")],
+            block_len=6,
+            max_dist=1,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        joins = re.findall(
+            r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan
+        )
+        assert len(joins) == 1
+
     def test_superset_of_single_pass(self, spark):
         rows = [
             (1, "acme corp"), (2, "acme corq"), (3, "bcme corp"),
@@ -250,15 +267,16 @@ class TestFuzzyPairsDeltaMulti:
             )
 
     def test_plan_delta_broadcasts_store_never_smj(self, spark):
-        # every pass keeps the single-pass physics: the delta is the
-        # broadcast build side, the store streams — no sort-merge join
-        # anywhere in the three-pass union
+        # r11 fusion: the three passes share ONE physical verify join —
+        # the exploded (p, block) delta is the broadcast build side, the
+        # exploded store streams — no sort-merge join and no per-pass
+        # join duplication anywhere in the plan
         out = self._multi(
             spark, [(100, "acme corp")], [(1, "acme corq")],
             block_len=4, max_dist=1,
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("BroadcastHashJoin") >= 3  # one verify per pass
+        assert plan.count("BroadcastHashJoin") == 1  # ONE fused verify
         assert "SortMergeJoin" not in plan
 
 

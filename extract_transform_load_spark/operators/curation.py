@@ -75,18 +75,20 @@ def curation_stages(
     labelled ``low_quality`` unless already dropped as fingerprint
     duplicates of each other (NULL fingerprints group together).
 
-    ``cache_drop_list`` persists the exact-stage drop list
-    (MEMORY_AND_DISK). Measured at 500k docs: the drop-list subtree is
-    referenced by the survivor anti-join (which the MinHash operator
-    fans out three ways: bands + both verify sides) and by the final
-    label join, and AQE's exchange-stage cache only reuses part of it
-    across branches (self-join re-aliasing breaks canonical equality),
-    so without the persist the fingerprint scan re-runs per branch —
-    273 s vs ~110 s end-to-end. The cached frame is the DUPLICATE ids
-    only (8 bytes each; dup count, not corpus count) — recomputing it
-    from full text three times is strictly worse at any scale. Pass
-    False for a pure plan (e.g. streaming reuse); long-lived sessions
-    can reclaim memory with ``spark.catalog.clearCache()``.
+    ``cache_drop_list`` persists the fused metrics+exact-dup frame
+    (MEMORY_AND_DISK; r11 — the drop list and the metrics projection
+    were two separate text scans, now one). Measured at 500k docs: the
+    frame's subtree is referenced by the survivor anti-join and by the
+    final label join, and AQE's exchange-stage cache only reuses part
+    of it across branches (self-join re-aliasing breaks canonical
+    equality), so without the persist the fingerprint/metrics scan
+    re-runs per branch — 273 s vs ~110 s end-to-end. The cached frame
+    is one NARROW row per doc (id, passthrough, n_words, ttr[, clf],
+    fingerprint, exact-dup flag — a few dozen bytes; never text) —
+    recomputing it from full text per consumer is strictly worse at
+    any scale. Pass False for a pure plan (e.g. streaming reuse);
+    long-lived sessions can reclaim memory with
+    ``spark.catalog.clearCache()``.
 
     ``model_weights`` (round 8) enables the model-based filter stage —
     the CCNet order: dedup first, LM/classifier filter after. Pass the
@@ -118,26 +120,26 @@ def curation_stages(
 
         _, clf = local_score_columns(F.col(text_col), list(model_weights), model_buckets)
         metric_cols.append(clf.alias("__clf"))
+    # ONE text scan computes the metrics AND the exact-dup fingerprint
+    # (r11 fusion: the metrics projection and the fingerprint scan were
+    # two separate full passes over the text). The min-per-fingerprint
+    # stays a WINDOW — the groupBy+join-back form pays a second scan
+    # and a distinct-fingerprint-sized broadcast build (measured 120 s
+    # vs 36 s at 500k docs). The window now shuffles the metric columns
+    # alongside (id, fingerprint) — a few dozen bytes per row, never
+    # text — which is strictly cheaper than the md5 re-scan it replaces.
     m = docs.select(
         F.col(id_col),
         *[F.col(c) for c in passthrough_cols],
         *metric_cols,
-    )
-    # One md5 scan + ONE narrow exchange of (fingerprint, id) pairs: the
-    # min-per-fingerprint is a window over the pruned 2-column frame (a
-    # groupBy+join-back form pays a second scan and a distinct-
-    # fingerprint-sized broadcast build — measured 120 s vs 36 s at
-    # 500k docs). Text is not in the frame, so the window shuffles ids.
-    dropped1 = (
-        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("__fp"))
-        .withColumn("__keep_id", F.min(id_col).over(Window.partitionBy("__fp")))
-        .filter(F.col(id_col) != F.col("__keep_id"))
-        .select(id_col, F.lit(True).alias("__xd"))
+        fingerprint(F.col(text_col)).alias("__fp"),
+    ).withColumn(
+        "__xd", F.col(id_col) != F.min(id_col).over(Window.partitionBy("__fp"))
     )
     if cache_drop_list:
-        dropped1 = dropped1.persist(StorageLevel.MEMORY_AND_DISK)
+        m = m.persist(StorageLevel.MEMORY_AND_DISK)
     s1 = docs.select(F.col(id_col), F.col(text_col)).join(
-        dropped1.select(id_col), id_col, "left_anti"
+        m.filter(F.col("__xd")).select(id_col), id_col, "left_anti"
     )
     drops2 = (
         dedup_clusters(
@@ -162,15 +164,14 @@ def curation_stages(
     )
     if model_weights is not None:
         stage = stage.when(F.col("__clf") <= model_threshold, "model_filtered")
-    return (
-        m.join(dropped1, id_col, "left")
-        .join(drops2, id_col, "left")
-        .select(
-            F.col(id_col),
-            *[F.col(c) for c in passthrough_cols],
-            F.col("n_words"),
-            stage.otherwise("kept").alias("stage"),
-        )
+    # __xd rides on m itself (False, never NULL, for keepers — when()
+    # treats both as not-matched, so the stage chain is unchanged); the
+    # old presence-join of the drop list is gone with the second scan.
+    return m.join(drops2, id_col, "left").select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough_cols],
+        F.col("n_words"),
+        stage.otherwise("kept").alias("stage"),
     )
 
 
@@ -265,23 +266,35 @@ def curation_delta(
 
         _, clf = local_score_columns(F.col(text_col), list(model_weights), model_buckets)
         metric_cols.append(clf.alias("__clf"))
-    m = delta.select(
-        F.col(id_col),
-        *[F.col(c) for c in passthrough_cols],
-        *metric_cols,
-    )
+    # ONE text scan computes the metrics AND the fingerprint (r11
+    # fusion, same as curation_stages): the min-per-fingerprint window
+    # and the seen-store join both run over the fused narrow frame —
+    # the separate fingerprint re-scan of the delta text is gone. The
+    # window and the join share the fingerprint key, and the extra
+    # metric columns riding through them are a few dozen bytes per
+    # row, never text.
     seen = seen_fingerprints.select("fingerprint").distinct()
-    dropped1 = (
-        delta.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
-        .withColumn("__keep_id", F.min(id_col).over(Window.partitionBy("fingerprint")))
+    m = (
+        delta.select(
+            F.col(id_col),
+            *[F.col(c) for c in passthrough_cols],
+            *metric_cols,
+        )
+        .withColumn(
+            "__keep_id", F.min(id_col).over(Window.partitionBy("fingerprint"))
+        )
         .join(seen.withColumn("__seen", F.lit(True)), "fingerprint", "left")
-        .filter((F.col(id_col) != F.col("__keep_id")) | F.col("__seen"))
-        .select(id_col, F.lit(True).alias("__xd"))
+        .withColumn(
+            "__xd",
+            (F.col(id_col) != F.col("__keep_id"))
+            | F.coalesce(F.col("__seen"), F.lit(False)),
+        )
+        .drop("__keep_id", "__seen")
     )
     if cache_drop_list:
-        dropped1 = dropped1.persist(StorageLevel.MEMORY_AND_DISK)
+        m = m.persist(StorageLevel.MEMORY_AND_DISK)
     s1 = delta.select(F.col(id_col), F.col(text_col)).join(
-        dropped1.select(id_col), id_col, "left_anti"
+        m.filter(F.col("__xd")).select(id_col), id_col, "left_anti"
     )
     batch_pairs = minhash_lsh_verified_pairs(
         s1, num_hashes=num_hashes, bands=bands, threshold=threshold,
@@ -315,16 +328,14 @@ def curation_delta(
     )
     if model_weights is not None:
         stage = stage.when(F.col("__clf") <= model_threshold, "model_filtered")
-    return (
-        m.join(dropped1, id_col, "left")
-        .join(drops2, id_col, "left")
-        .select(
-            F.col(id_col),
-            *[F.col(c) for c in passthrough_cols],
-            F.col("n_words"),
-            F.col("fingerprint"),
-            stage.otherwise("kept").alias("stage"),
-        )
+    # __xd rides on m itself (False, never NULL, for keepers — when()
+    # treats both as not-matched, so the stage chain is unchanged)
+    return m.join(drops2, id_col, "left").select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough_cols],
+        F.col("n_words"),
+        F.col("fingerprint"),
+        stage.otherwise("kept").alias("stage"),
     )
 
 

@@ -296,14 +296,24 @@ def curation_delta(
     s1 = delta.select(F.col(id_col), F.col(text_col)).join(
         m.filter(F.col("__xd")).select(id_col), id_col, "left_anti"
     )
+    # ONE tokenize+hash scan of the survivor text (r11): the
+    # within-batch verified pairs and the cross-store signature probes
+    # both consume the same checkpointed MinHash state — previously
+    # each leg re-derived it from text independently.
+    from .dedup import minhash_verify_state
+
+    s1_state = minhash_verify_state(
+        s1, num_hashes=num_hashes, text_col=text_col, id_col=id_col
+    )
     batch_pairs = minhash_lsh_verified_pairs(
         s1, num_hashes=num_hashes, bands=bands, threshold=threshold,
-        text_col=text_col, id_col=id_col,
+        text_col=text_col, id_col=id_col, state=s1_state,
     ).select("doc_a", "doc_b")
     cross_hits = (
         minhash_delta_pairs(
             s1, corpus_sigs, num_hashes=num_hashes, bands=bands,
             threshold=threshold, text_col=text_col, id_col=id_col,
+            delta_sigs=s1_state,
         )
         # same id on both sides = the SAME document, not a near-dup:
         # happens when an at-least-once replay re-curates a batch whose

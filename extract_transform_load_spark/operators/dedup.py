@@ -461,6 +461,51 @@ def minhash_lsh_pairs_bucketed(
     )
 
 
+def minhash_verify_state(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, signature array<long>, shset array<long>) — the fused
+    per-doc MinHash verify state, computed in ONE corpus scan (r11).
+
+    The signature mins and the exact-verify shingle sets both derive
+    from the same exploded (doc, shingle-hash) stream, so ONE groupBy
+    computes both and a lazy ``localCheckpoint`` freezes the |docs|-row
+    result. The r3 A/B found the shared groupBy ALONE to be a
+    plan-level no-op — Catalyst column-prunes the combined aggregate
+    back into separate per-branch aggregates, one corpus scan each —
+    but the checkpoint makes the sharing physical: the corpus is
+    tokenized + hashed exactly once, and every consumer (the banding,
+    both verify set-attach sides, and — via :func:`curation_delta` —
+    the store-probe signatures) scans |docs| checkpointed narrow rows
+    instead of re-running the explode. Semantics are unchanged vs the
+    separate helpers: MIN over duplicate shingle hashes is idempotent
+    and collect_set dedups, so neither aggregate needs a pre-distinct;
+    ``signature`` is bit-identical to :func:`minhash_signatures` (same
+    base hash, same per-seed re-mix)."""
+    sh0 = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    ).select("doc_id", F.xxhash64("shingle").alias("base"))
+    combined_mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("base"))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        sh0.groupBy("doc_id")
+        .agg(*combined_mins, F.collect_set("base").alias("shset"))
+        .select(
+            "doc_id",
+            F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("signature"),
+            "shset",
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def minhash_lsh_verified_pairs(
     docs: DataFrame,
     num_hashes: int = 64,
@@ -470,10 +515,18 @@ def minhash_lsh_verified_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int = 1000,
+    state: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified with EXACT Jaccard — the production
     MinHash pipeline (candidate generation prunes the pair space; the
     verify step restores exact precision).
+
+    ``state`` (r11): a precomputed :func:`minhash_verify_state` frame
+    for ``docs`` (same num_hashes/k/text/id). When given, ``docs`` is
+    not scanned at all — callers that need the signatures for another
+    leg too (:func:`curation_delta`'s store probe) share ONE corpus
+    scan across both. The caller owns consistency of the state's
+    parameters with this call's.
 
     Candidates come from :func:`minhash_lsh_pairs_bucketed`'s banded
     bucket-explode (signature-agreement filter OFF — verification
@@ -494,37 +547,12 @@ def minhash_lsh_verified_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    # ONE corpus scan (r11). The signature mins and the exact-verify
-    # shingle sets both derive from the same exploded (doc,
-    # shingle-hash) stream, so compute them in ONE groupBy and freeze
-    # the |docs|-row result with a lazy checkpoint. The r3 A/B found
-    # the shared groupBy ALONE to be a plan-level no-op — Catalyst
-    # column-prunes the combined aggregate back into separate
-    # per-branch aggregates, one corpus scan each — but the checkpoint
-    # makes the sharing physical: the corpus is tokenized + hashed
-    # exactly once, and the banding, the verify set-attach joins and
-    # their re-reads all scan |docs| checkpointed rows (one 64-long
-    # vector + one distinct-hash set per doc) instead of re-running
-    # the explode. Semantics are unchanged: MIN over duplicate
-    # shingle hashes is idempotent and collect_set dedups, so neither
-    # aggregate needs the pre-distinct the two-helper form paid for.
-    sh0 = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
-    ).select("doc_id", F.xxhash64("shingle").alias("base"))
-    combined_mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("base"))).alias(f"__h{i}")
-        for i in range(num_hashes)
-    ]
     combined = (
-        sh0.groupBy("doc_id")
-        .agg(*combined_mins, F.collect_set("base").alias("shset"))
-        .localCheckpoint(eager=False)
+        minhash_verify_state(docs, num_hashes, k, text_col, id_col)
+        if state is None
+        else state
     )
-    sigs = combined.select(
-        "doc_id",
-        F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("signature"),
-    )
+    sigs = combined.select("doc_id", "signature")
 
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sigs.select("doc_id", "signature", band_idx).select(
@@ -829,6 +857,7 @@ def minhash_delta_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    delta_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a fresh delta and the stored corpus.
 
@@ -843,11 +872,22 @@ def minhash_delta_pairs(
     Equivalence: restricted to cross pairs, this returns exactly what a
     full-corpus ``minhash_lsh_pairs`` re-run would (same hash family,
     same bands, same scoring) — tested in tests/test_datapipe.py.
+
+    ``delta_sigs`` (r11): a precomputed (doc_id, signature) frame for
+    the delta (e.g. projected from :func:`minhash_verify_state`, whose
+    signatures are bit-identical to :func:`minhash_signatures`). When
+    given, the delta text is not scanned — :func:`curation_delta`
+    passes it so its batch-pair and store-probe legs share ONE
+    tokenize+hash scan of the survivor text.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     delta_band = _band_table(
-        minhash_signatures(delta, num_hashes, k, text_col, id_col), num_hashes, bands
+        minhash_signatures(delta, num_hashes, k, text_col, id_col)
+        if delta_sigs is None
+        else delta_sigs.select("doc_id", "signature"),
+        num_hashes,
+        bands,
     )
     corpus_band = _band_table(corpus_sigs, num_hashes, bands)
 

@@ -790,6 +790,51 @@ def test_minhash_delta_pairs_match_full_rerun(docs):
     assert got  # the synthetic corpus has cross near-dups; empty = broken
 
 
+def test_minhash_shared_state_paths_identical(docs):
+    """r11: the precomputed-state paths (verify_state -> verified_pairs
+    / delta_pairs) return byte-identical rows to the text-scanning
+    defaults — the one-scan sharing in curation_delta changes nothing
+    but the scan count."""
+    import pyspark.sql.functions as F
+
+    from extract_transform_load_spark.operators.dedup import (
+        minhash_delta_pairs,
+        minhash_lsh_verified_pairs,
+        minhash_signatures,
+        minhash_verify_state,
+    )
+
+    split_at = 400
+    corpus = docs.filter(F.col("doc_id") < split_at)
+    delta = docs.filter(F.col("doc_id") >= split_at)
+    corpus_sigs = minhash_signatures(corpus)
+    state = minhash_verify_state(delta)
+
+    base_pairs = sorted(
+        map(tuple, minhash_lsh_verified_pairs(delta).collect())
+    )
+    state_pairs = sorted(
+        map(tuple, minhash_lsh_verified_pairs(delta, state=state).collect())
+    )
+    assert state_pairs == base_pairs and base_pairs
+
+    base_cross = sorted(
+        map(tuple, minhash_delta_pairs(delta, corpus_sigs).collect())
+    )
+    state_cross = sorted(
+        map(
+            tuple,
+            minhash_delta_pairs(delta, corpus_sigs, delta_sigs=state).collect(),
+        )
+    )
+    assert state_cross == base_cross and base_cross
+
+    # the state's signatures ARE minhash_signatures' — bit-identical
+    sig_a = {r["doc_id"]: r["signature"] for r in minhash_signatures(delta).collect()}
+    sig_b = {r["doc_id"]: r["signature"] for r in state.select("doc_id", "signature").collect()}
+    assert sig_a == sig_b
+
+
 def test_pack_sequences_coverage_budget_determinism(docs):
     import pyspark.sql.functions as F
 

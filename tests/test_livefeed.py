@@ -1369,9 +1369,20 @@ def test_run_supervised_reconnect_jitter(tmp_path, monkeypatch):
     departure from the reference's fixed sleep, event.rs:46-52);
     jitter=0 reproduces the reference exactly."""
     import random as _random
+    import threading
 
+    # Record only THIS thread's sleeps: the monkeypatch is process-global,
+    # and long-lived background threads (py4j callback server, Spark
+    # monitors from earlier tests in the session) call time.sleep(1) in
+    # polling loops — under heavy tenant load this test runs long enough
+    # to capture thousands of them (observed 2026-08-17: 11k stray 1s).
     sleeps: list[float] = []
-    monkeypatch.setattr(time, "sleep", lambda s: sleeps.append(s))
+    _tid = threading.get_ident()
+    monkeypatch.setattr(
+        time,
+        "sleep",
+        lambda s: sleeps.append(s) if threading.get_ident() == _tid else None,
+    )
 
     sock = socket.socket()
     sock.bind(("127.0.0.1", 0))

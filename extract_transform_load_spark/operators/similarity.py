@@ -599,6 +599,169 @@ def quantize_embeddings(
     return df.withColumn(out_col, q)
 
 
+def _fold_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot product with the JVM's fold order.
+
+    Spark's ``aggregate(zip_with(a, b, *), 0.0, +)`` is a sequential
+    left fold: ((0 + p0) + p1) + ... . ``np.cumsum`` computes exactly
+    those prefix sums (a running accumulation, NOT the pairwise/blocked
+    summation ``np.sum`` uses), so the last column is bitwise the JVM's
+    result for ANY float64 inputs — and for int8-quantized inputs both
+    are exact integers anyway (|dot| <= dim * 127^2 << 2^53).
+    """
+    if a.shape[1] == 0:
+        return np.zeros(a.shape[0], dtype=np.float64)
+    return np.cumsum(a * b, axis=1, dtype=np.float64)[:, -1]
+
+
+def _quantized_topk_kernel(query_rows: list, k: int, id_col: str, vec_col: str):
+    """mapInPandas closure for :func:`cosine_topk_quantized`.
+
+    Per corpus batch, scores every (query, corpus-row) pair with the
+    fold-exact cosine and emits only each query's LOCAL top-k under the
+    output window's TOTAL order (NaN greatest — Spark double ordering —
+    then cos desc, nulls last, ties by neighbor id asc), so the global
+    window over (#batches x Q x k) rows reproduces the full-pair result
+    exactly while the Arrow return traffic stays bounded by the batch
+    count, not the corpus. Rows mirroring the JVM join/expression
+    semantics: null ids drop (the join condition is null), a null or
+    length-mismatched vector scores null (null-propagating zip_with
+    fold), zero norms score NaN (0.0/0.0). NaN crosses the boundary as
+    a (null, __isnan=true) pair because pandas cannot hold NaN-vs-null
+    distinctly; the caller restores the NaN literal JVM-side.
+    """
+    prep = []  # (qid, qvec float64 | None, qnorm | None)
+    for r in query_rows:
+        qid, qv = r[0], r[1]
+        if qid is None:
+            continue  # join condition NOT(nb = qid) is null -> row drops
+        if qv is None:
+            prep.append((qid, None, None))
+            continue
+        arr = np.asarray(qv, dtype=np.float64)
+        qn = float(np.sqrt(_fold_dot(arr[None, :], arr[None, :])[0]))
+        prep.append((qid, arr, qn))
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=object),
+                "neighbor_id": pd.Series([], dtype=object),
+                "cos_sim": pd.Series([], dtype=np.float64),
+                "__isnan": pd.Series([], dtype=bool),
+            }
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0 or not prep:
+                yield empty()
+                continue
+            ids_ser = pdf[id_col]
+            vecs = pdf[vec_col].to_numpy(dtype=object)
+            if ids_ser.isna().any():
+                keep = ids_ser.notna().to_numpy()
+                ids_ser, vecs = ids_ser[keep], vecs[keep]
+            ids = ids_ser.to_numpy()
+            n = len(ids)
+            if n == 0:
+                yield empty()
+                continue
+            has_vec = np.array([v is not None for v in vecs], dtype=bool)
+            lens = np.array(
+                [len(v) if h else -1 for v, h in zip(vecs, has_vec)]
+            )
+            # stack per length group once; reused across queries. int8
+            # inputs (the quantize_embeddings contract) stack as int64,
+            # so dots/norms are ONE exact-integer BLAS matmul per batch
+            # — order-free because every value and partial sum is an
+            # exact integer in float64 (|dot| <= dim * 127^2 << 2^53),
+            # hence bitwise equal to the JVM fold; non-integer inputs
+            # fall back to the fold-order-exact cumsum path.
+            groups: dict[int, tuple] = {}
+            for length in set(lens[has_vec].tolist()):
+                idx = np.nonzero(lens == length)[0]
+                sub = [np.asarray(vecs[i]) for i in idx]
+                integral = all(
+                    np.issubdtype(s.dtype, np.integer) and s.dtype.itemsize <= 2
+                    for s in sub
+                )
+                if length == 0:
+                    cmat = np.zeros((len(idx), 0), dtype=np.int64)
+                    integral = True
+                elif integral:
+                    cmat = np.stack(sub).astype(np.int64)
+                else:
+                    cmat = np.stack(sub).astype(np.float64)
+                if integral:
+                    sq = (
+                        (cmat * cmat).sum(axis=1, dtype=np.int64)
+                        if length
+                        else np.zeros(len(idx), dtype=np.int64)
+                    )
+                    cnorm = np.sqrt(sq.astype(np.float64))
+                else:
+                    cnorm = np.sqrt(_fold_dot(cmat, cmat))
+                groups[length] = (idx, cmat, cnorm, integral)
+            out_frames = []
+            for qid, qarr, qn in prep:
+                # ordering group: 0 = NaN (sorts first under desc),
+                # 1 = valid value, 2 = null (desc_nulls_last)
+                grp = np.full(n, 2, dtype=np.int8)
+                cos = np.full(n, np.nan, dtype=np.float64)
+                if qarr is not None:
+                    dim = qarr.shape[0]
+                    if dim in groups:
+                        idx, cmat, cnorm, integral = groups[dim]
+                        # the exact-integer matmul needs both sides
+                        # provably small ints (int8 is the quantize
+                        # contract); anything else takes the
+                        # fold-order-exact cumsum path
+                        q_int = bool(
+                            np.all(qarr == np.trunc(qarr))
+                            and np.all(np.abs(qarr) <= 127)
+                        )
+                        with np.errstate(invalid="ignore", divide="ignore"):
+                            if integral and q_int and dim > 0:
+                                d = (cmat @ qarr.astype(np.int64)).astype(
+                                    np.float64
+                                )
+                            elif dim > 0:
+                                d = _fold_dot(
+                                    cmat.astype(np.float64),
+                                    np.broadcast_to(qarr, cmat.shape),
+                                )
+                            else:
+                                d = np.zeros(len(idx))
+                            c = d / (qn * cnorm)
+                        cos[idx] = c
+                        grp[idx] = np.where(np.isnan(c), 0, 1)
+                cand = np.nonzero(ids != qid)[0]
+                if len(cand) == 0:
+                    continue
+                g, cs, nb = grp[cand], cos[cand], ids[cand]
+                key_val = np.where(g == 1, -cs, -np.inf)  # desc within valid
+                order = np.lexsort((nb, key_val, g))[:k]
+                sel = cand[order]
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": [qid] * len(sel),
+                            "neighbor_id": ids[sel],
+                            # NaN in a pandas float column crosses Arrow as
+                            # NULL — exactly right for the null group, and
+                            # the NaN group is re-materialized JVM-side
+                            # from __isnan
+                            "cos_sim": cos[sel],
+                            "__isnan": grp[sel] == 0,
+                        }
+                    )
+                )
+            yield pd.concat(out_frames) if out_frames else empty()
+
+    return kernel
+
+
 def cosine_topk_quantized(
     corpus_q: DataFrame,
     queries_q: DataFrame,
@@ -610,9 +773,43 @@ def cosine_topk_quantized(
     """Top-k by cosine over int8-quantized vectors (same contract as
     :func:`cosine_topk_bruteforce`; inputs come from
     :func:`quantize_embeddings`). Quantization noise shifts cos_sim by
-    O(1/127) — the recall bound is asserted in tests."""
-    return cosine_topk_bruteforce(
-        corpus_q, queries_q, k=k, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
+    O(1/127) — the recall bound is asserted in tests.
+
+    Physical form (r11): the brute-force delegation evaluated three
+    interpreted higher-order aggregates per (query x corpus-row) pair —
+    codegen cannot compile ``aggregate``/``zip_with`` lambdas, so the
+    scoring stage was O(Q x N x dim) interpreted lambda calls. This form
+    collects the (guarded, probe-sized) query batch once and scores each
+    corpus Arrow batch with one NumPy pass per query; results are
+    BITWISE identical (pinned by test): quantized dots/norms are exact
+    integers in float64, the fold order is reproduced by ``_fold_dot``
+    for the general case, and the final divide/sqrt are the same
+    correctly-rounded IEEE ops in the same order. Each batch emits only
+    its local top-k per query, so the Arrow return traffic and the final
+    window's input are O(batches x Q x k) — never corpus-sized.
+    """
+    rows = collect_probe_batch(queries_q, query_id_col, vec_col)
+    kernel = _quantized_topk_kernel(rows, k, id_col, vec_col)
+    qid_t = _id_type(queries_q, query_id_col)
+    id_t = _id_type(corpus_q, id_col)
+    raw = corpus_q.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        kernel,
+        schema=f"query_id {qid_t}, neighbor_id {id_t}, cos_sim double, __isnan boolean",
+    )
+    scored = raw.select(
+        "query_id",
+        "neighbor_id",
+        F.when(F.col("__isnan"), F.lit(float("nan")))
+        .otherwise(F.col("cos_sim"))
+        .alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
 
 

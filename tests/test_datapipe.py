@@ -297,6 +297,102 @@ def test_quantized_cosine_recall_and_store_shrink(emb, tmp_path):
     assert size(qdir) < 0.55 * size(fdir), (size(qdir), size(fdir))
 
 
+def _rows_bitwise_equal(a, b) -> bool:
+    import math
+
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        ta, tb = tuple(ra), tuple(rb)
+        for va, vb in zip(ta, tb):
+            if isinstance(va, float) and isinstance(vb, float):
+                if math.isnan(va) and math.isnan(vb):
+                    continue
+                if va != vb:
+                    return False
+            elif va != vb:
+                return False
+    return True
+
+
+def test_quantized_topk_kernel_bitwise_equals_jvm_form(spark, emb):
+    """The r11 Arrow-kernel form of cosine_topk_quantized must be
+    BITWISE equal to the JVM expression form it replaced (the
+    brute-force delegation over quantized frames): on the real fixture,
+    and on a corner fixture exercising zero vectors (NaN cosine — Spark
+    orders NaN greatest, so NaN rows win a descending top-k), null
+    vectors (null cosine — desc_nulls_last), and exact score ties
+    (neighbor-id tie-break)."""
+    from extract_transform_load_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    def run_both(qcorpus, qqueries, k):
+        old = cosine_topk_bruteforce(
+            qcorpus, qqueries, k=k, vec_col="embedding_q"
+        )
+        new = cosine_topk_quantized(qcorpus, qqueries, k=k)
+        key = ["query_id", "rank"]
+        return old.orderBy(*key).collect(), new.orderBy(*key).collect()
+
+    qcorpus = quantize_embeddings(emb).select("vec_id", "embedding_q")
+    qqueries = quantize_embeddings(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+    ).select("query_id", "embedding_q")
+    old, new = run_both(qcorpus, qqueries, k=10)
+    assert len(old) > 0 and _rows_bitwise_equal(old, new)
+
+    schema = "vec_id bigint, embedding_q array<tinyint>"
+    corner_corpus = spark.createDataFrame(
+        [
+            (1, [1, 2, 3]),
+            (2, [2, 4, 6]),  # colinear with 1 -> cos ties with id 5
+            (4, None),  # null vector -> null cosine, must rank LAST
+            (5, [1, 2, 3]),  # identical to 1 -> exact tie, id asc breaks
+            (6, [-1, -2, -3]),  # cos = -1
+            (7, [3, -1, 0]),
+        ],
+        schema=schema,
+    )
+    corner_queries = spark.createDataFrame(
+        [
+            (1, [1, 2, 3]),  # normal query (also a self-exclusion case)
+            (91, None),  # null query: every cosine null
+        ],
+        schema="query_id bigint, embedding_q array<tinyint>",
+    )
+    old, new = run_both(corner_corpus, corner_queries, k=5)
+    assert len(old) == 10 and _rows_bitwise_equal(old, new)
+    q1 = [r for r in old if r["query_id"] == 1]
+    assert q1[0]["neighbor_id"] in (2, 5)  # the tie family leads
+    assert q1[-1]["cos_sim"] is None and q1[-1]["neighbor_id"] == 4
+
+    # Zero-norm vectors: the replaced JVM expression form ABORTED under
+    # ANSI (DIVIDE_BY_ZERO); the kernel is strictly more defined — IEEE
+    # 0/0 = NaN, ranked greatest like Spark (and DuckDB) order doubles.
+    import math
+
+    zero_corpus = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, [2, 4, 6]), (3, [0, 0, 0])], schema=schema
+    )
+    zero_queries = spark.createDataFrame(
+        [(1, [1, 2, 3]), (90, [0, 0, 0])],
+        schema="query_id bigint, embedding_q array<tinyint>",
+    )
+    got = (
+        cosine_topk_quantized(zero_corpus, zero_queries, k=2)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [r["neighbor_id"] for r in got] == [3, 2, 1, 2]
+    assert math.isnan(got[0]["cos_sim"])  # zero-norm corpus row leads q1
+    assert all(math.isnan(r["cos_sim"]) for r in got if r["query_id"] == 90)
+
+
 def test_prefix_jaccard_equals_allpairs_join(docs):
     """Prefix filtering is lossless: at t=0.5 and a stricter t=0.8 the
     PPJoin-style result set equals the all-pairs inverted-index join

@@ -571,8 +571,14 @@ def semantic_delta(
                 "threshold first: semantic_delta_recall_audit / q159), "
                 "or raise max_unblocked_delta deliberately"
             )
+    # Norms are attached ONCE PER ROW on each side before the candidate
+    # join (r11): aggregate/zip_with lambdas never enter codegen, so the
+    # old per-PAIR expression paid three interpreted O(dim) folds per
+    # candidate; precomputing each side's norm leaves one (the dot).
+    # Bit-exact: the identical deterministic expression over the same
+    # input, now evaluated in an earlier projection.
     cos_store = _dot(F.col("__sv"), F.col("__dv")) / (
-        _norm(F.col("__sv")) * _norm(F.col("__dv"))
+        F.col("__sn") * F.col("__dn")
     )
     d_keyed = None  # prefilter-keyed delta frame, reused for batch pairs
     if prefilter == "lsh":
@@ -606,6 +612,8 @@ def semantic_delta(
         # the fuzzy_pairs_delta_multi lesson (ADVICE r9); bounded:
         # |delta| x bands (or x n_probe) rows
         d_keyed = d_keyed.localCheckpoint(eager=False)
+        d_keyed = d_keyed.withColumn("__dn", _norm(F.col("__dv")))
+        s_keyed = s_keyed.withColumn("__sn", _norm(F.col("__sv")))
         # duplicate (delta, store-vector) collisions across bands feed
         # the same cosine into MAX — idempotent, so no dedup needed
         cand = s_keyed.join(
@@ -617,9 +625,12 @@ def semantic_delta(
             F.col(id_col).alias("__did"),
             *[F.col(c).alias(f"__d_{c}") for c in blocks],
             F.col(vec_col).alias("__dv"),
+            _norm(F.col(vec_col)).alias("__dn"),
         )
         s = store_vecs.select(
-            *[F.col(c) for c in blocks], F.col(vec_col).alias("__sv")
+            *[F.col(c) for c in blocks],
+            F.col(vec_col).alias("__sv"),
+            _norm(F.col(vec_col)).alias("__sn"),
         )
         cand = s.crossJoin(F.broadcast(d_b))
         for c in blocks:
@@ -639,7 +650,7 @@ def semantic_delta(
     sims = sims.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         cos_batch = _dot(F.col("__va"), F.col("__vb")) / (
-            _norm(F.col("__va")) * _norm(F.col("__vb"))
+            F.col("__na") * F.col("__nb")
         )
         if d_keyed is not None:
             # within-batch candidates share a band bucket / a probed
@@ -652,11 +663,13 @@ def semantic_delta(
             a = d_keyed.select(
                 F.col("__did").alias("doc_a"),
                 F.col("__dv").alias("__va"),
+                F.col("__dn").alias("__na"),
                 *bucket_keys,
             )
             b = d_keyed.select(
                 F.col("__did").alias("doc_b"),
                 F.col("__dv").alias("__vb"),
+                F.col("__dn").alias("__nb"),
                 *bucket_keys,
             )
             batch_pairs = (
@@ -670,11 +683,13 @@ def semantic_delta(
                 F.col(id_col).alias("doc_a"),
                 *[F.col(c) for c in blocks],
                 F.col(vec_col).alias("__va"),
+                _norm(F.col(vec_col)).alias("__na"),
             )
             b = d.select(
                 F.col(id_col).alias("doc_b"),
                 *[F.col(c) for c in blocks],
                 F.col(vec_col).alias("__vb"),
+                _norm(F.col(vec_col)).alias("__nb"),
             )
             batch_pairs = (
                 a.join(b, blocks) if blocks else a.crossJoin(b)

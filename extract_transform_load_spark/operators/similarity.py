@@ -130,9 +130,15 @@ def cosine_topk_bruteforce(
     for determinism.
     """
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -141,7 +147,7 @@ def cosine_topk_bruteforce(
             "neighbor_id",
             (
                 _dot(F.col("__qvec"), F.col("__cvec"))
-                / (_norm(F.col("__qvec")) * _norm(F.col("__cvec")))
+                / (F.col("__qn") * F.col("__cn"))
             ).alias("cos_sim"),
         )
     )
@@ -184,11 +190,13 @@ def hard_negative_topk(
         F.col(query_id_col).alias("query_id"),
         F.col(label_col).alias("__qlabel"),
         F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
         F.col(vec_col).alias("__cvec"),
+        _norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -199,7 +207,7 @@ def hard_negative_topk(
             "neighbor_label",
             (
                 _dot(F.col("__qvec"), F.col("__cvec"))
-                / (_norm(F.col("__qvec")) * _norm(F.col("__cvec")))
+                / (F.col("__qn") * F.col("__cn"))
             ).alias("cos_sim"),
         )
     )
@@ -325,11 +333,19 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
     )
     cand = pair_ids.join(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec"),
+            _norm(F.col(vec_col)).alias("__cn"),
+        ),
         "neighbor_id",
     ).join(
         F.broadcast(
-            queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(vec_col).alias("__qvec"),
+                _norm(F.col(vec_col)).alias("__qn"),
+            )
         ),
         "query_id",
     )
@@ -338,7 +354,7 @@ def lsh_topk(
         "neighbor_id",
         (
             _dot(F.col("__qvec"), F.col("__cvec"))
-            / (_norm(F.col("__qvec")) * _norm(F.col("__cvec")))
+            / (F.col("__qn") * F.col("__cn"))
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
@@ -474,7 +490,9 @@ def ivf_topk(
         corpus.select(F.col(id_col), F.col(vec_col)), centroids, "neighbor_id"
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        _norm(F.col(vec_col)).alias("__cn"),
     ).join(c_cells, "neighbor_id")
 
     # query → its n_probe nearest cells (shared probe routine)
@@ -483,7 +501,9 @@ def ivf_topk(
         schema=f"query_id {_id_type(queries, query_id_col)}, cell int",
     )
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col)).alias("__qn"),
     ).join(q_cells, "query_id")
 
     cand = c.join(F.broadcast(q), "cell").filter(F.col("neighbor_id") != F.col("query_id"))
@@ -492,7 +512,7 @@ def ivf_topk(
         "neighbor_id",
         (
             _dot(F.col("__qvec"), F.col("__cvec"))
-            / (_norm(F.col("__qvec")) * _norm(F.col("__cvec")))
+            / (F.col("__qn") * F.col("__cn"))
         ).alias("cos_sim"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
@@ -537,6 +557,7 @@ def ivf_hard_negatives(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
         F.col(vec_col).alias("__cvec"),
+        _norm(F.col(vec_col)).alias("__cn"),
     ).join(c_cells, "neighbor_id")
 
     q_cells = queries.select(F.col(query_id_col), F.col(vec_col)).mapInPandas(
@@ -547,6 +568,7 @@ def ivf_hard_negatives(
         F.col(query_id_col).alias("query_id"),
         F.col(label_col).alias("__qlabel"),
         F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col)).alias("__qn"),
     ).join(q_cells, "query_id")
 
     cand = c.join(F.broadcast(q), "cell").filter(
@@ -558,7 +580,7 @@ def ivf_hard_negatives(
         "neighbor_label",
         (
             _dot(F.col("__qvec"), F.col("__cvec"))
-            / (_norm(F.col("__qvec")) * _norm(F.col("__cvec")))
+            / (F.col("__qn") * F.col("__cn"))
         ).alias("cos_sim"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
@@ -899,12 +921,17 @@ def ivf_topk_over_store(
         [(r["query_id"], r["cell"]) for r in q_cells], f"query_id {qid_t}, cell int"
     )
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col)).alias("__qn"),
     ).join(q_cells_df, "query_id")
 
     store = spark.read.parquet(path).filter(F.col("cell").isin(probed))
     c = store.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), "cell"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        _norm(F.col(vec_col)).alias("__cn"),
+        "cell",
     )
     cand = c.join(F.broadcast(q), "cell").filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.select(
@@ -912,7 +939,7 @@ def ivf_topk_over_store(
         "neighbor_id",
         (
             _dot(F.col("__qvec"), F.col("__cvec"))
-            / (_norm(F.col("__qvec")) * _norm(F.col("__cvec")))
+            / (F.col("__qn") * F.col("__cn"))
         ).alias("cos_sim"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
@@ -998,12 +1025,18 @@ def semantic_dedup_flags(
         id_col,
     ).join(corpus.select(id_col, vec_col), id_col)
     a = assigned.select(
-        F.col("cell"), F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+        F.col("cell"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+        _norm(F.col(vec_col)).alias("__na"),
     )
     b = assigned.select(
-        F.col("cell"), F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+        F.col("cell"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
     )
-    cos = _dot(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb")))
+    cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     drops = (
         a.join(b, "cell")
         .filter((F.col("__ida") < F.col("__idb")) & (cos >= threshold))

@@ -386,14 +386,22 @@ def q53_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = load(spark, sf_dir, "embeddings")
     a = v.select(
-        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("__va")
+        F.col("label"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("__va"),
+        _norm(F.col("embedding")).alias("__na"),
     )
     b = v.select(
-        F.col("label"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("__vb")
+        F.col("label"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("__vb"),
+        _norm(F.col("embedding")).alias("__nb"),
     )
     pairs = a.join(b, ["label"]).filter(F.col("vec_a") < F.col("vec_b"))
+    # per-side norms attached once per row (r11): the per-pair
+    # expression paid three interpreted O(dim) folds; now one (the dot)
     cos = _dot(F.col("__va"), F.col("__vb")) / (
-        _norm(F.col("__va")) * _norm(F.col("__vb"))
+        F.col("__na") * F.col("__nb")
     )
     return (
         pairs.withColumn("cos_sim", cos)
@@ -3062,14 +3070,20 @@ def q99_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantizer directly; the justification predicate stays an
     # expression independent of the operator's internals.
     dropped = flags.filter(~F.col("keep")).select(
-        F.col("cell"), F.col("vec_id").alias("__idb"), F.col("embedding").alias("__vb")
+        F.col("cell"),
+        F.col("vec_id").alias("__idb"),
+        F.col("embedding").alias("__vb"),
+        _norm(F.col("embedding")).alias("__nb"),
     )
     lower = _assign_cells(emb.select("vec_id", "embedding"), cents, "vec_id").join(
         emb.select("vec_id", "embedding"), "vec_id"
     ).select(
-        F.col("cell"), F.col("vec_id").alias("__ida"), F.col("embedding").alias("__va")
+        F.col("cell"),
+        F.col("vec_id").alias("__ida"),
+        F.col("embedding").alias("__va"),
+        _norm(F.col("embedding")).alias("__na"),
     )
-    cos = _dot(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb")))
+    cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     justified = (
         dropped.join(lower, "cell")
         .filter((F.col("__ida") < F.col("__idb")) & (cos >= 0.5))
@@ -3240,11 +3254,14 @@ def q102_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
 
     emb = load(spark, sf_dir, "embeddings")
     test_v = emb.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("embedding").alias("__vq")
+        F.col("embedding").alias("__vq"),
+        _norm(F.col("embedding")).alias("__nq"),
     )
-    train_v = emb.filter(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+    train_v = emb.filter(F.col("vec_id") % 10 != 0).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("__nt")
+    )
     cos = _dot(F.col("embedding"), F.col("__vq")) / (
-        _norm(F.col("embedding")) * _norm(F.col("__vq"))
+        F.col("__nt") * F.col("__nq")
     )
     return (
         train_v.crossJoin(F.broadcast(test_v))

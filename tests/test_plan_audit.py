@@ -70,11 +70,14 @@ def test_q59_sessionization_one_exchange_one_sort(spark, sf_dir):
 
 
 def test_q63_quantized_topk_no_corpus_shuffle(spark, sf_dir):
-    """The corpus side must stream: the only exchanges are the broadcast
-    of the tiny probe set and the final top-k window's."""
+    """The corpus side must stream: the probe batch is collected
+    driver-side into the Arrow kernel closure (r11 — no broadcast join
+    at all), so the ONLY exchange left is the final top-k window's, and
+    its input is batch-local top-k rows, never the scored corpus."""
     plan = plan_of(spark, sf_dir, "q63_quantized_topk")
-    assert "BroadcastExchange" in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange") == 1
+    assert "BroadcastNestedLoopJoin" not in plan and "SortMergeJoin" not in plan
 
 
 def test_q64_hash_split_scan_local(spark, sf_dir):

@@ -628,15 +628,25 @@ def _fold_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     left fold: ((0 + p0) + p1) + ... . ``np.cumsum`` computes exactly
     those prefix sums (a running accumulation, NOT the pairwise/blocked
     summation ``np.sum`` uses), so the last column is bitwise the JVM's
-    result for ANY float64 inputs — and for int8-quantized inputs both
-    are exact integers anyway (|dot| <= dim * 127^2 << 2^53).
+    result — up to the sign of zero: the JVM fold starts at ``0.0 + p0``
+    while cumsum starts at ``p0``, so an all ``-0.0`` product row yields
+    ``-0.0`` here vs ``+0.0`` JVM-side. Spark orders/compares
+    ``-0.0 == 0.0``, so ranking and equality are unaffected; for
+    int8-quantized inputs both forms are exact integers anyway
+    (|dot| <= dim * 127^2 << 2^53).
     """
     if a.shape[1] == 0:
         return np.zeros(a.shape[0], dtype=np.float64)
     return np.cumsum(a * b, axis=1, dtype=np.float64)[:, -1]
 
 
-def _quantized_topk_kernel(query_rows: list, k: int, id_col: str, vec_col: str):
+def _quantized_topk_kernel(
+    query_rows: list,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    corpus_elems_integral: bool = False,
+):
     """mapInPandas closure for :func:`cosine_topk_quantized`.
 
     Per corpus batch, scores every (query, corpus-row) pair with the
@@ -646,10 +656,17 @@ def _quantized_topk_kernel(query_rows: list, k: int, id_col: str, vec_col: str):
     window over (#batches x Q x k) rows reproduces the full-pair result
     exactly while the Arrow return traffic stays bounded by the batch
     count, not the corpus. Rows mirroring the JVM join/expression
-    semantics: null ids drop (the join condition is null), a null or
-    length-mismatched vector scores null (null-propagating zip_with
-    fold), zero norms score NaN (0.0/0.0). NaN crosses the boundary as
-    a (null, __isnan=true) pair because pandas cannot hold NaN-vs-null
+    semantics: null ids drop (the join condition is null), a null,
+    null-ELEMENT or length-mismatched vector scores null (the
+    null-propagating zip_with fold), zero norms score NaN (0.0/0.0).
+    Null elements: the collected query rows keep ``None`` distinct, and
+    on the corpus side ``corpus_elems_integral`` (the declared Spark
+    element type) identifies them — Arrow converts a list<int> holding a
+    null to float64-with-NaN, so with an integral declared type a NaN
+    can ONLY be a null element and the row joins the null group. For
+    float-typed corpora a NaN element is genuine NaN and propagates as
+    NaN, matching the JVM fold. NaN crosses the boundary as a
+    (null, __isnan=true) pair because pandas cannot hold NaN-vs-null
     distinctly; the caller restores the NaN literal JVM-side.
     """
     prep = []  # (qid, qvec float64 | None, qnorm | None)
@@ -657,7 +674,9 @@ def _quantized_topk_kernel(query_rows: list, k: int, id_col: str, vec_col: str):
         qid, qv = r[0], r[1]
         if qid is None:
             continue  # join condition NOT(nb = qid) is null -> row drops
-        if qv is None:
+        if qv is None or any(x is None for x in qv):
+            # a null ELEMENT null-propagates through the JVM zip_with
+            # fold exactly like a null vector: every cosine is null
             prep.append((qid, None, None))
             continue
         arr = np.asarray(qv, dtype=np.float64)
@@ -689,10 +708,22 @@ def _quantized_topk_kernel(query_rows: list, k: int, id_col: str, vec_col: str):
             if n == 0:
                 yield empty()
                 continue
-            has_vec = np.array([v is not None for v in vecs], dtype=bool)
-            lens = np.array(
-                [len(v) if h else -1 for v, h in zip(vecs, has_vec)]
-            )
+            arrs = [np.asarray(v) if v is not None else None for v in vecs]
+            if corpus_elems_integral:
+                # declared element type is integral, so a float-dtype
+                # conversion carrying NaN means Arrow hit a null ELEMENT
+                # (list<int> + null -> float64/NaN): the JVM fold
+                # null-propagates those rows -> null group
+                arrs = [
+                    None
+                    if a is not None
+                    and np.issubdtype(a.dtype, np.floating)
+                    and bool(np.isnan(a).any())
+                    else a
+                    for a in arrs
+                ]
+            has_vec = np.array([a is not None for a in arrs], dtype=bool)
+            lens = np.array([len(a) if a is not None else -1 for a in arrs])
             # stack per length group once; reused across queries. int8
             # inputs (the quantize_embeddings contract) stack as int64,
             # so dots/norms are ONE exact-integer BLAS matmul per batch
@@ -703,7 +734,7 @@ def _quantized_topk_kernel(query_rows: list, k: int, id_col: str, vec_col: str):
             groups: dict[int, tuple] = {}
             for length in set(lens[has_vec].tolist()):
                 idx = np.nonzero(lens == length)[0]
-                sub = [np.asarray(vecs[i]) for i in idx]
+                sub = [arrs[i] for i in idx]
                 integral = all(
                     np.issubdtype(s.dtype, np.integer) and s.dtype.itemsize <= 2
                     for s in sub
@@ -792,10 +823,18 @@ def cosine_topk_quantized(
     vec_col: str = "embedding_q",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Top-k by cosine over int8-quantized vectors (same contract as
-    :func:`cosine_topk_bruteforce`; inputs come from
+    """Top-k by cosine over int8-quantized vectors (same result contract
+    as :func:`cosine_topk_bruteforce`; inputs come from
     :func:`quantize_embeddings`). Quantization noise shifts cos_sim by
     O(1/127) — the recall bound is asserted in tests.
+
+    One contract difference from the brute-force form: the query side is
+    a PROBE batch and is collected driver-side through
+    :func:`collect_probe_batch`, so query batches beyond
+    ``MAX_PROBE_BATCH`` (10,000) rows fail loudly instead of running —
+    chunk the probe set, or use the bucketed pair operators
+    (minhash/simhash LSH, :func:`semantic_dedup`) for corpus-vs-corpus
+    search.
 
     Physical form (r11): the brute-force delegation evaluated three
     interpreted higher-order aggregates per (query x corpus-row) pair —
@@ -810,8 +849,14 @@ def cosine_topk_quantized(
     its local top-k per query, so the Arrow return traffic and the final
     window's input are O(batches x Q x k) — never corpus-sized.
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     rows = collect_probe_batch(queries_q, query_id_col, vec_col)
-    kernel = _quantized_topk_kernel(rows, k, id_col, vec_col)
+    elem_t = corpus_q.schema[vec_col].dataType.elementType
+    elems_integral = isinstance(elem_t, (ByteType, ShortType, IntegerType, LongType))
+    kernel = _quantized_topk_kernel(
+        rows, k, id_col, vec_col, corpus_elems_integral=elems_integral
+    )
     qid_t = _id_type(queries_q, query_id_col)
     id_t = _id_type(corpus_q, id_col)
     raw = corpus_q.select(F.col(id_col), F.col(vec_col)).mapInPandas(

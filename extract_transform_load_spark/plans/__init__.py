@@ -60,12 +60,27 @@ _PRIORITY = [
     # with the mergeable-sketch production shape) and q62 (approx
     # percentiles: q19's stats surface via KLL). All three stay
     # strict-gate green past the window.
-    "q09_anti_join",            # B1
-    "q10_semi_join",            # B2
+    # ------------------------------------------------------------------
+    # Round 12 rotation (the r11 verdict's ranked task 2, the
+    # "birth-plus-one discipline applied to rewrites"): the six queries
+    # whose round-11 REWRITES hold no driver CORRECTNESS row — q63 (the
+    # bitwise Arrow top-k kernel), q148/q151 (fused multi-pass linkage),
+    # q132/q137 (curation scan fusion + shared MinHash state), q161 (the
+    # new BM25 operator, bench-headlined since r11) — rotate in so the
+    # driver's own oracle pins the rewritten paths. Displaced to make
+    # room (all stay strict-gate green past the window): five of the
+    # NINE in-window B1-B9 join rows — q09 (anti), q10 (semi), q12
+    # (left+zero-fill), q13 (full outer), q14 (cross+scalar) — the
+    # fattest class in the window; join physics stays driver-owned via
+    # q11 (dim equi-join + rollup), q15 (as-of), q16 (range) and q17
+    # (multiway chain), and semi/anti shapes additionally ride in-window
+    # through q40 (dedup keep-list anti-join) and q125 (contamination
+    # semi-join coverage). Sixth slot: q62_approx_percentiles rotates
+    # back out — its r10 purpose (a green row on the driver ledger after
+    # the stale r1 FAIL) was served in CORRECTNESS_r10/r11, and the
+    # mergeable-sketch family keeps q97 in-window.
+    # ------------------------------------------------------------------
     "q11_dim_join_rollup",      # B3
-    "q12_left_join_zero_fill",  # B4
-    "q13_full_outer_daily",     # B5
-    "q14_cross_scalar",         # B6
     "q15_asof_join",            # B7
     "q16_range_join",           # B8
     "q17_multiway_chain",       # B9
@@ -129,7 +144,14 @@ _PRIORITY = [
     # the period-window/scalar class via q37 (which stays).
     "q37_decimal_shift",        # price decimal normalization (A11)
     "q59_sessionization",       # gap-based session assignment
-    "q62_approx_percentiles",   # KLL approx percentiles
+    # q62_approx_percentiles displaced in round 12 (see the r12 rotation
+    # block above); its green rows stand in CORRECTNESS_r10/r11.
+    "q63_quantized_topk",       # r11 Arrow kernel rewrite (r12 rotation)
+    "q132_curation_delta",      # r11 shared-MinHash-state rewrite
+    "q137_curation_model_pipeline",  # r11 curation scan fusion
+    "q148_linkage_multipass",   # r11 fused multi-pass linkage
+    "q151_linkage_multipass_delta",  # r11 fused delta linkage
+    "q161_bm25_topk",           # new in r11 (birth-plus-one row)
     "q154_kcore_shuffle",       # delta-peeling k-core — the measured
                                 # 30x 100 TB engine (r10; VERDICT r10
                                 # next-round #1 names it first)

@@ -1,11 +1,11 @@
 #!/usr/bin/env python
-"""Round-11 optimization probe: isolate one or more registry queries,
+"""Optimization probe (r11+): isolate one or more registry queries,
 time them with the noop sink (guide §1.4: full-column materialization,
 no sink cost), and optionally dump .explain("formatted") to
-plans/r11/<query>_<tag>.txt for the plan-diff evidence the judge checks.
+plans/<dir>/<query>_<tag>.txt (--plans-dir, default r12) for the plan-diff evidence the judge checks.
 
 Usage:
-    python scripts/opt_probe.py [--plans TAG] [--reps N] name [name ...]
+    python scripts/opt_probe.py [--plans TAG] [--plans-dir r12] [--reps N] name [name ...]
 
 Timing methodology matches bench.py: one warm-up materialization per
 query (JIT/codegen), then best-of-N noop-sink runs; per-rep vectors are
@@ -30,12 +30,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/"
 def main() -> int:
     args = sys.argv[1:]
     plans_tag = None
+    plans_sub = "r12"
     reps = 3
     names = []
     i = 0
     while i < len(args):
         if args[i] == "--plans":
             plans_tag = args[i + 1]
+            i += 2
+        elif args[i] == "--plans-dir":
+            plans_sub = args[i + 1]
             i += 2
         elif args[i] == "--reps":
             reps = int(args[i + 1])
@@ -44,10 +48,10 @@ def main() -> int:
             names.append(args[i])
             i += 1
 
-    spark = get_spark(app_name="opt-probe-r11")
+    spark = get_spark(app_name="opt-probe")
     spark.sparkContext.setLogLevel("ERROR")
     plans_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", plans_sub
     )
     if plans_tag:
         os.makedirs(plans_dir, exist_ok=True)

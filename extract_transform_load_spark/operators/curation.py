@@ -41,6 +41,52 @@ def _check_nonnegative_ids(df: DataFrame, id_col: str, op: str) -> None:
         )
 
 
+def curation_doc_state(
+    docs: DataFrame,
+    positive,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough_cols: Sequence[str] = ("source",),
+    n_buckets: int = 256,
+) -> DataFrame:
+    """ONE corpus scan emitting the shared training + curation state
+    (r12; guide §1.2 "remove passes"): the q131 metric/fingerprint
+    projection AND the classifier feature histogram, fused.
+
+    The q137 composition previously paid THREE full text scans —
+    ``learn_log_odds`` (featurize), the :func:`curation_stages` fused
+    metrics+fingerprint scan, and the near-dup survivor tokenize — the
+    first two of which consume exactly the same rows. This state frame
+    replaces both: ``learn_log_odds_from_state`` aggregates the weights
+    from the per-doc histograms (identical integer counts → identical
+    weights), and ``curation_stages(doc_state=...)`` projects the
+    metrics, fingerprint and (histogram-replayed, decimal-exact)
+    classifier score straight off it. State per doc is the narrow
+    metric row plus ≤ ``n_buckets`` (int,int) histogram entries —
+    bounded, never text, never the token-scale feature stream. The
+    contract: ``docs`` passed to :func:`curation_stages` must be the
+    SAME frame this state was built from."""
+    from .dedup import fingerprint
+    from .quality_model import featurized_doc_state
+    from .textops import words
+
+    wds = words(F.col(text_col))
+    extra = [
+        F.size(wds).cast("bigint").alias("n_words"),
+        (F.size(F.array_distinct(wds)).cast("double") / F.size(wds)).alias("__ttr"),
+        fingerprint(F.col(text_col)).alias("__fp"),
+    ]
+    return featurized_doc_state(
+        docs,
+        positive,
+        text_col=text_col,
+        id_col=id_col,
+        passthrough_cols=passthrough_cols,
+        extra_cols=extra,
+        n_buckets=n_buckets,
+    )
+
+
 def curation_stages(
     docs: DataFrame,
     text_col: str = "text",
@@ -54,6 +100,7 @@ def curation_stages(
     model_weights: Sequence | None = None,
     model_threshold: float = 0.0,
     model_buckets: int = 256,
+    doc_state: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document curation verdicts.
 
@@ -100,6 +147,16 @@ def curation_stages(
     joins), so the stage is free at 100 TB beyond the arithmetic
     itself. Default None keeps the historical three-stage recipe and
     output byte-identical.
+
+    ``doc_state`` (round 12): a precomputed :func:`curation_doc_state`
+    frame built from the SAME ``docs``. When a caller learns the model
+    weights from this corpus in the same job (the q137 composition),
+    passing the state eliminates this function's metrics+fingerprint
+    text scan entirely — metrics, fingerprint and the classifier score
+    (histogram-replayed, decimal-exact — see
+    ``quality_model.state_score_columns``) all project off the
+    checkpointed narrow state. Output is byte-identical either way
+    (pinned by test).
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -108,34 +165,59 @@ def curation_stages(
     from .dedup import fingerprint, minhash_lsh_verified_pairs
     from .textops import words
 
-    wds = words(F.col(text_col))
-    # text is consumed HERE, in-scan; everything downstream moves ids,
-    # fingerprints and per-doc metrics, never text
-    metric_cols = [
-        F.size(wds).cast("bigint").alias("n_words"),
-        (F.size(F.array_distinct(wds)).cast("double") / F.size(wds)).alias("__ttr"),
-    ]
-    if model_weights is not None:
-        from .quality_model import local_score_columns
+    if doc_state is not None:
+        # r12 fusion: the metrics, fingerprint AND (when the model stage
+        # is on) the classifier score all project off the precomputed
+        # :func:`curation_doc_state` frame — zero text scans here; the
+        # score is replayed from the histogram, decimal-exact equal to
+        # the scan-local form (state_score_columns' proof). The min-per-
+        # fingerprint window is unchanged and runs over the same narrow
+        # row shape.
+        sel_cols = [
+            F.col(id_col),
+            *[F.col(c) for c in passthrough_cols],
+            F.col("n_words"),
+            F.col("__ttr"),
+        ]
+        if model_weights is not None:
+            from .quality_model import state_score_columns
 
-        _, clf = local_score_columns(F.col(text_col), list(model_weights), model_buckets)
-        metric_cols.append(clf.alias("__clf"))
-    # ONE text scan computes the metrics AND the exact-dup fingerprint
-    # (r11 fusion: the metrics projection and the fingerprint scan were
-    # two separate full passes over the text). The min-per-fingerprint
-    # stays a WINDOW — the groupBy+join-back form pays a second scan
-    # and a distinct-fingerprint-sized broadcast build (measured 120 s
-    # vs 36 s at 500k docs). The window now shuffles the metric columns
-    # alongside (id, fingerprint) — a few dozen bytes per row, never
-    # text — which is strictly cheaper than the md5 re-scan it replaces.
-    m = docs.select(
-        F.col(id_col),
-        *[F.col(c) for c in passthrough_cols],
-        *metric_cols,
-        fingerprint(F.col(text_col)).alias("__fp"),
-    ).withColumn(
-        "__xd", F.col(id_col) != F.min(id_col).over(Window.partitionBy("__fp"))
-    )
+            _, clf = state_score_columns(list(model_weights), model_buckets)
+            sel_cols.append(clf.alias("__clf"))
+        m = doc_state.select(*sel_cols, F.col("__fp")).withColumn(
+            "__xd", F.col(id_col) != F.min(id_col).over(Window.partitionBy("__fp"))
+        )
+    else:
+        wds = words(F.col(text_col))
+        # text is consumed HERE, in-scan; everything downstream moves ids,
+        # fingerprints and per-doc metrics, never text
+        metric_cols = [
+            F.size(wds).cast("bigint").alias("n_words"),
+            (F.size(F.array_distinct(wds)).cast("double") / F.size(wds)).alias("__ttr"),
+        ]
+        if model_weights is not None:
+            from .quality_model import local_score_columns
+
+            _, clf = local_score_columns(
+                F.col(text_col), list(model_weights), model_buckets
+            )
+            metric_cols.append(clf.alias("__clf"))
+        # ONE text scan computes the metrics AND the exact-dup fingerprint
+        # (r11 fusion: the metrics projection and the fingerprint scan were
+        # two separate full passes over the text). The min-per-fingerprint
+        # stays a WINDOW — the groupBy+join-back form pays a second scan
+        # and a distinct-fingerprint-sized broadcast build (measured 120 s
+        # vs 36 s at 500k docs). The window now shuffles the metric columns
+        # alongside (id, fingerprint) — a few dozen bytes per row, never
+        # text — which is strictly cheaper than the md5 re-scan it replaces.
+        m = docs.select(
+            F.col(id_col),
+            *[F.col(c) for c in passthrough_cols],
+            *metric_cols,
+            fingerprint(F.col(text_col)).alias("__fp"),
+        ).withColumn(
+            "__xd", F.col(id_col) != F.min(id_col).over(Window.partitionBy("__fp"))
+        )
     if cache_drop_list:
         m = m.persist(StorageLevel.MEMORY_AND_DISK)
     s1 = docs.select(F.col(id_col), F.col(text_col)).join(
@@ -739,6 +821,7 @@ def semantic_delta_recall_audit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_unblocked_delta: int = 5_000,
+    exact: DataFrame | None = None,
     **prefilter_kwargs,
 ) -> DataFrame:
     """Measured-recall audit of a prefiltered :func:`semantic_delta`
@@ -772,15 +855,25 @@ def semantic_delta_recall_audit(
     wide, then apply the measured floor to the full run. Registry row
     q159 pins this audit green at sf0.01 on a perturbed-copy fixture;
     measured floors there are documented on the row.
+
+    ``exact`` (r12; guide §1.2 "don't compute things twice"): a
+    precomputed exact-form :func:`semantic_delta` result over the SAME
+    inputs/threshold. A caller auditing several prefilters (q159 audits
+    LSH and IVF) shares ONE exact run — the dominant quadratic cost —
+    instead of paying it once per audit; ``semantic_delta`` returns an
+    eagerly materialized frame, so the shared result is computed
+    exactly once. Recall numbers are unchanged by construction (the
+    frame IS the exact form's output).
     """
-    exact = semantic_delta(
-        delta_vecs,
-        store_vecs,
-        id_col=id_col,
-        vec_col=vec_col,
-        threshold=threshold,
-        max_unblocked_delta=max_unblocked_delta,
-    )
+    if exact is None:
+        exact = semantic_delta(
+            delta_vecs,
+            store_vecs,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            max_unblocked_delta=max_unblocked_delta,
+        )
     pref = semantic_delta(
         delta_vecs,
         store_vecs,

@@ -39,6 +39,8 @@ pipelines) with the model-based stage those heuristics feed.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
@@ -129,7 +131,16 @@ def learn_log_odds(
         F.count(F.when(F.col("__pos"), 1)).alias("pos_cnt"),
         F.count(F.when(~F.col("__pos"), 1)).alias("neg_cnt"),
     )
-    spark = docs.sparkSession
+    return _log_odds_from_counts(counts, docs.sparkSession, n_buckets)
+
+
+def _log_odds_from_counts(counts: DataFrame, spark, n_buckets: int) -> DataFrame:
+    """Shared tail of the two learning paths: densify the per-bucket
+    (pos_cnt, neg_cnt) table over [0, n_buckets) and compute the
+    add-one-smoothed log-odds. Both :func:`learn_log_odds` (occurrence
+    rows from a text scan) and :func:`learn_log_odds_from_state`
+    (histogram sums from the fused doc state) feed IDENTICAL integer
+    counts in, so the weights are identical by construction."""
     all_buckets = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
     dense = (
         all_buckets.join(counts, "bucket", "left")
@@ -150,6 +161,178 @@ def learn_log_odds(
         / (F.col("neg_tot").cast("double") + float(n_buckets))
     )
     return dense.select("bucket", w.cast(_WEIGHT_DECIMAL).alias("weight"))
+
+
+def featurized_doc_state(
+    docs: DataFrame,
+    positive: Column,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough_cols=(),
+    extra_cols: Sequence[Column] = (),
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """ONE corpus scan emitting the bounded per-doc model state (r12;
+    guide §1.2/§4.2): everything the learn→score round trip needs,
+    WITHOUT a second text read.
+
+    Returns a lazily ``localCheckpoint``-ed frame with one row per doc:
+    ``(id_col, *passthrough_cols, *extra_cols, __pos boolean,
+    __nf bigint, __hb array<int>, __hc array<int>)`` where
+    ``(__hb, __hc)`` is the feature-bucket HISTOGRAM (sorted distinct
+    buckets + occurrence counts; NULL for null text, mirroring
+    ``hashed_features``) and ``__nf`` is ``size(features)``. The
+    histogram is the key move: the classifier score is
+    ``sum_b(count_b * weight_b) / n_features`` — exactly (in DECIMAL
+    arithmetic, bit-for-bit) the per-occurrence sum the scoring forms
+    compute — so both the WEIGHT aggregation and the per-doc score can
+    be replayed from ≤ ``n_buckets`` entries per doc instead of
+    re-tokenizing the corpus. Previously ``learn_log_odds`` + any
+    scorer meant two full text scans; at 100 TB the state is bounded
+    (≤ 256 (int,int) entries/doc — never text, never the token-scale
+    feature stream) and the corpus is read once.
+
+    Metrics and the feature array are computed as JVM expressions in
+    the scan projection (only the projected columns cross the Arrow
+    boundary — text does not); the Python side only bincounts the
+    in-flight feature array per doc (vectorized, no md5/tokenize
+    replication, so there is no cross-language semantics risk). The
+    checkpoint materializes on first use and is released with the
+    frame (no unpersist bookkeeping)."""
+    import numpy as np
+
+    feats = hashed_features(F.col(text_col), n_buckets)
+    sel = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough_cols],
+        *extra_cols,
+        positive.alias("__pos"),
+        F.size(feats).cast("bigint").alias("__nf"),
+        feats.alias("__feats"),
+    )
+    out_fields = [f for f in sel.schema.fields if f.name != "__feats"]
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+    ddl += ", __hb array<int>, __hc array<int>"
+
+    def compute(batches):
+        for pdf in batches:
+            hb, hc = [], []
+            for v in pdf["__feats"]:
+                if v is None:
+                    hb.append(None)
+                    hc.append(None)
+                    continue
+                cnt = np.bincount(np.asarray(v, dtype=np.int64))
+                nz = np.nonzero(cnt)[0]
+                hb.append(nz.astype(np.int32))
+                hc.append(cnt[nz].astype(np.int32))
+            yield pdf.drop(columns=["__feats"]).assign(__hb=hb, __hc=hc)
+
+    return sel.mapInPandas(compute, schema=ddl).localCheckpoint(eager=False)
+
+
+def learn_log_odds_from_state(
+    state: DataFrame, *, n_buckets: int = DEFAULT_BUCKETS
+) -> DataFrame:
+    """:func:`learn_log_odds` replayed from :func:`featurized_doc_state`
+    — identical weights (pinned by test), zero text scans: the
+    per-bucket pos/neg occurrence counts are sums of the per-doc
+    histogram counts (integers — exactly the occurrence-row counts the
+    text-scan form aggregates), and the densify/log/decimal tail is the
+    shared :func:`_log_odds_from_counts`."""
+    occ = state.select(
+        "__pos",
+        F.explode(F.arrays_zip(F.col("__hb"), F.col("__hc"))).alias("__e"),
+    ).select(
+        "__pos",
+        F.col("__e.__hb").alias("bucket"),
+        F.col("__e.__hc").alias("__cnt"),
+    )
+    counts = occ.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__pos"), F.col("__cnt")).otherwise(0)).alias("pos_cnt"),
+        F.sum(F.when(~F.col("__pos"), F.col("__cnt")).otherwise(0)).alias("neg_cnt"),
+    )
+    return _log_odds_from_counts(counts, state.sparkSession, n_buckets)
+
+
+def state_score_columns(
+    weights: list, n_buckets: int = DEFAULT_BUCKETS
+) -> tuple[Column, Column]:
+    """(n_features, clf_score) computed from the state HISTOGRAM —
+    bit-identical to :func:`local_score_columns` over the text: each
+    term ``weight_b * count_b`` is an EXACT decimal(37,12) product of a
+    decimal(26,12) weight and an int count, the accumulator casts are
+    the same-scale no-rounding casts the per-occurrence form uses, and
+    decimal addition is order-free exact — so the total equals the
+    sequential per-occurrence sum as a rational number, hence as a
+    decimal, hence as the final double. NULL histogram (null text)
+    yields NULL score, exactly like ``aggregate`` over a NULL feature
+    array."""
+    if len(weights) != n_buckets:
+        raise ValueError(f"expected {n_buckets} weights, got {len(weights)}")
+    acc_t = "decimal(26,12)"
+    warr = F.array(*[F.lit(v).cast(acc_t) for v in weights])
+    total = F.aggregate(
+        F.arrays_zip(F.col("__hb"), F.col("__hc")),
+        F.lit(0).cast(acc_t),
+        lambda acc, e: (
+            acc + (F.element_at(warr, e["__hb"] + 1) * e["__hc"]).cast(acc_t)
+        ).cast(acc_t),
+    )
+    n_feat = F.col("__nf")
+    score = (total.cast("double") / n_feat).cast("double")
+    return n_feat, score
+
+
+def score_hashed_from_state(
+    state: DataFrame,
+    weights: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """:func:`score_hashed` replayed from :func:`featurized_doc_state` —
+    identical rows (pinned by test), zero text scans. The reference
+    form's per-doc ``SUM(weight)`` over occurrence rows equals
+    ``sum_b(weight_b * count_b)`` exactly in decimal: the weight is
+    cast decimal(38,12)→(26,12) first (value-preserving — |weight| < 30
+    — so the int product stays within precision 37 instead of
+    triggering Spark's precision-loss scale reduction at 49), each
+    product is exact, and the decimal sum is order-free. Docs with no
+    feature rows (null text) are absent, exactly as the groupBy over
+    zero exploded rows leaves them absent."""
+    occ = state.select(
+        F.col(id_col),
+        F.col("__nf"),
+        F.explode(F.arrays_zip(F.col("__hb"), F.col("__hc"))).alias("__e"),
+    ).select(
+        id_col,
+        "__nf",
+        F.col("__e.__hb").alias("bucket"),
+        F.col("__e.__hc").alias("__cnt"),
+    )
+    scored = occ.join(
+        F.broadcast(
+            weights.select(
+                "bucket", F.col("weight").cast("decimal(26,12)").alias("__w26")
+            )
+        ),
+        "bucket",
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max("__nf").alias("n_features"),
+            (
+                F.sum(F.col("__w26") * F.col("__cnt")).cast("double")
+                / F.max("__nf")
+            )
+            .cast("double")
+            .alias("clf_score"),
+        )
+        .withColumn("keep", F.col("clf_score") > 0.0)
+    )
 
 
 def score_hashed(

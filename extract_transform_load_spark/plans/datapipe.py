@@ -913,7 +913,7 @@ def q157_semantic_delta_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prefilter at scale.",
 )
 def q159_prefilter_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.curation import semantic_delta_recall_audit
+    from ..operators.curation import semantic_delta, semantic_delta_recall_audit
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     delta = emb.filter(F.col("vec_id") % 5 == 0).select(
@@ -923,6 +923,11 @@ def q159_prefilter_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.col("embedding"), 13, EMBED_DIM - 12),
         ).alias("embedding"),
     )
+    # r12: ONE exact quadratic run shared by both audits (it dominates
+    # the query's cost and its result is identical for both) — the form
+    # previously re-ran the |delta|² + |delta|·|store| comparison per
+    # audited prefilter. Recall numbers are unchanged by construction.
+    exact = semantic_delta(delta, emb, threshold=0.7)
     # floors sit under the measured values with deliberate margin:
     # LSH (5 bits x 8 bands) measured 1.0000 at sf0.01 / 0.9875 at
     # sf0.1 -> floor 0.9; IVF (16 cells, 2 probes) measured 0.9200 /
@@ -937,6 +942,7 @@ def q159_prefilter_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_recall=0.8,
         ivf_centroids=16,
         ivf_probe=2,
+        exact=exact,
     )
     lsh = semantic_delta_recall_audit(
         delta,
@@ -947,6 +953,7 @@ def q159_prefilter_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_recall=0.9,
         lsh_bits=5,
         lsh_bands=8,
+        exact=exact,
     )
     # the raw `recall` double is index-internal (not SQL-derivable) —
     # production callers read it off the operator; the driver surface
@@ -4318,12 +4325,22 @@ def q128_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q73 last-ulp rule.",
 )
 def q134_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.quality_model import learn_log_odds, score_hashed
+    from ..operators.quality_model import (
+        featurized_doc_state,
+        learn_log_odds_from_state,
+        score_hashed_from_state,
+    )
 
     d = load(spark, sf_dir, "documents")
     pos = F.col("source").isin("src0", "src1", "src2", "src3")
-    weights = learn_log_odds(d, pos)
-    return score_hashed(d, weights)
+    # r12 scan fusion (guide §1.2): learn + score both replay from ONE
+    # text scan's per-doc feature histograms (state) instead of each
+    # featurizing the corpus — counts and decimal sums are exactly the
+    # occurrence-level ones, so weights and scores are byte-identical
+    # to learn_log_odds + score_hashed (pinned by test + oracle).
+    state = featurized_doc_state(d, pos, passthrough_cols=())
+    weights = learn_log_odds_from_state(state)
+    return score_hashed_from_state(state, weights)
 
 
 @query(
@@ -4552,16 +4569,29 @@ def q136_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators/quality_model.py.",
 )
 def q137_curation_model_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.curation import curation_report, curation_stages
-    from ..operators.quality_model import collect_weights, learn_log_odds
+    from ..operators.curation import (
+        curation_doc_state,
+        curation_report,
+        curation_stages,
+    )
+    from ..operators.quality_model import collect_weights, learn_log_odds_from_state
 
     d = load(spark, sf_dir, "documents")
-    w = collect_weights(
-        learn_log_odds(d, F.col("source").isin("src0", "src1", "src2", "src3"))
+    # r12 scan fusion (guide §1.2): ONE text scan builds the shared
+    # per-doc state (metrics + fingerprint + feature histogram); the
+    # training weights aggregate from the state's histograms (identical
+    # integer counts -> identical weights) and curation_stages projects
+    # its metrics/fingerprint/score off the same state — the composition
+    # reads the corpus twice (state + near-dup survivor shingles) where
+    # it read it three times before. Output is byte-identical (pinned
+    # by test_q137_fused_state_byte_identical + the oracle).
+    state = curation_doc_state(
+        d, F.col("source").isin("src0", "src1", "src2", "src3")
     )
+    w = collect_weights(learn_log_odds_from_state(state))
     stages = curation_stages(
         d, min_ttr=0.3, num_hashes=64, bands=16, threshold=0.5,
-        model_weights=w, model_threshold=0.0,
+        model_weights=w, model_threshold=0.0, doc_state=state,
     )
     return curation_report(stages, include_model=True)
 

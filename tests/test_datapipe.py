@@ -321,8 +321,11 @@ def test_quantized_topk_kernel_bitwise_equals_jvm_form(spark, emb):
     brute-force delegation over quantized frames): on the real fixture,
     and on a corner fixture exercising zero vectors (NaN cosine — Spark
     orders NaN greatest, so NaN rows win a descending top-k), null
-    vectors (null cosine — desc_nulls_last), and exact score ties
-    (neighbor-id tie-break)."""
+    vectors (null cosine — desc_nulls_last), null ELEMENTS inside a
+    vector (the zip_with fold null-propagates: null cosine on both the
+    corpus and the query side — Arrow converts list<tinyint>+null to
+    float64/NaN, so the kernel must reclassify, not score, those rows),
+    and exact score ties (neighbor-id tie-break)."""
     from extract_transform_load_spark.operators.similarity import (
         cosine_topk_bruteforce,
         cosine_topk_quantized,
@@ -355,6 +358,7 @@ def test_quantized_topk_kernel_bitwise_equals_jvm_form(spark, emb):
             (5, [1, 2, 3]),  # identical to 1 -> exact tie, id asc breaks
             (6, [-1, -2, -3]),  # cos = -1
             (7, [3, -1, 0]),
+            (8, [1, None, 3]),  # null ELEMENT -> null cosine (null group)
         ],
         schema=schema,
     )
@@ -362,14 +366,19 @@ def test_quantized_topk_kernel_bitwise_equals_jvm_form(spark, emb):
         [
             (1, [1, 2, 3]),  # normal query (also a self-exclusion case)
             (91, None),  # null query: every cosine null
+            (92, [1, None, 3]),  # null-element query: every cosine null
         ],
         schema="query_id bigint, embedding_q array<tinyint>",
     )
-    old, new = run_both(corner_corpus, corner_queries, k=5)
-    assert len(old) == 10 and _rows_bitwise_equal(old, new)
+    old, new = run_both(corner_corpus, corner_queries, k=6)
+    assert len(old) == 18 and _rows_bitwise_equal(old, new)
     q1 = [r for r in old if r["query_id"] == 1]
     assert q1[0]["neighbor_id"] in (2, 5)  # the tie family leads
-    assert q1[-1]["cos_sim"] is None and q1[-1]["neighbor_id"] == 4
+    # both null shapes (whole-null id 4, null-element id 8) rank LAST
+    assert q1[-2]["cos_sim"] is None and q1[-2]["neighbor_id"] == 4
+    assert q1[-1]["cos_sim"] is None and q1[-1]["neighbor_id"] == 8
+    q92 = [r for r in old if r["query_id"] == 92]
+    assert len(q92) == 6 and all(r["cos_sim"] is None for r in q92)
 
     # Zero-norm vectors: the replaced JVM expression form ABORTED under
     # ANSI (DIVIDE_BY_ZERO); the kernel is strictly more defined — IEEE
@@ -2559,6 +2568,77 @@ def test_curation_model_stage_threshold_zero_matches_classifier_keep(docs):
     for r in gated.collect():
         if r["stage"] in ("kept", "model_filtered"):
             assert (r["stage"] == "kept") == keep[r["doc_id"]], r
+
+
+def test_fused_doc_state_replays_learn_score_and_stages_byte_identical(spark, docs):
+    """The r12 scan fusion (q134/q137): learning weights and scoring
+    from the per-doc feature HISTOGRAM state must be byte-identical to
+    the text-scan forms — the integer counts are the occurrence counts,
+    and the decimal sum over (weight_b * count_b) is exactly the
+    per-occurrence decimal sum. Exercised on the real fixture corpus
+    PLUS planted corner docs (null text -> null score/absent row; a
+    one-word doc -> no bigrams)."""
+    from extract_transform_load_spark.operators.curation import (
+        curation_doc_state,
+        curation_stages,
+    )
+    from extract_transform_load_spark.operators.quality_model import (
+        collect_weights,
+        featurized_doc_state,
+        learn_log_odds,
+        learn_log_odds_from_state,
+        score_hashed,
+        score_hashed_from_state,
+    )
+
+    corner = spark.createDataFrame(
+        [
+            (900001, None, "en", "srcX", 0),     # null text
+            (900002, "solo", "en", "src0", 4),   # single word: no bigrams
+            (900003, "a b a b a", "en", "src1", 9),  # repeated features
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    corpus = docs.unionByName(corner.select(*docs.columns))
+    pos = F.col("source").isin("src0", "src1", "src2", "src3")
+
+    state = featurized_doc_state(corpus, pos, passthrough_cols=())
+    w_old_df = learn_log_odds(corpus, pos)
+    w_new_df = learn_log_odds_from_state(state)
+    w_old = w_old_df.orderBy("bucket").collect()
+    w_new = w_new_df.orderBy("bucket").collect()
+    assert len(w_old) == 256 and w_old == w_new  # decimal-exact equality
+
+    s_old = score_hashed(corpus, w_old_df).orderBy("doc_id").collect()
+    s_new = score_hashed_from_state(state, w_new_df).orderBy("doc_id").collect()
+    assert len(s_old) > 0 and _rows_bitwise_equal(s_old, s_new)
+    # the null-text doc is absent from BOTH (no feature rows)
+    assert all(r["doc_id"] != 900001 for r in s_new)
+
+    # curation_stages(doc_state=...) == the text-scan path, byte for byte
+    w = collect_weights(w_old_df)
+    cstate = curation_doc_state(corpus, pos)
+    a = curation_stages(
+        corpus, model_weights=w, model_threshold=0.0
+    ).orderBy("doc_id").collect()
+    b = curation_stages(
+        corpus, model_weights=w, model_threshold=0.0, doc_state=cstate
+    ).orderBy("doc_id").collect()
+    assert len(a) == corpus.count() and a == b
+    # and the fused q137 registered form agrees with the unfused recipe
+    from extract_transform_load_spark.operators.curation import curation_report
+
+    rep_a = curation_report(
+        curation_stages(corpus, model_weights=w, model_threshold=0.0),
+        include_model=True,
+    ).orderBy("source").collect()
+    rep_b = curation_report(
+        curation_stages(
+            corpus, model_weights=w, model_threshold=0.0, doc_state=cstate
+        ),
+        include_model=True,
+    ).orderBy("source").collect()
+    assert rep_a == rep_b
 
 
 def test_tf_cosine_catches_word_order_shuffles_jaccard_misses(spark):

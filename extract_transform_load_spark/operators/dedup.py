@@ -992,6 +992,7 @@ def cross_doc_spans(
     max_fp_docs: int = 8,
     max_fp_occurrences: int = 64,
     thin_seeds: bool = True,
+    share_candidate_text: bool = False,
 ) -> DataFrame:
     """Maximal exact shared substrings BETWEEN document pairs — the
     cross-document flavor of Lee et al. 2022 exact substring dedup,
@@ -1114,9 +1115,29 @@ def cross_doc_spans(
         .unionByName(pairs.select(F.col("b_doc").alias(id_col)))
         .distinct()
     )
+    # The candidate-text frame feeds TWO joins (a_text, b_text) whose
+    # different aliases defeat subplan sharing, so the corpus scan +
+    # semi-join runs once PER SIDE. ``share_candidate_text`` persists it
+    # (MEMORY_AND_DISK; persist rather than localCheckpoint so the
+    # semi-join guard stays VISIBLE in the plan — the q128 plan audit
+    # pins it; release via spark.catalog.clearCache() in long-lived
+    # sessions, the curation drop-list story). DEFAULT OFF, by 100x
+    # measurement (r12, scripts/bench_cross_doc_scale100.py): against a
+    # parquet-backed corpus the duplicate side is a cheap columnar
+    # re-read and the cache boundary can flip the text joins off the
+    # broadcast path — wash at a realistic ~1% dup rate (21.3 vs
+    # 21.0 s), 3.9x SLOWER when every doc is a candidate (3.9 vs
+    # 15.1 s). Turn it ON when ``docs`` is an EXPENSIVE DERIVED frame
+    # (union/join-built corpora — q128's registered form, 5.0 -> 3.1 s),
+    # where replaying the construction per side dwarfs the bounded
+    # candidate-text cache.
     t = docs.select(F.col(id_col), F.col(text_col)).join(
         F.broadcast(cand_ids), id_col, "left_semi"
     )
+    if share_candidate_text:
+        from pyspark import StorageLevel
+
+        t = t.persist(StorageLevel.MEMORY_AND_DISK)
     seeds = pairs.join(
         t.withColumnRenamed(id_col, "a_doc").withColumnRenamed(text_col, "a_text"),
         "a_doc",

@@ -4261,7 +4261,15 @@ def q128_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = d.unionByName(planted)
-    return cross_doc_spans(corpus, k=25, w=8, min_len=80, max_fp_docs=8)
+    # share_candidate_text: this corpus is a DERIVED frame (base ∪ a
+    # plant self-join) — replaying its construction once per text-join
+    # side costs more than caching the bounded candidate text (r12 A/B
+    # 5.0 -> 3.1 s; the operator default stays off because a plain
+    # parquet corpus measured the other way at 100x — see the operator
+    # comment + scripts/bench_cross_doc_scale100.py).
+    return cross_doc_spans(
+        corpus, k=25, w=8, min_len=80, max_fp_docs=8, share_candidate_text=True
+    )
 
 
 @query(

@@ -2641,6 +2641,62 @@ def test_fused_doc_state_replays_learn_score_and_stages_byte_identical(spark, do
     assert rep_a == rep_b
 
 
+def test_semantic_delta_arrow_engine_byte_equals_expression(spark, emb):
+    """The r12 size-dispatched Arrow cosine stage: semantic_delta with
+    cos_engine='arrow' must return byte-identical rows to the
+    expression engine on every path (blocked, unblocked, LSH, IVF),
+    including corner vectors — null vector, null ELEMENT (Arrow
+    conflates with NaN inside float arrays; the JVM norm-null flag must
+    reclassify), genuine NaN element (must stay NaN), and a
+    length-mismatched vector (null cosine, like the padding zip_with).
+    The arrow engine is an explicitly-requested audit path (the r12
+    size dispatch was measured and rejected — see semantic_delta's
+    docstring); this test keeps the negative reproducible and exact."""
+    from extract_transform_load_spark.operators.curation import semantic_delta
+
+    base = emb.select("vec_id", "label", "embedding")
+    corner = spark.createDataFrame(
+        [
+            (9001, 0, None),                      # null vector
+            (9002, 0, [1.0, None, 0.5] + [0.0] * 61),  # null element
+            (9003, 0, [float("nan"), 1.0] + [0.0] * 62),  # genuine NaN
+            (9004, 0, [0.5, 0.25]),               # length mismatch vs dim-64
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+
+    def run(engine, **kw):
+        return (
+            semantic_delta(
+                kw.pop("delta"), kw.pop("store"), cos_engine=engine, **kw
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+
+    cases = []
+    d_blocked = base.filter(F.col("vec_id") % 4 == 0).unionByName(corner)
+    s_blocked = base.filter(F.col("vec_id") % 4 != 0)
+    cases.append(dict(delta=d_blocked, store=s_blocked,
+                      threshold=0.45, block_col="label"))
+    d_plain = base.filter(F.col("vec_id") % 4 == 0).select(
+        "vec_id", "embedding"
+    ).unionByName(corner.select("vec_id", "embedding"))
+    s_plain = base.filter(F.col("vec_id") % 4 != 0).select("vec_id", "embedding")
+    cases.append(dict(delta=d_plain, store=s_plain, threshold=0.7))
+    for pf in ("lsh", "ivf"):
+        # prefilter kernels stack per-batch vectors into one matrix and
+        # need a uniform dim — corner rows 9001/9004 stay out, the
+        # null/NaN ELEMENT rows stay in (the interesting Arrow cases)
+        dpf = d_plain.filter(~F.col("vec_id").isin(9001, 9004))
+        cases.append(dict(delta=dpf, store=s_plain, threshold=0.7,
+                          prefilter=pf, dim=64))
+    for kw in cases:
+        a = run("expr", **dict(kw))
+        b = run("arrow", **dict(kw))
+        assert len(a) > 0 and _rows_bitwise_equal(a, b), kw.keys()
+
+
 def test_tf_cosine_catches_word_order_shuffles_jaccard_misses(spark):
     """The q138 differentiator: a word-order-shuffled duplicate keeps an
     identical TF vector (cosine 1.0) but destroys 3-gram shingles —
